@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Clean
+import graft.functions.Money.{decSum, decSumSql}
+
+/** The reference's operator inventory (SURVEY.md §2) re-expressed on the
+  * driver testdata star schema:
+  * fact = `lineitem`; dims = `orders`, `part`, `supplier`,
+  * `customer`→`nation`→`region`; time dim derived from
+  * `l_shipdate`/`o_orderdate` (the reference derives its dim_tiempo from
+  * ANO_EJE/MES_EJE the same way, `sql/CreacionDeDataWareHouse.sql:18-24`).
+  *
+  * Every query is a lazy declarative plan: filters and projections reach
+  * the parquet scans (Catalyst pushdown), small dims broadcast, aggregates
+  * run partial+final. All money aggregation uses exact decimal sums
+  * ([[graft.functions.Money]]) so results hash-match the DuckDB oracle
+  * bit-for-bit; every output is fully deterministically ordered.
+  */
+object ParityQueries {
+
+  /** Revenue expr: extendedprice*(1-discount) — 4 exact decimal digits. */
+  private def revenue: Column = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val revenueSql = "l_extendedprice * (1 - l_discount)"
+  /** Committed-amount analog: extendedprice*(1+tax). */
+  private def committed: Column = col("l_extendedprice") * (lit(1) + col("l_tax"))
+  private val committedSql = "l_extendedprice * (1 + l_tax)"
+
+  /** lineitem joined to supplier→nation→region (star arm used by the
+    * region-level rollups). Dim tables are tiny → explicit broadcast.
+    */
+  private def lineitemByRegion(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // A1 — grain consolidation: one row per natural grain, measures summed
+    // (`etl/cargar_postgres.py:374-376`).
+    "grain_consolidation" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+          .agg(
+            decSum(col("l_quantity")).as("sum_qty"),
+            decSum(col("l_extendedprice")).as("sum_price"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey")),
+      s"""SELECT l_orderkey, l_partkey, l_suppkey,
+         |  ${decSumSql("l_quantity")} AS sum_qty,
+         |  ${decSumSql("l_extendedprice")} AS sum_price,
+         |  COUNT(*) AS n_lines
+         |FROM lineitem
+         |GROUP BY l_orderkey, l_partkey, l_suppkey
+         |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A4/P6 — YTD accrual by sector → YTD revenue by supplier region
+    // (`sql/ConsultasAlDataWarehouse.sql:2-16`), year=1997 cutoff month=6.
+    "ytd_by_region" -> QueryDef(
+      (s, dir) =>
+        lineitemByRegion(s, dir)
+          .filter(year(col("l_shipdate")) === 1997 && month(col("l_shipdate")).between(1, 6))
+          .groupBy(col("r_name"))
+          .agg(decSum(revenue, 4).as("devengado_ytd"))
+          .orderBy(desc("devengado_ytd"), col("r_name")),
+      s"""SELECT r_name, ${decSumSql(revenueSql, 4)} AS devengado_ytd
+         |FROM lineitem
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) BETWEEN 1 AND 6
+         |GROUP BY r_name
+         |ORDER BY devengado_ytd DESC, r_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A5/O3 — top-5 executing units by annual accrual → top-5 suppliers by
+    // 1997 revenue (`sql/ConsultasAlDataWarehouse.sql:19-33`). Planned as
+    // TakeOrderedAndProject (sort+limit top-k), never a full global sort.
+    "top5_suppliers" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(year(col("l_shipdate")) === 1997)
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(decSum(revenue, 4).as("devengado_anual"))
+          .orderBy(desc("devengado_anual"), col("s_name"))
+          .limit(5),
+      s"""SELECT s_name, ${decSumSql(revenueSql, 4)} AS devengado_anual
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |WHERE year(l_shipdate) = 1997
+         |GROUP BY s_name
+         |ORDER BY devengado_anual DESC, s_name
+         |LIMIT 5""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A6/J9/F10 — share-of-total within a sector → per-customer share of
+    // BUILDING-segment order value, YTD 1997-06
+    // (`sql/ConsultasAlDataWarehouse.sql:36-60`): two-level aggregate,
+    // 1-row global total cross-joined back, guarded division.
+    "share_within_segment" -> QueryDef(
+      (s, dir) => {
+        val ytd = Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")) === 1997 && month(col("o_orderdate")).between(1, 6))
+          .join(
+            broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_name"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).as("dev_dec"))
+        val tot = ytd.agg(sum(col("dev_dec")).as("tot_dec"))
+        ytd.crossJoin(broadcast(tot))
+          .select(
+            col("c_name"),
+            col("dev_dec").cast("double").as("dev_ytd"),
+            Clean.divisionSegura(
+              col("dev_dec").cast("double"), col("tot_dec").cast("double")).as("share"))
+          .orderBy(desc("dev_ytd"), col("c_name"))
+      },
+      """WITH ytd AS (
+        |  SELECT c_name, SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS dev_dec
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE year(o_orderdate) = 1997 AND month(o_orderdate) BETWEEN 1 AND 6
+        |    AND c_mktsegment = 'BUILDING'
+        |  GROUP BY c_name
+        |), tot AS (SELECT SUM(dev_dec) AS tot_dec FROM ytd)
+        |SELECT y.c_name,
+        |  CAST(y.dev_dec AS DOUBLE) AS dev_ytd,
+        |  CASE WHEN CAST(t.tot_dec AS DOUBLE) > 0
+        |       THEN CAST(y.dev_dec AS DOUBLE) / CAST(t.tot_dec AS DOUBLE)
+        |       ELSE 0.0 END AS share
+        |FROM ytd y CROSS JOIN tot t
+        |ORDER BY dev_ytd DESC, c_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A7/F11/O3 — backlog (committed − accrued) by expense classifier →
+    // by part brand, HAVING > 0, top-20
+    // (`sql/ConsultasAlDataWarehouse.sql:64-83`).
+    "backlog_by_brand" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(year(col("l_shipdate")) === 1997 && month(col("l_shipdate")).between(1, 6))
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(
+            sum(committed.cast(DecimalType(20, 4))).as("com_dec"),
+            sum(revenue.cast(DecimalType(20, 4))).as("dev_dec"))
+          .withColumn("backlog_dec", col("com_dec") - col("dev_dec"))
+          .filter(col("backlog_dec") > 0)
+          .select(
+            col("p_brand"),
+            col("com_dec").cast("double").as("comprometido_ytd"),
+            col("dev_dec").cast("double").as("devengado_ytd"),
+            col("backlog_dec").cast("double").as("backlog"))
+          .orderBy(desc("backlog"), col("p_brand"))
+          .limit(20),
+      s"""SELECT p_brand,
+         |  CAST(com_dec AS DOUBLE) AS comprometido_ytd,
+         |  CAST(dev_dec AS DOUBLE) AS devengado_ytd,
+         |  CAST(com_dec - dev_dec AS DOUBLE) AS backlog
+         |FROM (
+         |  SELECT p_brand,
+         |    SUM(CAST($committedSql AS DECIMAL(20,4))) AS com_dec,
+         |    SUM(CAST($revenueSql AS DECIMAL(20,4))) AS dev_dec
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE year(l_shipdate) = 1997 AND month(l_shipdate) BETWEEN 1 AND 6
+         |  GROUP BY p_brand
+         |) WHERE com_dec - dev_dec > 0
+         |ORDER BY backlog DESC, p_brand
+         |LIMIT 20""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A8/P7/O2 — quarterly evolution by government level → quarterly order
+    // value by customer region, 1996-1998
+    // (`sql/ConsultasAlDataWarehouse.sql:86-101`).
+    "quarterly_by_region" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(year(col("o_orderdate")).between(1996, 1998))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(
+            year(col("o_orderdate")).as("anio"),
+            quarter(col("o_orderdate")).as("trimestre"),
+            col("r_name"))
+          .agg(decSum(col("o_totalprice")).as("dev_trimestral"))
+          .orderBy(col("anio"), col("trimestre"), col("r_name")),
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS anio,
+         |  CAST(quarter(o_orderdate) AS INT) AS trimestre,
+         |  r_name,
+         |  ${decSumSql("o_totalprice")} AS dev_trimestral
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE year(o_orderdate) BETWEEN 1996 AND 1998
+         |GROUP BY 1, 2, 3
+         |ORDER BY anio, trimestre, r_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // J5/A2 — 8-way star join + monthly aggregate view
+    // (`sql/CreacionDeUsuariosyVistas.sql:106-179`): the full star joined
+    // once, grouped at month grain with COALESCE'd measures.
+    "monthly_star_rollup" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(
+            year(col("o_orderdate")).as("anio"),
+            month(col("o_orderdate")).as("mes"),
+            quarter(col("o_orderdate")).as("trimestre"),
+            col("r_name"),
+            col("o_orderstatus"))
+          .agg(
+            decSum(coalesce(col("l_quantity"), lit(0.0))).as("sum_qty"),
+            decSum(coalesce(col("l_extendedprice"), lit(0.0))).as("sum_price"),
+            decSum(coalesce(revenue, lit(0.0)), 4).as("sum_revenue"),
+            count(lit(1)).as("n_rows"))
+          .orderBy(col("anio"), col("mes"), col("r_name"), col("o_orderstatus")),
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS anio,
+         |  CAST(month(o_orderdate) AS INT) AS mes,
+         |  CAST(quarter(o_orderdate) AS INT) AS trimestre,
+         |  r_name, o_orderstatus,
+         |  ${decSumSql("COALESCE(l_quantity, 0)")} AS sum_qty,
+         |  ${decSumSql("COALESCE(l_extendedprice, 0)")} AS sum_price,
+         |  ${decSumSql(s"COALESCE($revenueSql, 0)", 4)} AS sum_revenue,
+         |  COUNT(*) AS n_rows
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY 1, 2, 3, 4, 5
+         |ORDER BY anio, mes, r_name, o_orderstatus""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A3/J7 — annual aggregate view → per-year, per-region, per-status
+    // totals (`sql/CreacionDeUsuariosyVistas.sql:185-196`).
+    "annual_rollup" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(year(col("o_orderdate")).as("anio"), col("r_name"), col("o_orderstatus"))
+          .agg(decSum(col("o_totalprice")).as("total_anual"), count(lit(1)).as("n_orders"))
+          .orderBy(col("anio"), col("r_name"), col("o_orderstatus")),
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS anio, r_name, o_orderstatus,
+         |  ${decSumSql("o_totalprice")} AS total_anual,
+         |  COUNT(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2, 3
+         |ORDER BY anio, r_name, o_orderstatus""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // J2 — anti-join new-key detection (`etl/cargar_postgres.py:355-357`)
+    // → customers with no order in 1998 (year filter keeps the result
+    // non-empty at every SF, so the check is not vacuous).
+    "antijoin_customers_without_orders" -> QueryDef(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(
+            Tables.orders(s, dir)
+              .filter(year(col("o_orderdate")) === 1998)
+              .select(col("o_custkey")),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+          .orderBy(col("c_custkey")),
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND year(o_orderdate) = 1998)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A10/J3 — natural-key dedup + attribute recovery
+    // (`etl/cargar_postgres.py:355-360`): distinct dim keys with a
+    // deterministic representative row (min key wins, mirroring
+    // first-write-wins dim inserts).
+    "dedup_dim_keys" -> QueryDef(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(min(col("c_custkey")).as("first_custkey"), count(lit(1)).as("n_members"))
+          .orderBy(col("c_nationkey"), col("c_mktsegment")),
+      """SELECT c_nationkey, c_mktsegment,
+        |  MIN(c_custkey) AS first_custkey,
+        |  COUNT(*) AS n_members
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // F6 — dim_tiempo month spine, 2010-01..2030-12 = 252 rows
+    // (`sql/CreacionDeDataWareHouse.sql:18-24`).
+    "time_spine" -> QueryDef(
+      (s, dir) =>
+        s.range(1)
+          .select(explode(sequence(
+            to_date(lit("2010-01-01")), to_date(lit("2030-12-01")),
+            expr("interval 1 month"))).as("fecha"))
+          .select(
+            col("fecha"),
+            year(col("fecha")).as("anio"),
+            month(col("fecha")).as("mes"),
+            quarter(col("fecha")).as("trimestre"))
+          .orderBy(col("fecha")),
+      """SELECT CAST(range AS DATE) AS fecha,
+        |  CAST(year(range) AS INT) AS anio,
+        |  CAST(month(range) AS INT) AS mes,
+        |  CAST(quarter(range) AS INT) AS trimestre
+        |FROM range(DATE '2010-01-01', DATE '2030-12-02', INTERVAL 1 MONTH)
+        |ORDER BY fecha""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // P4 — FK-completeness diagnostics (`etl/cargar_postgres.py:365-374`):
+    // total rows vs per-key null counts (all-in-one-pass aggregate).
+    "fk_null_diagnostics" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .agg(
+            count(lit(1)).as("total_rows"),
+            count(when(col("l_orderkey").isNull, 1)).as("null_orderkey"),
+            count(when(col("l_partkey").isNull, 1)).as("null_partkey"),
+            count(when(col("l_suppkey").isNull, 1)).as("null_suppkey"),
+            count(when(
+              col("l_orderkey").isNotNull && col("l_partkey").isNotNull &&
+                col("l_suppkey").isNotNull, 1)).as("fk_complete_rows")),
+      """SELECT COUNT(*) AS total_rows,
+        |  COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_orderkey,
+        |  COUNT(CASE WHEN l_partkey IS NULL THEN 1 END) AS null_partkey,
+        |  COUNT(CASE WHEN l_suppkey IS NULL THEN 1 END) AS null_suppkey,
+        |  COUNT(CASE WHEN l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |             AND l_suppkey IS NOT NULL THEN 1 END) AS fk_complete_rows
+        |FROM lineitem""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // F1/F8/F4 — cleaning kernel over documents: whitespace collapse,
+    // blank-to-placeholder, trim (`etl/transformar_mensual.py:91-94`,
+    // `sql/CreacionDeUsuariosyVistas.sql:127-133`).
+    "clean_text_kernel" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            Clean.limpiarTexto(col("text")).as("text_clean"),
+            Clean.conPlaceholder(col("lang"), "SIN LANG").as("lang_norm"),
+            Clean.aCadena(col("source")).as("source_norm"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        |  regexp_replace(trim(COALESCE(CAST(text AS VARCHAR), '')), '\s+', ' ', 'g') AS text_clean,
+        |  COALESCE(NULLIF(TRIM(lang), ''), 'SIN LANG') AS lang_norm,
+        |  TRIM(CAST(source AS VARCHAR)) AS source_norm
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // F2/F3 — coerce-to-null numeric parse + year/month → date derivation
+    // (`etl/transformar_mensual.py:86-105`) over events.props (JSON-ish
+    // strings) and event timestamps.
+    "coerce_and_dates" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            Clean.aNumero(regexp_extract(col("props"), "[0-9]+(\\.[0-9]+)?", 0)).as("k_num"),
+            Clean.aNumero(col("event_type")).as("bad_parse"),
+            Clean.construirFecha(year(col("ts")), month(col("ts"))).as("fecha_mes"))
+          .orderBy(col("event_id")),
+      """SELECT event_id,
+        |  TRY_CAST(regexp_extract(props, '[0-9]+(\.[0-9]+)?', 0) AS DOUBLE) AS k_num,
+        |  TRY_CAST(event_type AS DOUBLE) AS bad_parse,
+        |  make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), 1) AS fecha_mes
+        |FROM events
+        |ORDER BY event_id""".stripMargin)
+  )
+}
