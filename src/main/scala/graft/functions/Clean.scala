@@ -24,9 +24,14 @@ import org.apache.spark.sql.functions._
   */
 object Clean {
 
-  /** F1: null→"", trim, collapse internal whitespace to single spaces. */
+  /** F1: null→"", trim, collapse internal whitespace to single spaces.
+    * Collapse BEFORE trim: Spark's `trim` strips only ' ' while pandas
+    * `.strip()` strips all whitespace — collapsing first turns any
+    * leading/trailing whitespace run into a single space that `trim`
+    * then removes, matching pandas.
+    */
   def limpiarTexto(c: Column): Column =
-    regexp_replace(trim(coalesce(c.cast("string"), lit(""))), "\\s+", " ")
+    trim(regexp_replace(coalesce(c.cast("string"), lit("")), "\\s+", " "))
 
   /** F2: coerce-to-null numeric parse (pandas `to_numeric(errors="coerce")`).
     * ANSI-safe: invalid strings become null instead of raising.

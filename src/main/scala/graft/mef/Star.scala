@@ -1,0 +1,115 @@
+package graft.mef
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.mef.MefSchema.DimSpec
+
+/** Star-schema builder — replaces the loader's per-batch dim-cache /
+  * anti-join / JDBC-upsert dance (`etl/cargar_postgres.py:270-388`) with a
+  * declarative single-pass build: ~1 shuffle per dimension + 1 for the
+  * fact grain.
+  *
+  * Semantics decisions (SURVEY.md §7.4):
+  *  - Surrogate ids are dense `row_number` over the natural-key order —
+  *    deterministic across runs, unlike SERIAL insertion order. They are
+  *    internal plumbing: every observable query keys on natural
+  *    attributes. (Dims are bounded domains — thousands of rows even at
+  *    100 TB fact scale — so the single-partition ranking window is safe;
+  *    the fact side never sorts.)
+  *  - Attribute recovery picks the lexicographically smallest attribute
+  *    tuple per natural key (deterministic stand-in for the reference's
+  *    nondeterministic first-insert-wins, `etl/cargar_postgres.py:359-360`).
+  *  - Re-ingest is a full rebuild: a one-shot `groupBy(grain).sum` equals
+  *    the reference's within-batch consolidation + first-write-wins
+  *    conflict-drop on a clean load, without the lossy cross-run drop.
+  *  - Null natural keys resolve via null-safe equality (pandas `merge`
+  *    matches NaN keys; plain Spark joins would drop them before the P4
+  *    filter could count them).
+  */
+object Star {
+
+  final case class StarSchema(
+      dimTiempo: DataFrame,
+      dims: Map[String, DataFrame],
+      fact: DataFrame)
+
+  /** dim_tiempo: monthly spine 2010-01..2030-12, 252 rows, ids ordered by
+    * date exactly like the SERIAL fill (`sql/CreacionDeDataWareHouse.sql:9-24`).
+    */
+  def dimTiempo(spark: SparkSession): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(
+        to_date(lit("2010-01-01")), to_date(lit("2030-12-01")),
+        expr("interval 1 month"))).as("fecha"))
+      .select(
+        row_number().over(Window.orderBy(col("fecha"))).as("tiempo_id"),
+        col("fecha"),
+        year(col("fecha")).as("anio"),
+        month(col("fecha")).as("mes"),
+        quarter(col("fecha")).as("trimestre"))
+
+  /** One attribute dimension: distinct natural keys, deterministic
+    * representative attributes, dense surrogate id.
+    */
+  def buildDim(normalized: DataFrame, spec: DimSpec): DataFrame = {
+    val attrCols = spec.allCols.filterNot(spec.keys.contains)
+    val keyCols = spec.keys.map(col)
+    val dedup =
+      if (attrCols.isEmpty) normalized.select(keyCols: _*).distinct()
+      else normalized
+        .groupBy(keyCols: _*)
+        .agg(min(struct(attrCols.map(col): _*)).as("_attrs"))
+        .select(keyCols ++ attrCols.map(a => col(s"_attrs.$a").as(a)): _*)
+    dedup.withColumn(
+      spec.id,
+      row_number().over(Window.orderBy(spec.keys.map(k => col(k).asc_nulls_first): _*)))
+      .select((spec.id +: spec.allCols).map(col): _*)
+  }
+
+  /** Full star build from the normalized frame: all dims + the
+    * FK-resolved, FK-complete, grain-consolidated fact.
+    */
+  def build(spark: SparkSession, normalized: DataFrame): StarSchema = {
+    val tiempo = dimTiempo(spark)
+    val dims = MefSchema.dims.map(spec => spec.name -> buildDim(normalized, spec)).toMap
+
+    // J1: time lookup — broadcast the 252-row spine.
+    var fact = normalized
+      .withColumn("_anio", col("ano_eje").cast("int"))
+      .withColumn("_mes", col("mes_eje").cast("int"))
+      .join(
+        broadcast(tiempo.select(col("tiempo_id"), col("anio"), col("mes"))),
+        col("_anio") === col("anio") && col("_mes") === col("mes"), "left")
+      .drop("anio", "mes", "_anio", "_mes")
+
+    // J4: FK resolution ×7 — null-safe broadcast joins on natural keys.
+    MefSchema.dims.foreach { spec =>
+      val dimMap = dims(spec.name).select((spec.id +: spec.keys).map(col): _*)
+      val cond = spec.keys.map(k => fact(k) <=> dimMap(k)).reduce(_ && _)
+      fact = fact.join(broadcast(dimMap), cond, "left").drop(dimMap.columns.filter(spec.keys.contains): _*)
+    }
+
+    // P4: FK completeness — drop rows with any unresolved surrogate.
+    val complete = fact.filter(MefSchema.factFks.map(col(_).isNotNull).reduce(_ && _))
+
+    // A1: grain consolidation — one row per 8-FK grain, measures summed
+    // (empty→0 like pandas groupby().sum() on all-NaN groups).
+    val measureAggs = MefSchema.measures.map(m => coalesce(sum(col(m)), lit(0.0)).as(m))
+    val consolidated = complete
+      .groupBy(MefSchema.factFks.map(col): _*)
+      .agg(measureAggs.head, measureAggs.tail: _*)
+
+    StarSchema(tiempo, dims, consolidated)
+  }
+
+  /** P4 diagnostics: per-FK unresolved counts, one pass
+    * (`etl/cargar_postgres.py:370-371`).
+    */
+  def fkNullDiagnostics(factWithFks: DataFrame): DataFrame =
+    factWithFks.agg(
+      count(lit(1)).as("total_rows"),
+      MefSchema.factFks.map(fk =>
+        count(when(col(fk).isNull, 1)).as(s"null_$fk")): _*)
+}

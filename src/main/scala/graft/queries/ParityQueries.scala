@@ -366,7 +366,7 @@ object ParityQueries {
             Clean.aCadena(col("source")).as("source_norm"))
           .orderBy(col("doc_id")),
       """SELECT doc_id,
-        |  regexp_replace(trim(COALESCE(CAST(text AS VARCHAR), '')), '\s+', ' ', 'g') AS text_clean,
+        |  trim(regexp_replace(COALESCE(CAST(text AS VARCHAR), ''), '\s+', ' ', 'g')) AS text_clean,
         |  COALESCE(NULLIF(TRIM(lang), ''), 'SIN LANG') AS lang_norm,
         |  TRIM(CAST(source AS VARCHAR)) AS source_norm
         |FROM documents

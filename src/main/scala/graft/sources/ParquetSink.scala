@@ -1,0 +1,24 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** S2 — Parquet sink with the reference's idempotency contract
+  * (`etl/transformar_mensual.py:119-123`): skip-if-exists unless
+  * overwrite. At scale, output is partitioned by year (`ANO_EJE`) so
+  * downstream year-predicate queries prune whole partitions —
+  * the Spark analog of the reference's per-year files + fact indexes
+  * (SURVEY.md §4).
+  */
+object ParquetSink {
+
+  def writeYearly(df: DataFrame, outPath: String, overwrite: Boolean = false): Unit =
+    df.write
+      .mode(if (overwrite) "overwrite" else "ignore")
+      .partitionBy("ANO_EJE")
+      .parquet(outPath)
+
+  def write(df: DataFrame, outPath: String, overwrite: Boolean = false): Unit =
+    df.write
+      .mode(if (overwrite) "overwrite" else "ignore")
+      .parquet(outPath)
+}

@@ -1,0 +1,140 @@
+package graft
+
+import java.nio.charset.{Charset, StandardCharsets}
+import java.nio.file.{Files, Path}
+
+import graft.mef._
+import graft.sources.CsvIngest
+
+/** End-to-end MEF pipeline on the FIXTURES.md §A trap-row fixture:
+  * every semantic trap from SURVEY.md §7.4 asserted with hand-computed
+  * expectations.
+  */
+class MefPipelineSpec extends SparkSuite {
+
+  private val header = Seq(
+    " ano_eje ", "mes_eje", "NIVEL_GOBIERNO", "nivel_gobierno_nombre",
+    "SEC_EJEC", "EJECUTORA", "ejecutora_nombre", "SECTOR", "SECTOR_NOMBRE",
+    "PLIEGO", "PLIEGO_NOMBRE", "DEPARTAMENTO_EJECUTORA_NOMBRE",
+    "FUENTE_FINANCIAMIENTO", "FUENTE_FINANCIAMIENTO_NOMBRE",
+    "ESPECIFICA", "ESPECIFICA_NOMBRE",
+    "MONTO_COMPROMETIDO", "monto_devengado", "MONTO_PIM", "COLUMNA_EXTRA")
+
+  // grain traps: r1+r2 same grain (summed); r3/r4 invalid time (dropped);
+  // r5 blank sector + unparseable devengado; r6 second month same unit.
+  private val rows = Seq(
+    Seq("2024", "1", "E", "GOBIERNO   NACIONAL", "001", "E1", "  Hospital   Central  ",
+      "01", "SALUD", "P1", "Pliego Salud", "San Martín", "F1", "RECURSOS ORDINARIOS",
+      "ES1", "Personal", "80", "50", "200", "ignoreme"),
+    Seq("2024", "1", "E", "GOBIERNO NACIONAL", "001", "E1", "Hospital Central",
+      "01", "SALUD", "P1", "Pliego Salud", "San Martín", "F1", "RECURSOS ORDINARIOS",
+      "ES1", "Personal", "20", "25", "100", "x"),
+    Seq("2024", "13", "E", "GOBIERNO NACIONAL", "001", "E1", "Hospital Central",
+      "01", "SALUD", "P1", "Pliego Salud", "San Martín", "F1", "RECURSOS ORDINARIOS",
+      "ES1", "Personal", "1", "1", "1", "y"),
+    Seq("0", "1", "E", "GOBIERNO NACIONAL", "001", "E1", "Hospital Central",
+      "01", "SALUD", "P1", "Pliego Salud", "San Martín", "F1", "RECURSOS ORDINARIOS",
+      "ES1", "Personal", "1", "1", "1", "y"),
+    Seq("2024", "2", "E", "GOBIERNO NACIONAL", "002", "E2", "Clinica Sur",
+      "02", "   ", "P2", "", "San Martín", "F1", "RECURSOS ORDINARIOS",
+      "ES2", "Bienes", "30", "abc", "50", "z"),
+    Seq("2024", "2", "E", "GOBIERNO NACIONAL", "001", "E1", "Hospital Central",
+      "01", "SALUD", "P1", "Pliego Salud", "San Martín", "F1", "RECURSOS ORDINARIOS",
+      "ES1", "Personal", "10", "10", "40", "w"))
+
+  private def csvText: String =
+    (header.map(h => "\"" + h + "\"").mkString(",") +:
+      rows.map(_.map(v => "\"" + v + "\"").mkString(","))).mkString("\n")
+
+  private def writeFixture(name: String, charset: Charset, bom: Boolean = false): Path = {
+    val dir = Files.createTempDirectory("mef_fixture")
+    val p = dir.resolve(name)
+    val body = (if (bom) "﻿" else "") + csvText
+    Files.write(p, body.getBytes(charset))
+    p
+  }
+
+  private lazy val star = {
+    val p = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8)
+    MefPipeline.buildFromCsv(spark, Seq(p.toString))
+  }
+
+  test("star build: P3 drops invalid time rows, A1 consolidates grain") {
+    assert(star.fact.count() == 3) // r1+r2 merged; r3, r4 dropped
+    assert(star.dimTiempo.count() == 252)
+  }
+
+  test("dims: cleaned before dedup (§7.4.6), deterministic attributes") {
+    val ej = star.dims("dim_ejecutora").collect()
+    assert(ej.length == 2)
+    val e1 = ej.find(r => r.getAs[String]("ejecutora_codigo") == "E1").get
+    assert(e1.getAs[String]("ejecutora_nombre") == "Hospital Central")
+    val ng = star.dims("dim_nivel_gobierno").collect()
+    assert(ng.length == 1, "whitespace-collapsed nivel dedups to one row")
+    assert(ng(0).getAs[String]("nivel_gobierno_nombre") == "GOBIERNO NACIONAL")
+  }
+
+  test("A4 ytd by sector: month cutoff + coerced-null measure → 0") {
+    val ytd1 = Analytics.ytdDevengadoPorSector(star, 2024, 1).collect()
+    assert(ytd1.map(r => r.getString(0) -> r.getDouble(1)).toMap == Map("SALUD" -> 75.0))
+    val ytd2 = Analytics.ytdDevengadoPorSector(star, 2024, 2).collect()
+    assert(ytd2.map(r => r.getString(0) -> r.getDouble(1)).toMap ==
+      Map("SALUD" -> 85.0, "" -> 0.0))
+  }
+
+  test("A5 top ejecutoras") {
+    val top = Analytics.topEjecutorasPorDevengado(star, 2024).collect()
+    assert(top.head.getString(0) == "Hospital Central" && top.head.getDouble(1) == 85.0)
+  }
+
+  test("A6 participacion: single unit takes share 1.0") {
+    val p = Analytics.participacionPorEjecutora(star, 2024, 2, "SALUD").collect()
+    assert(p.length == 1 && p(0).getDouble(2) == 1.0)
+  }
+
+  test("A7 backlog: HAVING>0, ordered desc") {
+    val b = Analytics.pendientePorEjecutar(star, 2024, 2).collect()
+    val byEsp = b.map(r => r.getString(0) -> r.getAs[Double]("backlog")).toMap
+    assert(byEsp == Map("ES2" -> 30.0, "ES1" -> 25.0))
+    assert(b.head.getString(0) == "ES2", "largest backlog first")
+  }
+
+  test("A8 evolucion trimestral") {
+    val e = Analytics.evolucionTrimestral(star, 2024, 2024).collect()
+    assert(e.length == 1)
+    assert(e(0).getAs[Double]("dev_trimestral") == 85.0)
+  }
+
+  test("views: F8 placeholder buckets, conformance injected/dropped cols") {
+    val vm = Views.vwGastoMensual(star)
+    assert(!vm.columns.contains("COLUMNA_EXTRA"))
+    assert(vm.columns.contains("meta_nombre")) // injected as null (P2)
+    assert(vm.count() == 3)
+    val agg = Views.vwGastoAgregadoMensual(star).collect()
+    val sectors = agg.map(_.getAs[String]("sector_nombre")).toSet
+    assert(sectors == Set("SALUD", "SIN SECTOR"))
+    val sinSector = agg.filter(_.getAs[String]("sector_nombre") == "SIN SECTOR")
+    assert(sinSector.map(_.getAs[Double]("comprometido")).sum == 30.0)
+    assert(sinSector.head.getAs[String]("region_mapa") == "Departamento de San Martín, Perú")
+  }
+
+  test("S1 encoding fallback: latin-1 bytes decode correctly") {
+    val p = writeFixture("2024-Gasto-Mensual.csv", Charset.forName("ISO-8859-1"))
+    val raw = CsvIngest(spark, p.toString)
+    val deps = raw.select("DEPARTAMENTO_EJECUTORA_NOMBRE").collect().map(_.getString(0)).toSet
+    assert(deps.contains("San Martín"))
+  }
+
+  test("S1 utf-8-sig: BOM stripped from first header") {
+    val p = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8, bom = true)
+    val raw = CsvIngest(spark, p.toString)
+    assert(raw.columns.head == " ano_eje ")
+  }
+
+  test("P9 filename predicate") {
+    assert(CsvIngest.acceptFile("2024-Gasto-Mensual.csv").contains(2024))
+    assert(CsvIngest.acceptFile("2019-Gasto.csv").contains(2019))
+    assert(CsvIngest.acceptFile("2024-Gasto-Diario.csv").isEmpty)
+    assert(CsvIngest.acceptFile("notas.csv").isEmpty)
+  }
+}
