@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for operators the built-in function
+  * library can't express in one pass (SURVEY.md §2.10 notes the
+  * *reference* needs none — these belong to the beyond-parity
+  * training-data operators).
+  *
+  * Both are deterministic, null-safe scalar kernels evaluated per row
+  * inside the task — no shuffle, no driver participation — so they scale
+  * with the scan. CodegenFallback keeps them correct everywhere; the
+  * surrounding projections still codegen.
+  */
+
+/** 64-bit SimHash of a token array (Charikar 2002, public literature):
+  * per-token xxhash64, ±1 vote per bit, sign → fingerprint bit.
+  * Input: array<string>; output: long (null for null input).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<string>, got $other")
+  }
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(i), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Winnowing document fingerprint (Schleimer, Wilkerson, Aiken 2003 —
+  * "Winnowing: Local Algorithms for Document Fingerprinting", public):
+  * rolling xxhash64 over character k-grams, keep the minimum hash in
+  * each window of `w` consecutive k-grams, dedup consecutive picks.
+  * Input: string; output: array<long> (sorted, distinct) — two docs
+  * sharing any fingerprint share a k-gram-sized substring.
+  */
+case class WinnowFingerprint(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k > 0 && w > 0, "k and w must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprint requires string, got $other")
+  }
+  override def prettyName: String = "winnow_fingerprint"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (s.length < k) return new GenericArrayData(Array.empty[Long])
+    val nGrams = s.length - k + 1
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hashes(i) = XxHash64Function.hash(
+        UTF8String.fromString(s.substring(i, i + k)), StringType, 42L)
+      i += 1
+    }
+    val picked = scala.collection.mutable.SortedSet.empty[Long]
+    if (nGrams <= w) {
+      picked += hashes.min
+    } else {
+      var start = 0
+      while (start + w <= nGrams) {
+        var mi = start
+        var j = start + 1
+        while (j < start + w) {
+          if (hashes(j) <= hashes(mi)) mi = j
+          j += 1
+        }
+        picked += hashes(mi)
+        start += 1
+      }
+    }
+    new GenericArrayData(picked.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+}
+
+object exprs {
+  import org.apache.spark.sql.GraftShim
+
+  /** SimHash fingerprint of a token array column. */
+  def simhash64(tokens: Column): Column =
+    GraftShim.column(SimHash64(GraftShim.expression(tokens)))
+
+  /** Winnowing fingerprint set of a text column. */
+  def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
+    GraftShim.column(WinnowFingerprint(GraftShim.expression(text), k, w))
+}

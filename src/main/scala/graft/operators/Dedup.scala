@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around one shuffle-bounded pattern that survives 100 TB inputs:
+  *
+  *  - exact / normalized dedup: hash-groupBy on a content digest — one
+  *    shuffle keyed by digest, no full-text comparisons.
+  *  - n-gram Jaccard near-dup: inverted-index self-join on shingles
+  *    (never an O(N²) cross join); hot shingles are capped by document
+  *    frequency so a stop-shingle can't produce a quadratic bucket.
+  *  - MinHash+LSH and SimHash live in [[MinHashLsh]] / [[SimHash]].
+  */
+object Dedup {
+
+  /** Exact-duplicate groups by content digest. Returns one row per
+    * distinct content: representative (min) id, member count.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup after aggressive normalization (lowercase + whitespace
+    * collapse) — catches trivially re-formatted copies.
+    */
+  def normalizedGroups(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(coalesce(col(textCol), lit(""))), "\\s+", " "))
+    df.groupBy(md5(norm.cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+  }
+
+  /** Word n-gram shingle set (distinct), as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextOps.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥
+    * threshold) via inverted index:
+    * doc→shingles → explode → (cap hot shingles by doc frequency) →
+    * self-join on shingle → count shared per pair → |A∩B| / (|A|+|B|−|A∩B|).
+    *
+    * `maxShingleDf` bounds the worst-case pair blowup: a shingle shared
+    * by d docs contributes d² pairs; capping d keeps the join linear-ish
+    * in corpus size (standard trick — such shingles carry no dedup
+    * signal anyway).
+    */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val inverted = docs
+      .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val capped = inverted
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
+      .filter(col("df") <= maxShingleDf)
+      .drop("df")
+    val a = capped.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
+    val b = capped.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

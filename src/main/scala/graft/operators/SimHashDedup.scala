@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs.simhash64
+
+/** SimHash near-duplicate detection (Charikar 2002; Manku/Jain/Sarma
+  * WWW'07 used the same chunk-index trick at web scale — public
+  * literature).
+  *
+  * Each doc gets a 64-bit fingerprint ([[graft.functions.SimHash64]]);
+  * near-dups are pairs within `maxHamming` bits. Candidate generation
+  * uses the pigeonhole principle: split the 64 bits into
+  * `maxHamming + 1` chunks — any pair within `maxHamming` bits agrees
+  * exactly on at least one chunk — then self-join per (chunk_idx,
+  * chunk_value) and verify with `bit_count(a XOR b)`.
+  */
+object SimHashDedup {
+
+  /** (doc_id, simhash) fingerprints. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+
+  /** Pairs (id_a < id_b) with hamming(simhash_a, simhash_b) ≤ maxHamming. */
+  def nearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val fps = fingerprints(df, idCol, textCol)
+    val chunked = fps.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until chunks).map(i =>
+        shiftright(col("simhash"), i * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
+      .withColumnRenamed("pos", "chunk_idx")
+      .withColumnRenamed("col", "chunk_val")
+    val capped = chunked
+      .withColumn("bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_idx"), col("chunk_val"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val a = capped.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("id_a"), col("simhash").as("fp_a"))
+    val b = capped.select(col("chunk_idx"), col("chunk_val"),
+      col("doc_id").as("id_b"), col("simhash").as("fp_b"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

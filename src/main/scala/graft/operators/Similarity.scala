@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * - [[bruteForceTopK]] — exact cosine top-k: broadcast the (small) probe
+  *   set against the corpus, one scan, per-query top-k via ranking
+  *   window on the query key. O(corpus × probes) work but a single
+  *   pass — the correctness baseline and the right tool when the probe
+  *   set is small.
+  * - [[lshTopK]] — the scale path: random-hyperplane LSH (Charikar 2002)
+  *   with L independent tables of p planes each; candidates = docs
+  *   sharing any bucket with the probe, exact-cosine reranked. Cuts the
+  *   scan to matched buckets at the cost of recall (tested ≥0.8 vs
+  *   brute force on the driver fixtures).
+  * - [[nearDupPairs]] — embedding-cosine near-duplicate pairs via the
+  *   same bucket join, corpus×corpus, verified by exact cosine.
+  *
+  * All arithmetic promotes float→double element-wise before any
+  * accumulation: exact promotion + fixed left-to-right fold keeps
+  * results deterministic across engines and partitionings.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of two float-array columns; 0 for zero vectors. */
+  def cosine(aRaw: Column, bRaw: Column): Column = {
+    val a = asDouble(aRaw)
+    val b = asDouble(bRaw)
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k neighbors for each probe vector.
+    * Output: (query_id, neighbor_id, rank, cosine_sim), rank 1..k,
+    * deterministic tie-break by neighbor id.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("vec_n"), col("vec_q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
+  /** Deterministic random hyperplanes: L tables × p planes × dim,
+    * fixed seed. Small enough to ship as a literal into the plan.
+    */
+  private def planes(dim: Int, tables: Int, planesPerTable: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables, planesPerTable, dim)(rng.nextGaussian())
+  }
+
+  /** Bucket ids (one per table) for a vector column. */
+  private def bucketIds(vec: Column, pl: Array[Array[Array[Double]]]): Column = {
+    val v = asDouble(vec)
+    array(pl.map { table =>
+      table.zipWithIndex.map { case (plane, bit) =>
+        val planeLit = array(plane.map(lit): _*)
+        when(dot(v, planeLit) >= 0, lit(1L << bit)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: probes only compare against corpus
+    * vectors sharing ≥1 (table, bucket). Output shape = bruteForceTopK.
+    *
+    * Recall depends on how *near* the true neighbors are: at cosine
+    * ≥0.9 the default (12 tables × 8 planes) finds them with p≈0.999;
+    * for uniformly random corpora whose "top-k" sit at cosine ≈0.4 no
+    * hyperplane-LSH parameterization beats a scan — use
+    * [[bruteForceTopK]] there. This is inherent to LSH, not a tuning
+    * artifact.
+    */
+  def lshTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, tables: Int = 12, planesPerTable: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val pl = planes(dim, tables, planesPerTable, seed)
+    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+        posexplode(bucketIds(col(vecCol), pl)))
+        .withColumnRenamed("pos", "table_idx")
+        .withColumnRenamed("col", "bucket")
+    val c = withBuckets(corpus, "neighbor_id", "vec_n")
+    val p = withBuckets(probes, "query_id", "vec_q")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), col("neighbor_id"))
+    c.join(p, Seq("table_idx", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("vec_n"), col("vec_q"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine_sim", cosine(col("vec_n"), col("vec_q")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    * threshold), LSH-bucketed candidate generation + exact verify.
+    */
+  def nearDupPairs(
+      corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 12,
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
+    val pl = planes(dim, tables, planesPerTable, seed)
+    val bucketed = corpus
+      .select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
+        posexplode(bucketIds(col(vecCol), pl)))
+      .withColumnRenamed("pos", "table_idx")
+      .withColumnRenamed("col", "bucket")
+    val capped = bucketed
+      .withColumn("bsz", count(lit(1)).over(
+        Window.partitionBy(col("table_idx"), col("bucket"))))
+      .filter(col("bsz") <= maxBucket)
+      .drop("bsz")
+    val a = capped.select(col("table_idx"), col("bucket"),
+      col("doc_id").as("id_a"), col("vec").as("vec_a"))
+    val b = capped.select(col("table_idx"), col("bucket"),
+      col("doc_id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("table_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine_sim"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID. All pure
+  * `Column` expressions built from codegen'd builtins — no UDFs — so they
+  * pipeline inside whole-stage codegen over any corpus size.
+  */
+object TextOps {
+
+  /** Whitespace tokenization of lowercased text; empty input → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(lower(coalesce(text, lit(""))), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces + digits + punctuation as
+    * separate tokens (a cheap, deterministic proxy for a real BPE
+    * vocab — the regex mirrors the GPT-2 pre-tokenizer's shape).
+    */
+  def bpeIshTokenCount(text: Column): Column =
+    coalesce(
+      regexp_count(coalesce(text, lit("")), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")),
+      lit(0))
+
+  /** Characters per token — a classic gibberish signal. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n > 0, length(regexp_replace(coalesce(text, lit("")), "\\s+", "")).cast("double") / n)
+      .otherwise(lit(0.0))
+  }
+
+  /** Punctuation-to-character ratio. */
+  def punctRatio(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    when(length(t) > 0,
+      regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double") / length(t))
+      .otherwise(lit(0.0))
+  }
+
+  /** Ratio of tokens that are in `stopwords` (multiset semantics). */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val sw = array(stopwords.map(lit): _*)
+    when(size(toks) > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+      .otherwise(lit(0.0))
+  }
+
+  val englishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this", "are")
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * sane token lengths, penalizes punctuation soup. Deterministic,
+    * engine-side, tunable weights.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
+    val sw = stopwordRatio(text, stopwords)
+    val mtl = meanTokenLen(text)
+    val punct = punctRatio(text)
+    val lenOk = when(mtl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    val swOk = least(sw * 4.0, lit(1.0))
+    val punctOk = greatest(lit(0.0), lit(1.0) - punct * 4.0)
+    round((lenOk * 0.4 + swOk * 0.3 + punctOk * 0.3), 6)
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Order matters: ties resolve to the earlier
+    * entry, deterministically.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "des"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "他", "这", "不"))
+
+  /** Stopword-vote language ID: score = hit count per profile, argmax
+    * with deterministic tie-break (profile order). "und" (undetermined)
+    * when no profile hits.
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = langProfiles.map { case (lang, sws) =>
+      val swArr = array(sws.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(swArr, t))).as("hits"), lit(lang).as("lang"))
+    }
+    // argmax by hits; on ties array_max picks the lexicographically
+    // greater struct, so encode priority: earlier profile wins ties via
+    // negative index ordering baked into hits*len — simpler: reduce.
+    val best = scored.reduceLeft { (a, b) => when(b.getField("hits") > a.getField("hits"), b).otherwise(a) }
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,363 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Money.decSumSql
+import graft.functions.exprs.winnowFingerprint
+import graft.operators._
+
+/** Beyond-parity operators: the training-data pipeline surface
+  * (dedup, similarity search, text analysis, event
+  * sessionization/windows) exposed as verifiable queries.
+  *
+  * The driver corpus has no planted duplicates, so the near-dup queries
+  * run over `documents ∪ perturbed(documents)` — a deterministic
+  * first-token-dropped copy at doc_id+100000 — making hits real and the
+  * result oracle-comparable. Same trick (scaled vectors, cosine
+  * invariant) for embeddings.
+  */
+object PipelineQueries {
+
+  /** documents ∪ near-duplicate copies (first token dropped, ids
+    * shifted). SQL twin in [[perturbedSql]].
+    */
+  private def perturbedDocs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+  }
+
+  private val perturbedSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id,
+      |       regexp_replace(text, '^\S+\s*', '') AS text
+      |FROM documents""".stripMargin
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace + BPE-ish regex + char stats.
+    "text_token_stats" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeIshTokenCount(col("text")).as("n_bpeish"),
+          TextOps.punctRatio(col("text")).as("punct_ratio"),
+          TextOps.meanTokenLen(col("text")).as("mean_token_len"))
+          .orderBy(col("doc_id")),
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INT) AS n_bpeish,
+         |  CASE WHEN len(coalesce(text, '')) > 0
+         |       THEN CAST(len(regexp_extract_all(coalesce(text, ''), '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(coalesce(text, ''))
+         |       ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len($toksSql) > 0
+         |       THEN CAST(len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS DOUBLE) / len($toksSql)
+         |       ELSE 0.0 END AS mean_token_len
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Quality scoring: stopword ratio + composite score.
+    "text_quality" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.stopwordRatio(col("text"), TextOps.englishStopwords).as("stopword_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
+          .orderBy(col("doc_id")),
+      {
+        val sw = TextOps.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, $toksSql AS toks,
+           |    len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS n_chars_nosp,
+           |    coalesce(text, '') AS txt
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / len(toks)
+           |         ELSE 0.0 END AS swr,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(n_chars_nosp AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl,
+           |    CASE WHEN len(txt) > 0
+           |         THEN CAST(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(txt)
+           |         ELSE 0.0 END AS pr
+           |  FROM t
+           |)
+           |SELECT doc_id, swr AS stopword_ratio,
+           |  round(
+           |    (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.4
+           |    + least(swr * 4.0, 1.0) * 0.3
+           |    + greatest(0.0, 1.0 - pr * 4.0) * 0.3, 6) AS quality
+           |FROM m
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Language ID: stopword-vote argmax, first-profile-wins ties.
+    "text_langid" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.langId(col("text")).as("lang_pred"))
+          .orderBy(col("doc_id")),
+      {
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString("\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id,
+           |    $hits
+           |  FROM documents
+           |), s AS (SELECT doc_id, *, $g AS g FROM t)
+           |SELECT doc_id,
+           |  CASE WHEN g = 0 THEN 'und'
+           |    $cases
+           |  END AS lang_pred
+           |FROM s
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Exact + normalized dedup over the perturbed corpus (originals
+    // duplicate under normalization when whitespace-collapsed copies
+    // collide; keeps the md5-groupBy path honest even with n_dups=1).
+    "dedup_exact" -> QueryDef(
+      (s, dir) =>
+        Dedup.exactGroups(
+          perturbedDocs(s, dir).unionAll(perturbedDocs(s, dir)), "doc_id", "text")
+          .orderBy(col("content_hash")),
+      s"""WITH corpus AS ($perturbedSql),
+         |doubled AS (SELECT * FROM corpus UNION ALL SELECT * FROM corpus)
+         |SELECT md5(text) AS content_hash,
+         |  MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM doubled
+         |GROUP BY 1
+         |ORDER BY content_hash""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Exact n-gram Jaccard near-dup pairs on the perturbed corpus:
+    // inverted-index join, no O(N²) stage; every planted pair
+    // (i, i+100000) must surface.
+    "dedup_ngram_jaccard" -> QueryDef(
+      (s, dir) =>
+        Dedup.ngramJaccardPairs(
+          perturbedDocs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      s"""WITH corpus AS ($perturbedSql),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+         |  WHERE len(toks) >= 3
+         |),
+         |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |)
+         |SELECT id_a, id_b,
+         |  CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+         |FROM pairs
+         |WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // MinHash+LSH near-dup candidates (approx — no SQL oracle; verified
+    // by MinHashLshSpec recall/precision against exact Jaccard).
+    "dedup_minhash_lsh" -> QueryDef(
+      (s, dir) =>
+        MinHashLsh.nearDupPairs(
+          perturbedDocs(s, dir), "doc_id", "text", threshold = 0.5)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ------------------------------------------------------------------
+    // SimHash near-dup candidates (approx — spec-verified).
+    "dedup_simhash" -> QueryDef(
+      (s, dir) =>
+        SimHashDedup.nearDupPairs(
+          perturbedDocs(s, dir), "doc_id", "text", maxHamming = 3)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ------------------------------------------------------------------
+    // Winnowing fingerprints (custom Catalyst expression).
+    "text_winnow_fingerprint" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          size(winnowFingerprint(col("text"), 8, 4)).as("n_fingerprints"),
+          element_at(winnowFingerprint(col("text"), 8, 4), 1).as("first_fp"))
+          .orderBy(col("doc_id")),
+      None),
+
+    // ------------------------------------------------------------------
+    // Exact ANN baseline: brute-force cosine top-5 for probes vec_id<10.
+    // Output ids+rank only (similarity floats are engine-internal).
+    "ann_bruteforce_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // LSH ANN (approx — spec-verified recall vs brute force).
+    "ann_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup: scaled copies (cosine-invariant) at
+    // vec_id+100000 must pair with their originals.
+    "embedding_neardup" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val corpus = e.unionAll(e.select(
+          (col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+        Similarity.nearDupPairs(corpus, "vec_id", "embedding", dim = 64, threshold = 0.99)
+          .select(col("id_a"), col("id_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // Multimodal binary-column plumbing (decode kernel stubbed —
+    // FakeDecoder; schema/batching/partitioning real). Rows-only check.
+    "multimodal_features" -> QueryDef(
+      (s, dir) => Multimodal.featureFrame(s, dir),
+      None),
+
+    // ------------------------------------------------------------------
+    // Streaming-shaped batch: tumbling 1h windows over events
+    // (Structured Streaming twin in graft.streaming.EventsStreaming).
+    "events_hourly_window" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+              .cast("double").as("total_value"))
+          .orderBy(col("window_start"), col("event_type")),
+      s"""SELECT date_trunc('hour', ts) AS window_start, event_type,
+         |  COUNT(*) AS n_events,
+         |  ${decSumSql("value")} AS total_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY window_start, event_type""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Sessionization (30-min inactivity gap) via ranking windows — the
+    // window-function tier the reference lacks (SURVEY.md §2.5).
+    "events_sessionize" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy(col("user_id"), col("session_seq"))
+      },
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, session_seq, COUNT(*) AS n_events,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end
+        |FROM sessions
+        |GROUP BY 1, 2
+        |ORDER BY user_id, session_seq""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // A6 expressed with an empty-frame window (SURVEY.md §2.5's optional
+    // formulation): share-of-total without the cross join.
+    "share_of_total_window" -> QueryDef(
+      (s, dir) => {
+        val perType = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .as("dec_total"))
+        perType
+          .withColumn("grand", sum(col("dec_total")).over(Window.partitionBy()))
+          .select(
+            col("event_type"),
+            col("dec_total").cast("double").as("type_total"),
+            when(col("grand").cast("double") > 0,
+              col("dec_total").cast("double") / col("grand").cast("double"))
+              .otherwise(lit(0.0)).as("share"))
+          .orderBy(col("event_type"))
+      },
+      """WITH t AS (
+        |  SELECT event_type, SUM(CAST(value AS DECIMAL(20,2))) AS dec_total
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT event_type,
+        |  CAST(dec_total AS DOUBLE) AS type_total,
+        |  CASE WHEN CAST(SUM(dec_total) OVER () AS DOUBLE) > 0
+        |       THEN CAST(dec_total AS DOUBLE) / CAST(SUM(dec_total) OVER () AS DOUBLE)
+        |       ELSE 0.0 END AS share
+        |FROM t
+        |ORDER BY event_type""".stripMargin)
+  )
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` shape (event_id,
+  * ts, user_id, event_type, value). The reference is batch-only
+  * (SURVEY.md §2.9); this is the streaming tier a training-data
+  * pipeline needs: watermarked windowed aggregation, session windows,
+  * and custom keyed state.
+  *
+  * Every function takes a DataFrame that may be either a batch frame or
+  * a `readStream` frame — the plans are identical; only the sink differs.
+  */
+object EventsStreaming {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Tumbling 1-hour windows with a 2-hour watermark: counts + value
+    * sums per (window, event_type). Late data beyond the watermark is
+    * dropped, state is bounded — safe on an unbounded stream.
+    */
+  def hourlyWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Session windows (30-minute inactivity gap) per user — the built-in
+    * `session_window` operator, watermark-bounded.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event
+    * count + value total, updated per micro-batch (Update output mode).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          var n = prev.n_events
+          var v = prev.total_value
+          batch.foreach { e => n += 1; v += e.value }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Batch↔stream equivalence check hook: the windowed agg run in batch
+    * mode over the same frame (used by tests and Verify twins).
+    */
+  def hourlyWindowAggBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(
+        col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  val updateMode: OutputMode = OutputMode.Update()
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge for building `Column`s from custom Catalyst `Expression`s.
+  * Spark 4 unified the Column API over ColumnNode and made the
+  * conversion helpers `private[sql]`; this shim re-exports the two we
+  * need for graft's custom expressions.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+
+/** Structured Streaming operators driven synchronously through
+  * MemoryStream + processAllAvailable (the local smoke pattern from the
+  * public Spark docs).
+  */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private val sample = Seq(
+    Event(1, ts(5), 1, "click", 1.0),
+    Event(2, ts(10), 1, "click", 2.0),
+    Event(3, ts(65), 1, "view", 3.0),   // second hour, new session (>30m gap)
+    Event(4, ts(70), 2, "click", 4.0))
+
+  test("hourlyWindowAgg: streaming result equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    val q = EventsStreaming.hourlyWindowAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("update").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("hourly_out")
+      .select($"window_start", $"event_type", $"n_events", $"total_value")
+      .collect().toSet
+    val batch = EventsStreaming.hourlyWindowAggBatch(sample.toDF()).collect().toSet
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
+
+  test("sessionWindows: 30-minute gap splits sessions per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    // advance the watermark past all sessions so Append emits them
+    mem.addData(Event(99, ts(600), 9, "click", 0.0))
+    val q = EventsStreaming.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("sessions_out")
+      .filter($"user_id" === 1)
+      .orderBy($"session_start").collect()
+    assert(out.length == 2, s"user 1 sessions: ${out.mkString(";")}")
+    assert(out(0).getAs[Long]("n_events") == 2)
+    assert(out(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("runningUserTotals: keyed state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStreaming.runningUserTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode("update").start()
+    mem.addData(sample.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(sample.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("running_out")
+      .groupBy($"user_id").agg(max($"n_events").as("n"), max($"total_value").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(last.contains((1L, 3L, 6.0)))
+    assert(last.contains((2L, 1L, 4.0)))
+  }
+}
