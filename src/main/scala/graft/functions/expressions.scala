@@ -114,6 +114,116 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     copy(child = newChild)
 }
 
+/** Dot product of two numeric arrays (float or double elements),
+  * accumulated in double with a fixed left-to-right fold — a tight
+  * while-loop instead of Catalyst higher-order-function lambdas (each
+  * HOF element evaluation is an interpreted expression call; on a
+  * brute-force ANN pass that lambda overhead dominates the arithmetic
+  * by ~50×). Null arrays → null; null elements treated as 0.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val xf = elemIsFloat(left)
+    val yf = elemIsFloat(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) {
+        val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+      }
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Distinct word n-gram hashes of a text column in one pass:
+  * lowercase → whitespace-tokenize → per-token xxhash64 → n-gram hash
+  * by seed-chaining the token hashes → distinct. Replaces a
+  * transform/slice/concat_ws/array_distinct pipeline whose per-element
+  * Catalyst lambda evaluation dominated shingling cost ~6× (measured
+  * at sf0.1). 64-bit hashes stand in for shingle strings downstream
+  * (collision odds ~1e-9 per corpus-pair — negligible for dedup).
+  * Input: string; output: array<long>, sorted ascending.
+  */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes requires string, got $other")
+  }
+
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    // tokenize: token hash per whitespace-separated run
+    val tokHashes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start)
+        tokHashes += XxHash64Function.hash(
+          UTF8String.fromString(s.substring(start, i)), StringType, 42L)
+    }
+    val t = tokHashes.length
+    if (t < n) return new GenericArrayData(Array.empty[Long])
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    var g = 0
+    while (g <= t - n) {
+      var h = 42L
+      var j = g
+      while (j < g + n) {
+        h = XxHash64Function.hash(tokHashes(j), LongType, h)
+        j += 1
+      }
+      seen.add(h)
+      g += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
 object exprs {
   import org.apache.spark.sql.GraftShim
 
@@ -124,4 +234,12 @@ object exprs {
   /** Winnowing fingerprint set of a text column. */
   def winnowFingerprint(text: Column, k: Int = 8, w: Int = 4): Column =
     GraftShim.column(WinnowFingerprint(GraftShim.expression(text), k, w))
+
+  /** Double dot product of two float/double array columns. */
+  def vecDot(a: Column, b: Column): Column =
+    GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Distinct word n-gram hashes of a text column. */
+  def ngramHashes(text: Column, n: Int): Column =
+    GraftShim.column(NgramHashes(GraftShim.expression(text), n))
 }

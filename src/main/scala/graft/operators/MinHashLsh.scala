@@ -26,14 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
-  /** (doc_id, sig array<long>) — MinHash signatures. */
+  /** (doc_id, sig array<long>) — MinHash signatures.
+    *
+    * Each shingle string is hashed ONCE to a long; the hash family is
+    * then xxhash64 over that fixed-width long + the family index —
+    * 64× cheaper than re-hashing the string per family member.
+    * numHashes defaults to 64: aggregate buffers wider than
+    * `spark.sql.codegen.maxFields` (100) knock the whole aggregate out
+    * of whole-stage codegen, a ~10× slowdown measured at sf0.1.
+    */
   def signatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128): DataFrame = {
-    val sh = Dedup.shingles(col(textCol), shingleN)
+      shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
     val exploded = df
-      .select(col(idCol).as("doc_id"), explode(sh).as("shingle"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.exprs.ngramHashes(col(textCol), shingleN)).as("sh64"))
+    val minCols = (0 until numHashes).map(i => min(xxhash64(col("sh64"), lit(i))).as(s"h$i"))
     exploded
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
@@ -45,7 +53,7 @@ object MinHashLsh {
     */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands

@@ -24,21 +24,19 @@ import org.apache.spark.sql.functions._
   * results deterministic across engines and partitionings.
   */
 object Similarity {
+  import graft.functions.exprs.vecDot
 
-  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+  /** Fixed-order double dot product ([[graft.functions.VecDot]] — a
+    * tight loop, not per-element Catalyst lambdas).
+    */
+  def dot(a: Column, b: Column): Column = vecDot(a, b)
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+  def l2Norm(a: Column): Column = sqrt(vecDot(a, a))
 
   /** Cosine similarity of two float-array columns; 0 for zero vectors. */
-  def cosine(aRaw: Column, bRaw: Column): Column = {
-    val a = asDouble(aRaw)
-    val b = asDouble(bRaw)
+  def cosine(a: Column, b: Column): Column = {
     val denom = l2Norm(a) * l2Norm(b)
-    when(denom > 0, dot(a, b) / denom).otherwise(lit(0.0))
+    when(denom > 0, vecDot(a, b) / denom).otherwise(lit(0.0))
   }
 
   /** Exact top-k neighbors for each probe vector.
@@ -48,13 +46,19 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, probes: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"))
-    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"))
+    // norms once per side (not once per pair)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
+      l2Norm(col(vecCol)).as("norm_n"))
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"),
+      l2Norm(col(vecCol)).as("norm_q"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine_sim"), col("neighbor_id"))
     c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("vec_n"), col("vec_q")))
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
@@ -69,15 +73,13 @@ object Similarity {
   }
 
   /** Bucket ids (one per table) for a vector column. */
-  private def bucketIds(vec: Column, pl: Array[Array[Array[Double]]]): Column = {
-    val v = asDouble(vec)
+  private def bucketIds(vec: Column, pl: Array[Array[Array[Double]]]): Column =
     array(pl.map { table =>
       table.zipWithIndex.map { case (plane, bit) =>
         val planeLit = array(plane.map(lit): _*)
-        when(dot(v, planeLit) >= 0, lit(1L << bit)).otherwise(lit(0L))
+        when(vecDot(vec, planeLit) >= 0, lit(1L << bit)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
-  }
 
   /** LSH-bucketed approximate top-k: probes only compare against corpus
     * vectors sharing ≥1 (table, bucket). Output shape = bruteForceTopK.

@@ -156,15 +156,15 @@ object PipelineQueries {
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) =>
         Dedup.ngramJaccardPairs(
-          perturbedDocs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+          perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5)
           .orderBy(col("id_a"), col("id_b")),
       s"""WITH corpus AS ($perturbedSql),
          |docs AS (
          |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(toks) - 1),
-         |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |    list_distinct(list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
          |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
-         |  WHERE len(toks) >= 3
+         |  WHERE len(toks) >= 4
          |),
          |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
          |pairs AS (
