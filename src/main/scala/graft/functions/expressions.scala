@@ -161,6 +161,53 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** SimHash straight from text: tokenize (lowercase, whitespace) and
+  * vote in one pass — no intermediate token array. Same fingerprints
+  * as `SimHash64(tokens(text))` for already-lowercase inputs.
+  */
+case class SimHashText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_text"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_text requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val votes = new Array[Int](64)
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && NgramHashes.isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !NgramHashes.isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val h = XxHash64Function.hash(
+          UTF8String.fromString(s.substring(start, i)), StringType, 42L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) fp |= (1L << j)
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
 /** Distinct word n-gram hashes of a text column in one pass:
   * lowercase → whitespace-tokenize → per-token xxhash64 → n-gram hash
   * by seed-chaining the token hashes → distinct. Replaces a
@@ -170,6 +217,11 @@ case class VecDot(left: Expression, right: Expression)
   * (collision odds ~1e-9 per corpus-pair — negligible for dedup).
   * Input: string; output: array<long>, sorted ascending.
   */
+object NgramHashes {
+  private[functions] def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+}
+
 case class NgramHashes(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
   require(n > 0, "n must be positive")
@@ -182,8 +234,7 @@ case class NgramHashes(child: Expression, n: Int)
       s"ngram_hashes requires string, got $other")
   }
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+  import NgramHashes.isWs
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toLowerCase.toString
@@ -242,4 +293,8 @@ object exprs {
   /** Distinct word n-gram hashes of a text column. */
   def ngramHashes(text: Column, n: Int): Column =
     GraftShim.column(NgramHashes(GraftShim.expression(text), n))
+
+  /** SimHash fingerprint straight from a text column (one pass). */
+  def simhashText(text: Column): Column =
+    GraftShim.column(SimHashText(GraftShim.expression(text)))
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.exprs.simhash64
+import graft.functions.exprs.simhashText
 
 /** SimHash near-duplicate detection (Charikar 2002; Manku/Jain/Sarma
   * WWW'07 used the same chunk-index trick at web scale — public
@@ -18,11 +18,11 @@ import graft.functions.exprs.simhash64
   */
 object SimHashDedup {
 
-  /** (doc_id, simhash) fingerprints. */
+  /** (doc_id, simhash) fingerprints — single-pass tokenize+vote. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).as("doc_id"),
-      simhash64(TextOps.tokens(col(textCol))).as("simhash"))
+      simhashText(col(textCol)).as("simhash"))
 
   /** Pairs (id_a < id_b) with hamming(simhash_a, simhash_b) ≤ maxHamming. */
   def nearDupPairs(

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
-import graft.functions.Clean
+import graft.functions.{Clean, TimePred}
 import graft.functions.Money.{decSum, decSumSql}
 
 /** The reference's operator inventory (SURVEY.md §2) re-expressed on the
@@ -67,7 +67,7 @@ object ParityQueries {
     "ytd_by_region" -> QueryDef(
       (s, dir) =>
         lineitemByRegion(s, dir)
-          .filter(year(col("l_shipdate")) === 1997 && month(col("l_shipdate")).between(1, 6))
+          .filter(TimePred.inYearMonths(col("l_shipdate"), 1997, 1, 6))
           .groupBy(col("r_name"))
           .agg(decSum(revenue, 4).as("devengado_ytd"))
           .orderBy(desc("devengado_ytd"), col("r_name")),
@@ -87,7 +87,7 @@ object ParityQueries {
     "top5_suppliers" -> QueryDef(
       (s, dir) =>
         Tables.lineitem(s, dir)
-          .filter(year(col("l_shipdate")) === 1997)
+          .filter(TimePred.inYear(col("l_shipdate"), 1997))
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(decSum(revenue, 4).as("devengado_anual"))
@@ -108,7 +108,7 @@ object ParityQueries {
     "share_within_segment" -> QueryDef(
       (s, dir) => {
         val ytd = Tables.orders(s, dir)
-          .filter(year(col("o_orderdate")) === 1997 && month(col("o_orderdate")).between(1, 6))
+          .filter(TimePred.inYearMonths(col("o_orderdate"), 1997, 1, 6))
           .join(
             broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
             col("o_custkey") === col("c_custkey"))
@@ -145,7 +145,7 @@ object ParityQueries {
     "backlog_by_brand" -> QueryDef(
       (s, dir) =>
         Tables.lineitem(s, dir)
-          .filter(year(col("l_shipdate")) === 1997 && month(col("l_shipdate")).between(1, 6))
+          .filter(TimePred.inYearMonths(col("l_shipdate"), 1997, 1, 6))
           .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
@@ -182,7 +182,7 @@ object ParityQueries {
     "quarterly_by_region" -> QueryDef(
       (s, dir) =>
         Tables.orders(s, dir)
-          .filter(year(col("o_orderdate")).between(1996, 1998))
+          .filter(TimePred.inYears(col("o_orderdate"), 1996, 1998))
           .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -278,7 +278,7 @@ object ParityQueries {
         Tables.customer(s, dir)
           .join(
             Tables.orders(s, dir)
-              .filter(year(col("o_orderdate")) === 1998)
+              .filter(TimePred.inYear(col("o_orderdate"), 1998))
               .select(col("o_custkey")),
             col("c_custkey") === col("o_custkey"), "left_anti")
           .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
