@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.mef.{Analytics, MefPipeline, Star, Views}
+
+/** Oracle-verified end-to-end runs of the FULL MEF pipeline
+  * (Transform → Normalize → Star.build → Views/Analytics) — not just
+  * its pieces. The raw input is synthesized from the testdata star as
+  * an all-string MEF-shaped frame (exactly what the CSV reader
+  * yields), so the DuckDB oracle can state the same semantics directly
+  * over lineitem/orders.
+  *
+  * Notes on the synthesis:
+  *  - ANO_EJE is shifted +20 years so shipdates (1995-2001) land inside
+  *    the reference's fixed dim_tiempo spine 2010-2030
+  *    (`sql/CreacionDeDataWareHouse.sql:18-24`); the oracle filters on
+  *    the original year, an equivalent predicate.
+  *  - MONTO_DEVENGADO carries l_quantity (integer-valued) so double
+  *    sums are exact in any order — bit-stable across engines without
+  *    the decimal detour, which the MEF domain layer (faithfully
+  *    double-typed like the reference) does not take.
+  */
+object MefStarQueries {
+
+  /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw. */
+  private def syntheticRaw(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        (year(col("l_shipdate")) + 20).cast("string").as("ANO_EJE"),
+        month(col("l_shipdate")).cast("string").as("MES_EJE"),
+        lit("E").as("NIVEL_GOBIERNO"),
+        lit("GOBIERNO NACIONAL").as("NIVEL_GOBIERNO_NOMBRE"),
+        col("s_suppkey").cast("string").as("SEC_EJEC"),
+        col("s_suppkey").cast("string").as("EJECUTORA"),
+        col("s_name").as("EJECUTORA_NOMBRE"),
+        col("n_name").as("SECTOR"),
+        col("r_name").as("SECTOR_NOMBRE"),
+        col("l_quantity").cast("string").as("MONTO_DEVENGADO"),
+        col("l_extendedprice").cast("string").as("MONTO_COMPROMETIDO"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // Full pipeline: conform(69 cols) → clean → star(8 dims + fact,
+    // grain-consolidated) → A4 YTD-by-sector. Sector ↔ region name.
+    "mef_star_pipeline_ytd" -> QueryDef(
+      (s, dir) => {
+        val star = MefPipeline.buildFromRaw(s, syntheticRaw(s, dir))
+        Analytics.ytdDevengadoPorSector(star, anio = 2017, mesCorte = 6)
+          .orderBy(desc("devengado_ytd"), col("sector_nombre"))
+      },
+      """SELECT r_name AS sector_nombre, SUM(l_quantity) AS devengado_ytd
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) BETWEEN 1 AND 6
+        |GROUP BY r_name
+        |ORDER BY devengado_ytd DESC, sector_nombre""".stripMargin),
+
+    // Full pipeline → A3-style annual view rollup (exercises the
+    // 2-way view join + placeholder-free grouping over the built star).
+    "mef_star_pipeline_annual" -> QueryDef(
+      (s, dir) => {
+        val star = MefPipeline.buildFromRaw(s, syntheticRaw(s, dir))
+        Views.vwGastoAgregadoAnual(star)
+          .select(
+            (col("anio") - 20).as("anio"),
+            col("sector_nombre"),
+            col("pliego_nombre"),
+            col("devengado"))
+          .orderBy(col("anio"), col("sector_nombre"), col("pliego_nombre"))
+      },
+      """SELECT CAST(year(l_shipdate) AS INT) AS anio,
+        |  r_name AS sector_nombre,
+        |  '' AS pliego_nombre,
+        |  SUM(l_quantity) AS devengado
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2, 3
+        |ORDER BY anio, sector_nombre, pliego_nombre""".stripMargin)
+  )
+}
