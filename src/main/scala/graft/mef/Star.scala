@@ -33,7 +33,11 @@ object Star {
   final case class StarSchema(
       dimTiempo: DataFrame,
       dims: Map[String, DataFrame],
-      fact: DataFrame)
+      fact: DataFrame,
+      private[mef] val source: Option[DataFrame] = None) {
+    /** Release the persisted normalized frame backing this star. */
+    def release(): Unit = source.foreach(_.unpersist())
+  }
 
   /** dim_tiempo: monthly spine 2010-01..2030-12, 252 rows, ids ordered by
     * date exactly like the SERIAL fill (`sql/CreacionDeDataWareHouse.sql:9-24`).
@@ -71,7 +75,22 @@ object Star {
   /** Full star build from the normalized frame: all dims + the
     * FK-resolved, FK-complete, grain-consolidated fact.
     */
-  def build(spark: SparkSession, normalized: DataFrame): StarSchema = {
+  def build(spark: SparkSession, normalizedIn: DataFrame): StarSchema = {
+    // Early consolidation: ONE map-side-combining groupBy at the
+    // natural grain (time + every dim attribute column) collapses the
+    // raw stream to grain cardinality BEFORE any dim build or FK join.
+    // At 100 TB this is the load-bearing choice: the only full-width
+    // shuffle carries pre-aggregated rows; dims and FK resolution then
+    // operate on the (bounded) grain, not the fact stream. The final
+    // groupBy(fks) below still consolidates any residual duplicates
+    // (e.g. same natural key with inconsistent attributes), so
+    // semantics equal the reference's per-batch A1 + unique-grain sink.
+    val grainCols = ("ano_eje" +: "mes_eje" +: MefSchema.dims.flatMap(_.allCols)).distinct
+    val preAggs = MefSchema.measures.map(m => sum(col(m)).as(m))
+    val normalized = normalizedIn
+      .groupBy(grainCols.map(col): _*)
+      .agg(preAggs.head, preAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tiempo = dimTiempo(spark)
     val dims = MefSchema.dims.map(spec => spec.name -> buildDim(normalized, spec)).toMap
 
@@ -101,7 +120,7 @@ object Star {
       .groupBy(MefSchema.factFks.map(col): _*)
       .agg(measureAggs.head, measureAggs.tail: _*)
 
-    StarSchema(tiempo, dims, consolidated)
+    StarSchema(tiempo, dims, consolidated, Some(normalized))
   }
 
   /** P4 diagnostics: per-FK unresolved counts, one pass

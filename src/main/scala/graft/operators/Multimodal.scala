@@ -65,6 +65,48 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long, kind: String, width: Int, height: Int, content: Array[Byte])
+
+  /** STUB resize: real codecs would decode → scale → re-encode; the
+    * stub rewrites the fake header dims and subsamples payload bytes by
+    * the same ratio, preserving the batched-executor-side shape.
+    */
+  def resize(media: Dataset[MediaRow], targetW: Int, batchSize: Int = 256): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val (w, h, _, _) = FakeDecoder.decode(m.kind, m.content)
+          val ratio = if (w > 0) targetW.toDouble / w else 1.0
+          val body = m.content.drop(8)
+          val step = math.max(1, math.round(1 / math.min(1.0, ratio)).toInt)
+          val sampled = body.indices.collect { case i if i % step == 0 => body(i) }.toArray
+          ResizedMedia(m.media_id, m.kind, math.min(targetW, math.max(w, 1)),
+            math.max(1, (h * ratio).toInt), sampled)
+        }
+      }
+    }
+  }
+
+  final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
+
+  /** STUB frame sampling for "video": treat the payload as fixed-size
+    * frames, keep every `everyN`-th — the executor-side explode shape
+    * (one row in, many rows out, payload never on the driver) is the
+    * real pattern; the codec is the stub.
+    */
+  def sampleFrames(
+      media: Dataset[MediaRow], frameBytes: Int = 64, everyN: Int = 4): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val body = m.content.drop(8)
+      body.grouped(frameBytes).zipWithIndex.collect {
+        case (frame, idx) if idx % everyN == 0 => Frame(m.media_id, idx, frame)
+      }
+    }
+  }
+
   /** Deterministic synthetic media corpus derived from `documents`
     * (the container has no binary fixtures): 8-byte little-endian fake
     * header + UTF-8 payload, assembled byte-exact in a typed map (SQL

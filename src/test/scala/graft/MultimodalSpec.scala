@@ -33,6 +33,21 @@ class MultimodalSpec extends SparkSuite {
       again.sortBy(_.media_id).map(_.mean_intensity).toSeq)
   }
 
+  test("resize + frame sampling: executor-side, deterministic shapes") {
+    val media = Multimodal.syntheticMedia(spark, dir)
+    val resized = Multimodal.resize(media, targetW = 16).collect()
+    assert(resized.length == 500)
+    assert(resized.forall(_.width <= 1024))
+    val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyN = 4)
+    val perDoc = frames.groupBy("media_id").count().collect()
+    assert(perDoc.nonEmpty)
+    // every 4th frame of ceil(len/32) frames
+    val one = Multimodal.syntheticMedia(spark, dir).filter(_.media_id == 0).collect()(0)
+    val expected = ((one.content.length - 8) + 31) / 32
+    val got = frames.filter(_.media_id == 0).count()
+    assert(got == (expected + 3) / 4, s"$got vs ceil($expected/4)")
+  }
+
   test("featureFrame: compact output, no binary column leaves the plan") {
     val df = Multimodal.featureFrame(spark, dir)
     assert(!df.schema.fields.exists(_.dataType.typeName == "binary"))
