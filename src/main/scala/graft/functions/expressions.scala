@@ -122,7 +122,7 @@ case class WinnowFingerprint(child: Expression, k: Int, w: Int)
   * by ~50×). Null arrays → null; null elements treated as 0.
   */
 case class VecDot(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
@@ -155,6 +155,33 @@ case class VecDot(left: Expression, right: Expression)
       i += 1
     }
     java.lang.Double.valueOf(acc)
+  }
+
+  /** Real codegen (not CodegenFallback): emits the same tight loop into
+    * the generated stage, so vector math never leaves whole-stage
+    * codegen or boxes per row.
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val getX = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $acc += $getX * $getY;
+         |  }
+         |}
+         |${ev.value} = $acc;
+         |""".stripMargin
+    })
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =

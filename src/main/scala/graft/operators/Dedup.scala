@@ -41,6 +41,33 @@ object Dedup {
         .otherwise(array()))
   }
 
+  /** Winnowing-fingerprint near-dup pairs: docs sharing ≥ `minShared`
+    * fingerprints ([[graft.functions.WinnowFingerprint]] — robust to
+    * insertions/reorders since fingerprints are local). Same
+    * inverted-index shape as [[ngramJaccardPairs]]: explode fingerprints,
+    * cap hot ones, self-join, count shared per pair.
+    */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 4, minShared: Int = 10,
+      maxFingerprintDf: Int = 1000): DataFrame = {
+    val fps = df.select(
+      col(idCol).as("doc_id"),
+      explode(graft.functions.exprs.winnowFingerprint(col(textCol), k, w)).as("fp"))
+    val capped = fps
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .filter(col("df") <= maxFingerprintDf)
+      .drop("df")
+    val a = capped.select(col("doc_id").as("id_a"), col("fp"))
+    val b = capped.select(col("doc_id").as("id_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥
     * threshold) via inverted index:
     * doc→shingles → explode → (cap hot shingles by doc frequency) →

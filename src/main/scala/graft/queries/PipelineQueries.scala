@@ -264,6 +264,48 @@ object PipelineQueries {
       None),
 
     // ------------------------------------------------------------------
+    // Winnowing near-dup pairs (planted copies share suffix k-grams).
+    "dedup_winnow_pairs" -> QueryDef(
+      (s, dir) =>
+        Dedup.winnowPairs(perturbedDocs(s, dir), "doc_id", "text", minShared = 10)
+          .orderBy(col("id_a"), col("id_b")),
+      None),
+
+    // ------------------------------------------------------------------
+    // Ranking window: top-3 users by total value per event type
+    // (dense ranking tier the reference expresses as ORDER BY+LIMIT).
+    "events_top_users_per_type" -> QueryDef(
+      (s, dir) => {
+        val totals = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+            .as("dec_total"))
+        totals
+          .withColumn("rnk", rank().over(
+            Window.partitionBy(col("event_type"))
+              .orderBy(desc("dec_total"), col("user_id"))))
+          .filter(col("rnk") <= 3)
+          .select(col("event_type"), col("user_id"),
+            col("dec_total").cast("double").as("total_value"),
+            col("rnk").cast("int").as("rnk"))
+          .orderBy(col("event_type"), col("rnk"), col("user_id"))
+      },
+      """WITH totals AS (
+        |  SELECT event_type, user_id,
+        |    SUM(CAST(value AS DECIMAL(20,2))) AS dec_total
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT event_type, user_id, dec_total,
+        |    CAST(rank() OVER (PARTITION BY event_type
+        |         ORDER BY dec_total DESC, user_id) AS INT) AS rnk
+        |  FROM totals
+        |)
+        |SELECT event_type, user_id,
+        |  CAST(dec_total AS DOUBLE) AS total_value, rnk
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY event_type, rnk, user_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Multimodal binary-column plumbing (decode kernel stubbed —
     // FakeDecoder; schema/batching/partitioning real). Rows-only check.
     "multimodal_features" -> QueryDef(
