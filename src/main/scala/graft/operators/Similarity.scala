@@ -51,16 +51,18 @@ object Similarity {
       l2Norm(col(vecCol)).as("norm_n"))
     val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"),
       l2Norm(col(vecCol)).as("norm_q"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine_sim"), col("neighbor_id"))
-    c.crossJoin(broadcast(p))
+    val pairs = c.crossJoin(broadcast(p))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
         when(col("norm_n") * col("norm_q") > 0,
           vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
           .otherwise(lit(0.0)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // native bounded-heap top-k (graft.plans.TopKPerGroup) — no
+    // per-group sort, map-side partials shrink the exchange to ≤k
+    // rows per (partition, query)
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
@@ -103,15 +105,14 @@ object Similarity {
         .withColumnRenamed("col", "bucket")
     val c = withBuckets(corpus, "neighbor_id", "vec_n")
     val p = withBuckets(probes, "query_id", "vec_q")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine_sim"), col("neighbor_id"))
-    c.join(p, Seq("table_idx", "bucket"))
+    val pairs = c.join(p, Seq("table_idx", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("vec_n"), col("vec_q"))
       .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cosine_sim", cosine(col("vec_n"), col("vec_q")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
