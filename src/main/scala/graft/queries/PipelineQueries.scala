@@ -272,6 +272,21 @@ object PipelineQueries {
       None),
 
     // ------------------------------------------------------------------
+    // JSON extraction over events.props (semi-structured column path
+    // the reference's raw table doesn't need but real event data does).
+    "events_json_extract" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            col("event_id"),
+            get_json_object(col("props"), "$.k").try_cast("int").as("k_val"))
+          .orderBy(col("event_id")),
+      """SELECT event_id,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Ranking window: top-3 users by total value per event type
     // (dense ranking tier the reference expresses as ORDER BY+LIMIT).
     "events_top_users_per_type" -> QueryDef(

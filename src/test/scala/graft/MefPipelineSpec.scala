@@ -131,6 +131,19 @@ class MefPipelineSpec extends SparkSuite {
     assert(raw.columns.head == " ano_eje ")
   }
 
+  test("determinism: rebuilding the star yields identical fact + ids (§7.4.1/2)") {
+    val p = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8)
+    val s1 = MefPipeline.buildFromCsv(spark, Seq(p.toString))
+    val s2 = MefPipeline.buildFromCsv(spark, Seq(p.toString))
+    def dump(s: graft.mef.Star.StarSchema) = {
+      val fact = s.fact.collect().map(_.toString).sorted.toSeq
+      val ej = s.dims("dim_ejecutora").collect().map(_.toString).sorted.toSeq
+      (fact, ej)
+    }
+    assert(dump(s1) == dump(s2), "surrogate ids / grain rows must be run-stable")
+    s1.release(); s2.release()
+  }
+
   test("P9 filename predicate") {
     assert(CsvIngest.acceptFile("2024-Gasto-Mensual.csv").contains(2024))
     assert(CsvIngest.acceptFile("2019-Gasto.csv").contains(2019))
