@@ -249,6 +249,17 @@ object PipelineQueries {
       None),
 
     // ------------------------------------------------------------------
+    // IVF ANN (coarse-quantizer inverted lists — spec-verified recall).
+    "ann_ivf_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        IvfIndex.topK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // Embedding-cosine near-dup: scaled copies (cosine-invariant) at
     // vec_id+100000 must pair with their originals.
     "embedding_neardup" -> QueryDef(

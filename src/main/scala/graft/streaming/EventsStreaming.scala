@@ -67,6 +67,16 @@ object EventsStreaming {
       }
   }
 
+  /** Streaming exact dedup: drop events whose `event_id` was already
+    * seen within the watermark horizon — the streaming face of
+    * [[graft.operators.Dedup.exactGroups]]; state is bounded by the
+    * watermark (old keys age out).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch↔stream equivalence check hook: the windowed agg run in batch
     * mode over the same frame (used by tests and Verify twins).
     */

@@ -89,6 +89,19 @@ class DedupSpec extends SparkSuite {
     assert(hit >= 45, s"top-1 planted-copy recall $hit/50")
   }
 
+  test("IVF ANN: planted near-copies found; recall vs brute force reasonable") {
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val perturbed = e.select(
+      ($"vec_id" + 1000).as("vec_id"),
+      transform($"embedding", x => x * lit(0.9f) + lit(0.02f)).as("embedding"))
+    val corpus = e.unionAll(perturbed)
+    val probes = e.filter($"vec_id" < 50)
+    val got = operators.IvfIndex.topK(corpus, probes, "vec_id", "embedding", k = 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val hit = (0L until 50L).count(i => got.contains((i, i + 1000)))
+    assert(hit >= 40, s"IVF top-1 planted-copy recall $hit/50")
+  }
+
   test("embedding nearDupPairs: scaled copies pair with originals") {
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").filter($"vec_id" < 100)
     val c = e.unionAll(e.select(

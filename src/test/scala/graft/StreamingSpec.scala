@@ -58,6 +58,19 @@ class StreamingSpec extends SparkSuite {
     assert(out(1).getAs[Long]("n_events") == 1)
   }
 
+  test("dedupStream: repeated event_ids within watermark dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(sample: _*)
+    mem.addData(sample.take(2): _*) // exact repeats
+    val q = EventsStreaming.dedupStream(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("runningUserTotals: keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
