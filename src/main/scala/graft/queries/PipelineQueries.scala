@@ -276,9 +276,14 @@ object PipelineQueries {
 
     // ------------------------------------------------------------------
     // Winnowing near-dup pairs (planted copies share suffix k-grams).
+    // k=16 char grams + tight df cap: the synthetic corpus's ~30-word
+    // vocab makes short substrings near-universal (hot inverted lists);
+    // only doc-specific word-order runs carry dedup signal, and those
+    // have df≈2. Planted pairs share hundreds of them.
     "dedup_winnow_pairs" -> QueryDef(
       (s, dir) =>
-        Dedup.winnowPairs(perturbedDocs(s, dir), "doc_id", "text", minShared = 10)
+        Dedup.winnowPairs(perturbedDocs(s, dir), "doc_id", "text",
+          k = 16, w = 8, minShared = 5, maxFingerprintDf = 20)
           .orderBy(col("id_a"), col("id_b")),
       None),
 
