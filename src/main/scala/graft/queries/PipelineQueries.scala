@@ -288,6 +288,52 @@ object PipelineQueries {
       None),
 
     // ------------------------------------------------------------------
+    // One-pass table profiling (nulls/distincts/min/max per column).
+    "table_profile" -> QueryDef(
+      (s, dir) =>
+        Profiler.profile(
+          Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"), col("l_returnflag")))
+          .orderBy(col("col_name")),
+      """SELECT 'l_orderkey' AS col_name, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS n_nulls,
+        |  COUNT(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(MIN(l_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(MAX(l_orderkey) AS VARCHAR) AS max_value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', COUNT(*),
+        |  COUNT(CASE WHEN l_quantity IS NULL THEN 1 END),
+        |  COUNT(DISTINCT l_quantity),
+        |  CAST(MIN(l_quantity) AS VARCHAR), CAST(MAX(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', COUNT(*),
+        |  COUNT(CASE WHEN l_returnflag IS NULL THEN 1 END),
+        |  COUNT(DISTINCT l_returnflag),
+        |  CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+        |FROM lineitem
+        |ORDER BY col_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Incremental cross-corpus dedup: new batch vs existing corpus via
+    // broadcast Bloom filter + exact verification of candidates only.
+    "dedup_incremental_bloom" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val existing = docs.filter(col("doc_id") < 250)
+        IncrementalDedup.newDocuments(existing, docs, "text",
+          expectedItems = 100000L)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT f.doc_id FROM documents f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents e WHERE e.doc_id < 250
+        |    AND lower(regexp_replace(coalesce(e.text, ''), '\s+', ' ', 'g'))
+        |      = lower(regexp_replace(coalesce(f.text, ''), '\s+', ' ', 'g')))
+        |ORDER BY f.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // JSON extraction over events.props (semi-structured column path
     // the reference's raw table doesn't need but real event data does).
     "events_json_extract" -> QueryDef(
