@@ -144,6 +144,30 @@ class MefPipelineSpec extends SparkSuite {
     s1.release(); s2.release()
   }
 
+  test("multi-year ingest → year-partitioned sink → partition pruning") {
+    val p2024 = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8)
+    // second year: same rows shifted to 2025
+    val dir25 = Files.createTempDirectory("mef_2025")
+    val p2025 = dir25.resolve("2025-Gasto-Mensual.csv")
+    Files.write(p2025, csvText.replace("\"2024\"", "\"2025\"").getBytes(StandardCharsets.UTF_8))
+
+    val t = MefPipeline.transform(spark, Seq(p2024.toString, p2025.toString))
+    assert(t.select("ANO_EJE").distinct().count() == 2, "U1 union across years")
+
+    val out = Files.createTempDirectory("mef_parquet").toString
+    graft.sources.ParquetSink.writeYearly(t, out, overwrite = true)
+    // idempotency: mode ignore skips existing output (S2 contract)
+    graft.sources.ParquetSink.writeYearly(t.limit(0), out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == t.count())
+
+    val pruned = back.filter(org.apache.spark.sql.functions.col("ANO_EJE") === 2025)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(ANO_EJE"),
+      s"year predicate must prune partitions:\n$scan")
+    assert(pruned.count() == 4)
+  }
+
   test("P9 filename predicate") {
     assert(CsvIngest.acceptFile("2024-Gasto-Mensual.csv").contains(2024))
     assert(CsvIngest.acceptFile("2019-Gasto.csv").contains(2019))
