@@ -75,6 +75,23 @@ object Analytics {
       .orderBy(desc("backlog"))
       .limit(k)
 
+  /** A4, running-window formulation (SURVEY.md §2.5's optional variant):
+    * per-(sector, month) accrual with a cumulative YTD column — one
+    * pass over the year instead of re-aggregating per cutoff. The
+    * non-window [[ytdDevengadoPorSector]] remains the parity form.
+    */
+  def ytdAcumuladoMensual(star: StarSchema, anio: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sector_nombre"))
+      .orderBy(col("mes"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    withEjecutora(factTiempo(star).filter(col("anio") === anio), star)
+      .groupBy(col("sector_nombre"), col("mes"))
+      .agg(sum(col("monto_devengado")).as("devengado_mes"))
+      .withColumn("devengado_ytd", sum(col("devengado_mes")).over(w))
+      .orderBy(col("sector_nombre"), col("mes"))
+  }
+
   /** A8 — quarterly evolution by government level
     * (`sql/ConsultasAlDataWarehouse.sql:86-101`).
     */

@@ -17,7 +17,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object CsvIngest {
 
-  val encodings: Seq[String] = Seq("UTF-8", "UTF-8", "ISO-8859-1")
+  /** utf-8-sig collapses into UTF-8 here: the JVM decoder accepts the
+    * BOM, which [[apply]] strips from the first header afterwards.
+    */
+  val encodings: Seq[String] = Seq("UTF-8", "ISO-8859-1")
 
   private def readAllString(spark: SparkSession, path: String, encoding: String): DataFrame = {
     val header = spark.read

@@ -82,6 +82,13 @@ class MefPipelineSpec extends SparkSuite {
       Map("SALUD" -> 85.0, "" -> 0.0))
   }
 
+  test("A4 running-window variant: cumulative equals per-cutoff re-aggregation") {
+    val run = Analytics.ytdAcumuladoMensual(star, 2024)
+      .filter(org.apache.spark.sql.functions.col("sector_nombre") === "SALUD").collect()
+    assert(run.map(r => (r.getAs[Int]("mes"), r.getAs[Double]("devengado_ytd"))).toSeq ==
+      Seq((1, 75.0), (2, 85.0)))
+  }
+
   test("A5 top ejecutoras") {
     val top = Analytics.topEjecutorasPorDevengado(star, 2024).collect()
     assert(top.head.getString(0) == "Hospital Central" && top.head.getDouble(1) == 85.0)
