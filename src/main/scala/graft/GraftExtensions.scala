@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "simhash64"),

@@ -67,6 +67,44 @@ object EventsStreaming {
       }
   }
 
+  final case class SessionOut(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp, n_events: Long)
+  // public: the state Encoder's generated code instantiates it
+  final case class OpenSession(start: Long, end: Long, n: Long)
+
+  /** Custom stateful sessionization via flatMapGroupsWithState: state
+    * holds the open session per user; a ≥30-minute gap closes it and
+    * EMITS it (0..n outputs per invocation — the flatMap shape). The
+    * still-open session stays in state across micro-batches.
+    */
+  def sessionizeStateful(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = 30L * 60 * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var open = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            open match {
+              case Some(s) if t - s.end > gapMs =>
+                closed += SessionOut(userId, new Timestamp(s.start), new Timestamp(s.end), s.n)
+                open = Some(OpenSession(t, t, 1))
+              case Some(s) =>
+                open = Some(OpenSession(s.start, t, s.n + 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** Streaming exact dedup: drop events whose `event_id` was already
     * seen within the watermark horizon — the streaming face of
     * [[graft.operators.Dedup.exactGroups]]; state is bounded by the

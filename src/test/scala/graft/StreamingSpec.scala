@@ -71,6 +71,23 @@ class StreamingSpec extends SparkSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("sessionizeStateful: gap closes and emits; open session persists in state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventsStreaming.sessionizeStateful(mem.toDS())
+      .writeStream.format("memory").queryName("statefulsess_out")
+      .outputMode("append").start()
+    mem.addData(sample: _*) // user 1: events at 5,10 then 65 → closes (5,10)
+    q.processAllAvailable()
+    mem.addData(Event(9, ts(180), 1, "click", 1.0)) // 65 → 180 gap closes second
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("statefulsess_out")
+      .filter($"user_id" === 1).orderBy($"session_start").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n_events") == 2, "first session had events at min 5,10")
+    assert(out(1).getAs[Long]("n_events") == 1, "second session = the min-65 event")
+  }
+
   test("runningUserTotals: keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
