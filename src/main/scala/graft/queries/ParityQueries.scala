@@ -62,6 +62,42 @@ object ParityQueries {
          |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Pricing summary (TPC-H Q1 shape): the canonical scan-heavy
+    // aggregate — sums, exact-decimal-backed averages, counts per
+    // (returnflag, linestatus). Averages computed as decimal-sum /
+    // count in double (deterministic) rather than engine avg().
+    "pricing_summary" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02 00:00:00")))
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            decSum(col("l_quantity")).as("sum_qty"),
+            decSum(col("l_extendedprice")).as("sum_base_price"),
+            decSum(revenue, 4).as("sum_disc_price"),
+            (sum(col("l_quantity").cast(DecimalType(20, 2))).cast("double") /
+              count(lit(1))).as("avg_qty"),
+            (sum(col("l_extendedprice").cast(DecimalType(20, 2))).cast("double") /
+              count(lit(1))).as("avg_price"),
+            (sum(col("l_discount").cast(DecimalType(20, 2))).cast("double") /
+              count(lit(1))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSumSql("l_quantity")} AS sum_qty,
+         |  ${decSumSql("l_extendedprice")} AS sum_base_price,
+         |  ${decSumSql(revenueSql, 4)} AS sum_disc_price,
+         |  ${decSumSql("l_quantity")} / COUNT(*) AS avg_qty,
+         |  ${decSumSql("l_extendedprice")} / COUNT(*) AS avg_price,
+         |  ${decSumSql("l_discount")} / COUNT(*) AS avg_disc,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ------------------------------------------------------------------
     // A4/P6 — YTD accrual by sector → YTD revenue by supplier region
     // (`sql/ConsultasAlDataWarehouse.sql:2-16`), year=1997 cutoff month=6.
     "ytd_by_region" -> QueryDef(
