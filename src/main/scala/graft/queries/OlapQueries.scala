@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+import graft.functions.Money.decSumSql
+import graft.functions.TimePred
+
+/** OLAP surface beyond the reference's inventory (SURVEY.md §2.7 notes
+  * it has no set ops, grouping sets, pivots or percentiles) — a user
+  * switching to this engine gets the full relational toolbox, each
+  * piece oracle-verified.
+  */
+object OlapQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // INTERSECT / EXCEPT: customers active in both 1996 and 1998, and
+    // 1996-only, tagged and unioned.
+    "setops_customer_activity" -> QueryDef(
+      (s, dir) => {
+        def active(y: Int) = Tables.orders(s, dir)
+          .filter(TimePred.inYear(col("o_orderdate"), y))
+          .select(col("o_custkey"))
+        val both = active(1996).intersect(active(1998))
+          .withColumn("activity", lit("both"))
+        val only96 = active(1996).except(active(1998))
+          .withColumn("activity", lit("1996_only"))
+        both.unionByName(only96).orderBy(col("activity"), col("o_custkey"))
+      },
+      """WITH a96 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+        |a98 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+        |SELECT o_custkey, 'both' AS activity FROM (SELECT * FROM a96 INTERSECT SELECT * FROM a98)
+        |UNION ALL
+        |SELECT o_custkey, '1996_only' AS activity FROM (SELECT * FROM a96 EXCEPT SELECT * FROM a98)
+        |ORDER BY activity, o_custkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ROLLUP: order totals by (year, status) with subtotals and grand
+    // total; grouping keys coalesced so sort keys stay non-null.
+    "rollup_year_status" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .rollup(year(col("o_orderdate")).as("anio"), col("o_orderstatus"))
+          .agg(
+            sum(col("o_totalprice").cast(DecimalType(20, 2))).cast("double").as("total"),
+            count(lit(1)).as("n"))
+          .select(
+            coalesce(col("anio").cast("string"), lit("ALL")).as("anio"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("total"), col("n"))
+          .orderBy(col("anio"), col("status")),
+      s"""SELECT
+         |  COALESCE(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS anio,
+         |  COALESCE(o_orderstatus, 'ALL') AS status,
+         |  ${decSumSql("o_totalprice")} AS total,
+         |  COUNT(*) AS n
+         |FROM orders
+         |GROUP BY ROLLUP(year(o_orderdate), o_orderstatus)
+         |ORDER BY anio, status""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // PIVOT: revenue per region (rows) × order status (columns) —
+    // DataFrame pivot; oracle states it as conditional aggregation.
+    "pivot_status_by_region" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).cast("double"))
+          .select(
+            col("r_name"),
+            coalesce(col("F"), lit(0.0)).as("total_f"),
+            coalesce(col("O"), lit(0.0)).as("total_o"),
+            coalesce(col("P"), lit(0.0)).as("total_p"))
+          .orderBy(col("r_name")),
+      s"""SELECT r_name,
+         |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(20,2)) END) AS DOUBLE), 0.0) AS total_f,
+         |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(20,2)) END) AS DOUBLE), 0.0) AS total_o,
+         |  COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(20,2)) END) AS DOUBLE), 0.0) AS total_p
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY r_name
+         |ORDER BY r_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Continuous percentiles of order value per status (linear
+    // interpolation on sorted doubles — same definition both engines).
+    "percentiles_by_status" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            expr("percentile(o_totalprice, 0.5)").as("p50"),
+            expr("percentile(o_totalprice, 0.9)").as("p90"),
+            expr("percentile(o_totalprice, 0.99)").as("p99"))
+          .orderBy(col("o_orderstatus")),
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90,
+        |  quantile_cont(o_totalprice, 0.99) AS p99
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin)
+  )
+}
