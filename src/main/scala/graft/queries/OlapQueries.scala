@@ -67,7 +67,7 @@ object OlapQueries {
     "pivot_status_by_region" -> QueryDef(
       (s, dir) =>
         Tables.orders(s, dir)
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))

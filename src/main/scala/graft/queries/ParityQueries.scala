@@ -31,11 +31,15 @@ object ParityQueries {
   private val committedSql = "l_extendedprice * (1 + l_tax)"
 
   /** lineitem joined to supplier→nation→region (star arm used by the
-    * region-level rollups). Dim tables are tiny → explicit broadcast.
+    * region-level rollups). Only bounded-domain tables (nation=25,
+    * region=5) carry explicit broadcast hints; SF-scaling tables
+    * (supplier/customer/part) are left to AQE, which broadcasts them
+    * when their filtered size permits — an explicit hint would OOM a
+    * 100 TB run.
     */
   private def lineitemByRegion(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
 
@@ -124,7 +128,7 @@ object ParityQueries {
       (s, dir) =>
         Tables.lineitem(s, dir)
           .filter(TimePred.inYear(col("l_shipdate"), 1997))
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
           .agg(decSum(revenue, 4).as("devengado_anual"))
           .orderBy(desc("devengado_anual"), col("s_name"))
@@ -146,7 +150,7 @@ object ParityQueries {
         val ytd = Tables.orders(s, dir)
           .filter(TimePred.inYearMonths(col("o_orderdate"), 1997, 1, 6))
           .join(
-            broadcast(Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")),
+            Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING"),
             col("o_custkey") === col("c_custkey"))
           .groupBy(col("c_name"))
           .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).as("dev_dec"))
@@ -182,7 +186,7 @@ object ParityQueries {
       (s, dir) =>
         Tables.lineitem(s, dir)
           .filter(TimePred.inYearMonths(col("l_shipdate"), 1997, 1, 6))
-          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
             sum(committed.cast(DecimalType(20, 4))).as("com_dec"),
@@ -219,7 +223,7 @@ object ParityQueries {
       (s, dir) =>
         Tables.orders(s, dir)
           .filter(TimePred.inYears(col("o_orderdate"), 1996, 1998))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(
@@ -248,11 +252,11 @@ object ParityQueries {
       (s, dir) =>
         Tables.lineitem(s, dir)
           .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-          .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
-          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
           .groupBy(
             year(col("o_orderdate")).as("anio"),
             month(col("o_orderdate")).as("mes"),
@@ -289,7 +293,7 @@ object ParityQueries {
     "annual_rollup" -> QueryDef(
       (s, dir) =>
         Tables.orders(s, dir)
-          .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
           .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
           .groupBy(year(col("o_orderdate")).as("anio"), col("r_name"), col("o_orderstatus"))
