@@ -288,6 +288,29 @@ object PipelineQueries {
       None),
 
     // ------------------------------------------------------------------
+    // Backward as-of join: each purchase enriched with the user's most
+    // recent prior (or same-instant) signup event. DuckDB oracle uses
+    // its native ASOF JOIN; the Spark side is the union+carry-forward
+    // pattern (AsOfJoin.backward — one shuffle, no range join).
+    "events_asof_join" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+        AsOfJoin.backward(purchases, signups, "user_id", "ts",
+          Seq("signup_event_id"))
+          .select(col("event_id"), col("user_id"), col("signup_event_id"))
+          .orderBy(col("event_id"))
+      },
+      """SELECT p.event_id, p.user_id, s.event_id AS signup_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // One-pass table profiling (nulls/distincts/min/max per column).
     "table_profile" -> QueryDef(
       (s, dir) =>

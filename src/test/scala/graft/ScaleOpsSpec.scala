@@ -23,6 +23,26 @@ class ScaleOpsSpec extends SparkSuite {
     // exactly why Money.decSum exists (oracle hash parity)
   }
 
+  test("asOfJoin backward: inclusive ties, null before first right row") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq(
+      (1L, 10L, t(5), 1.0),   // before any signup → null
+      (2L, 10L, t(10), 2.0),  // equal ts → inclusive
+      (3L, 10L, t(30), 3.0),  // after both → latest
+      (4L, 99L, t(30), 4.0))  // user with no signups → null
+      .toDF("event_id", "user_id", "ts", "value")
+    val right = Seq(
+      (100L, 10L, t(10)),
+      (101L, 10L, t(20)))
+      .toDF("signup_event_id", "user_id", "ts")
+    val out = graft.operators.AsOfJoin
+      .backward(left, right, "user_id", "ts", Seq("signup_event_id"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    assert(out == Map(1L -> None, 2L -> Some(100L), 3L -> Some(101L), 4L -> None))
+  }
+
   test("saltedJoin ≡ plain join") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select($"l_orderkey", $"l_quantity")
