@@ -311,6 +311,34 @@ object PipelineQueries {
         |ORDER BY p.event_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Range join: events into OVERLAPPING 6-hour windows starting every
+    // 4 hours — bucketed equi-join pattern (RangeJoin.pointInInterval),
+    // never a BroadcastNestedLoopJoin. Oracle uses DuckDB's native
+    // range join.
+    "events_range_join" -> QueryDef(
+      (s, dir) => {
+        val windows = s.range(1).select(explode(sequence(
+          to_timestamp(lit("2024-01-01 00:00:00")),
+          to_timestamp(lit("2024-01-31 00:00:00")),
+          expr("interval 4 hours"))).as("window_start"))
+          .withColumn("window_end", col("window_start") + expr("interval 6 hours"))
+        RangeJoin.pointInInterval(
+          Tables.events(s, dir), windows, "ts", "window_start", "window_end",
+          bucketSeconds = 6 * 3600)
+          .groupBy(col("window_start"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("window_start"))
+      },
+      """WITH win AS (
+        |  SELECT range AS ws, range + INTERVAL 6 HOUR AS we
+        |  FROM range(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31 00:00:01', INTERVAL 4 HOUR)
+        |)
+        |SELECT win.ws AS window_start, COUNT(*) AS n_events
+        |FROM events e JOIN win ON e.ts >= win.ws AND e.ts < win.we
+        |GROUP BY win.ws
+        |ORDER BY window_start""".stripMargin),
+
+    // ------------------------------------------------------------------
     // One-pass table profiling (nulls/distincts/min/max per column).
     "table_profile" -> QueryDef(
       (s, dir) =>

@@ -43,6 +43,20 @@ class ScaleOpsSpec extends SparkSuite {
     assert(out == Map(1L -> None, 2L -> Some(100L), 3L -> Some(101L), 4L -> None))
   }
 
+  test("rangeJoin: [start, end) boundaries, overlapping intervals, small buckets") {
+    import java.sql.Timestamp
+    def t(m: Int) = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+    val pts = Seq((1L, t(0)), (2L, t(30)), (3L, t(60)), (4L, t(90)))
+      .toDF("pid", "ts")
+    val ivs = Seq((10L, t(0), t(60)), (11L, t(30), t(90)))
+      .toDF("iid", "s", "e")
+    // bucketSeconds smaller than interval length exercises multi-bucket explode
+    val out = graft.operators.RangeJoin.pointInInterval(pts, ivs, "ts", "s", "e", 600)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (2L, 10L), (2L, 11L), (3L, 11L)),
+      s"got $out — start inclusive, end exclusive, overlaps included")
+  }
+
   test("saltedJoin ≡ plain join") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
       .select($"l_orderkey", $"l_quantity")
