@@ -68,7 +68,7 @@ object Clean {
     * (`etl/transformar_mensual.py:81-82,139`).
     */
   def normalizarCabeceras(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.trim.toUpperCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.trim.toUpperCase): _*)
 
   /** P2: conform to a fixed schema — inject missing columns as null
     * strings, drop extras, project to canonical order

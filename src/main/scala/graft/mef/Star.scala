@@ -107,7 +107,7 @@ object Star {
     MefSchema.dims.foreach { spec =>
       val dimMap = dims(spec.name).select((spec.id +: spec.keys).map(col): _*)
       val cond = spec.keys.map(k => fact(k) <=> dimMap(k)).reduce(_ && _)
-      fact = fact.join(broadcast(dimMap), cond, "left").drop(dimMap.columns.filter(spec.keys.contains): _*)
+      fact = fact.join(broadcast(dimMap), cond, "left").drop(dimMap.columns.toIndexedSeq.filter(spec.keys.contains): _*)
     }
 
     // P4: FK completeness — drop rows with any unresolved surrogate.

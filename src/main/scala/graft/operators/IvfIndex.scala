@@ -91,8 +91,8 @@ object IvfIndex {
   private def nearestCentroid(vec: Column, cs: Array[Array[Double]]): Column = {
     // array_max over (score, idx) structs — a when/otherwise reduceLeft
     // would duplicate the accumulated subtree per step (2^nlist nodes)
-    val scored = array(cs.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
+    val scored = array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
       val halfNorm = c.map(x => x * x).sum / 2.0
       struct((vecDot(vec, cLit) - lit(halfNorm)).as("score"), lit(i).as("idx"))
     }: _*)
@@ -101,8 +101,8 @@ object IvfIndex {
 
   /** Top-`nprobe` centroid ids for a probe vector (for list fan-out). */
   private def probeCentroids(vec: Column, cs: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = array(cs.zipWithIndex.map { case (c, i) =>
-      val cLit = array(c.map(lit): _*)
+    val scored = array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
+      val cLit = array(c.toIndexedSeq.map(lit): _*)
       val halfNorm = c.map(x => x * x).sum / 2.0
       struct((vecDot(vec, cLit) - lit(halfNorm)).as("score"), lit(i).as("idx"))
     }: _*)

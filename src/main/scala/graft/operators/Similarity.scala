@@ -76,9 +76,9 @@ object Similarity {
 
   /** Bucket ids (one per table) for a vector column. */
   private def bucketIds(vec: Column, pl: Array[Array[Array[Double]]]): Column =
-    array(pl.map { table =>
+    array(pl.toIndexedSeq.map { table =>
       table.zipWithIndex.map { case (plane, bit) =>
-        val planeLit = array(plane.map(lit): _*)
+        val planeLit = array(plane.toIndexedSeq.map(lit): _*)
         when(vecDot(vec, planeLit) >= 0, lit(1L << bit)).otherwise(lit(0L))
       }.reduce(_ + _)
     }: _*)
