@@ -11,14 +11,23 @@ import org.apache.spark.sql.DataFrame
   */
 object ParquetSink {
 
-  def writeYearly(df: DataFrame, outPath: String, overwrite: Boolean = false): Unit =
+  /** zstd: ~30% smaller than snappy at similar scan speed — at 100 TB
+    * the storage/IO saving dominates the marginal encode cost.
+    */
+  def writeYearly(
+      df: DataFrame, outPath: String, overwrite: Boolean = false,
+      codec: String = "zstd"): Unit =
     df.write
       .mode(if (overwrite) "overwrite" else "ignore")
+      .option("compression", codec)
       .partitionBy("ANO_EJE")
       .parquet(outPath)
 
-  def write(df: DataFrame, outPath: String, overwrite: Boolean = false): Unit =
+  def write(
+      df: DataFrame, outPath: String, overwrite: Boolean = false,
+      codec: String = "zstd"): Unit =
     df.write
       .mode(if (overwrite) "overwrite" else "ignore")
+      .option("compression", codec)
       .parquet(outPath)
 }

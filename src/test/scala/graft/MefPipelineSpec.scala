@@ -175,6 +175,22 @@ class MefPipelineSpec extends SparkSuite {
     assert(pruned.count() == 4)
   }
 
+  test("S1+P3: garbage rows conformed to nulls at scan, dropped by validity filter") {
+    // Spark's all-string CSV scan conforms token-count mismatches
+    // (missing→null, extra→dropped) instead of flagging them malformed —
+    // the defensive layer that removes garbage is P3, exactly the
+    // belt-and-braces the reference also applies
+    // (`etl/transformar_mensual.py:149` after `on_bad_lines="skip"`).
+    val dir = Files.createTempDirectory("mef_malformed")
+    val p = dir.resolve("2024-Gasto-Mensual.csv")
+    val body = csvText + "\n" + Seq.fill(3)("\"junk\"").mkString(",")
+    Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+    val raw = CsvIngest(spark, p.toString)
+    assert(raw.count() == 7, "scan conforms, keeps the junk row as nulls")
+    val cleaned = Transform(raw)
+    assert(cleaned.count() == 4, "P3 drops junk + the two invalid-time rows")
+  }
+
   test("P9 filename predicate") {
     assert(CsvIngest.acceptFile("2024-Gasto-Mensual.csv").contains(2024))
     assert(CsvIngest.acceptFile("2019-Gasto.csv").contains(2019))
