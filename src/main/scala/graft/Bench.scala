@@ -8,26 +8,45 @@ import org.apache.spark.sql.SparkSession
   * A small untimed warm-up (session init, parquet reader, codegen)
   * runs first so the first measured query isn't charged JVM startup;
   * queries then run in name order for run-to-run comparability.
+  *
+  * Optional arg: a substring filter on query names (local profiling —
+  * `runMain graft.Bench mef_star` times only the star-pipeline
+  * queries).
+  *
+  * A query that throws is reported in an "errors" list (and its name
+  * keyed to -1 in "queries") instead of silently contributing elapsed
+  * time to the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val nameFilter = args.headOption
     val spark = Sessions.local(cpus)
 
     // warm-up: JVM + codegen + parquet footer cache (untimed)
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => nameFilter.forall(name.contains) }
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          errors += name
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,10 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val collisions = payloadCols.filter(leftCols.contains)
+    require(collisions.isEmpty,
+      s"payload column(s) ${collisions.mkString(", ")} collide with left columns — " +
+        "alias the right-side payload before joining")
     val payload = struct(payloadCols.map(col): _*)
 
     val taggedRight = right.select(

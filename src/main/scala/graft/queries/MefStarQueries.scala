@@ -35,7 +35,7 @@ object MefStarQueries {
     starCache.getOrElseUpdate((s, dir), MefPipeline.buildFromRaw(s, syntheticRaw(s, dir)))
 
   /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw. */
-  private def syntheticRaw(s: SparkSession, dir: String): DataFrame =
+  private[queries] def syntheticRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))

@@ -47,33 +47,31 @@ object JdbcUpsertSink {
   def write(df: DataFrame, cfg: UpsertConfig): Unit = {
     val columns = df.columns.toSeq
     val sql = upsertStatement(cfg.table, columns, cfg.conflictKeys)
+    val nCols = columns.length
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.hasNext) {
-        var attempt = 0
         var conn: Connection = null
         try {
           conn = DriverManager.getConnection(cfg.url)
           conn.setAutoCommit(false)
           val stmt = conn.prepareStatement(sql)
-          var inBatch = 0
+          // Rows are buffered per page so a failed page can be REBUILT:
+          // JDBC clears a statement's batch once executeBatch returns
+          // (success or failure), so retrying the bare executeBatch()
+          // would commit an empty batch and silently drop the page.
+          val page = new scala.collection.mutable.ArrayBuffer[Array[AnyRef]](cfg.batchSize)
+          def flush(): Unit = if (page.nonEmpty) {
+            flushPageWithRetry(conn, stmt, page, cfg)
+            page.clear()
+          }
           rows.foreach { r =>
+            val vals = new Array[AnyRef](nCols)
             var i = 0
-            while (i < columns.length) {
-              stmt.setObject(i + 1, r.get(i))
-              i += 1
-            }
-            stmt.addBatch()
-            inBatch += 1
-            if (inBatch >= cfg.batchSize) {
-              executeWithRetry(stmt.executeBatch(), cfg, () => attempt += 1)
-              conn.commit()
-              inBatch = 0
-            }
+            while (i < nCols) { vals(i) = r.get(i).asInstanceOf[AnyRef]; i += 1 }
+            page += vals
+            if (page.length >= cfg.batchSize) flush()
           }
-          if (inBatch > 0) {
-            stmt.executeBatch()
-            conn.commit()
-          }
+          flush() // final partial page goes through the same retry path
           stmt.close()
         } finally {
           if (conn != null) conn.close()
@@ -82,16 +80,33 @@ object JdbcUpsertSink {
     }
   }
 
-  private def executeWithRetry(exec: => Unit, cfg: UpsertConfig, bump: () => Unit): Unit = {
+  /** One page as one transaction: rebuild batch → executeBatch → commit,
+    * with rollback (Postgres aborts the txn on error) + rebuild before
+    * each bounded retry (`etl/cargar_postgres.py:136-152` semantics).
+    */
+  private def flushPageWithRetry(
+      conn: Connection,
+      stmt: java.sql.PreparedStatement,
+      page: scala.collection.mutable.ArrayBuffer[Array[AnyRef]],
+      cfg: UpsertConfig): Unit = {
     var attempts = 0
     var done = false
     while (!done) {
-      try { exec; done = true }
-      catch {
-        case e: java.sql.SQLException if attempts < cfg.maxRetries =>
-          attempts += 1; bump()
+      try {
+        page.foreach { vals =>
+          var i = 0
+          while (i < vals.length) { stmt.setObject(i + 1, vals(i)); i += 1 }
+          stmt.addBatch()
+        }
+        stmt.executeBatch()
+        conn.commit()
+        done = true
+      } catch {
+        case _: java.sql.SQLException if attempts < cfg.maxRetries =>
+          attempts += 1
+          try conn.rollback() catch { case _: java.sql.SQLException => () }
+          try stmt.clearBatch() catch { case _: java.sql.SQLException => () }
           Thread.sleep(cfg.retryWaitMs)
-        case e: Throwable => throw e
       }
     }
   }

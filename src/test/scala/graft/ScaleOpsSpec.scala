@@ -71,4 +71,27 @@ class ScaleOpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(plain == salted)
   }
+
+  test("saltedJoin rejects right/full outer (per-replica duplicate hazard)") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, "k", salt = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(df, df, "k", salt = 4, joinType = "full_outer")
+    }
+    // left-preserving types still pass through
+    assert(SkewJoin.saltedJoin(df, df.withColumnRenamed("v", "w"), "k",
+      salt = 4, joinType = "left_semi").count() == 1)
+  }
+
+  test("asOfJoin rejects payload names colliding with left columns") {
+    import java.sql.Timestamp
+    val ts = Timestamp.valueOf("2024-01-01 00:00:00")
+    val left = Seq((1L, 10L, ts, 1.0)).toDF("event_id", "user_id", "ts", "value")
+    val right = Seq((10L, ts, 2.0)).toDF("user_id", "ts", "value")
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.backward(left, right, "user_id", "ts", Seq("value"))
+    }
+  }
 }
