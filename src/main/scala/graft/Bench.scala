@@ -40,7 +40,16 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // Local mode runs driver + all 32 executor threads in ONE JVM and
+      // Spark's ContextCleaner only reclaims finished queries' broadcast
+      // and shuffle state when a GC actually runs; without this nudge,
+      // late queries inherit a heap full of earlier queries' garbage and
+      // measure its collection (dedup_minhash_lsh: 38 s in a full r1
+      // sweep vs 6 s isolated). GC time here is OUTSIDE the timers —
+      // inter-query hygiene, not query cost.
+      System.gc()
+      name -> (if (ok) elapsed else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

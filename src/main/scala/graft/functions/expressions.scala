@@ -302,6 +302,91 @@ case class NgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Full MinHash signature of a shingle-hash array in one pass: for
+  * family member i, min over shingles of xxhash64-chained (shingle,
+  * i). Replaces explode(shingles) → groupBy(doc).agg(64 × min) — the
+  * per-row kernel needs NO shuffle at all, so the signature stage
+  * scales with the scan instead of re-keying the corpus by doc
+  * (~2M-row shuffle at sf0.1, unbounded at 100 TB).
+  * Input: array<long>; output: array<long> of length numHashes,
+  * null for null or empty input (docs too short to shingle).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(numHashes > 0, "numHashes must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires array<long>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var s = 0
+    while (s < n) {
+      if (!arr.isNullAt(s)) {
+        // seed-chain like xxhash64(sh, i): hash the shingle once, then
+        // derive each family member from the fixed-width intermediate.
+        val h0 = XxHash64Function.hash(arr.getLong(s), LongType, 42L)
+        var i = 0
+        while (i < numHashes) {
+          val hi = XxHash64Function.hash(i.toLong, LongType, h0)
+          if (hi < mins(i)) mins(i) = hi
+          i += 1
+        }
+      }
+      s += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Number of positions where two long arrays agree — the MinHash
+  * signature-similarity kernel (est. Jaccard = matches / length). A
+  * zip_with/filter/size chain evaluates three interpreted lambdas per
+  * element; this is one while-loop. Null if either side is null;
+  * compares up to the shorter length.
+  */
+case class LongArrayMatchCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "long_array_match_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"long_array_match_count requires two array<long>, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var matches = 0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i)) matches += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(matches)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongArrayMatchCount =
+    copy(left = l, right = r)
+}
+
 object exprs {
   import org.apache.spark.sql.GraftShim
 
@@ -324,4 +409,12 @@ object exprs {
   /** SimHash fingerprint straight from a text column (one pass). */
   def simhashText(text: Column): Column =
     GraftShim.column(SimHashText(GraftShim.expression(text)))
+
+  /** MinHash signature (length numHashes) of a shingle-hash array. */
+  def minhashSig(shingleHashes: Column, numHashes: Int): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(shingleHashes), numHashes))
+
+  /** Count of positions where two array<long> columns agree. */
+  def longArrayMatchCount(a: Column, b: Column): Column =
+    GraftShim.column(LongArrayMatchCount(GraftShim.expression(a), GraftShim.expression(b)))
 }

@@ -35,8 +35,12 @@ object Star {
       dims: Map[String, DataFrame],
       fact: DataFrame,
       private[mef] val source: Option[DataFrame] = None) {
-    /** Release the persisted normalized frame backing this star. */
-    def release(): Unit = source.foreach(_.unpersist())
+    /** Release every frame this star persisted (grain, dims, fact). */
+    def release(): Unit = {
+      source.foreach(_.unpersist())
+      dims.values.foreach(_.unpersist())
+      fact.unpersist()
+    }
   }
 
   /** dim_tiempo: monthly spine 2010-01..2030-12, 252 rows, ids ordered by
@@ -92,7 +96,15 @@ object Star {
       .agg(preAggs.head, preAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tiempo = dimTiempo(spark)
-    val dims = MefSchema.dims.map(spec => spec.name -> buildDim(normalized, spec)).toMap
+    // Dims and the consolidated fact persist too: the warehouse
+    // contract is load-once/query-many, and without them every view or
+    // analytic re-runs 7 dim builds + 7 FK joins + the final grain
+    // consolidation from the grain frame. On a cluster this is the
+    // dim/fact tables a loader would write to storage; MEMORY_AND_DISK
+    // is the local-mode analog.
+    val dims = MefSchema.dims.map(spec => spec.name ->
+      buildDim(normalized, spec)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).toMap
 
     // J1: time lookup — broadcast the 252-row spine.
     var fact = normalized
@@ -119,6 +131,7 @@ object Star {
     val consolidated = complete
       .groupBy(MefSchema.factFks.map(col): _*)
       .agg(measureAggs.head, measureAggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     StarSchema(tiempo, dims, consolidated, Some(normalized))
   }

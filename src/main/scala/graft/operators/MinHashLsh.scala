@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
   * Pipeline (all shuffle-bounded, no O(N²) stage):
   *   1. shingle:   doc → distinct word n-grams
   *   2. signature: minhash_i = min over shingles of xxhash64(shingle, i)
-  *                 — one hash family member per literal salt column, one
-  *                 partial-aggregating groupBy(doc)
+  *                 — the full signature per document in one map-only
+  *                 kernel pass ([[graft.functions.MinHashSig]])
   *   3. band:      signature → `bands` buckets of `rowsPerBand` values,
   *                 bucket key = xxhash64(band values)
   *   4. candidates: docs sharing any (band_idx, bucket) — self-join on
@@ -19,34 +19,32 @@ import org.apache.spark.sql.functions._
   *   5. verify:    estimated Jaccard = fraction of matching signature
   *                 positions ≥ threshold
   *
-  * At 100 TB the only wide stages are the signature groupBy (keyed by
-  * doc) and the band self-join (keyed by 64-bit bucket — uniformly
-  * distributed, so no planned skew; pathological buckets are capped like
-  * [[Dedup.ngramJaccardPairs]] hot shingles).
+  * At 100 TB the only wide stage is the band self-join (keyed by
+  * 64-bit bucket — uniformly distributed, so no planned skew;
+  * pathological buckets are capped like [[Dedup.ngramJaccardPairs]]
+  * hot shingles); shingling and signatures are map-only.
   */
 object MinHashLsh {
 
   /** (doc_id, sig array<long>) — MinHash signatures.
     *
     * Each shingle string is hashed ONCE to a long; the hash family is
-    * then xxhash64 over that fixed-width long + the family index —
-    * 64× cheaper than re-hashing the string per family member.
-    * numHashes defaults to 64: aggregate buffers wider than
-    * `spark.sql.codegen.maxFields` (100) knock the whole aggregate out
-    * of whole-stage codegen, a ~10× slowdown measured at sf0.1.
+    * xxhash64 seed-chained over that fixed-width long + the family
+    * index. The whole signature is computed per row by the
+    * [[graft.functions.MinHashSig]] kernel — a map-only stage with NO
+    * shuffle (the earlier explode → groupBy(doc) formulation re-keyed
+    * every shingle of the corpus; at 100 TB that shuffle IS the job).
+    * Docs too short to shingle yield no signature, matching the
+    * explode-based behavior.
     */
   def signatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("doc_id"),
-        explode(graft.functions.exprs.ngramHashes(col(textCol), shingleN)).as("sh64"))
-    val minCols = (0 until numHashes).map(i => min(xxhash64(col("sh64"), lit(i))).as(s"h$i"))
-    exploded
-      .groupBy(col("doc_id"))
-      .agg(minCols.head, minCols.tail: _*)
-      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      shingleN: Int = 3, numHashes: Int = 64): DataFrame =
+    df.select(
+      col(idCol).as("doc_id"),
+      graft.functions.exprs.minhashSig(
+        graft.functions.exprs.ngramHashes(col(textCol), shingleN), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
 
   /** Candidate pairs from banded LSH + signature-estimated Jaccard.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
@@ -57,10 +55,17 @@ object MinHashLsh {
       threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
+    // Signatures feed three consumers (banding + both verify sides);
+    // persist so the map-only kernel runs once. This is the natural
+    // materialization point at scale too (the LSH index build).
     val sigs = signatures(df, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Band on ids ONLY: the bucket shuffle and pair-dedup move
+    // 16-byte (band, bucket, id) rows, not 0.5 KB signature payloads —
+    // a 30× shuffle-volume cut that grows with numHashes.
     val banded = sigs.select(
-      col("doc_id"), col("sig"),
+      col("doc_id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
       .withColumnRenamed("pos", "band_idx")
@@ -73,18 +78,21 @@ object MinHashLsh {
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
 
-    val a = capped.select(
-      col("band_idx"), col("bucket"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = capped.select(
-      col("band_idx"), col("bucket"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val a = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
+    val b = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b"))
     val candidates = a.join(b, Seq("band_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // verify: re-attach signatures, estimate Jaccard with the one-pass
+    // match-count kernel (zip_with/filter/size ran 3 interpreted
+    // lambdas per element).
     candidates
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), m => m))
+        graft.functions.exprs.longArrayMatchCount(col("sig_a"), col("sig_b"))
           .cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

@@ -98,18 +98,28 @@ object Similarity {
       k: Int, dim: Int, tables: Int = 12, planesPerTable: Int = 8,
       seed: Long = 42L): DataFrame = {
     val pl = planes(dim, tables, planesPerTable, seed)
-    def withBuckets(df: DataFrame, id: String, vec: String): DataFrame =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-        posexplode(bucketIds(col(vecCol), pl)))
+    // Bucket join and pair-dedup move ids only; vectors re-attach for
+    // the exact rerank (corpus side by shuffle, probe side broadcast).
+    def withBuckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id), posexplode(bucketIds(col(vecCol), pl)))
         .withColumnRenamed("pos", "table_idx")
         .withColumnRenamed("col", "bucket")
-    val c = withBuckets(corpus, "neighbor_id", "vec_n")
-    val p = withBuckets(probes, "query_id", "vec_q")
-    val pairs = c.join(p, Seq("table_idx", "bucket"))
+    val candidates = withBuckets(corpus, "neighbor_id")
+      .join(withBuckets(probes, "query_id"), Seq("table_idx", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("vec_n"), col("vec_q"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine_sim", cosine(col("vec_n"), col("vec_q")))
+    val cSide = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
+      l2Norm(col(vecCol)).as("norm_n"))
+    val pSide = probes.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"),
+      l2Norm(col(vecCol)).as("norm_q"))
+    val pairs = candidates
+      .join(cSide, "neighbor_id")
+      .join(broadcast(pSide), "query_id")
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
     graft.plans.TopKPerGroup(
       pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
       .withColumnRenamed("topk_rank", "rank")
@@ -124,9 +134,16 @@ object Similarity {
       threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 12,
       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     val pl = planes(dim, tables, planesPerTable, seed)
-    val bucketed = corpus
+    // (id, vec, norm) is read three ways (bucketing + both verify
+    // sides); persist so vectors are decoded and norms computed once.
+    val base = corpus
       .select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
-        posexplode(bucketIds(col(vecCol), pl)))
+        l2Norm(col(vecCol)).as("norm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bucket join + pair-dedup on ids only: candidate shuffles carry
+    // 16-byte rows, not tables× replicated float vectors.
+    val bucketed = base
+      .select(col("doc_id"), posexplode(bucketIds(col("vec"), pl)))
       .withColumnRenamed("pos", "table_idx")
       .withColumnRenamed("col", "bucket")
     val capped = bucketed
@@ -134,14 +151,23 @@ object Similarity {
         Window.partitionBy(col("table_idx"), col("bucket"))))
       .filter(col("bsz") <= maxBucket)
       .drop("bsz")
-    val a = capped.select(col("table_idx"), col("bucket"),
-      col("doc_id").as("id_a"), col("vec").as("vec_a"))
-    val b = capped.select(col("table_idx"), col("bucket"),
-      col("doc_id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("table_idx", "bucket"))
+    val candidates = capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_a"))
+      .join(capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_b")),
+        Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+    // verify: re-attach vectors + precomputed norms (cosine() would
+    // recompute both self-dots per candidate pair).
+    candidates
+      .join(base.select(col("doc_id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), "id_b")
+      .withColumn("cosine_sim",
+        when(col("norm_a") * col("norm_b") > 0,
+          vecDot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
+          .otherwise(lit(0.0)))
       .filter(col("cosine_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine_sim"))
   }
