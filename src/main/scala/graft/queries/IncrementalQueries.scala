@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{HashSample, SaltedAgg, Scd2, SnapshotDiff}
+
+/** Incremental-load / reproducibility operators as verifiable queries:
+  * SCD2 dimension history, snapshot CDC diff, deterministic hash
+  * sampling, skew-safe two-stage aggregation. All four are exact
+  * (DuckDB-oracled) — the change-log and second snapshot are
+  * synthesized deterministically from `orders` so both engines state
+  * identical semantics.
+  */
+object IncrementalQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // SCD2: orders as a change log of each customer's order priority;
+    // consecutive same-priority observations collapse into intervals.
+    "scd2_customer_priority" -> QueryDef(
+      (s, dir) =>
+        Scd2.fromChangeLog(
+          Tables.orders(s, dir),
+          keyCols = Seq("o_custkey"),
+          attrCols = Seq("o_orderpriority"),
+          tsCol = "o_orderdate",
+          tieBreak = Seq("o_orderkey"))
+          .select(
+            col("o_custkey"), col("o_orderpriority"),
+            col("valid_from"), col("valid_to"),
+            col("is_current").cast("int").as("is_current"))
+          .orderBy(col("o_custkey"), col("valid_from"), col("o_orderpriority")),
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |), changes AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+        |  FROM ordered
+        |  WHERE prev IS NULL OR o_orderpriority <> prev
+        |)
+        |SELECT o_custkey, o_orderpriority,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w2 AS valid_to,
+        |  CAST(lead(o_orderdate) OVER w2 IS NULL AS INT) AS is_current
+        |FROM changes
+        |WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // CDC snapshot diff: old = orders through 1996; new = through 1997
+    // with deterministic updates (price+1 where key%7=0) and deletes
+    // (key%13=0 dropped). Inserted/updated/deleted keys classified via
+    // one full outer join; unchanged rows omitted.
+    "snapshot_diff_orders" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val oldSnap = o.filter(col("o_orderdate") <= lit("1996-12-31").cast("date"))
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val newSnap = o.filter(col("o_orderdate") <= lit("1997-12-31").cast("date")
+            && col("o_orderkey") % 13 =!= 0)
+          .select(
+            col("o_orderkey"),
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            col("o_orderstatus"))
+        SnapshotDiff.diff(oldSnap, newSnap,
+          keyCols = Seq("o_orderkey"),
+          compareCols = Seq("o_totalprice", "o_orderstatus"))
+          .orderBy(col("o_orderkey"))
+      },
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |  WHERE o_orderdate <= DATE '1996-12-31'
+        |), new AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders
+        |  WHERE o_orderdate <= DATE '1997-12-31' AND o_orderkey % 13 <> 0
+        |), classified AS (
+        |  SELECT COALESCE(new.o_orderkey, old.o_orderkey) AS o_orderkey,
+        |    CASE WHEN old.o_orderkey IS NULL THEN 'I'
+        |         WHEN new.o_orderkey IS NULL THEN 'D'
+        |         WHEN new.o_totalprice <> old.o_totalprice
+        |           OR new.o_orderstatus <> old.o_orderstatus THEN 'U'
+        |    END AS change_type,
+        |    new.o_totalprice, new.o_orderstatus
+        |  FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        |)
+        |SELECT * FROM classified WHERE change_type IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Deterministic hash sample: ~10% of orders by md5(key) threshold —
+    // the same rows on any engine, cluster size, or run.
+    "hash_sample_orders" -> QueryDef(
+      (s, dir) =>
+        HashSample.sample(Tables.orders(s, dir), Seq("o_orderkey"), fraction = 0.1)
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")),
+      s"""SELECT o_orderkey, o_totalprice FROM orders
+         |WHERE md5(CAST(o_orderkey AS VARCHAR)) < '${HashSample.thresholdHex(0.1)}'
+         |ORDER BY o_orderkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Skew-safe two-stage aggregation: bit-identical to the direct
+    // groupBy for decomposable aggregates (quantity is integer-valued).
+    "salted_agg_pricing" -> QueryDef(
+      (s, dir) =>
+        SaltedAgg.saltedAgg(
+          Tables.lineitem(s, dir),
+          keys = Seq("l_returnflag", "l_linestatus"),
+          aggs = Seq(
+            SaltedAgg.Sum("l_quantity", "sum_qty"),
+            SaltedAgg.Count("n_rows"),
+            SaltedAgg.Min("l_shipdate", "min_ship"),
+            SaltedAgg.Max("l_shipdate", "max_ship")),
+          salt = 16)
+          .orderBy(col("l_returnflag"), col("l_linestatus")),
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  COUNT(*) AS n_rows,
+        |  MIN(l_shipdate) AS min_ship,
+        |  MAX(l_shipdate) AS max_ship
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Sketch profile: HLL distinct + approx quantiles per event type
+    // (approx — no SQL oracle; SketchSpec bounds error vs exact).
+    "sketch_event_profile" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000))
+              .as("value_p50_p90"))
+          .orderBy(col("event_type")),
+      None)
+  )
+}
