@@ -106,6 +106,20 @@ object Star {
       buildDim(normalized, spec)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).toMap
 
+    // Eager load, like the reference's load stage: materialize the
+    // grain once, then force the 7 independent dim builds as
+    // CONCURRENT jobs (each is a column-pruned pass over the cached
+    // grain; run sequentially they serialize 7 cluster-wide barriers).
+    normalized.count();
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.sequence(dims.values.map(d => Future { d.count() })),
+        Duration.Inf)
+    }
+
     // J1: time lookup — broadcast the 252-row spine.
     var fact = normalized
       .withColumn("_anio", col("ano_eje").cast("int"))
