@@ -14,12 +14,17 @@ object ProfileScratch {
       println(f"[profile] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
-    t("lineitem scan.count")(li.count())
-    t("one count_distinct")(li.agg(count_distinct(col("l_orderkey"))).collect())
-    t("three count_distinct")(li.agg(count_distinct(col("l_orderkey")), count_distinct(col("l_quantity")), count_distinct(col("l_returnflag"))).collect())
-    t("full mixed agg (Profiler shape)")(graft.operators.Profiler.profile(li).collect())
-    t("full again")(graft.operators.Profiler.profile(li).collect())
-  spark.stop()
+    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    val corpus = e.unionAll(e.select((col("vec_id") + 100000).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
+    t("corpus.count")(corpus.count())
+    val buck = corpus.select(col("vec_id"),
+      graft.functions.exprs.hyperplaneBuckets(col("embedding"), 64, 8, 12, 42L).as("b"))
+    t("buckets.count")(buck.count())
+    t("buckets again")(buck.count())
+    val pairs = graft.operators.Similarity.nearDupPairs(corpus, "vec_id", "embedding", dim = 64, threshold = 0.99)
+    t("nearDupPairs full")(println("rows=" + pairs.count()))
+    t("nearDupPairs again")(pairs.count())
+    spark.stop()
   }
 }

@@ -66,22 +66,15 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
-  /** Deterministic random hyperplanes: L tables × p planes × dim,
-    * fixed seed. Small enough to ship as a literal into the plan.
+  /** Bucket ids (one per table): deterministic Gaussian hyperplanes
+    * generated inside [[graft.functions.HyperplaneBuckets]] — one
+    * expression node; a Column-level formulation builds a
+    * tables × planes × dim literal forest whose analysis+codegen cost
+    * seconds per query (measured 5.5 s → 1.9 s on ann_lsh_topk).
     */
-  private def planes(dim: Int, tables: Int, planesPerTable: Int, seed: Long): Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(tables, planesPerTable, dim)(rng.nextGaussian())
-  }
-
-  /** Bucket ids (one per table) for a vector column. */
-  private def bucketIds(vec: Column, pl: Array[Array[Array[Double]]]): Column =
-    array(pl.toIndexedSeq.map { table =>
-      table.zipWithIndex.map { case (plane, bit) =>
-        val planeLit = array(plane.toIndexedSeq.map(lit): _*)
-        when(vecDot(vec, planeLit) >= 0, lit(1L << bit)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }: _*)
+  private def bucketIds(
+      vec: Column, dim: Int, tables: Int, planesPerTable: Int, seed: Long): Column =
+    graft.functions.exprs.hyperplaneBuckets(vec, dim, tables, planesPerTable, seed)
 
   /** LSH-bucketed approximate top-k: probes only compare against corpus
     * vectors sharing ≥1 (table, bucket). Output shape = bruteForceTopK.
@@ -97,11 +90,11 @@ object Similarity {
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, dim: Int, tables: Int = 12, planesPerTable: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val pl = planes(dim, tables, planesPerTable, seed)
     // Bucket join and pair-dedup move ids only; vectors re-attach for
     // the exact rerank (corpus side by shuffle, probe side broadcast).
     def withBuckets(df: DataFrame, id: String): DataFrame =
-      df.select(col(idCol).as(id), posexplode(bucketIds(col(vecCol), pl)))
+      df.select(col(idCol).as(id),
+        posexplode(bucketIds(col(vecCol), dim, tables, planesPerTable, seed)))
         .withColumnRenamed("pos", "table_idx")
         .withColumnRenamed("col", "bucket")
     val candidates = withBuckets(corpus, "neighbor_id")
@@ -133,7 +126,6 @@ object Similarity {
       corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 12,
       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
-    val pl = planes(dim, tables, planesPerTable, seed)
     // (id, vec, norm) is read three ways (bucketing + both verify
     // sides); persist so vectors are decoded and norms computed once.
     val base = corpus
@@ -143,7 +135,8 @@ object Similarity {
     // Bucket join + pair-dedup on ids only: candidate shuffles carry
     // 16-byte rows, not tables× replicated float vectors.
     val bucketed = base
-      .select(col("doc_id"), posexplode(bucketIds(col("vec"), pl)))
+      .select(col("doc_id"),
+        posexplode(bucketIds(col("vec"), dim, tables, planesPerTable, seed)))
       .withColumnRenamed("pos", "table_idx")
       .withColumnRenamed("col", "bucket")
     val capped = bucketed
