@@ -455,6 +455,78 @@ case class HyperplaneBuckets(
     copy(child = newChild)
 }
 
+/** Top-`nprobe` centroid ids (by descending score v·c − ‖c‖²/2, i.e.
+  * ascending L2 distance; ties broken by lower id) for a float/double
+  * vector against a fixed centroid table — the IVF coarse-quantizer
+  * kernel. Centroids live in the expression (one tree node), not as a
+  * nlist × dim literal forest. Output: array<int> of length
+  * min(nprobe, nlist); null input → null.
+  */
+case class CentroidIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty && nprobe > 0)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_ids"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"centroid_ids requires array<float|double>, got $other")
+  }
+
+  @transient private lazy val cs: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val halfNorms: Array[Double] =
+    cs.map(c => c.map(x => x * x).sum / 2.0)
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData]
+    val isF = elemIsFloat
+    val nlist = cs.length
+    val scores = new Array[Double](nlist)
+    var ci = 0
+    while (ci < nlist) {
+      val c = cs(ci)
+      val n = math.min(vec.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        if (!vec.isNullAt(i)) {
+          val v = if (isF) vec.getFloat(i).toDouble else vec.getDouble(i)
+          acc += v * c(i)
+        }
+        i += 1
+      }
+      scores(ci) = acc - halfNorms(ci)
+      ci += 1
+    }
+    val take = math.min(nprobe, nlist)
+    val picked = new Array[Int](take)
+    val used = new Array[Boolean](nlist)
+    var r = 0
+    while (r < take) {
+      var best = -1
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < nlist) {
+        if (!used(i) && scores(i) > bestS) { bestS = scores(i); best = i }
+        i += 1
+      }
+      used(best) = true
+      picked(r) = best
+      r += 1
+    }
+    new GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidIds =
+    copy(child = newChild)
+}
+
 object exprs {
   import org.apache.spark.sql.GraftShim
 
@@ -485,6 +557,10 @@ object exprs {
   /** Count of positions where two array<long> columns agree. */
   def longArrayMatchCount(a: Column, b: Column): Column =
     GraftShim.column(LongArrayMatchCount(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Top-nprobe nearest-centroid ids of a vector (IVF quantizer). */
+  def centroidIds(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
+    GraftShim.column(CentroidIds(GraftShim.expression(vec), centroids, nprobe))
 
   /** Random-hyperplane LSH bucket ids (one per table) of a vector. */
   def hyperplaneBuckets(

@@ -84,46 +84,35 @@ object IvfIndex {
     best
   }
 
-  /** Column: index of the nearest centroid (L2) for a vector column.
-    * ‖v−c‖² = ‖v‖² − 2v·c + ‖c‖²; ‖v‖² is constant per row, so argmin
-    * needs only (v·c − ‖c‖²/2) per centroid — one VecDot each.
+  /** IVF top-k search. Output shape = [[Similarity.bruteForceTopK]].
+    *
+    * Assignment and probe fan-out run through the
+    * [[graft.functions.CentroidIds]] kernel — centroids live inside one
+    * expression node instead of a nlist × dim literal forest (‖v−c‖² =
+    * ‖v‖² − 2v·c + ‖c‖², row-constant ‖v‖² dropped from the argmin).
+    * Cosine rerank uses per-side precomputed norms.
     */
-  private def nearestCentroid(vec: Column, cs: Array[Array[Double]]): Column = {
-    // array_max over (score, idx) structs — a when/otherwise reduceLeft
-    // would duplicate the accumulated subtree per step (2^nlist nodes)
-    val scored = array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      val halfNorm = c.map(x => x * x).sum / 2.0
-      struct((vecDot(vec, cLit) - lit(halfNorm)).as("score"), lit(i).as("idx"))
-    }: _*)
-    array_max(scored).getField("idx")
-  }
-
-  /** Top-`nprobe` centroid ids for a probe vector (for list fan-out). */
-  private def probeCentroids(vec: Column, cs: Array[Array[Double]], nprobe: Int): Column = {
-    val scored = array(cs.zipWithIndex.toIndexedSeq.map { case (c, i) =>
-      val cLit = array(c.toIndexedSeq.map(lit): _*)
-      val halfNorm = c.map(x => x * x).sum / 2.0
-      struct((vecDot(vec, cLit) - lit(halfNorm)).as("score"), lit(i).as("idx"))
-    }: _*)
-    slice(reverse(array_sort(scored)), 1, nprobe).getField("idx")
-  }
-
-  /** IVF top-k search. Output shape = [[Similarity.bruteForceTopK]]. */
   def topK(
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       sampleSize: Int = 10000, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    import graft.functions.exprs.centroidIds
     val cs = trainCentroids(corpus, vecCol, nlist, sampleSize, iters, seed)
+      .map(_.toIndexedSeq).toIndexedSeq
     val indexed = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
-      nearestCentroid(col(vecCol), cs).as("list_id"))
+      Similarity.l2Norm(col(vecCol)).as("norm_n"),
+      element_at(centroidIds(col(vecCol), cs, 1), 1).as("list_id"))
     val fanned = probes.select(
       col(idCol).as("query_id"), col(vecCol).as("vec_q"),
-      explode(probeCentroids(col(vecCol), cs, nprobe)).as("list_id"))
+      Similarity.l2Norm(col(vecCol)).as("norm_q"),
+      explode(centroidIds(col(vecCol), cs, nprobe)).as("list_id"))
     val pairs = indexed.join(fanned, Seq("list_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", Similarity.cosine(col("vec_n"), col("vec_q")))
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
     graft.plans.TopKPerGroup(
       pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
       .withColumnRenamed("topk_rank", "rank")

@@ -500,6 +500,78 @@ object PipelineQueries {
         |ORDER BY user_id, session_seq""".stripMargin),
 
     // ------------------------------------------------------------------
+    // End-to-end corpus curation — the composed training-data pass:
+    // language filter → quality filter → exact dedup (keep lowest id)
+    // → deterministic 50% hash sample. Every stage is exact, so the
+    // WHOLE pipeline is DuckDB-oracled, not just its pieces.
+    "corpus_curation" -> QueryDef(
+      (s, dir) => {
+        val scored = Tables.documents(s, dir).select(
+          col("doc_id"), col("text"),
+          TextOps.langId(col("text")).as("lang"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        val kept = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
+        val deduped = kept
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+          .filter(col("rn") === 1)
+        deduped
+          .filter(HashSample.accept(col("doc_id"), 0.5))
+          .select(col("doc_id"), col("quality"))
+          .orderBy(col("doc_id"))
+      },
+      {
+        val sw = TextOps.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString("\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id, text, $toksSql AS toks,
+           |    len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS n_chars_nosp,
+           |    coalesce(text, '') AS txt
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / len(toks)
+           |         ELSE 0.0 END AS swr,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(n_chars_nosp AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl,
+           |    CASE WHEN len(txt) > 0
+           |         THEN CAST(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(txt)
+           |         ELSE 0.0 END AS pr,
+           |    $hits
+           |  FROM t
+           |), s AS (SELECT *, $g AS g FROM m
+           |), scored AS (
+           |  SELECT doc_id, text,
+           |    round(
+           |      (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.4
+           |      + least(swr * 4.0, 1.0) * 0.3
+           |      + greatest(0.0, 1.0 - pr * 4.0) * 0.3, 6) AS quality,
+           |    CASE WHEN g = 0 THEN 'und'
+           |      $cases
+           |    END AS lang
+           |  FROM s
+           |), kept AS (
+           |  SELECT doc_id, text, quality FROM scored
+           |  WHERE lang = 'en' AND quality >= 0.5
+           |), deduped AS (
+           |  SELECT doc_id, quality,
+           |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |  FROM kept
+           |)
+           |SELECT doc_id, quality FROM deduped
+           |WHERE rn = 1
+           |  AND md5(CAST(doc_id AS VARCHAR)) < '${HashSample.thresholdHex(0.5)}'
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // A6 expressed with an empty-frame window (SURVEY.md §2.5's optional
     // formulation): share-of-total without the cross join.
     "share_of_total_window" -> QueryDef(

@@ -115,6 +115,39 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Idempotent streaming append — the streaming face of the
+    * reference's `ON CONFLICT DO NOTHING` load
+    * (`etl/cargar_postgres.py:135,248`): each micro-batch drops
+    * in-batch duplicate keys, anti-joins keys already in the sink, and
+    * appends only the remainder. Re-delivered batches (at-least-once
+    * sources, restarts) therefore cannot double rows — the file-sink
+    * equivalent of the unique-key constraint.
+    *
+    * At scale the anti-join reads only the sink's key column (parquet
+    * column pruning); for key-heavy sinks swap the read for a
+    * partition-pruned slice or a Bloom pre-filter
+    * ([[graft.operators.IncrementalDedup]]).
+    */
+  def idempotentAppend(
+      events: DataFrame, out: String, keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val newRows = batch.dropDuplicates(keyCol)
+        val existing =
+          try Some(spark.read.parquet(out).select(keyCol))
+          catch { case _: org.apache.spark.sql.AnalysisException => None } // first batch: no sink yet
+        val fresh = existing match {
+          case Some(e) => newRows.join(e, Seq(keyCol), "left_anti")
+          case None => newRows
+        }
+        fresh.write.mode("append").parquet(out)
+        ()
+      }
+      .outputMode("append")
+      .start()
+
   /** Batch↔stream equivalence check hook: the windowed agg run in batch
     * mode over the same frame (used by tests and Verify twins).
     */

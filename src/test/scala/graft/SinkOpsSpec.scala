@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.sources.Compactor
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.Event
+
+class SinkOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("compactor: shrinks a many-file dataset to the planned file count") {
+    val dir = Files.createTempDirectory("compact_in").toString
+    val out = Files.createTempDirectory("compact_out").toString
+    // 16 small files
+    spark.range(20000).select(col("id"), (col("id") * 2).as("v"))
+      .repartition(16).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    assert(df.inputFiles.length == 16)
+    val planned = Compactor.plannedFileCount(df, targetBytes = 1L << 20)
+    Compactor.compact(df, out, targetBytes = 1L << 20)
+    val compacted = spark.read.parquet(out)
+    assert(compacted.inputFiles.length == planned)
+    assert(planned < 16)
+    // content preserved
+    assert(compacted.agg(sum("v")).collect()(0).getLong(0) ==
+      df.agg(sum("v")).collect()(0).getLong(0))
+    assert(compacted.count() == 20000)
+  }
+
+  test("compactor: widening a single huge-file dataset uses repartition") {
+    val dir = Files.createTempDirectory("compact_one").toString
+    val out = Files.createTempDirectory("compact_wide").toString
+    spark.range(50000).select(col("id"), md5(col("id").cast("string")).as("s"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    assert(df.inputFiles.length == 1)
+    val planned = Compactor.plannedFileCount(df, targetBytes = 256L * 1024)
+    Compactor.compact(df, out, targetBytes = 256L * 1024)
+    assert(spark.read.parquet(out).inputFiles.length == planned)
+    assert(planned > 1)
+    assert(spark.read.parquet(out).count() == 50000)
+  }
+
+  test("idempotent streaming append: re-delivered keys never double rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = Files.createTempDirectory("idem_sink").toString + "/events"
+    def ev(id: Long, v: Double) =
+      Event(id, Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "purchase", v)
+    val mem = MemoryStream[Event]
+    val q = EventsStreaming.idempotentAppend(mem.toDF(), out, "event_id")
+    mem.addData(ev(1, 1.0), ev(2, 2.0), ev(2, 2.0)) // in-batch dup
+    q.processAllAvailable()
+    mem.addData(ev(2, 2.0), ev(3, 3.0)) // cross-batch re-delivery
+    q.processAllAvailable()
+    mem.addData(ev(1, 1.0), ev(2, 2.0)) // full batch of dups -> no-op
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+}
