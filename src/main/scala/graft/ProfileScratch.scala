@@ -14,17 +14,17 @@ object ProfileScratch {
       println(f"[profile] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val e = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    val corpus = e.unionAll(e.select((col("vec_id") + 100000).as("vec_id"),
-      transform(col("embedding"), x => x * lit(1.5f)).as("embedding")))
-    t("corpus.count")(corpus.count())
-    val buck = corpus.select(col("vec_id"),
-      graft.functions.exprs.hyperplaneBuckets(col("embedding"), 64, 8, 12, 42L).as("b"))
-    t("buckets.count")(buck.count())
-    t("buckets again")(buck.count())
-    val pairs = graft.operators.Similarity.nearDupPairs(corpus, "vec_id", "embedding", dim = 64, threshold = 0.99)
-    t("nearDupPairs full")(println("rows=" + pairs.count()))
-    t("nearDupPairs again")(pairs.count())
+    import graft.operators._
+    val docs = Tables.documents(spark, sfDir)
+    println("[profile] partitions = " + docs.rdd.getNumPartitions + ", rows = " + docs.count())
+    val lang = docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang"))
+    t("lang only, forced")(lang.agg(count(col("lang"))).collect())
+    val qual = docs.select(TextOps.qualityScore(col("text")).as("q"))
+    t("quality only, forced")(qual.agg(count(col("q"))).collect())
+    val both = docs.select(TextOps.langId(col("text")).as("lang"), TextOps.qualityScore(col("text")).as("q"))
+    t("both, forced")(both.agg(count(col("lang")), count(col("q"))).collect())
+    val repart = docs.repartition(32).select(TextOps.langId(col("text")).as("lang"), TextOps.qualityScore(col("text")).as("q"))
+    t("both after repartition(32)")(repart.agg(count(col("lang")), count(col("q"))).collect())
     spark.stop()
   }
 }

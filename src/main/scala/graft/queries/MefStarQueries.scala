@@ -34,7 +34,12 @@ object MefStarQueries {
   private def star(s: SparkSession, dir: String): Star.StarSchema =
     starCache.getOrElseUpdate((s, dir), MefPipeline.buildFromRaw(s, syntheticRaw(s, dir)))
 
-  /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw. */
+  /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw.
+    * (Measured: fanning the raw out before the grain shuffle does NOT
+    * pay here — the extra full-width shuffle of all-string rows costs
+    * more than the single-partition scan+join+project it parallelizes;
+    * the grain groupBy redistributes anyway. See graft.Par.)
+    */
   private[queries] def syntheticRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))

