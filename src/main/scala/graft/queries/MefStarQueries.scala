@@ -35,14 +35,17 @@ object MefStarQueries {
     starCache.getOrElseUpdate((s, dir), MefPipeline.buildFromRaw(s, syntheticRaw(s, dir)))
 
   /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw.
-    * (Measured: fanning the raw out before the grain shuffle does NOT
-    * pay here — the extra full-width shuffle of all-string rows costs
-    * more than the single-partition scan+join+project it parallelizes;
-    * the grain groupBy redistributes anyway. See graft.Par.)
+    * All three dim joins broadcast explicitly (bounded domains, like
+    * the reference's ejecutora/sector tables). NOT fanned out: an
+    * isolated grain build sped up 2× with a pre-shuffle
+    * (graft.Par.fanOut), but inside the full memoized pipeline the
+    * user-repartition interacted with AQE + the persisted star so
+    * badly that view reads off the CACHED fact slowed ~30× — measured
+    * both ways, the no-fan form wins end-to-end by 9×.
     */
   private[queries] def syntheticRaw(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .select(
