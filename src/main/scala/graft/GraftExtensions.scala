@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{NgramHashes, SimHash64, SimHashText, VecDot, WinnowFingerprint}
+import graft.functions.{LongArrayMatchCount, MinHashSig, NgramHashes, SimHash64, SimHashText, VecDot, WinnowFingerprint}
 
 /** SparkSessionExtensions registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT simhash_text(text) ...")` works —
@@ -25,6 +25,10 @@ object GraftExtensions {
       args => WinnowFingerprint(args.head, litInt(args(1)), litInt(args(2))), "built-in")
     r.createOrReplaceTempFunction("vec_dot",
       args => VecDot(args.head, args(1)), "built-in")
+    r.createOrReplaceTempFunction("minhash_sig",
+      args => MinHashSig(args.head, litInt(args(1))), "built-in")
+    r.createOrReplaceTempFunction("long_array_match_count",
+      args => LongArrayMatchCount(args.head, args(1)), "built-in")
   }
 
   private[graft] def litInt(e: Expression): Int = e match {
@@ -62,5 +66,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "vec_dot"),
       (args: Seq[Expression]) => VecDot(args.head, args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args.head, lit(args(1)))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("long_array_match_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "long_array_match_count"),
+      (args: Seq[Expression]) => LongArrayMatchCount(args.head, args(1))))
   }
 }

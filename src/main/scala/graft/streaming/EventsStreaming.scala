@@ -115,6 +115,17 @@ object EventsStreaming {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment: join a stream against a (bounded) batch
+    * dimension — the streaming face of the loader's FK-resolution
+    * broadcast joins (`etl/cargar_postgres.py:353-363`). The static
+    * side re-plans per micro-batch (picking up dim updates between
+    * batches) and broadcasts, so the stream side never shuffles.
+    */
+  def enrichStream(
+      events: DataFrame, dim: DataFrame, keyCol: String): DataFrame =
+    events.join(
+      org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol), "left")
+
   /** Idempotent streaming append — the streaming face of the
     * reference's `ON CONFLICT DO NOTHING` load
     * (`etl/cargar_postgres.py:135,248`): each micro-batch drops

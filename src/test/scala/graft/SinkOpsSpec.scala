@@ -46,6 +46,22 @@ class SinkOpsSpec extends SparkSuite {
     assert(spark.read.parquet(out).count() == 50000)
   }
 
+  test("stream-static enrich: broadcast dim attributes land on streamed rows") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long) =
+      Event(id, Timestamp.valueOf("2024-01-01 00:00:00"), user, "purchase", 1.0)
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[Event]
+    val q = EventsStreaming.enrichStream(mem.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out").outputMode("append").start()
+    mem.addData(ev(10, 1), ev(11, 2), ev(12, 3)) // user 3 not in dim -> null tier
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enrich_out")
+      .select("event_id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(10L -> Some("gold"), 11L -> Some("basic"), 12L -> None))
+  }
+
   test("idempotent streaming append: re-delivered keys never double rows") {
     implicit val sqlCtx = spark.sqlContext
     val out = Files.createTempDirectory("idem_sink").toString + "/events"
