@@ -63,4 +63,77 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(r.getDouble(1) == 8.0, "null element skipped")
     assert(r.getDouble(2) == 2.0)
   }
+
+  test("minhashSig: null for null/empty shingles, length = numHashes, monotone under superset") {
+    val df = Seq(
+      ("a b c d e f g h", 1),
+      ("", 2),
+      (null.asInstanceOf[String], 3)
+    ).toDF("text", "id")
+    val sigs = df.select(col("id"),
+      exprs.minhashSig(exprs.ngramHashes(col("text"), 3), 16).as("sig"))
+      .collect().map(r => r.getInt(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(sigs(1).get.length == 16)
+    assert(sigs(2).isEmpty) // too short to shingle -> null signature
+    assert(sigs(3).isEmpty)
+    // a superset of shingles can only lower (or keep) each minhash
+    val sup = Seq(("a b c d e f g h i j k l", 1)).toDF("text", "id")
+      .select(exprs.minhashSig(exprs.ngramHashes(col("text"), 3), 16))
+      .collect()(0).getSeq[Long](0)
+    sigs(1).get.zip(sup).foreach { case (base, wider) => assert(wider <= base) }
+  }
+
+  test("minhashSig: identical shingle sets -> identical signatures regardless of order") {
+    val a = Seq("x y z w x y z").toDF("text")
+      .select(exprs.minhashSig(exprs.ngramHashes(col("text"), 2), 32))
+      .collect()(0).getSeq[Long](0)
+    // same bigram set {xy, yz, zw, wx}, different arrival order
+    val b = Seq("z w x y z").toDF("text")
+      .select(exprs.minhashSig(exprs.ngramHashes(col("text"), 2), 32))
+      .collect()(0).getSeq[Long](0)
+    assert(a == b)
+  }
+
+  test("longArrayMatchCount: full, partial, none, length mismatch, nulls") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 3),
+      (Seq(1L, 2L, 3L), Seq(1L, 9L, 3L), 2),
+      (Seq(1L, 2L), Seq(3L, 4L), 0),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L), 2) // compares up to shorter length
+    ).toDF("a", "b", "expected")
+    val got = df.select(exprs.longArrayMatchCount(col("a"), col("b")).as("m"), col("expected"))
+      .collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    val withNull = Seq((Seq(1L), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(exprs.longArrayMatchCount(col("a"), col("b")))
+      .collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
+  test("hyperplaneBuckets: deterministic per seed, length = tables, float/double agree") {
+    val vf = Seq(Seq(1.0f, -2.0f, 0.5f)).toDF("v")
+    val vd = Seq(Seq(1.0, -2.0, 0.5)).toDF("v")
+    val bf = vf.select(exprs.hyperplaneBuckets(col("v"), 3, 4, 8, 42L))
+      .collect()(0).getSeq[Long](0)
+    val bd = vd.select(exprs.hyperplaneBuckets(col("v"), 3, 4, 8, 42L))
+      .collect()(0).getSeq[Long](0)
+    assert(bf.length == 4 && bf == bd)
+    val again = vf.select(exprs.hyperplaneBuckets(col("v"), 3, 4, 8, 42L))
+      .collect()(0).getSeq[Long](0)
+    assert(again == bf)
+    val otherSeed = vf.select(exprs.hyperplaneBuckets(col("v"), 3, 4, 8, 7L))
+      .collect()(0).getSeq[Long](0)
+    assert(otherSeed != bf) // 32 random bits agreeing by chance: ~2^-32
+  }
+
+  test("centroidIds: nearest first, nprobe order, clamp to nlist") {
+    val cs = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(-10.0, 0.0))
+    val df = Seq(Seq(9.0f, 1.0f)).toDF("v")
+    val ids = df.select(exprs.centroidIds(col("v"), cs, 2))
+      .collect()(0).getSeq[Int](0)
+    assert(ids == Seq(0, 1)) // nearest centroid 0, then 1
+    val all = df.select(exprs.centroidIds(col("v"), cs, 99))
+      .collect()(0).getSeq[Int](0)
+    assert(all.length == 3 && all.head == 0)
+  }
 }
