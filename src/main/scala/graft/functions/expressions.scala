@@ -527,6 +527,133 @@ case class CentroidIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: I
     copy(child = newChild)
 }
 
+/** Shared one-pass text scan for the quality/langid kernels:
+  * lowercase-tokenize (same whitespace class as `\s`), count chars /
+  * non-ws chars / punctuation ([^A-Za-z0-9\s] code units), and
+  * stopword hits per provided set.
+  */
+private[functions] object TextScan {
+  import NgramHashes.isWs
+
+  final class Counts(nSets: Int) {
+    var nTokens = 0
+    var nChars = 0
+    var nCharsNoSp = 0
+    var nPunct = 0
+    val hits = new Array[Int](nSets)
+  }
+
+  def scan(raw: UTF8String, sets: Array[java.util.HashSet[String]]): Counts = {
+    val s = raw.toLowerCase.toString
+    val c = new Counts(sets.length)
+    val len = s.length
+    c.nChars = len
+    var i = 0
+    while (i < len) {
+      val ch = s.charAt(i)
+      if (!isWs(ch)) {
+        c.nCharsNoSp += 1
+        if (!((ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+          (ch >= '0' && ch <= '9'))) c.nPunct += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        c.nTokens += 1
+        val tok = s.substring(start, i)
+        var j = 0
+        while (j < sets.length) {
+          if (sets(j).contains(tok)) c.hits(j) += 1
+          j += 1
+        }
+      }
+    }
+    c
+  }
+
+  def toSets(sss: Seq[Seq[String]]): Array[java.util.HashSet[String]] =
+    sss.map { ss =>
+      val h = new java.util.HashSet[String]()
+      ss.foreach(w => h.add(w))
+      h
+    }.toArray
+}
+
+/** Composite text quality score in one pass — same formula as the
+  * Column-level `TextOps.qualityScore` (kept bit-exact: HALF_UP round
+  * to 6, identical guards) but a single tree node: the Column form's
+  * interpreted HOF sub-trees re-evaluate wherever the optimizer
+  * re-states them (pushed filters, collapsed projects). Null input →
+  * null (callers coalesce to '' for the reference's NaN→"" semantics).
+  */
+case class QualityScoreExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"quality_score requires string, got $other")
+  }
+
+  @transient private lazy val sets = TextScan.toSets(Seq(stopwords))
+
+  override def nullSafeEval(input: Any): Any = {
+    val c = TextScan.scan(input.asInstanceOf[UTF8String], sets)
+    val swr = if (c.nTokens > 0) c.hits(0).toDouble / c.nTokens else 0.0
+    val mtl = if (c.nTokens > 0) c.nCharsNoSp.toDouble / c.nTokens else 0.0
+    val pr = if (c.nChars > 0) c.nPunct.toDouble / c.nChars else 0.0
+    val lenOk = if (mtl >= 2.0 && mtl <= 12.0) 1.0 else 0.0
+    val swOk = math.min(swr * 4.0, 1.0)
+    val punctOk = math.max(0.0, 1.0 - pr * 4.0)
+    val q = lenOk * 0.4 + swOk * 0.3 + punctOk * 0.3
+    java.lang.Double.valueOf(java.math.BigDecimal.valueOf(q)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScoreExpr =
+    copy(child = newChild)
+}
+
+/** Stopword-vote language ID in one pass — argmax of per-profile hit
+  * counts, ties to the earlier profile, 'und' on zero hits. Same
+  * semantics as the Column-level formulation, one tree node.
+  */
+case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  require(profiles.nonEmpty)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "lang_id"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"lang_id requires string, got $other")
+  }
+
+  @transient private lazy val sets = TextScan.toSets(profiles.map(_._2))
+  @transient private lazy val names = profiles.map(p => UTF8String.fromString(p._1)).toArray
+  @transient private lazy val und = UTF8String.fromString("und")
+
+  override def nullSafeEval(input: Any): Any = {
+    val c = TextScan.scan(input.asInstanceOf[UTF8String], sets)
+    var best = 0
+    var i = 1
+    while (i < sets.length) {
+      if (c.hits(i) > c.hits(best)) best = i // strict: ties keep earlier
+      i += 1
+    }
+    if (c.hits(best) > 0) names(best) else und
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangIdExpr =
+    copy(child = newChild)
+}
+
 object exprs {
   import org.apache.spark.sql.GraftShim
 
@@ -557,6 +684,14 @@ object exprs {
   /** Count of positions where two array<long> columns agree. */
   def longArrayMatchCount(a: Column, b: Column): Column =
     GraftShim.column(LongArrayMatchCount(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** One-pass composite quality score of a text column. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column =
+    GraftShim.column(QualityScoreExpr(GraftShim.expression(text), stopwords))
+
+  /** One-pass stopword-vote language ID of a text column. */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column =
+    GraftShim.column(LangIdExpr(GraftShim.expression(text), profiles))
 
   /** Top-nprobe nearest-centroid ids of a vector (IVF quantizer). */
   def centroidIds(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =

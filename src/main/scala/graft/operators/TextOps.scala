@@ -58,15 +58,12 @@ object TextOps {
     * sane token lengths, penalizes punctuation soup. Deterministic,
     * engine-side, tunable weights.
     */
-  def qualityScore(text: Column, stopwords: Seq[String] = englishStopwords): Column = {
-    val sw = stopwordRatio(text, stopwords)
-    val mtl = meanTokenLen(text)
-    val punct = punctRatio(text)
-    val lenOk = when(mtl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
-    val swOk = least(sw * 4.0, lit(1.0))
-    val punctOk = greatest(lit(0.0), lit(1.0) - punct * 4.0)
-    round((lenOk * 0.4 + swOk * 0.3 + punctOk * 0.3), 6)
-  }
+  def qualityScore(text: Column, stopwords: Seq[String] = englishStopwords): Column =
+    // one-pass kernel (graft.functions.QualityScoreExpr): the Column
+    // formulation's interpreted HOF sub-trees re-evaluate wherever the
+    // optimizer re-states them; the kernel is a single tree node with
+    // the identical formula (HALF_UP round to 6, same guards).
+    graft.functions.exprs.qualityScore(coalesce(text, lit("")), stopwords)
 
   /** Tiny per-language stopword profiles for the n-gram/stopword
     * language-ID heuristic. Order matters: ties resolve to the earlier
@@ -83,23 +80,7 @@ object TextOps {
     * with deterministic tie-break (profile order). "und" (undetermined)
     * when no profile hits.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val n = langProfiles.length
-    // argmax via array_max over (hits, priority, lang) structs — a
-    // when/otherwise reduceLeft duplicates the accumulated subtree per
-    // step (2^profiles interpreted HOF evals per row once a filter
-    // pushdown re-states the tree; measured 8 s vs 0.3 s on the
-    // curation pipeline). Priority = n − index, so on hit ties the
-    // EARLIER profile wins the lexicographic struct max.
-    val scored = array(langProfiles.zipWithIndex.map { case ((lang, sws), i) =>
-      val swArr = array(sws.map(lit): _*)
-      struct(
-        size(filter(toks, t => array_contains(swArr, t))).as("hits"),
-        lit(n - i).as("prio"),
-        lit(lang).as("lang"))
-    }: _*)
-    val best = array_max(scored)
-    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
-  }
+  def langId(text: Column): Column =
+    // one-pass kernel (graft.functions.LangIdExpr); see qualityScore.
+    graft.functions.exprs.langId(coalesce(text, lit("")), langProfiles)
 }
