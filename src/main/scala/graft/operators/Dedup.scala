@@ -50,10 +50,13 @@ object Dedup {
   def winnowPairs(
       df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 4, minShared: Int = 10,
-      maxFingerprintDf: Int = 1000): DataFrame = {
+      maxFingerprintDf: Int = 1000, md5Based: Boolean = false): DataFrame = {
+    val fpExpr =
+      if (md5Based) graft.functions.md5exprs.winnowFingerprintMd5(col(textCol), k, w)
+      else graft.functions.exprs.winnowFingerprint(col(textCol), k, w)
     val fps = df.select(
       col(idCol).as("doc_id"),
-      explode(graft.functions.exprs.winnowFingerprint(col(textCol), k, w)).as("fp"))
+      explode(fpExpr).as("fp"))
     val capped = fps
       .withColumn("df", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))

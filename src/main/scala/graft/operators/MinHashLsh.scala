@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate detection (Broder 1997; the
@@ -26,25 +26,47 @@ import org.apache.spark.sql.functions._
   */
 object MinHashLsh {
 
+  /** Hash-family choice for shingling + the MinHash permutations. */
+  sealed trait Family
+  object Family {
+    /** xxhash64 seed-chained token/shingle hashes — the fast default
+      * at scale (JVM-only; verified by recall/precision specs).
+      */
+    case object XxChain extends Family
+
+    /** md5-lower63 shingle hashes + (a·h+b) mod 2⁶¹−1 permutations —
+      * ~5× more hash cost but every stage has a bit-exact DuckDB twin
+      * ([[graft.functions.Md5NgramHashes]]/[[graft.functions.MinHashSigMod]]),
+      * so the whole near-dup query is oracle-checkable.
+      */
+    final case class Md5Mod(seed: Long = 7L) extends Family
+  }
+
   /** (doc_id, sig array<long>) — MinHash signatures.
     *
-    * Each shingle string is hashed ONCE to a long; the hash family is
-    * xxhash64 seed-chained over that fixed-width long + the family
-    * index. The whole signature is computed per row by the
-    * [[graft.functions.MinHashSig]] kernel — a map-only stage with NO
-    * shuffle (the earlier explode → groupBy(doc) formulation re-keyed
-    * every shingle of the corpus; at 100 TB that shuffle IS the job).
-    * Docs too short to shingle yield no signature, matching the
-    * explode-based behavior.
+    * Each shingle string is hashed ONCE to a long; the family then
+    * derives all `numHashes` members from that fixed-width value. The
+    * whole signature is computed per row by a one-pass kernel — a
+    * map-only stage with NO shuffle (the earlier explode →
+    * groupBy(doc) formulation re-keyed every shingle of the corpus;
+    * at 100 TB that shuffle IS the job). Docs too short to shingle
+    * yield no signature, matching the explode-based behavior.
     */
   def signatures(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      graft.functions.exprs.minhashSig(
-        graft.functions.exprs.ngramHashes(col(textCol), shingleN), numHashes).as("sig"))
+      shingleN: Int = 3, numHashes: Int = 64,
+      family: Family = Family.XxChain): DataFrame = {
+    val sig = family match {
+      case Family.XxChain =>
+        graft.functions.exprs.minhashSig(
+          graft.functions.exprs.ngramHashes(col(textCol), shingleN), numHashes)
+      case Family.Md5Mod(seed) =>
+        graft.functions.md5exprs.minhashSigMod(
+          graft.functions.md5exprs.md5NgramHashes(col(textCol), shingleN), numHashes, seed)
+    }
+    df.select(col(idCol).as("doc_id"), sig.as("sig"))
       .filter(col("sig").isNotNull)
+  }
 
   /** Candidate pairs from banded LSH + signature-estimated Jaccard.
     * Returns (id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold.
@@ -52,22 +74,29 @@ object MinHashLsh {
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.7, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.7, maxBucket: Int = 1000,
+      family: Family = Family.XxChain): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // Signatures feed three consumers (banding + both verify sides);
     // persist so the map-only kernel runs once. This is the natural
     // materialization point at scale too (the LSH index build).
-    val sigs = signatures(df, idCol, textCol, shingleN, numHashes)
+    val sigs = signatures(df, idCol, textCol, shingleN, numHashes, family)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Band on ids ONLY: the bucket shuffle and pair-dedup move
     // 16-byte (band, bucket, id) rows, not 0.5 KB signature payloads —
-    // a 30× shuffle-volume cut that grows with numHashes.
+    // a 30× shuffle-volume cut that grows with numHashes. XxChain
+    // compresses each band slice to one 64-bit bucket hash; Md5Mod
+    // keys on the slice itself (`rows` longs — still skinny) so the
+    // bucket join stays reproducible in the SQL oracle.
+    val bandKey: Int => Column = family match {
+      case Family.XxChain => b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))
+      case Family.Md5Mod(_) => b => slice(col("sig"), b * rows + 1, rows)
+    }
     val banded = sigs.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+      posexplode(array((0 until bands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bucket")
 

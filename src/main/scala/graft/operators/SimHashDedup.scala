@@ -18,19 +18,28 @@ import graft.functions.exprs.simhashText
   */
 object SimHashDedup {
 
-  /** (doc_id, simhash) fingerprints — single-pass tokenize+vote. */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol).as("doc_id"),
-      simhashText(col(textCol)).as("simhash"))
+  /** (doc_id, simhash) fingerprints — single-pass tokenize+vote.
+    * `md5Based` switches the token hash from xxhash64 (fast, JVM-only)
+    * to md5-lower63 ([[graft.functions.SimHashTextMd5]], 63-bit
+    * fingerprint) whose votes a DuckDB oracle reproduces bit-exactly.
+    */
+  def fingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      md5Based: Boolean = false): DataFrame = {
+    val fp =
+      if (md5Based) graft.functions.md5exprs.simhashTextMd5(col(textCol))
+      else simhashText(col(textCol))
+    df.select(col(idCol).as("doc_id"), fp.as("simhash"))
+  }
 
   /** Pairs (id_a < id_b) with hamming(simhash_a, simhash_b) ≤ maxHamming. */
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000,
+      md5Based: Boolean = false): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val fps = fingerprints(df, idCol, textCol)
+    val fps = fingerprints(df, idCol, textCol, md5Based)
     val chunked = fps.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map(i =>

@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Money.decSumSql
-import graft.functions.exprs.winnowFingerprint
+import graft.functions.ModPrime
+import graft.functions.md5exprs.winnowFingerprintMd5
 import graft.operators._
 
 /** Beyond-parity operators: the training-data pipeline surface
@@ -40,6 +41,176 @@ object PipelineQueries {
 
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+
+  /** DuckDB fragment for [[graft.functions.Md5Hash.lower63]]: first 8
+    * MD5 digest bytes big-endian, top bit cleared.
+    */
+  private def md5_63(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
+
+  /** Winnowing CTE chain `g → keyed → picked` over `src(doc_id, text)`:
+    * md5-lower63 char k-gram hashes, rightmost-minimum of each window
+    * of `w` (encoded as min over h·2³² + (2³²−1−pos) keys), distinct
+    * picks; docs with ≤ w grams contribute their global min — exactly
+    * [[graft.functions.WinnowFingerprintMd5]].
+    */
+  private def winnowPickedCtes(src: String, k: Int, w: Int): String =
+    s"""g AS (
+       |  SELECT doc_id, text, unnest(range(1, len(text) - $k + 2)) AS i
+       |  FROM $src WHERE len(text) >= $k
+       |), h AS (
+       |  SELECT doc_id, i, ${md5_63(s"substr(text, i, $k)")} AS h FROM g
+       |), keyed AS (
+       |  SELECT doc_id, i, h,
+       |    min(h::HUGEINT * 4294967296 + (4294967295 - i)) OVER (
+       |      PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS wkey,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM h
+       |), picked AS (
+       |  SELECT DISTINCT doc_id, (wkey // 4294967296)::BIGINT AS fp
+       |  FROM keyed WHERE ng > $w AND i <= ng - $w + 1
+       |  UNION
+       |  SELECT doc_id, min(h) AS fp FROM keyed WHERE ng <= $w GROUP BY doc_id
+       |)""".stripMargin
+
+  /** DuckDB twin of the md5-winnow fingerprint summary query. */
+  private def winnowFingerprintOracleSql(k: Int, w: Int): String =
+    s"""WITH ${winnowPickedCtes("documents", k, w)},
+       |agg AS (
+       |  SELECT doc_id, count(*) AS nf, min(fp) AS first_fp FROM picked GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(a.nf, 0) AS INT) AS n_fingerprints, a.first_fp
+       |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** DuckDB twin of [[Dedup.winnowPairs]] (md5 family) over the
+    * perturbed corpus: inverted-index join on picked fingerprints with
+    * the same document-frequency cap and shared-count threshold.
+    */
+  private def winnowPairsOracleSql(
+      k: Int, w: Int, minShared: Int, maxFingerprintDf: Int): String =
+    s"""WITH corpus AS ($perturbedSql),
+       |${winnowPickedCtes("corpus", k, w)},
+       |capped AS (
+       |  SELECT doc_id, fp FROM (
+       |    SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM picked)
+       |  WHERE df <= $maxFingerprintDf
+       |),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fingerprints
+       |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT id_a, id_b, shared_fingerprints FROM pairs
+       |WHERE shared_fingerprints >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB twin of [[MinHashLsh.nearDupPairs]] with the
+    * [[MinHashLsh.Family.Md5Mod]] family: md5-lower63 shingle hashes,
+    * the (a·h+b) mod 2⁶¹−1 permutation family inlined as literals
+    * (regenerated via [[ModPrime.coeffs]] — same seed, same values),
+    * band-slice bucket join with the same bucket cap, and signature
+    * match-count verification.
+    */
+  private def minhashOracleSql(
+      shingleN: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBucket: Int, seed: Long): String = {
+    val rows = numHashes / bands
+    val (as, bs) = ModPrime.coeffs(seed, numHashes)
+    val famRows = (0 until numHashes)
+      .map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(",\n    ")
+    val p = ModPrime.P
+    s"""WITH corpus AS ($perturbedSql),
+       |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - ${shingleN - 2}),
+       |      i -> ${md5_63(s"array_to_string(toks[i:i+${shingleN - 1}], ' ')")})) AS hs
+       |  FROM tk WHERE len(toks) >= $shingleN
+       |),
+       |shx AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+       |fam AS (
+       |  SELECT * FROM (VALUES
+       |    $famRows) f(i, a, b)
+       |),
+       |mins AS (
+       |  SELECT doc_id, f.i,
+       |    (min((f.a::HUGEINT * (h % $p) + f.b) % $p))::BIGINT AS mh
+       |  FROM shx, fam f GROUP BY doc_id, f.i
+       |),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, band_idx, sig[band_idx*$rows+1 : band_idx*$rows+$rows] AS bkey
+       |  FROM (SELECT doc_id, sig, unnest(range(0, $bands)) AS band_idx FROM sig)
+       |),
+       |capped AS (
+       |  SELECT doc_id, band_idx, bkey FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_idx, bkey) AS bsz FROM banded)
+       |  WHERE bsz <= $maxBucket
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |v AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_filter(range(1, ${numHashes + 1}),
+       |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.id_a
+       |  JOIN sig sb ON sb.doc_id = cand.id_b
+       |)
+       |SELECT id_a, id_b, est_jaccard FROM v WHERE est_jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of [[SimHashDedup.nearDupPairs]] (md5 family):
+    * 63-bit voted fingerprints from md5-lower63 token hashes, exact
+    * pigeonhole chunk blocking, hamming verify via bit_count(xor).
+    */
+  private def simhashOracleSql(maxHamming: Int, maxBucket: Int): String = {
+    val chunks = maxHamming + 1
+    val bitsPer = 64 / chunks
+    val mask = (1L << bitsPer) - 1
+    s"""WITH corpus AS ($perturbedSql),
+       |tox AS (SELECT doc_id, unnest($toksSql) AS tok FROM corpus),
+       |th AS (SELECT doc_id, ${md5_63("tok")} AS h FROM tox),
+       |votes AS (
+       |  SELECT doc_id, j, SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM (SELECT doc_id, h, unnest(range(0, 63)) AS j FROM th)
+       |  GROUP BY doc_id, j
+       |),
+       |fpv AS (
+       |  SELECT doc_id,
+       |    (SUM(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END))::BIGINT AS simhash
+       |  FROM votes GROUP BY doc_id
+       |),
+       |fp AS (
+       |  SELECT c.doc_id, coalesce(v.simhash, 0) AS simhash
+       |  FROM corpus c LEFT JOIN fpv v ON v.doc_id = c.doc_id
+       |),
+       |chunked AS (
+       |  SELECT doc_id, simhash, chunk_idx, (simhash >> (chunk_idx*$bitsPer)) & $mask AS chunk_val
+       |  FROM (SELECT doc_id, simhash, unnest(range(0, $chunks)) AS chunk_idx FROM fp)
+       |),
+       |capped AS (
+       |  SELECT doc_id, simhash, chunk_idx, chunk_val FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk_val) AS bsz FROM chunked)
+       |  WHERE bsz <= $maxBucket
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.simhash AS fa, b.simhash AS fb
+       |  FROM capped a JOIN capped b
+       |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       |   AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** DuckDB twin of [[Similarity.lshTopK]] over `embeddings` with
     * probes `vec_id < 10`: regenerates the SAME seeded Gaussian planes
@@ -236,34 +407,45 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin),
 
     // ------------------------------------------------------------------
-    // MinHash+LSH near-dup candidates (approx — no SQL oracle; verified
-    // by MinHashLshSpec recall/precision against exact Jaccard).
+    // MinHash+LSH near-dup pairs. The md5/mod-prime family makes every
+    // stage (shingle hash, 64 permutations, banding, signature match
+    // count) reproducible in DuckDB — bit-exact oracle; the xxhash64
+    // family stays the scale default and is spec-verified for
+    // recall/precision against exact Jaccard.
     "dedup_minhash_lsh" -> QueryDef(
       (s, dir) =>
         MinHashLsh.nearDupPairs(
-          perturbedDocs(s, dir), "doc_id", "text", threshold = 0.5)
+          perturbedDocs(s, dir), "doc_id", "text", threshold = 0.5,
+          family = MinHashLsh.Family.Md5Mod(7L))
           .orderBy(col("id_a"), col("id_b")),
-      None),
+      minhashOracleSql(shingleN = 3, numHashes = 64, bands = 16,
+        threshold = 0.5, maxBucket = 1000, seed = 7L)),
 
     // ------------------------------------------------------------------
-    // SimHash near-dup candidates (approx — spec-verified).
+    // SimHash near-dup pairs — md5-based 63-bit fingerprints; the
+    // pigeonhole chunk blocking is exact (any pair ≤ maxHamming bits
+    // apart agrees on ≥1 chunk), so the DuckDB twin reproduces the
+    // full candidate + verify pipeline bit-exactly.
     "dedup_simhash" -> QueryDef(
       (s, dir) =>
         SimHashDedup.nearDupPairs(
-          perturbedDocs(s, dir), "doc_id", "text", maxHamming = 3)
+          perturbedDocs(s, dir), "doc_id", "text", maxHamming = 3,
+          md5Based = true)
           .orderBy(col("id_a"), col("id_b")),
-      None),
+      simhashOracleSql(maxHamming = 3, maxBucket = 10000)),
 
     // ------------------------------------------------------------------
-    // Winnowing fingerprints (custom Catalyst expression).
+    // Winnowing fingerprints (custom Catalyst expression, md5 k-gram
+    // hashes). Oracle reproduces the rightmost-minimum window rule via
+    // a min over (hash·2³² + reversed-position) keys.
     "text_winnow_fingerprint" -> QueryDef(
       (s, dir) =>
         Tables.documents(s, dir).select(
           col("doc_id"),
-          size(winnowFingerprint(col("text"), 8, 4)).as("n_fingerprints"),
-          element_at(winnowFingerprint(col("text"), 8, 4), 1).as("first_fp"))
+          size(winnowFingerprintMd5(col("text"), 8, 4)).as("n_fingerprints"),
+          element_at(winnowFingerprintMd5(col("text"), 8, 4), 1).as("first_fp"))
           .orderBy(col("doc_id")),
-      None),
+      winnowFingerprintOracleSql(k = 8, w = 4)),
 
     // ------------------------------------------------------------------
     // Exact ANN baseline: brute-force cosine top-5 for probes vec_id<10.
@@ -354,13 +536,15 @@ object PipelineQueries {
     // k=16 char grams + tight df cap: the synthetic corpus's ~30-word
     // vocab makes short substrings near-universal (hot inverted lists);
     // only doc-specific word-order runs carry dedup signal, and those
-    // have df≈2. Planted pairs share hundreds of them.
+    // have df≈2. Planted pairs share hundreds of them. md5 k-gram
+    // hashes → the inverted-index join + df cap + shared count all
+    // reproduce in the DuckDB oracle.
     "dedup_winnow_pairs" -> QueryDef(
       (s, dir) =>
         Dedup.winnowPairs(perturbedDocs(s, dir), "doc_id", "text",
-          k = 16, w = 8, minShared = 5, maxFingerprintDf = 20)
+          k = 16, w = 8, minShared = 5, maxFingerprintDf = 20, md5Based = true)
           .orderBy(col("id_a"), col("id_b")),
-      None),
+      winnowPairsOracleSql(k = 16, w = 8, minShared = 5, maxFingerprintDf = 20)),
 
     // ------------------------------------------------------------------
     // Backward as-of join: each purchase enriched with the user's most
