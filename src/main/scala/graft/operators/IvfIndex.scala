@@ -84,6 +84,17 @@ object IvfIndex {
     best
   }
 
+  /** Deterministic seeded Gaussian centroids — the "load a pre-trained
+    * coarse quantizer" path. Production IVF separates training from
+    * serving (the quantizer is a fixed index artifact); a seed-derived
+    * centroid table makes the whole search path reproducible by a SQL
+    * oracle (centroids and half-norms inline as literals).
+    */
+  def seededCentroids(dim: Int, nlist: Int, seed: Long): IndexedSeq[IndexedSeq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(nlist)(IndexedSeq.fill(dim)(rng.nextGaussian()))
+  }
+
   /** IVF top-k search. Output shape = [[Similarity.bruteForceTopK]].
     *
     * Assignment and probe fan-out run through the
@@ -96,9 +107,16 @@ object IvfIndex {
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       sampleSize: Int = 10000, iters: Int = 5, seed: Long = 42L): DataFrame = {
-    import graft.functions.exprs.centroidIds
     val cs = trainCentroids(corpus, vecCol, nlist, sampleSize, iters, seed)
       .map(_.toIndexedSeq).toIndexedSeq
+    searchWithCentroids(corpus, probes, idCol, vecCol, k, cs, nprobe)
+  }
+
+  /** IVF search against a fixed (pre-trained / seeded) centroid table. */
+  def searchWithCentroids(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, cs: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    import graft.functions.exprs.centroidIds
     val indexed = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
       Similarity.l2Norm(col(vecCol)).as("norm_n"),

@@ -212,6 +212,62 @@ object PipelineQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB twin of [[IvfIndex.searchWithCentroids]] over `embeddings`
+    * with probes `vec_id < 10`: regenerates the seeded centroids (same
+    * draw order as [[IvfIndex.seededCentroids]]), inlines each centroid
+    * and its half-norm (computed by the same Scala fold the
+    * [[graft.functions.CentroidIds]] kernel uses) as literals, and
+    * unrolls all dot products left-to-right — bit-exact list
+    * assignment (argmax score, ties to the lower centroid id) and
+    * cosine rerank.
+    */
+  private def ivfOracleSql(
+      dim: Int, nlist: Int, nprobe: Int, seed: Long, k: Int): String = {
+    val cs = IvfIndex.seededCentroids(dim, nlist, seed)
+    val halfNorms = cs.map(c => c.map(x => x * x).sum / 2.0)
+    def scoreExpr(ci: Int): String =
+      "(" + (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE)*${cs(ci)(i)}").mkString(" + ") +
+        s") - ${halfNorms(ci)}"
+    val scoreList = (0 until nlist).map(scoreExpr).mkString(",\n      ")
+    val selfDot = (0 until dim)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*CAST(embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val pairDot = (0 until dim)
+      .map(i => s"CAST(e_n[${i + 1}] AS DOUBLE)*CAST(e_q[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH scored AS (
+       |  SELECT vec_id, embedding, cid, s,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+       |  FROM (
+       |    SELECT vec_id, embedding, unnest(range(0, $nlist)) AS cid,
+       |      unnest([
+       |      $scoreList]) AS s
+       |    FROM embeddings
+       |  )
+       |), nrm AS (
+       |  SELECT vec_id, sqrt($selfDot) AS n FROM embeddings
+       |), pairs AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         c.embedding AS e_n, p.embedding AS e_q
+       |  FROM scored c JOIN scored p ON c.cid = p.cid
+       |  WHERE c.r = 1 AND p.r <= $nprobe AND p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |), rescored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n) ELSE 0.0 END AS sim
+       |  FROM pairs
+       |  JOIN nrm nn ON nn.vec_id = pairs.neighbor_id
+       |  JOIN nrm nq ON nq.vec_id = pairs.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored
+       |)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB twin of [[Similarity.lshTopK]] over `embeddings` with
     * probes `vec_id < 10`: regenerates the SAME seeded Gaussian planes
     * as [[graft.functions.HyperplaneBuckets]] (identical draw order)
@@ -492,6 +548,9 @@ object PipelineQueries {
 
     // ------------------------------------------------------------------
     // IVF ANN (coarse-quantizer inverted lists — spec-verified recall).
+    // Centroids are k-means-trained from the data on the driver, so no
+    // static SQL twin exists for THIS variant; the serve path is
+    // oracle-checked via ann_ivf_fixed_topk below.
     "ann_ivf_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -500,6 +559,24 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       None),
+
+    // ------------------------------------------------------------------
+    // IVF ANN against a FIXED (pre-trained) coarse quantizer — the
+    // production serve path (train and serve are separate; the
+    // quantizer ships as an index artifact). Seed-derived centroids
+    // inline into the oracle as literals, so list assignment, probe
+    // fan-out, and cosine rerank are all bit-exact vs DuckDB.
+    "ann_ivf_fixed_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        IvfIndex.searchWithCentroids(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, cs = IvfIndex.seededCentroids(dim = 64, nlist = 16, seed = 11L),
+          nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      ivfOracleSql(dim = 64, nlist = 16, nprobe = 4, seed = 11L, k = 5)),
 
     // ------------------------------------------------------------------
     // Embedding-cosine near-dup: scaled copies (cosine-invariant) at
