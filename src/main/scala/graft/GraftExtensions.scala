@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{LongArrayMatchCount, MinHashSig, NgramHashes, SimHash64, SimHashText, VecDot, WinnowFingerprint}
+import graft.functions.{CleanText, LongArrayMatchCount, MinHashSig, NgramHashes, SimHash64, SimHashText, VecDot, WinnowFingerprint}
 
 /** SparkSessionExtensions registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT simhash_text(text) ...")` works —
@@ -29,6 +29,8 @@ object GraftExtensions {
       args => MinHashSig(args.head, litInt(args(1))), "built-in")
     r.createOrReplaceTempFunction("long_array_match_count",
       args => LongArrayMatchCount(args.head, args(1)), "built-in")
+    r.createOrReplaceTempFunction("clean_text",
+      args => CleanText(args.head), "built-in")
   }
 
   private[graft] def litInt(e: Expression): Int = e match {
@@ -74,5 +76,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("long_array_match_count"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "long_array_match_count"),
       (args: Seq[Expression]) => LongArrayMatchCount(args.head, args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("clean_text"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "clean_text"),
+      (args: Seq[Expression]) => CleanText(args.head)))
   }
 }

@@ -5,9 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scratch profiling main (contents vary by investigation). */
 object ProfileScratch {
-  def raw(spark: SparkSession, dir: String, fan: Boolean): DataFrame = {
-    val li0 = Tables.lineitem(spark, dir)
-    val li = if (fan) graft.Par.fanOut(li0) else li0
+  def raw(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
     li.join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
@@ -25,13 +24,6 @@ object ProfileScratch {
         col("l_extendedprice").cast("string").as("MONTO_COMPROMETIDO"))
   }
 
-  def grainOf(df: DataFrame): DataFrame = {
-    val grainCols = ("ano_eje" +: "mes_eje" +: graft.mef.MefSchema.dims.flatMap(_.allCols)).distinct
-    val preAggs = graft.mef.MefSchema.measures.map(m => sum(col(m)).as(m))
-    graft.mef.Normalize(graft.mef.Transform(df))
-      .groupBy(grainCols.map(col): _*).agg(preAggs.head, preAggs.tail: _*)
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -42,10 +34,39 @@ object ProfileScratch {
       println(f"[profile] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    t("grain no-fan cold")(grainOf(raw(spark, sfDir, fan = false)).count())
-    t("grain no-fan warm")(grainOf(raw(spark, sfDir, fan = false)).count())
-    t("grain fan cold")(grainOf(raw(spark, sfDir, fan = true)).count())
-    t("grain fan warm")(grainOf(raw(spark, sfDir, fan = true)).count())
+    def force(df: DataFrame): Long = df.queryExecution.toRdd.count()
+
+    val r0 = raw(spark, sfDir)
+    t("raw force (scan+joins+casts)")(force(r0))
+    t("raw force again")(force(r0))
+
+    val norm = graft.mef.Normalize(graft.mef.Transform(r0))
+    t("transform+normalize force")(force(norm))
+    t("transform+normalize force again")(force(norm))
+
+    // same shape but limpiarTexto → plain coalesce-cast (no regexp/trim)
+    val numSet = graft.mef.MefSchema.colsNum.toSet
+    val conformed = graft.functions.Clean.conformar(
+      graft.functions.Clean.normalizarCabeceras(r0), graft.mef.MefSchema.colsClave)
+    val noRegex = conformed.select(graft.mef.MefSchema.colsClave.map { c =>
+      if (numSet.contains(c)) col(c).try_cast("double").as(c)
+      else coalesce(col(c).cast("string"), lit("")).as(c)
+    }: _*)
+    t("conform+nocleankernel force")(force(noRegex))
+
+    // trim only (no regexp)
+    val trimOnly = conformed.select(graft.mef.MefSchema.colsClave.map { c =>
+      if (numSet.contains(c)) col(c).try_cast("double").as(c)
+      else trim(coalesce(col(c).cast("string"), lit(""))).as(c)
+    }: _*)
+    t("conform+trimonly force")(force(trimOnly))
+
+    // grain groupBy over the full normalized plan (clean included)
+    val grainCols = ("ano_eje" +: "mes_eje" +: graft.mef.MefSchema.dims.flatMap(_.allCols)).distinct
+    val preAggs = graft.mef.MefSchema.measures.map(m => sum(col(m)).as(m))
+    val grain = norm.groupBy(grainCols.map(col): _*).agg(preAggs.head, preAggs.tail: _*)
+    t("grain groupBy cold")(grain.count())
+    t("grain groupBy warm")(grain.count())
     spark.stop()
   }
 }

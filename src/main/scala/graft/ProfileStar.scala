@@ -23,21 +23,25 @@ object ProfileStar {
     val raw = graft.queries.MefStarQueriesProfileHook.syntheticRaw(spark, sfDir)
     t("raw.count")(raw.count())
     val transformed = graft.mef.Transform(raw)
-    t("transform.count")(transformed.count())
     val normalized = graft.mef.Normalize(transformed)
-    t("normalize.count")(normalized.count())
+    // persist → count forces the FULL clean/normalize projection (a bare
+    // count() would prune every expensive column away)
+    val matNorm = normalized.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    t("normalize materialized")(println(s"  normalized rows = ${matNorm.count()}"))
 
     val grainCols = ("ano_eje" +: "mes_eje" +: graft.mef.MefSchema.dims.flatMap(_.allCols)).distinct
     val preAggs = graft.mef.MefSchema.measures.map(m => sum(col(m)).as(m))
-    val grain = normalized.groupBy(grainCols.map(col): _*).agg(preAggs.head, preAggs.tail: _*)
-    t("grain groupBy.count")(grain.count())
+    val grain = matNorm.groupBy(grainCols.map(col): _*).agg(preAggs.head, preAggs.tail: _*)
+    t("grain groupBy (cached in)")(println(s"  grain rows = ${grain.count()}"))
+    matNorm.unpersist()
 
     val star = t("Star.build + fact.count") {
       val s = graft.mef.Star.build(spark, normalized)
-      s.fact.count()
+      println(s"  fact rows = ${s.fact.count()}")
       s
     }
-    t("annual view")(graft.mef.Views.vwGastoAgregadoAnual(star).count())
+    t("annual view (1st)")(graft.mef.Views.vwGastoAgregadoAnual(star).count())
+    t("annual view (2nd)")(graft.mef.Views.vwGastoAgregadoAnual(star).count())
     t("ytd analytics")(
       graft.mef.Analytics.ytdDevengadoPorSector(star, 2017, 6).count())
     spark.stop()

@@ -28,10 +28,14 @@ object Clean {
     * Collapse BEFORE trim: Spark's `trim` strips only ' ' while pandas
     * `.strip()` strips all whitespace — collapsing first turns any
     * leading/trailing whitespace run into a single space that `trim`
-    * then removes, matching pandas.
+    * then removes, matching pandas. Implemented by the one-pass
+    * [[CleanText]] kernel — byte-identical to
+    * `trim(regexp_replace(coalesce(c.cast("string"), lit("")), "\\s+", " "))`
+    * (ExpressionEdgeSpec asserts the equivalence) at ~1/3 the cost on
+    * the 50-text-column Transform projection.
     */
   def limpiarTexto(c: Column): Column =
-    trim(regexp_replace(coalesce(c.cast("string"), lit("")), "\\s+", " "))
+    exprs.cleanText(c.cast("string"))
 
   /** F2: coerce-to-null numeric parse (pandas `to_numeric(errors="coerce")`).
     * ANSI-safe: invalid strings become null instead of raising.

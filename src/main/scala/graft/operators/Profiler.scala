@@ -35,8 +35,8 @@ object Profiler {
     val distinctAggs = cols.map { f =>
       count_distinct(col(f.name)).as(s"${f.name}__distinct")
     }
-    val row = df.agg(plainAggs.head, plainAggs.tail: _*).collect()(0)
-    val dRow = df.agg(distinctAggs.head, distinctAggs.tail: _*).collect()(0)
+    val row = df.agg(plainAggs.head, plainAggs.tail.toIndexedSeq: _*).collect()(0)
+    val dRow = df.agg(distinctAggs.head, distinctAggs.tail.toIndexedSeq: _*).collect()(0)
     val total = row.getAs[Long]("__total")
     import spark.implicits._
     cols.map { f =>

@@ -32,6 +32,24 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(rows(6).getSeq[Long](0).length == 1, "any whitespace splits")
   }
 
+  test("cleanText ≡ trim(regexp_replace(coalesce(cast, ''), \\s+, ' ')) incl. edges") {
+    val edges = Seq(
+      null, "", " ", "   ", "a", "  a  ", "a b", "a  b", "\t a \n b \r",
+      "ab", "a\fb\r\n c", "tab\tsep", "ñandú  café x", //   is NOT \s
+      "多  字　节", "mixed　ideographic") // 　 is NOT Java \s
+    val df = edges.toDF("t").select(
+      exprs.cleanText($"t".cast("string")).as("kernel"),
+      trim(regexp_replace(coalesce($"t".cast("string"), lit("")), "\\s+", " ")).as("composed"))
+    df.collect().foreach { r =>
+      assert(!r.isNullAt(0), "kernel is never null")
+      assert(r.getString(0) == r.getString(1), s"mismatch for ${r.getString(1)}")
+    }
+    // SQL registration surface
+    GraftExtensions.register(spark)
+    val viaSql = spark.sql("SELECT clean_text('  a\tb  ') AS c").head.getString(0)
+    assert(viaSql == "a b")
+  }
+
   test("simhashText ≡ simhash64(tokens) on lowercase text") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
     val both = docs.select(
