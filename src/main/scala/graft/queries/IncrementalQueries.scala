@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{HashSample, SaltedAgg, Scd2, SnapshotDiff}
+import graft.operators.{DenseId, HashSample, SaltedAgg, Scd2, SnapshotDiff}
 
 /** Incremental-load / reproducibility operators as verifiable queries:
   * SCD2 dimension history, snapshot CDC diff, deterministic hash
@@ -130,6 +130,21 @@ object IncrementalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Scalable dense surrogate ids: range-repartition + zipWithIndex,
+    // no global window — ids equal row_number() OVER (ORDER BY key)
+    // because c_custkey is unique (total order).
+    "dense_id_customers" -> QueryDef(
+      (s, dir) =>
+        DenseId.withDenseId(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          Seq(col("c_custkey")), "rid")
+          .orderBy(col("rid")),
+      """SELECT c_custkey, c_name,
+        |  CAST(row_number() OVER (ORDER BY c_custkey) AS BIGINT) AS rid
+        |FROM customer
+        |ORDER BY rid""".stripMargin),
 
     // ------------------------------------------------------------------
     // Sketch profile: HLL distinct + approx quantiles per event type

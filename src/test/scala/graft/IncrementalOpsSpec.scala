@@ -85,6 +85,35 @@ class IncrementalOpsSpec extends SparkSuite {
     assert(HashSample.sample(df, Seq("id"), 1.0).count() == 100)
   }
 
+  test("dense id: equals global row_number, invariant to input partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    val orders = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val expected = orders
+      .withColumn("rid", row_number().over(Window.orderBy(col("o_orderkey"))).cast("long"))
+      .orderBy(col("rid")).collect()
+    for (parts <- Seq(1, 7, 32)) {
+      val got = graft.operators.DenseId
+        .withDenseId(orders.repartition(parts), Seq(col("o_orderkey")), "rid")
+        .orderBy(col("rid")).collect()
+      assert(got.length == expected.length)
+      got.zip(expected).foreach { case (g, e) =>
+        assert(g.getLong(g.fieldIndex("rid")) == e.getLong(e.fieldIndex("rid")))
+        assert(g.getAs[Long]("o_orderkey") == e.getAs[Long]("o_orderkey"))
+      }
+    }
+  }
+
+  test("dense id: duplicate keys stay dense and sort-consistent") {
+    import spark.implicits._
+    val df = Seq("b", "a", "a", "c", "b", "a").toDF("k")
+    val got = graft.operators.DenseId.withDenseId(df, Seq(col("k")), "rid")
+      .orderBy(col("rid")).collect()
+    assert(got.map(_.getLong(1)).toSeq == (1L to 6L), "dense 1..N")
+    assert(got.map(_.getString(0)).toSeq == Seq("a", "a", "a", "b", "b", "c"),
+      "ids follow sort order across duplicate groups")
+  }
+
   test("salted agg equals direct groupBy for decomposable aggregates") {
     val df = Seq(
       ("a", 1L, 5), ("a", 2L, 3), ("a", 3L, 9), ("b", 4L, 1), ("b", 5L, 2)
