@@ -120,6 +120,18 @@ object Star {
         Duration.Inf)
     }
 
+    val consolidated = resolveFact(normalized, tiempo, dims)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    StarSchema(tiempo, dims, consolidated, Some(normalized))
+  }
+
+  /** J1 + J4 + P4 + A1: time/FK resolution, completeness filter, grain
+    * consolidation of an already-grain-consolidated normalized frame.
+    */
+  private def resolveFact(
+      normalized: DataFrame, tiempo: DataFrame,
+      dims: Map[String, DataFrame]): DataFrame = {
     // J1: time lookup — broadcast the 252-row spine.
     var fact = normalized
       .withColumn("_anio", col("ano_eje").cast("int"))
@@ -142,12 +154,94 @@ object Star {
     // A1: grain consolidation — one row per 8-FK grain, measures summed
     // (empty→0 like pandas groupby().sum() on all-NaN groups).
     val measureAggs = MefSchema.measures.map(m => coalesce(sum(col(m)), lit(0.0)).as(m))
-    val consolidated = complete
+    complete
       .groupBy(MefSchema.factFks.map(col): _*)
       .agg(measureAggs.head, measureAggs.tail: _*)
+  }
+
+  /** Incremental load — fold a new normalized batch into an existing
+    * star with the loader's `ON CONFLICT DO NOTHING` key semantics
+    * (`etl/cargar_postgres.py:127-152,236-267`): existing dim rows keep
+    * their surrogate ids and first-loaded attributes; new natural keys
+    * get ids above the current max (the SERIAL analog, J2+J3); fact
+    * grain rows already present are left untouched (first write wins on
+    * the 8-FK UNIQUE, `sql/CreacionDeDataWareHouse.sql:136-137`); new
+    * grains append. Re-delivering an already-loaded batch is a no-op —
+    * the reference's crash-resume contract, engine-native.
+    *
+    * Scale shape: the batch grain-consolidates exactly like [[build]]
+    * (ONE wide shuffle over the BATCH, never the accumulated fact); dim
+    * deltas are anti-joins on bounded dims; the fact merge is a
+    * left-anti join keyed on the 8-FK grain — at 100 TB each step
+    * shuffles at most batch-grain or fact-grain cardinality, not raw
+    * volume. (If a dim outgrew its bounded domain, the new-key
+    * ranking window swaps for [[graft.operators.DenseId]].)
+    */
+  def append(spark: SparkSession, star: StarSchema, normalizedIn: DataFrame): StarSchema = {
+    val grainCols = ("ano_eje" +: "mes_eje" +: MefSchema.dims.flatMap(_.allCols)).distinct
+    val preAggs = MefSchema.measures.map(m => sum(col(m)).as(m))
+    val batch = normalizedIn
+      .groupBy(grainCols.map(col): _*)
+      .agg(preAggs.head, preAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    StarSchema(tiempo, dims, consolidated, Some(normalized))
+    val newDims = MefSchema.dims.map { spec =>
+      val existing = star.dims(spec.name)
+      val attrCols = spec.allCols.filterNot(spec.keys.contains)
+      // J3: deterministic representative attributes of the batch's keys.
+      val incoming =
+        if (attrCols.isEmpty) batch.select(spec.keys.map(col): _*).distinct()
+        else batch
+          .groupBy(spec.keys.map(col): _*)
+          .agg(min(struct(attrCols.map(col): _*)).as("_attrs"))
+          .select(spec.keys.map(col) ++ attrCols.map(a => col(s"_attrs.$a").as(a)): _*)
+      // J2: new-key detection — null-safe anti-join vs existing keys.
+      val exKeys = existing.select(spec.keys.map(col): _*)
+      val cond = spec.keys.map(k => incoming(k) <=> exKeys(k)).reduce(_ && _)
+      val fresh = incoming.join(exKeys, cond, "left_anti")
+      // SERIAL analog: ids continue above the current max, ordered by
+      // natural key within the batch (1-row max cross-joined, J9-style,
+      // so nothing collects to the driver).
+      val maxId = existing.agg(coalesce(max(col(spec.id)), lit(0)).as("_max"))
+      val withIds = fresh
+        .withColumn("_rn",
+          row_number().over(Window.orderBy(spec.keys.map(k => col(k).asc_nulls_first): _*)))
+        .crossJoin(broadcast(maxId))
+        .select((col("_rn") + col("_max")).cast("int").as(spec.id) +: spec.allCols.map(col): _*)
+      spec.name -> existing.unionByName(withIds)
+    }.toMap
+
+    // Materialize dims as lineage-TRUNCATED tables (localCheckpoint —
+    // the local-mode analog of the loader writing each dim back to the
+    // warehouse): repeated appends otherwise stack the whole
+    // batch-resolution subtree onto every dim/fact plan, and after a
+    // year of monthly loads the driver spends more time re-analyzing
+    // lineage than executing. Concurrent futures keep the 7
+    // materializations from serializing into 7 barriers.
+    batch.count()
+    val matDims = locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.traverse(newDims.toSeq) { case (n, d) =>
+          Future { n -> d.localCheckpoint() }
+        },
+        Duration.Inf).toMap
+    }
+
+    // Resolve the batch against the grown dims, then first-write-wins
+    // merge on the 8-FK grain (anti-join is safe on plain equality:
+    // FKs are non-null by the P4 filter).
+    val resolved = resolveFact(batch, star.dimTiempo, matDims)
+    val freshFact = resolved.join(
+      star.fact.select(MefSchema.factFks.map(col): _*),
+      MefSchema.factFks.toIndexedSeq, "left_anti")
+    val fact = star.fact.unionByName(freshFact).localCheckpoint()
+    batch.unpersist()
+    // (release() on checkpointed frames is a harmless no-op; their
+    // blocks free when the RDDs are GC'd.)
+    StarSchema(star.dimTiempo, matDims, fact, None)
   }
 
   /** P4 diagnostics: per-FK unresolved counts, one pass

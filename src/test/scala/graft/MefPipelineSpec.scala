@@ -138,6 +138,53 @@ class MefPipelineSpec extends SparkSuite {
     assert(raw.columns.head == " ano_eje ")
   }
 
+  test("incremental append ≡ full rebuild; ids preserved; re-delivery + conflicts no-op") {
+    def fixtureOf(rs: Seq[Seq[String]]): String = {
+      val dir = Files.createTempDirectory("mef_inc")
+      val p = dir.resolve("2024-Gasto-Mensual.csv")
+      val body = (header.map(h => "\"" + h + "\"").mkString(",") +:
+        rs.map(_.map(v => "\"" + v + "\"").mkString(","))).mkString("\n")
+      Files.write(p, body.getBytes(StandardCharsets.UTF_8))
+      p.toString
+    }
+    // batch1 = month 1 + the invalid-time rows; batch2 = month 2
+    val s1 = MefPipeline.buildFromCsv(spark, Seq(fixtureOf(rows.take(4))))
+    val batch2 = Normalize(MefPipeline.transform(spark, Seq(fixtureOf(rows.drop(4)))))
+    val inc = Star.append(spark, s1, batch2)
+
+    // same observable warehouse as the one-shot build
+    assert(inc.fact.count() == star.fact.count())
+    def a4(s: Star.StarSchema) = Analytics.ytdDevengadoPorSector(s, 2024, 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a4(inc) == a4(star))
+
+    // ON CONFLICT DO NOTHING id semantics: E1 keeps its batch1 id,
+    // E2 (new) continues above the current max
+    def ejIds(s: Star.StarSchema) = s.dims("dim_ejecutora").collect()
+      .map(r => r.getAs[String]("ejecutora_codigo") -> r.getAs[Int]("ejecutora_id")).toMap
+    val before = ejIds(s1)
+    val after = ejIds(inc)
+    assert(after("E1") == before("E1"), "existing surrogate ids survive the append")
+    assert(after("E2") == before.values.max + 1, "new keys get SERIAL-style next ids")
+
+    // crash-resume: re-delivering the same batch changes nothing
+    val again = Star.append(spark, inc, batch2)
+    assert(again.fact.count() == inc.fact.count())
+    assert(ejIds(again) == after)
+
+    // attribute conflict on an existing key: first-loaded attrs win,
+    // duplicate grain rows are dropped (8-FK unique, DO NOTHING)
+    val renamed = rows(5).updated(6, "RENAMED HOSPITAL")
+    val conflict = Normalize(MefPipeline.transform(spark, Seq(fixtureOf(Seq(renamed)))))
+    val s3 = Star.append(spark, again, conflict)
+    assert(s3.fact.count() == inc.fact.count(), "existing grain row not re-inserted")
+    val e1 = s3.dims("dim_ejecutora").collect()
+      .find(_.getAs[String]("ejecutora_codigo") == "E1").get
+    assert(e1.getAs[String]("ejecutora_nombre") == "Hospital Central",
+      "first-insert attributes win on conflict")
+    Seq(s1, inc, again, s3).foreach(_.release())
+  }
+
   test("determinism: rebuilding the star yields identical fact + ids (§7.4.1/2)") {
     val p = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8)
     val s1 = MefPipeline.buildFromCsv(spark, Seq(p.toString))
