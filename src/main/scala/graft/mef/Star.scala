@@ -35,7 +35,12 @@ object Star {
       dims: Map[String, DataFrame],
       fact: DataFrame,
       private[mef] val source: Option[DataFrame] = None) {
-    /** Release every frame this star persisted (grain, dims, fact). */
+    /** Release cache-manager state for this star's frames. Frames
+      * materialized via localCheckpoint (grain/dims/fact since the
+      * lineage-truncation change) free their blocks when the backing
+      * RDDs are GC'd; unpersist here is a harmless no-op for those but
+      * still covers any persisted frames a caller composed on top.
+      */
     def release(): Unit = {
       source.foreach(_.unpersist())
       dims.values.foreach(_.unpersist())
@@ -91,37 +96,35 @@ object Star {
     // semantics equal the reference's per-batch A1 + unique-grain sink.
     val grainCols = ("ano_eje" +: "mes_eje" +: MefSchema.dims.flatMap(_.allCols)).distinct
     val preAggs = MefSchema.measures.map(m => sum(col(m)).as(m))
+    // The grain materializes lineage-TRUNCATED (localCheckpoint = the
+    // local-mode analog of the loader writing the consolidated batch
+    // to the warehouse): 7 dim builds + the fact resolution all plan
+    // against a shallow table scan instead of re-embedding (and
+    // re-analyzing) the whole scan+clean+Transform subtree 8 times.
     val normalized = normalizedIn
       .groupBy(grainCols.map(col): _*)
       .agg(preAggs.head, preAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val tiempo = dimTiempo(spark)
-    // Dims and the consolidated fact persist too: the warehouse
+    // Dims and the consolidated fact materialize too: the warehouse
     // contract is load-once/query-many, and without them every view or
     // analytic re-runs 7 dim builds + 7 FK joins + the final grain
-    // consolidation from the grain frame. On a cluster this is the
-    // dim/fact tables a loader would write to storage; MEMORY_AND_DISK
-    // is the local-mode analog.
-    val dims = MefSchema.dims.map(spec => spec.name ->
-      buildDim(normalized, spec)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)).toMap
-
-    // Eager load, like the reference's load stage: materialize the
-    // grain once, then force the 7 independent dim builds as
-    // CONCURRENT jobs (each is a column-pruned pass over the cached
-    // grain; run sequentially they serialize 7 cluster-wide barriers).
-    normalized.count();
-    locally {
+    // consolidation from the grain frame. On a cluster these are the
+    // dim/fact tables a loader would write to storage. Concurrent
+    // futures keep the 7 dim materializations from serializing into 7
+    // cluster-wide barriers.
+    val dims = locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       Await.result(
-        Future.sequence(dims.values.map(d => Future { d.count() })),
-        Duration.Inf)
+        Future.traverse(MefSchema.dims) { spec =>
+          Future { spec.name -> buildDim(normalized, spec).localCheckpoint() }
+        },
+        Duration.Inf).toMap
     }
 
-    val consolidated = resolveFact(normalized, tiempo, dims)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val consolidated = resolveFact(normalized, tiempo, dims).localCheckpoint()
 
     StarSchema(tiempo, dims, consolidated, Some(normalized))
   }
