@@ -185,6 +185,28 @@ class MefPipelineSpec extends SparkSuite {
     Seq(s1, inc, again, s3).foreach(_.release())
   }
 
+  test("chained monthly appends ≡ one-shot build (testdata, 6 loads)") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val typed = Transform(
+      graft.queries.MefStarQueriesProfileHook.syntheticRaw(spark, dir))
+      .filter(col("ANO_EJE") === 2017 && col("MES_EJE") <= 6)
+      .localCheckpoint()
+    val full = Star.build(spark, Normalize(typed))
+    val chained = (2 to 6).foldLeft(
+      Star.build(spark, Normalize(typed.filter(col("MES_EJE") === 1)))) {
+      (s, m) => Star.append(spark, s, Normalize(typed.filter(col("MES_EJE") === m)))
+    }
+    assert(chained.fact.count() == full.fact.count())
+    def a4(s: Star.StarSchema) = Analytics.ytdDevengadoPorSector(s, 2017, 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(a4(chained) == a4(full))
+    def dimKeys(s: Star.StarSchema) = s.dims("dim_ejecutora").collect()
+      .map(_.getAs[String]("ejecutora_codigo")).toSet
+    assert(dimKeys(chained) == dimKeys(full))
+    full.release(); chained.release()
+  }
+
   test("determinism: rebuilding the star yields identical fact + ids (§7.4.1/2)") {
     val p = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8)
     val s1 = MefPipeline.buildFromCsv(spark, Seq(p.toString))
