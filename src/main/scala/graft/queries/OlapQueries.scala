@@ -17,6 +17,27 @@ object OlapQueries {
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
+    // The native TopKPerGroup operator (LogicalPlan + Strategy +
+    // bounded-heap SparkPlan, graft.plans) against a DuckDB window
+    // oracle: partial per-partition heaps → one exchange on the group
+    // key → final heaps, never a per-group sort. Unique tiebreaker
+    // (s_suppkey) makes ranks deterministic.
+    "native_topk_suppliers" -> QueryDef(
+      (s, dir) =>
+        graft.plans.TopKPerGroup(
+          Tables.supplier(s, dir).select(col("s_nationkey"), col("s_suppkey"), col("s_acctbal")),
+          groupCols = Seq("s_nationkey"),
+          orderSpecs = Seq(("s_acctbal", true), ("s_suppkey", false)),
+          k = 3)
+          .orderBy(col("s_nationkey"), col("topk_rank")),
+      """SELECT s_nationkey, s_suppkey, s_acctbal,
+        |  CAST(row_number() OVER (PARTITION BY s_nationkey
+        |       ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS topk_rank
+        |FROM supplier
+        |QUALIFY topk_rank <= 3
+        |ORDER BY s_nationkey, topk_rank""".stripMargin),
+
+    // ------------------------------------------------------------------
     // INTERSECT / EXCEPT: customers active in both 1996 and 1998, and
     // 1996-only, tagged and unioned.
     "setops_customer_activity" -> QueryDef(
