@@ -88,6 +88,39 @@ class StreamingSpec extends SparkSuite {
     assert(out(1).getAs[Long]("n_events") == 1, "second session = the min-65 event")
   }
 
+  test("streaming star load: micro-batches fold via Star.append; replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    // (ANO_EJE, MES_EJE, SEC_EJEC, EJECUTORA, SECTOR_NOMBRE, MONTO_DEVENGADO)
+    val mem = MemoryStream[(String, String, String, String, String, String)]
+    val loader = new graft.streaming.MefStreamingLoad
+    val q = loader.writer(mem.toDF().toDF(
+      "ANO_EJE", "MES_EJE", "SEC_EJEC", "EJECUTORA", "SECTOR_NOMBRE",
+      "MONTO_DEVENGADO")).start()
+
+    mem.addData(("2024", "1", "001", "E1", "SALUD", "50"))
+    q.processAllAvailable()
+    val afterB1 = loader.star.get
+    val e1Id = afterB1.dims("dim_ejecutora").collect()
+      .find(_.getAs[String]("ejecutora_codigo") == "E1").get.getAs[Int]("ejecutora_id")
+
+    val b2 = Seq(
+      ("2024", "2", "001", "E1", "SALUD", "25"),
+      ("2024", "2", "002", "E2", "EDU", "30"))
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*) // redelivery: at-least-once replay must be a no-op
+    q.processAllAvailable(); q.stop()
+
+    val star = loader.star.get
+    assert(star.fact.count() == 3, "3 grains after both batches + replay")
+    val ytd = graft.mef.Analytics.ytdDevengadoPorSector(star, 2024, 2)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ytd == Map("SALUD" -> 75.0, "EDU" -> 30.0))
+    val e1After = star.dims("dim_ejecutora").collect()
+      .find(_.getAs[String]("ejecutora_codigo") == "E1").get.getAs[Int]("ejecutora_id")
+    assert(e1After == e1Id, "surrogate ids survive streaming appends")
+  }
+
   test("runningUserTotals: keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
