@@ -166,4 +166,30 @@ object MefSchema {
 
   /** Fact FK columns, in DDL order (`sql/CreacionDeDataWareHouse.sql:117-124`). */
   val factFks: Seq[String] = "tiempo_id" +: dims.map(_.id)
+
+  /** Column documentation (SURVEY.md §2.11): the reference annotates its
+    * raw table with `COMMENT ON COLUMN` ×63
+    * (`sql/CreacionDBOrigen.sql:75-137`); the same domain knowledge —
+    * re-stated, not copied — rides `StructField` metadata here so any
+    * catalog or BI layer reading the normalized schema sees it.
+    * [[Normalize]] attaches these on its output.
+    */
+  val columnComments: Map[String, String] = Map(
+    "ano_eje" -> "Budget execution year",
+    "mes_eje" -> "Budget execution month (1-12)",
+    "nivel_gobierno_codigo" -> "Government level code: E=national, R=regional, M=local (sql/CreacionDBOrigen.sql:77)",
+    "nivel_gobierno_nombre" -> "Government level name",
+    "sec_ejec" -> "Executing unit budget code",
+    "ejecutora_nombre" -> "Executing unit (unidad ejecutora) name",
+    "sector_nombre" -> "Sector (ministry grouping) name",
+    "pliego_nombre" -> "Budget entity (pliego) name",
+    "fuente_financiamiento_nombre" -> "Financing source name",
+    "especifica_nombre" -> "Expense classifier (específica) name",
+    "monto_pia" -> "PIA: initial approved budget amount",
+    "monto_pim" -> "PIM: modified budget amount after amendments",
+    "monto_certificado" -> "Certified budget amount",
+    "monto_comprometido_anual" -> "Annual committed amount",
+    "monto_comprometido" -> "Committed amount",
+    "monto_devengado" -> "Accrued (devengado) amount - the execution measure",
+    "monto_girado" -> "Disbursed (girado) amount")
 }

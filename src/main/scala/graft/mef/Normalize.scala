@@ -18,6 +18,11 @@ object Normalize {
       val e =
         if (MefSchema.numericNormalized.contains(target)) Clean.aNumero(c)
         else Clean.aCadena(c)
-      e.as(target)
+      // §2.11: COMMENT ON COLUMN analog — docs ride StructField metadata
+      MefSchema.columnComments.get(target) match {
+        case Some(doc) => e.as(target, new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("comment", doc).build())
+        case None => e.as(target)
+      }
     }: _*)
 }

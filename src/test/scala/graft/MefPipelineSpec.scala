@@ -185,6 +185,17 @@ class MefPipelineSpec extends SparkSuite {
     Seq(s1, inc, again, s3).foreach(_.release())
   }
 
+  test("§2.11: column docs ride StructField metadata through Normalize") {
+    val p = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8)
+    val n = Normalize(Transform(CsvIngest(spark, p.toString)))
+    val dev = n.schema("monto_devengado").metadata
+    assert(dev.contains("comment") && dev.getString("comment").contains("devengado"))
+    assert(n.schema("nivel_gobierno_codigo").metadata.getString("comment")
+      .contains("E=national"))
+    assert(!n.schema("meta_nombre").metadata.contains("comment"),
+      "undocumented columns carry no comment key")
+  }
+
   test("chained monthly appends ≡ one-shot build (testdata, 6 loads)") {
     import org.apache.spark.sql.functions.col
     val dir = "/root/testdata/sf0.001"
