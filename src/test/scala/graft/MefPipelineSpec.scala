@@ -185,6 +185,21 @@ class MefPipelineSpec extends SparkSuite {
     Seq(s1, inc, again, s3).foreach(_.release())
   }
 
+  test("§2.11: warehouse constraints validate clean on the built star, catch corruption") {
+    val v = Validate.validate(spark, star)
+    assert(v.count() == 2 + 7 + 1 + 14, "every declared constraint is checked")
+    assert(Validate.holds(spark, star), v.collect().mkString("\n"))
+    // corrupt: duplicate a fact grain row -> unique_8fk_grain must trip
+    val corrupted = star.copy(fact = star.fact.unionAll(star.fact.limit(1)))
+    val bad = Validate.validate(spark, corrupted)
+      .filter(org.apache.spark.sql.functions.col("violations") > 0).collect()
+    assert(bad.map(_.getString(1)).toSet == Set("unique_8fk_grain"))
+    // corrupt: dangling FK id -> referential check must trip
+    val dangling = star.copy(fact = star.fact.withColumn("ejecutora_id",
+      org.apache.spark.sql.functions.lit(999999)))
+    assert(!Validate.holds(spark, dangling))
+  }
+
   test("§2.11: column docs ride StructField metadata through Normalize") {
     val p = writeFixture("2024-Gasto-Mensual.csv", StandardCharsets.UTF_8)
     val n = Normalize(Transform(CsvIngest(spark, p.toString)))
