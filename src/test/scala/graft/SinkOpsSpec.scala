@@ -13,6 +13,18 @@ import graft.streaming.EventsStreaming.Event
 class SinkOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("schema evolution: mergeSchema unions schemas across writes (ALTER TABLE analog, §2.11)") {
+    val dir = Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/batch=1")
+    // a later load adds a column — the reference would ALTER TABLE ADD
+    Seq((2L, "b", 3.0)).toDF("id", "v", "extra").write.parquet(dir + "/batch=2")
+    val merged = spark.read.option("mergeSchema", value = true).parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v", "extra", "batch"))
+    assert(merged.filter(col("batch") === 1).select("extra").head.isNullAt(0),
+      "pre-evolution rows read null for the added column")
+    assert(merged.filter(col("batch") === 2).select("extra").head.getDouble(0) == 3.0)
+  }
+
   test("compactor: shrinks a many-file dataset to the planned file count") {
     val dir = Files.createTempDirectory("compact_in").toString
     val out = Files.createTempDirectory("compact_out").toString
