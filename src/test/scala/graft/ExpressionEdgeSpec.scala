@@ -50,6 +50,21 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(viaSql == "a b")
   }
 
+  test("cleanText fuzz: equals composed formulation on 500 seeded random strings") {
+    val rng = new scala.util.Random(20260812L)
+    val alphabet: IndexedSeq[Char] =
+      "abcXYZ019ñ€字 　".toIndexedSeq ++ Seq('\t', '\n', '\u000B', '\f', '\r', ' ')
+    val strings = IndexedSeq.fill(500)(
+      IndexedSeq.fill(rng.nextInt(24))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val df = strings.toDF("t").select(
+      exprs.cleanText($"t".cast("string")).as("kernel"),
+      trim(regexp_replace(coalesce($"t".cast("string"), lit("")), "\\s+", " ")).as("composed"))
+    df.collect().foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"kernel '${r.getString(0)}' != composed '${r.getString(1)}'")
+    }
+  }
+
   test("simhashText ≡ simhash64(tokens) on lowercase text") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
     val both = docs.select(
