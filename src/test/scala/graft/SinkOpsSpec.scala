@@ -13,6 +13,21 @@ import graft.streaming.EventsStreaming.Event
 class SinkOpsSpec extends SparkSuite {
   import spark.implicits._
 
+  test("source breadth: JSON and ORC round-trip the normalized frame") {
+    val dir = Files.createTempDirectory("fmt").toString
+    val src = Tables.orders(spark, "/root/testdata/sf0.001")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    src.write.mode("overwrite").json(dir + "/j")
+    src.write.mode("overwrite").orc(dir + "/o")
+    val j = spark.read.json(dir + "/j")
+    val o = spark.read.orc(dir + "/o")
+    assert(o.schema == src.schema, "ORC preserves types exactly")
+    assert(j.count() == src.count() && o.count() == src.count())
+    val total = src.agg(sum("o_totalprice")).head.getDouble(0)
+    assert(o.agg(sum("o_totalprice")).head.getDouble(0) == total)
+    assert(j.agg(sum("o_totalprice")).head.getDouble(0) == total)
+  }
+
   test("schema evolution: mergeSchema unions schemas across writes (ALTER TABLE analog, §2.11)") {
     val dir = Files.createTempDirectory("evolve").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/batch=1")
