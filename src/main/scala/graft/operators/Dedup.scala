@@ -110,4 +110,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Connected components over an undirected pair graph — the step that
+    * turns near-dup PAIRS into dedup CLUSTERS (keep one representative
+    * per component; the component label IS the min member id, the
+    * natural keeper).
+    *
+    * Hash-min label propagation: every vertex starts labeled with its
+    * own id; each round a vertex takes the min of its label and its
+    * neighbors' labels; fixpoint when nothing changes. Rounds needed =
+    * graph diameter — near-dup clusters are shallow (dup chains, not
+    * paths), so this converges in a handful of rounds where a
+    * driver-side union-find would need the whole edge list on one
+    * machine. Each round is ONE shuffle keyed by vertex id, and labels
+    * localCheckpoint per round — iterative algorithms otherwise stack
+    * lineage until the driver chokes (same lesson as Star.append).
+    *
+    * Output: (id, component) for every vertex that appears in a pair;
+    * vertices with no pairs are singletons by definition and are left
+    * to the caller (component = own id).
+    */
+  def connectedComponents(
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+    // No distinct: near-dup pair generators emit each undirected pair
+    // once (id_a < id_b), so the two-direction union is already
+    // duplicate-free — and min-propagation is idempotent under
+    // duplicate edges anyway, so correctness never depends on it.
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .unionAll(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .localCheckpoint()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborLbls = edges
+        .join(labels.select(col("id").as("v"), col("component")), Seq("v"))
+        .select(col("u").as("id"), col("component"))
+      val next = labels.unionByName(neighborLbls)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
+        .filter(col("component") =!= col("_old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
 }

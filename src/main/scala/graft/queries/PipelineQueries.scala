@@ -433,6 +433,53 @@ object PipelineQueries {
          |ORDER BY content_hash""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Pairs → CLUSTERS: connected components (hash-min label
+    // propagation, one shuffle per round, lineage-truncated rounds)
+    // over the n-gram Jaccard pair graph — the step that picks one
+    // representative (= min member id) per near-dup cluster. DuckDB
+    // twin closes the same graph with a recursive CTE.
+    "dedup_cc_components" -> QueryDef(
+      (s, dir) => {
+        val pairs = Dedup.ngramJaccardPairs(
+          perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5)
+        Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("id").as("doc_id"), col("component"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE corpus AS ($perturbedSql),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+         |  WHERE len(toks) >= 4
+         |),
+         |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+         |jpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |thr AS (
+         |  SELECT id_a, id_b FROM jpairs
+         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM thr
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM thr
+         |),
+         |reach(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+         |)
+         |SELECT u AS doc_id, MIN(lbl) AS component
+         |FROM reach GROUP BY u
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Exact n-gram Jaccard near-dup pairs on the perturbed corpus:
     // inverted-index join, no O(N²) stage; every planted pair
     // (i, i+100000) must surface.

@@ -42,6 +42,19 @@ class DedupSpec extends SparkSuite {
       s"missing ${(plantedPairs -- exactPairs).take(5)}")
   }
 
+  test("connectedComponents: chains close transitively, labels = min member id") {
+    // components: {1,2,3,4} via chain (needs >1 propagation round), {10,11}
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // a longer chain exercises diameter > 2
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ccChain = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(ccChain == Set(1L), "8-vertex path collapses to one component")
+  }
+
   test("minhash LSH: recall ≥ 0.9 vs exact jaccard≥0.5 pairs, est within 0.2") {
     val got = MinHashLsh.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
