@@ -21,9 +21,12 @@ import graft.mef.MefSchema.DimSpec
   *  - Attribute recovery picks the lexicographically smallest attribute
   *    tuple per natural key (deterministic stand-in for the reference's
   *    nondeterministic first-insert-wins, `etl/cargar_postgres.py:359-360`).
-  *  - Re-ingest is a full rebuild: a one-shot `groupBy(grain).sum` equals
-  *    the reference's within-batch consolidation + first-write-wins
-  *    conflict-drop on a clean load, without the lossy cross-run drop.
+  *  - Two load paths: [[build]] (one-shot `groupBy(grain).sum` — equals
+  *    the reference's within-batch consolidation + conflict-drop on a
+  *    clean load, without the lossy cross-run drop) and [[append]]
+  *    (incremental, reproducing the loader's actual `ON CONFLICT DO
+  *    NOTHING` cross-batch semantics: id-preserving dim deltas,
+  *    first-write-wins fact merge, idempotent re-delivery).
   *  - Null natural keys resolve via null-safe equality (pandas `merge`
   *    matches NaN keys; plain Spark joins would drop them before the P4
   *    filter could count them).
