@@ -119,6 +119,8 @@ class StreamingSpec extends SparkSuite {
     val e1After = star.dims("dim_ejecutora").collect()
       .find(_.getAs[String]("ejecutora_codigo") == "E1").get.getAs[Int]("ejecutora_id")
     assert(e1After == e1Id, "surrogate ids survive streaming appends")
+    assert(graft.mef.Validate.holds(spark, star),
+      "streaming-loaded star satisfies every warehouse constraint")
   }
 
   test("runningUserTotals: keyed state accumulates across micro-batches") {
