@@ -158,4 +158,20 @@ object Dedup {
     }
     labels
   }
+
+  /** Corpus dedup by cluster: keep ONE representative (the min member
+    * id = its component label) per near-dup cluster, drop the rest.
+    * Docs that appear in no pair are singletons and pass through —
+    * only non-representative cluster members join the drop set, so the
+    * anti-join's build side is bounded by the duplicate count, not the
+    * corpus.
+    */
+  def keepRepresentatives(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val drops = connectedComponents(pairs, aCol, bCol)
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -55,6 +55,14 @@ class DedupSpec extends SparkSuite {
     assert(ccChain == Set(1L), "8-vertex path collapses to one component")
   }
 
+  test("keepRepresentatives: one survivor per cluster, singletons pass through") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = graft.operators.Dedup.keepRepresentatives(docs, "doc_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L), "min id survives per cluster; 4 is a singleton")
+  }
+
   test("minhash LSH: recall ≥ 0.9 vs exact jaccard≥0.5 pairs, est within 0.2") {
     val got = MinHashLsh.nearDupPairs(corpus, "doc_id", "text", threshold = 0.5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
