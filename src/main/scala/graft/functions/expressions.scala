@@ -501,7 +501,12 @@ case class CentroidIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: I
         }
         i += 1
       }
-      scores(ci) = acc - halfNorms(ci)
+      // NaN (from a NaN input component) sorts below every real
+      // score — canonicalize to -Inf so the selection loop's
+      // comparisons stay total (round-2 ADVICE: all-NaN scores left
+      // best = -1 and crashed on used(-1)).
+      val s = acc - halfNorms(ci)
+      scores(ci) = if (java.lang.Double.isNaN(s)) Double.NegativeInfinity else s
       ci += 1
     }
     val take = math.min(nprobe, nlist)
@@ -513,7 +518,12 @@ case class CentroidIds(child: Expression, centroids: Seq[Seq[Double]], nprobe: I
       var bestS = Double.NegativeInfinity
       var i = 0
       while (i < nlist) {
-        if (!used(i) && scores(i) > bestS) { bestS = scores(i); best = i }
+        // `best < 0` seeds with the first unused slot so the all-
+        // (-Inf) case (every score was NaN) degrades to deterministic
+        // index order instead of leaving best = -1.
+        if (!used(i) && (best < 0 || scores(i) > bestS)) {
+          bestS = scores(i); best = i
+        }
         i += 1
       }
       used(best) = true

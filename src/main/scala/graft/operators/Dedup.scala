@@ -116,22 +116,32 @@ object Dedup {
     * per component; the component label IS the min member id, the
     * natural keeper).
     *
-    * Hash-min label propagation: every vertex starts labeled with its
-    * own id; each round a vertex takes the min of its label and its
-    * neighbors' labels; fixpoint when nothing changes. Rounds needed =
-    * graph diameter — near-dup clusters are shallow (dup chains, not
-    * paths), so this converges in a handful of rounds where a
-    * driver-side union-find would need the whole edge list on one
-    * machine. Each round is ONE shuffle keyed by vertex id, and labels
-    * localCheckpoint per round — iterative algorithms otherwise stack
-    * lineage until the driver chokes (same lesson as Star.append).
+    * Hash-min label propagation WITH pointer jumping: every vertex
+    * starts labeled with its own id; each round a vertex takes the min
+    * of its label and its neighbors' labels (one hop), then shortcuts
+    * through its label's label (`l(v) := l(l(v))`, the union-find
+    * path-halving step as a self-join). Shortcutting halves label-chain
+    * depth every round, so convergence is O(log diameter) rounds — a
+    * 1000-hop dup chain closes in ~10 rounds where plain propagation
+    * needs 1000. Each round is a bounded number of shuffles keyed by
+    * vertex id, and labels localCheckpoint per round — iterative
+    * algorithms otherwise stack lineage until the driver chokes (same
+    * lesson as Star.append). The change count reads the just-
+    * materialized checkpoint blocks (the old label rides along as a
+    * column), not an extra join against the previous round.
+    *
+    * Non-convergence within `maxIter` throws instead of silently
+    * returning partial labels (round-2 ADVICE): wrong cluster labels
+    * would make keepRepresentatives keep multiple docs per cluster.
+    * With shortcutting, maxIter=25 covers any graph of diameter
+    * < 2²⁵ — unreachable in practice.
     *
     * Output: (id, component) for every vertex that appears in a pair;
     * vertices with no pairs are singletons by definition and are left
     * to the caller (component = own id).
     */
   def connectedComponents(
-      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 20): DataFrame = {
+      pairs: DataFrame, aCol: String, bCol: String, maxIter: Int = 25): DataFrame = {
     // No distinct: near-dup pair generators emit each undirected pair
     // once (id_a < id_b), so the two-direction union is already
     // duplicate-free — and min-propagation is idempotent under
@@ -145,17 +155,33 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
-      val neighborLbls = edges
+      // one-hop neighbor min
+      val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("component")), Seq("v"))
-        .select(col("u").as("id"), col("component"))
-      val next = labels.unionByName(neighborLbls)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .groupBy(col("u").as("id")).agg(min(col("component")).as("_nbr"))
+      val stepped = labels.withColumnRenamed("component", "_old")
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("_old"),
+          least(col("_old"), coalesce(col("_nbr"), col("_old"))).as("component"))
+      // pointer jump: follow the label's own label. Labels are always
+      // vertex ids inside the same component (inductively: mins of
+      // member labels), so the lookup stays within the component and
+      // is monotone non-increasing — fixpoint unchanged, depth halved.
+      val next = stepped
+        .join(
+          stepped.select(col("id").as("component"), col("component").as("_cc2")),
+          Seq("component"), "left")
+        .select(col("id"), col("_old"),
+          coalesce(col("_cc2"), col("component")).as("component"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "_old"), Seq("id"))
-        .filter(col("component") =!= col("_old")).count()
-      labels = next
+      changed = next.filter(col("component") =!= col("_old")).count()
+      labels = next.drop("_old")
       iter += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — component labels would be wrong")
     labels
   }
 

@@ -79,10 +79,15 @@ object MinHashLsh {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // Signatures feed three consumers (banding + both verify sides);
-    // persist so the map-only kernel runs once. This is the natural
-    // materialization point at scale too (the LSH index build).
+    // localCheckpoint so the map-only kernel runs once. This is the
+    // natural materialization point at scale too (the LSH index
+    // build). Checkpoint, not persist: checkpoint blocks are released
+    // by the ContextCleaner when the frame becomes unreachable,
+    // whereas persist() pins an entry in the CacheManager until an
+    // explicit unpersist — which a lazily-returned result can never
+    // safely issue (round-2 ADVICE leak).
     val sigs = signatures(df, idCol, textCol, shingleN, numHashes, family)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     // Band on ids ONLY: the bucket shuffle and pair-dedup move
     // 16-byte (band, bucket, id) rows, not 0.5 KB signature payloads —

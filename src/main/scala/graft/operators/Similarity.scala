@@ -127,11 +127,15 @@ object Similarity {
       threshold: Double = 0.95, tables: Int = 8, planesPerTable: Int = 12,
       seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     // (id, vec, norm) is read three ways (bucketing + both verify
-    // sides); persist so vectors are decoded and norms computed once.
+    // sides); localCheckpoint so vectors are decoded and norms
+    // computed once. Checkpoint, not persist: blocks are GC-reclaimed
+    // when the frame drops out of reach — persist() would pin a
+    // CacheManager entry forever since the lazy result can't
+    // unpersist (round-2 ADVICE leak).
     val base = corpus
       .select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
         l2Norm(col(vecCol)).as("norm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // Bucket join + pair-dedup on ids only: candidate shuffles carry
     // 16-byte rows, not tables× replicated float vectors.
     val bucketed = base

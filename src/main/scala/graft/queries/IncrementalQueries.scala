@@ -149,15 +149,21 @@ object IncrementalQueries {
     // ------------------------------------------------------------------
     // Sketch profile: HLL distinct + approx quantiles per event type
     // (approx — no SQL oracle; SketchSpec bounds error vs exact).
+    // Quantiles emitted as two SCALAR columns: the correctness harness
+    // canonicalizes cells by sorting/hashing and cannot handle array
+    // cells (round-2 ADVICE — numpy.ndarray is unhashable).
     "sketch_event_profile" -> QueryDef(
-      (s, dir) =>
+      (s, dir) => {
+        val pcts = percentile_approx(
+          col("value"), array(lit(0.5), lit(0.9)), lit(10000))
         Tables.events(s, dir)
           .groupBy(col("event_type"))
           .agg(
             approx_count_distinct(col("user_id")).as("approx_users"),
-            percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000))
-              .as("value_p50_p90"))
-          .orderBy(col("event_type")),
+            pcts.getItem(0).as("value_p50"),
+            pcts.getItem(1).as("value_p90"))
+          .orderBy(col("event_type"))
+      },
       None)
   )
 }

@@ -49,8 +49,22 @@ object ParquetMerge {
     val tmp = targetPath.stripSuffix("/") + "_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     val target = new org.apache.hadoop.fs.Path(targetPath)
-    if (targetExists) fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+    // Swap order matters: the old target moves ASIDE (not deleted)
+    // before tmp renames in, and every rename's boolean result is
+    // checked — a failed swap restores the old data instead of
+    // silently losing the dataset (round-2 ADVICE).
+    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "_old")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (targetExists && !fs.rename(target, old))
+      throw new java.io.IOException(
+        s"upsert swap failed: could not move $target aside to $old")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target)) {
+      if (targetExists) fs.rename(old, target) // restore previous data
+      throw new java.io.IOException(
+        s"upsert swap failed: could not rename $tmp to $target" +
+          (if (targetExists) " (previous data restored)" else ""))
+    }
+    if (targetExists) fs.delete(old, true)
     ()
   }
 }

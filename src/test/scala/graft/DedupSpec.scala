@@ -48,11 +48,13 @@ class DedupSpec extends SparkSuite {
     val cc = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
-    // a longer chain exercises diameter > 2
-    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // a 60-hop path exceeds the round budget of plain diameter-bound
+    // propagation (maxIter = 25) — converging here proves the
+    // pointer-jumping shortcut delivers O(log diameter) rounds
+    val chain = (1L until 61L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val ccChain = graft.operators.Dedup.connectedComponents(chain, "id_a", "id_b")
       .collect().map(r => r.getLong(1)).toSet
-    assert(ccChain == Set(1L), "8-vertex path collapses to one component")
+    assert(ccChain == Set(1L), "61-vertex path collapses to one component")
   }
 
   test("keepRepresentatives: one survivor per cluster, singletons pass through") {

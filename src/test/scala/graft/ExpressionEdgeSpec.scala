@@ -169,4 +169,12 @@ class ExpressionEdgeSpec extends SparkSuite {
       .collect()(0).getSeq[Int](0)
     assert(all.length == 3 && all.head == 0)
   }
+
+  test("centroidIds: NaN input degrades to index order, no crash") {
+    val cs = Seq(Seq(10.0, 0.0), Seq(0.0, 10.0), Seq(-10.0, 0.0))
+    val nan = Seq(Seq(Float.NaN, 1.0f)).toDF("v")
+    val ids = nan.select(exprs.centroidIds(col("v"), cs, 2))
+      .collect()(0).getSeq[Int](0)
+    assert(ids == Seq(0, 1), "all-NaN scores fall back to centroid index order")
+  }
 }
