@@ -19,7 +19,7 @@ object ProfileScratch {
     import graft.mef.{Analytics, Normalize, Star, Transform}
     val li = Tables.lineitem(spark, sfDir)
       .filter(TimePred.inYearMonths(col("l_shipdate"), 1997, 1, 6))
-    val typed = Transform(
+    val typed0 = Transform(
       li.join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
@@ -35,6 +35,7 @@ object ProfileScratch {
           col("r_name").as("SECTOR_NOMBRE"),
           col("l_quantity").cast("string").as("MONTO_DEVENGADO"),
           col("l_extendedprice").cast("string").as("MONTO_COMPROMETIDO")))
+    val typed = t("transform checkpoint")(typed0.localCheckpoint())
     val star1 = t("star1 build (m1-3)")(
       Star.build(spark, Normalize(typed.filter(col("MES_EJE") <= 3))))
     val inc = t("append (m4-6)")(

@@ -186,10 +186,14 @@ object Star {
   def append(spark: SparkSession, star: StarSchema, normalizedIn: DataFrame): StarSchema = {
     val grainCols = ("ano_eje" +: "mes_eje" +: MefSchema.dims.flatMap(_.allCols)).distinct
     val preAggs = MefSchema.measures.map(m => sum(col(m)).as(m))
+    // Lineage-truncated like build's grain: persist() caches data but
+    // every one of the 8 downstream consumers (7 dim deltas + fact
+    // resolution) would still re-analyze the full Normalize subtree —
+    // localCheckpoint plans them against a shallow table scan.
     val batch = normalizedIn
       .groupBy(grainCols.map(col): _*)
       .agg(preAggs.head, preAggs.tail: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
 
     val newDims = MefSchema.dims.map { spec =>
       val existing = star.dims(spec.name)
@@ -224,7 +228,6 @@ object Star {
     // year of monthly loads the driver spends more time re-analyzing
     // lineage than executing. Concurrent futures keep the 7
     // materializations from serializing into 7 barriers.
-    batch.count()
     val matDims = locally {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
@@ -244,9 +247,7 @@ object Star {
       star.fact.select(MefSchema.factFks.map(col): _*),
       MefSchema.factFks.toIndexedSeq, "left_anti")
     val fact = star.fact.unionByName(freshFact).localCheckpoint()
-    batch.unpersist()
-    // (release() on checkpointed frames is a harmless no-op; their
-    // blocks free when the RDDs are GC'd.)
+    // (checkpointed frames free their blocks when the RDDs are GC'd.)
     StarSchema(star.dimTiempo, matDims, fact, None)
   }
 
