@@ -15,33 +15,30 @@ object ProfileScratch {
       println(f"[profile] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    import graft.functions.TimePred
-    import graft.mef.{Analytics, Normalize, Star, Transform}
-    val li = Tables.lineitem(spark, sfDir)
-      .filter(TimePred.inYearMonths(col("l_shipdate"), 1997, 1, 6))
-    val typed0 = Transform(
-      li.join(broadcast(Tables.supplier(spark, sfDir)), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(Tables.nation(spark, sfDir)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(spark, sfDir)), col("n_regionkey") === col("r_regionkey"))
-        .select(
-          (year(col("l_shipdate")) + 20).cast("string").as("ANO_EJE"),
-          month(col("l_shipdate")).cast("string").as("MES_EJE"),
-          lit("E").as("NIVEL_GOBIERNO"),
-          lit("GOBIERNO NACIONAL").as("NIVEL_GOBIERNO_NOMBRE"),
-          col("s_suppkey").cast("string").as("SEC_EJEC"),
-          col("s_suppkey").cast("string").as("EJECUTORA"),
-          col("s_name").as("EJECUTORA_NOMBRE"),
-          col("n_name").as("SECTOR"),
-          col("r_name").as("SECTOR_NOMBRE"),
-          col("l_quantity").cast("string").as("MONTO_DEVENGADO"),
-          col("l_extendedprice").cast("string").as("MONTO_COMPROMETIDO")))
-    val typed = t("transform checkpoint")(typed0.localCheckpoint())
-    val star1 = t("star1 build (m1-3)")(
-      Star.build(spark, Normalize(typed.filter(col("MES_EJE") <= 3))))
-    val inc = t("append (m4-6)")(
-      Star.append(spark, star1, Normalize(typed.filter(col("MES_EJE") > 3))))
-    t("ytd query")(
-      Analytics.ytdDevengadoPorSector(inc, 2017, 6).count())
+    val docs = Tables.documents(spark, sfDir)
+    t("docs count")(println("  rows=" + docs.count()))
+    val existing = docs.filter(col("doc_id") < 250)
+    val norm = xxhash64(lower(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " ")))
+    val hashed = existing.select(norm.as("h"))
+    val bloom = t("bloom build")(hashed.stat.bloomFilter("h", 100000L, 0.01))
+    t("bloom build 2nd")(hashed.stat.bloomFilter("h", 100000L, 0.01))
+    t("bloom build 3rd, 1M items")(hashed.stat.bloomFilter("h", 1000000L, 0.01))
+    t("plain agg same scan")(println("  n=" + hashed.agg(count(lit(1))).collect()(0).getLong(0)))
+    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
+    println("  bloom bytes=" + bytes.length)
+    val fh = t("hash+probe checkpoint")(
+      docs.withColumn("_h", norm)
+        .withColumn("_might", graft.functions.exprs.bloomMightContainLong(col("_h"), bytes))
+        .localCheckpoint())
+    t("split+antijoin+union count")({
+      val dn = fh.filter(!col("_might"))
+      val tp = fh.filter(col("_might")).join(hashed.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
+      println("  result=" + dn.unionByName(tp).drop("_h", "_might").select(col("doc_id")).orderBy(col("doc_id")).count())
+    })
+    t("full query 2nd run")({
+      val r = graft.operators.IncrementalDedup.newDocuments(existing, docs, "text", 100000L)
+      println("  rows=" + r.select(col("doc_id")).orderBy(col("doc_id")).count())
+    })
     spark.stop()
   }
 }

@@ -387,6 +387,35 @@ case class LongArrayMatchCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Bloom-filter membership probe of a LONG column against a pre-built,
+  * serialized `org.apache.spark.util.sketch.BloomFilter`. The filter
+  * bytes ship inside the expression with the task binary (~120 KB per
+  * 100k items at 1% fpp), so the probe is map-side with no join and no
+  * Row deserialization — a typed `filter { r: Row => bloom... }` pulls
+  * every column through the deserializer and breaks whole-stage
+  * codegen for the scan.
+  */
+case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires bigint, got $other")
+  }
+
+  @transient private lazy val bloom =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(filterBytes))
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Boolean.valueOf(bloom.mightContainLong(input.asInstanceOf[Long]))
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket ids (Charikar 2002) for a float/double
   * vector: `tables` independent tables of `planesPerTable` Gaussian
   * planes each; bucket bit b of table t = sign(vec · plane[t][b]).
@@ -785,6 +814,10 @@ object exprs {
   /** Top-nprobe nearest-centroid ids of a vector (IVF quantizer). */
   def centroidIds(vec: Column, centroids: Seq[Seq[Double]], nprobe: Int): Column =
     GraftShim.column(CentroidIds(GraftShim.expression(vec), centroids, nprobe))
+
+  /** Map-side bloom probe of a long column vs a serialized filter. */
+  def bloomMightContainLong(h: Column, filterBytes: Array[Byte]): Column =
+    GraftShim.column(BloomMightContainLong(GraftShim.expression(h), filterBytes))
 
   /** Random-hyperplane LSH bucket ids (one per table) of a vector. */
   def hyperplaneBuckets(

@@ -30,20 +30,27 @@ object IncrementalDedup {
       expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val hashed = existing.select(contentHash(textCol).as("h"))
     val bloom: BloomFilter = hashed.stat.bloomFilter("h", expectedItems, fpp)
-    val spark = fresh.sparkSession
-    val bloomBc = spark.sparkContext.broadcast(bloom)
+    val bytes = locally {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
 
-    val freshHashed = fresh.withColumn("_h", contentHash(textCol))
-    // map-side split: rows the bloom has never seen are definitely new
-    val mightMatch = freshHashed.filter { r: Row =>
-      bloomBc.value.mightContainLong(r.getAs[Long]("_h"))
-    }
-    val definitelyNew = freshHashed.filter { r: Row =>
-      !bloomBc.value.mightContainLong(r.getAs[Long]("_h"))
-    }
+    // Hash + probe ONCE (localCheckpoint), then split by the probe bit:
+    // the earlier typed `filter { r: Row => bloom... }` pair scanned
+    // fresh twice, re-ran the normalizing hash both times, and pulled
+    // every column through the Row deserializer — the native
+    // [[graft.functions.BloomMightContainLong]] probe is a map-side
+    // boolean inside the projection.
+    val freshHashed = fresh
+      .withColumn("_h", contentHash(textCol))
+      .withColumn("_might",
+        graft.functions.exprs.bloomMightContainLong(col("_h"), bytes))
+      .localCheckpoint()
+    val definitelyNew = freshHashed.filter(!col("_might"))
     // exact verify of the (small) candidate set only
-    val truePositives = mightMatch.join(
+    val truePositives = freshHashed.filter(col("_might")).join(
       hashed.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
-    definitelyNew.unionByName(truePositives).drop("_h")
+    definitelyNew.unionByName(truePositives).drop("_h", "_might")
   }
 }
