@@ -480,6 +480,55 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // The FULL dedup contract end-to-end: pairs → components →
+    // keepRepresentatives (min member id survives per cluster,
+    // singletons pass through untouched). Same recursive-CTE closure
+    // as dedup_cc_components; survivors = docs whose component label
+    // is their own id (or who appear in no pair).
+    "dedup_keep_representatives" -> QueryDef(
+      (s, dir) => {
+        val docs = perturbedDocs(s, dir)
+        val pairs = Dedup.ngramJaccardPairs(
+          docs, "doc_id", "text", n = 4, threshold = 0.5)
+        Dedup.keepRepresentatives(docs, "doc_id", pairs)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH RECURSIVE corpus AS ($perturbedSql),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+         |  WHERE len(toks) >= 4
+         |),
+         |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+         |jpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |thr AS (
+         |  SELECT id_a, id_b FROM jpairs
+         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM thr
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM thr
+         |),
+         |reach(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+         |),
+         |cc AS (SELECT u, MIN(lbl) AS component FROM reach GROUP BY u)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT u FROM cc WHERE component <> u)
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Exact n-gram Jaccard near-dup pairs on the perturbed corpus:
     // inverted-index join, no O(N²) stage; every planted pair
     // (i, i+100000) must surface.
