@@ -48,6 +48,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    // year(d)-predicate sargability — see SargableTimeRewrite scaladoc
+    ext.injectOptimizerRule(_ => graft.plans.SargableTimeRewrite)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "simhash64"),
