@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -83,4 +83,30 @@ object TextOps {
   def langId(text: Column): Column =
     // one-pass kernel (graft.functions.LangIdExpr); see qualityScore.
     graft.functions.exprs.langId(coalesce(text, lit("")), langProfiles)
+
+  /** Corpus vocabulary: per token, document frequency + total
+    * occurrence count, `minDf`-filtered, top-`topK` by
+    * (doc_freq desc, n_occurrences desc, token asc) — a total order,
+    * so the cut is deterministic.
+    *
+    * Two sequential shuffles — (token, doc) partial counts, then
+    * per-token stats — NEVER a mixed distinct+plain aggregate
+    * (`countDistinct(doc) + count(*)` in one agg plans an Expand that
+    * doubles the exploded token stream; measured on the Profiler).
+    * The top-k is `TakeOrderedAndProject`: per-partition heads, k-row
+    * driver merge — no global sort of the vocabulary.
+    */
+  def vocabulary(
+      df: DataFrame, idCol: String, textCol: String,
+      minDf: Int = 2, topK: Int = 1000): DataFrame = {
+    val tok = df.select(
+      col(idCol).as("_doc"), explode(tokens(col(textCol))).as("token"))
+    val perDoc = tok.groupBy(col("token"), col("_doc"))
+      .agg(count(lit(1)).as("_n"))
+    perDoc.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"), sum(col("_n")).as("n_occurrences"))
+      .filter(col("doc_freq") >= minDf)
+      .orderBy(desc("doc_freq"), desc("n_occurrences"), col("token"))
+      .limit(topK)
+  }
 }

@@ -350,6 +350,46 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Corpus vocabulary: doc-freq + occurrence counts per token,
+    // min-df filtered, deterministic top-k (TakeOrderedAndProject).
+    // Two sequential shuffles — never a mixed distinct+plain agg.
+    "text_vocabulary" -> QueryDef(
+      (s, dir) =>
+        TextOps.vocabulary(Tables.documents(s, dir), "doc_id", "text",
+          minDf = 2, topK = 200),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), perdoc AS (
+         |  SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq,
+         |         CAST(SUM(n) AS BIGINT) AS n_occurrences
+         |  FROM perdoc GROUP BY 1
+         |)
+         |SELECT token, doc_freq, n_occurrences FROM stats
+         |WHERE doc_freq >= 2
+         |ORDER BY doc_freq DESC, n_occurrences DESC, token
+         |LIMIT 200""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Class-balanced sampling: deterministic md5-order cap per source
+    // stratum — reproducible across engines and partitionings.
+    "stratified_sample_docs" -> QueryDef(
+      (s, dir) =>
+        StratifiedSample.capPerStratum(
+          Tables.documents(s, dir).select(col("doc_id"), col("source")),
+          Seq("source"), "doc_id", n = 10)
+          .orderBy(col("doc_id")),
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 10
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Quality scoring: stopword ratio + composite score.
     "text_quality" -> QueryDef(
       (s, dir) =>
