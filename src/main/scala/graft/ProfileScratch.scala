@@ -15,30 +15,28 @@ object ProfileScratch {
       println(f"[profile] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    val docs = Tables.documents(spark, sfDir)
-    t("docs count")(println("  rows=" + docs.count()))
-    val existing = docs.filter(col("doc_id") < 250)
-    val norm = xxhash64(lower(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " ")))
-    val hashed = existing.select(norm.as("h"))
-    val bloom = t("bloom build")(hashed.stat.bloomFilter("h", 100000L, 0.01))
-    t("bloom build 2nd")(hashed.stat.bloomFilter("h", 100000L, 0.01))
-    t("bloom build 3rd, 1M items")(hashed.stat.bloomFilter("h", 1000000L, 0.01))
-    t("plain agg same scan")(println("  n=" + hashed.agg(count(lit(1))).collect()(0).getLong(0)))
-    val bytes = { val bos = new java.io.ByteArrayOutputStream(); bloom.writeTo(bos); bos.toByteArray }
-    println("  bloom bytes=" + bytes.length)
-    val fh = t("hash+probe checkpoint")(
-      docs.withColumn("_h", norm)
-        .withColumn("_might", graft.functions.exprs.bloomMightContainLong(col("_h"), bytes))
+    import graft.mef.{MefSchema, Normalize, Star, Transform}
+    val raw = graft.queries.MefStarQueriesProfileHook.syntheticRaw(spark, sfDir)
+    val normalized = Normalize(Transform(raw))
+    val grainCols = ("ano_eje" +: "mes_eje" +: MefSchema.dims.flatMap(_.allCols)).distinct
+    val preAggs = MefSchema.measures.map(m => sum(col(m)).as(m))
+    val grain = t("grain groupBy + checkpoint")(
+      normalized.groupBy(grainCols.map(col): _*).agg(preAggs.head, preAggs.tail: _*)
         .localCheckpoint())
-    t("split+antijoin+union count")({
-      val dn = fh.filter(!col("_might"))
-      val tp = fh.filter(col("_might")).join(hashed.select(col("h").as("_h")).distinct(), Seq("_h"), "left_anti")
-      println("  result=" + dn.unionByName(tp).drop("_h", "_might").select(col("doc_id")).orderBy(col("doc_id")).count())
-    })
-    t("full query 2nd run")({
-      val r = graft.operators.IncrementalDedup.newDocuments(existing, docs, "text", 100000L)
-      println("  rows=" + r.select(col("doc_id")).orderBy(col("doc_id")).count())
-    })
+    val tiempo = Star.dimTiempo(spark)
+    val dims = t("7 dims concurrent checkpoints") {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      Await.result(
+        Future.traverse(MefSchema.dims) { spec =>
+          Future { spec.name -> Star.buildDim(grain, spec).localCheckpoint() }
+        },
+        Duration.Inf).toMap
+    }
+    t("7 dims SEQUENTIAL checkpoints") {
+      MefSchema.dims.foreach { spec => Star.buildDim(grain, spec).localCheckpoint() }
+    }
     spark.stop()
   }
 }

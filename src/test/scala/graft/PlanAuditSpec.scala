@@ -1,0 +1,32 @@
+package graft
+
+/** Plan hygiene across EVERY SparkEntry query: no accidental cartesian
+  * products, and nested-loop joins only where a 1-row build side makes
+  * them the intended plan (J9-style cross joins against a global
+  * aggregate). A new query that trips this either gets fixed or earns
+  * an explicit whitelist entry with a reason.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose plan legitimately contains BroadcastNestedLoopJoin:
+  // a deliberate cross join against a 1-row aggregate relation
+  // (J9 share-of-total shape), or — for brute-force ANN — the
+  // broadcast probe-set × corpus product that IS the operator.
+  private val oneRowCrossJoinOk = Set(
+    "share_within_segment", "share_of_total_window", "table_profile",
+    "mef_star_incremental_ytd", "ann_bruteforce_topk")
+
+  test("no query plans CartesianProduct; nested-loop joins only where intended") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, dir).queryExecution.executedPlan.toString
+      val cartesian = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !oneRowCrossJoinOk(name)
+      if (cartesian) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
