@@ -109,4 +109,38 @@ object TextOps {
       .orderBy(desc("doc_freq"), desc("n_occurrences"), col("token"))
       .limit(topK)
   }
+
+  /** TF-IDF per (doc, token) with a RATIONAL idf:
+    *
+    *   tfidf = (tf / doc_len) * (n_docs / doc_freq)
+    *
+    * — term frequency damped by a linear inverse document frequency.
+    * The deliberate departure from `ln`-based idf keeps every
+    * arithmetic step a correctly-rounded IEEE-754 op (integer-valued
+    * inputs, two divisions, one multiply), so scores are
+    * bit-reproducible across engines and platforms — `ln()` is NOT
+    * correctly rounded in common libms, which would poison exact
+    * oracle comparison and cross-run reproducibility hashes alike.
+    *
+    * Shuffles: (doc, token) tf counts, doc lengths, token doc-freqs —
+    * all standard partial+final hash aggs; n_docs joins as a
+    * broadcast 1-row relation (J9 shape), never a driver collect.
+    */
+  def tfidf(
+      df: DataFrame, idCol: String, textCol: String, minDf: Int = 1): DataFrame = {
+    val tok = df.select(
+      col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    tf.join(dl, "doc_id")
+      .join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        (col("tf").cast("double") / col("doc_len")) *
+          (col("n_docs").cast("double") / col("doc_freq")))
+      .select(col("doc_id"), col("token"), col("tf"), col("tfidf"))
+  }
 }

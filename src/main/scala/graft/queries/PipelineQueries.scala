@@ -372,6 +372,38 @@ object PipelineQueries {
          |LIMIT 200""".stripMargin),
 
     // ------------------------------------------------------------------
+    // TF-IDF with rational idf — every arithmetic step is a
+    // correctly-rounded IEEE op, so scores hash-match DuckDB exactly
+    // (an ln-based idf would not: libm ln isn't correctly rounded).
+    // ASCII-only token filter keeps the ORDER BY collation-safe.
+    "text_tfidf" -> QueryDef(
+      (s, dir) =>
+        TextOps.tfidf(Tables.documents(s, dir), "doc_id", "text", minDf = 5)
+          .filter(col("doc_id") < 50 && col("token").rlike("^[a-z0-9]+$"))
+          .orderBy(col("doc_id"), col("token")),
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len
+         |  FROM tok GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |  FROM tf GROUP BY 1 HAVING COUNT(*) >= 5
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT tf.doc_id, tf.token, tf.tf,
+         |  (CAST(tf.tf AS DOUBLE) / dl.doc_len)
+         |    * (CAST(n.n_docs AS DOUBLE) / dfq.doc_freq) AS tfidf
+         |FROM tf
+         |JOIN dl ON tf.doc_id = dl.doc_id
+         |JOIN dfq ON tf.token = dfq.token
+         |CROSS JOIN n
+         |WHERE tf.doc_id < 50 AND regexp_matches(tf.token, '^[a-z0-9]+$$')
+         |ORDER BY tf.doc_id, tf.token""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Class-balanced sampling: deterministic md5-order cap per source
     // stratum — reproducible across engines and partitionings.
     "stratified_sample_docs" -> QueryDef(
