@@ -159,10 +159,15 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("v"), col("component")), Seq("v"))
         .groupBy(col("u").as("id")).agg(min(col("component")).as("_nbr"))
+      // materialized: the pointer-jump self-join below reads stepped
+      // on BOTH sides with different join keys, so without a
+      // checkpoint the one-hop join+agg subplan would execute twice
+      // per round (ReuseExchange can't dedup across differing keys)
       val stepped = labels.withColumnRenamed("component", "_old")
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("_old"),
           least(col("_old"), coalesce(col("_nbr"), col("_old"))).as("component"))
+        .localCheckpoint()
       // pointer jump: follow the label's own label. Labels are always
       // vertex ids inside the same component (inductively: mins of
       // member labels), so the lookup stays within the component and

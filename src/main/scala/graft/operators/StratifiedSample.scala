@@ -26,6 +26,13 @@ object StratifiedSample {
 
   /** ≤ `n` rows per distinct value-tuple of `strataCols`, chosen by
     * md5(`keyCol`) order; adds nothing, drops nothing else.
+    *
+    * CONTRACT: `keyCol` must be UNIQUE and NON-NULL (a row id, like
+    * [[DenseId]]'s input). Duplicate keys tie on both sort keys and
+    * row_number breaks the tie by partition arrival order — the
+    * selection would no longer be a pure function of the keys; null
+    * keys additionally sort FIRST in Spark but LAST in most SQL
+    * engines, breaking cross-engine twins.
     */
   def capPerStratum(
       df: DataFrame, strataCols: Seq[String], keyCol: String, n: Int): DataFrame = {

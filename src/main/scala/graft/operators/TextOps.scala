@@ -98,9 +98,14 @@ object TextOps {
     */
   def vocabulary(
       df: DataFrame, idCol: String, textCol: String,
-      minDf: Int = 2, topK: Int = 1000): DataFrame = {
-    val tok = df.select(
+      minDf: Int = 2, topK: Int = 1000,
+      tokenPattern: Option[String] = None): DataFrame = {
+    val tokAll = df.select(
       col(idCol).as("_doc"), explode(tokens(col(textCol))).as("token"))
+    // optional token whitelist BEFORE any aggregation — e.g.
+    // "^[a-z0-9]+$" keeps the deterministic top-k tie-break
+    // collation-safe when results cross engines
+    val tok = tokenPattern.fold(tokAll)(p => tokAll.filter(col("token").rlike(p)))
     val perDoc = tok.groupBy(col("token"), col("_doc"))
       .agg(count(lit(1)).as("_n"))
     perDoc.groupBy(col("token"))
@@ -131,7 +136,9 @@ object TextOps {
     val tok = df.select(
       col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
     val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    // doc_len = sum(tf): derived from the aggregate, not a second
+    // tokenize+explode+shuffle of the full token stream
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("doc_len"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= minDf)
     val n = df.agg(count(lit(1)).as("n_docs"))

@@ -353,12 +353,18 @@ object PipelineQueries {
     // Corpus vocabulary: doc-freq + occurrence counts per token,
     // min-df filtered, deterministic top-k (TakeOrderedAndProject).
     // Two sequential shuffles — never a mixed distinct+plain agg.
+    // ASCII-only token filter keeps the deterministic top-k cut's
+    // tie-break collation-safe across engines (same guard as
+    // text_tfidf; CLAUDE.md sort-key invariant).
     "text_vocabulary" -> QueryDef(
       (s, dir) =>
-        TextOps.vocabulary(Tables.documents(s, dir), "doc_id", "text",
-          minDf = 2, topK = 200),
+        TextOps.vocabulary(
+          Tables.documents(s, dir), "doc_id", "text", minDf = 2, topK = 200,
+          tokenPattern = Some("^[a-z0-9]+$")),
       s"""WITH tok AS (
-         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |  ) WHERE regexp_matches(token, '^[a-z0-9]+$$')
          |), perdoc AS (
          |  SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY 1, 2
          |), stats AS (

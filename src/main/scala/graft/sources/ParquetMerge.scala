@@ -38,7 +38,16 @@ object ParquetMerge {
 
     val fs = new org.apache.hadoop.fs.Path(targetPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val targetExists = fs.exists(new org.apache.hadoop.fs.Path(targetPath))
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val oldP = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "_old")
+    // Crash recovery: a previous run killed between the two swap
+    // renames leaves the corpus ONLY at *_old — restore it before
+    // reading, or this merge would silently rebuild the target from
+    // the update batch alone (and then delete the sole copy).
+    if (!fs.exists(targetP) && fs.exists(oldP) && !fs.rename(oldP, targetP))
+      throw new java.io.IOException(
+        s"upsert recovery failed: could not restore $oldP to $targetP")
+    val targetExists = fs.exists(targetP)
     val merged =
       if (!targetExists) dedupedUpdates
       else spark.read.parquet(targetPath)
@@ -48,23 +57,24 @@ object ParquetMerge {
 
     val tmp = targetPath.stripSuffix("/") + "_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val target = new org.apache.hadoop.fs.Path(targetPath)
     // Swap order matters: the old target moves ASIDE (not deleted)
     // before tmp renames in, and every rename's boolean result is
     // checked — a failed swap restores the old data instead of
-    // silently losing the dataset (round-2 ADVICE).
-    val old = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "_old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (targetExists && !fs.rename(target, old))
+    // silently losing the dataset (round-2 ADVICE). The _old copy is
+    // also the crash-recovery source above.
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (targetExists && !fs.rename(targetP, oldP))
       throw new java.io.IOException(
-        s"upsert swap failed: could not move $target aside to $old")
-    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), target)) {
-      if (targetExists) fs.rename(old, target) // restore previous data
+        s"upsert swap failed: could not move $targetP aside to $oldP")
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), targetP)) {
+      val restored = targetExists && fs.rename(oldP, targetP)
       throw new java.io.IOException(
-        s"upsert swap failed: could not rename $tmp to $target" +
-          (if (targetExists) " (previous data restored)" else ""))
+        s"upsert swap failed: could not rename $tmp to $targetP" +
+          (if (restored) " (previous data restored)"
+           else if (targetExists) s" (restore ALSO failed — data is at $oldP)"
+           else ""))
     }
-    if (targetExists) fs.delete(old, true)
+    if (targetExists) fs.delete(oldP, true)
     ()
   }
 }

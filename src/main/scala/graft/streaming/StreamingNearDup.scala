@@ -22,12 +22,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * batch operator's hot-bucket cap, applied to state — an
   * all-boilerplate bucket stops growing instead of OOMing the state
   * store); production deployments add an event-time TTL via
-  * `GroupStateTimeout` when the dedup horizon is finite. A true pair
-  * collides in ~`bands` buckets, so the SAME pair can emit up to
-  * `bands` times (and at most once per bucket — the pair's min id is
-  * already in state on the second emission attempt); dedup downstream
-  * with `dropDuplicates`/`dropDuplicatesWithinWatermark` on
-  * (id_a, id_b) at the sink.
+  * `GroupStateTimeout` when the dedup horizon is finite. Output is
+  * AT-LEAST-ONCE per pair: a true pair collides in ~`bands` buckets,
+  * and a doc REJECTED by a full bucket is not remembered, so its
+  * re-delivery can re-emit from that bucket — dedup downstream with
+  * `dropDuplicates`/`dropDuplicatesWithinWatermark` on (id_a, id_b)
+  * at the sink (re-delivered docs that DID fit in state are
+  * remembered and emit nothing).
   */
 object StreamingNearDup {
 

@@ -28,6 +28,26 @@ class MergeQuarantineSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq == got.toSeq)
   }
 
+  test("parquet upsert: recovers a crash between the two swap renames") {
+    val target = Files.createTempDirectory("merge_crash").toString + "/t"
+    ParquetMerge.upsert(spark, target,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"), Seq("k"))
+    // simulate a kill after target moved aside but before tmp renamed
+    // in: the corpus survives ONLY at *_old
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(
+      new org.apache.hadoop.fs.Path(target),
+      new org.apache.hadoop.fs.Path(target + "_old")))
+    // next upsert must restore the old corpus, not rebuild from the batch
+    ParquetMerge.upsert(spark, target,
+      Seq((3L, "c", 30.0)).toDF("k", "s", "v"), Seq("k"))
+    val got = spark.read.parquet(target).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)),
+      "pre-crash rows must survive recovery")
+  }
+
   test("quarantine: one-pass split with per-rule reasons and counts") {
     val df = Seq(
       (1, 2020, 6),   // valid
