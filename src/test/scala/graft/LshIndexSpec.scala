@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.LshIndex
+
+/** Persisted LSH index: probe finds planted cross-corpus near-dups
+  * without re-reading corpus text, append is idempotent, and the probe
+  * plan never shuffles the index (broadcast joins only).
+  */
+class LshIndexSpec extends SparkSuite {
+  import spark.implicits._
+
+  // deterministic "documents": long word sequences so 3-gram shingle
+  // sets are rich; near-dups perturb one word in the middle
+  private def words(seed: Long, n: Int): String =
+    (0 until n).map(i => s"w${(seed * 31 + i * i * 7) % 211}").mkString(" ")
+
+  private def corpus = (0L until 40L)
+    .map(i => (i, words(i, 60)))
+    .toDF("doc_id", "text")
+
+  // batch: ids 1000+; docs 1000..1003 near-duplicate corpus docs
+  // 0..3 (one word replaced), the rest are fresh
+  private def batch = ((0L until 4L).map { i =>
+    val t = words(i, 60).split(" ").updated(30, "CHANGED").mkString(" ")
+    (1000L + i, t)
+  } ++ (4L until 10L).map(i => (1000L + i, words(500L + i, 60))))
+    .toDF("doc_id", "text")
+
+  test("probe finds planted near-dups of the corpus, and only those") {
+    val path = Files.createTempDirectory("lshindex").toString + "/idx"
+    LshIndex.build(corpus, "doc_id", "text", path)
+    val hits = LshIndex.probe(spark, path, batch, "doc_id", "text",
+      threshold = 0.5)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert((0L until 4L).forall(i => hits.contains((1000L + i, i))),
+      s"missing planted matches in $hits")
+    assert(hits.forall { case (b, ix) => b - 1000L == ix },
+      s"false matches in $hits")
+  }
+
+  test("append is idempotent and makes the batch findable") {
+    val path = Files.createTempDirectory("lshindex_app").toString + "/idx"
+    LshIndex.build(corpus, "doc_id", "text", path)
+    LshIndex.append(spark, path, batch, "doc_id", "text")
+    val once = spark.read.parquet(s"$path/sigs").count()
+    LshIndex.append(spark, path, batch, "doc_id", "text") // re-delivery
+    assert(spark.read.parquet(s"$path/sigs").count() == once,
+      "re-delivered append must be a no-op")
+
+    // a probe of the same batch now matches the indexed copies of the
+    // corpus docs AND excludes identical-id self-matches
+    val hits = LshIndex.probe(spark, path, batch, "doc_id", "text",
+      threshold = 0.5)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert((0L until 4L).forall(i => hits.contains((1000L + i, i))))
+    assert(hits.forall { case (b, ix) => b != ix }, "self-matches leaked")
+  }
+
+  test("probe plan never shuffles the index: broadcast joins, no SMJ") {
+    val path = Files.createTempDirectory("lshindex_plan").toString + "/idx"
+    LshIndex.build(corpus, "doc_id", "text", path)
+    val plan = LshIndex.probe(spark, path, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"),
+      s"index side fell into a shuffle join:\n$plan")
+  }
+}
