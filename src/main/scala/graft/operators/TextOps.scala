@@ -84,6 +84,27 @@ object TextOps {
     // one-pass kernel (graft.functions.LangIdExpr); see qualityScore.
     graft.functions.exprs.langId(coalesce(text, lit("")), langProfiles)
 
+  /** PII redaction — the scrubbing pass every shipped training corpus
+    * runs: emails, IPv4 addresses, and phone-shaped digit runs become
+    * typed placeholders. Plain `regexp_replace` chain (replace-all,
+    * map-only, whole-stage codegen; at 100 TB this is scan-speed).
+    *
+    * Pattern order is load-bearing: emails first (their local parts
+    * contain digits a later pass could chew on), then IPs, then
+    * phones — by which point every dotted quad is already `<IP>` so
+    * the phone pattern cannot eat one. Patterns are restricted to
+    * syntax with identical semantics in Java regex and RE2 (character
+    * classes, bounded repeats, `\b`) so results are bit-reproducible
+    * against DuckDB — the `text_redact_pii` oracle holds byte-exact.
+    */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(coalesce(text, lit("")),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d\\- ]{7,}\\d", "<PHONE>")
+  }
+
   /** Corpus vocabulary: per token, document frequency + total
     * occurrence count, `minDf`-filtered, top-`topK` by
     * (doc_freq desc, n_occurrences desc, token asc) — a total order,

@@ -350,6 +350,35 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // PII redaction: the driver corpus carries no PII, so the query
+    // salts each doc with deterministic doc_id-derived PII (email +
+    // dotted-quad + phone) and redacts it — both engines build the
+    // same string, so the scrub is exercised for real and compared
+    // byte-exact. Redacted text sorts by doc_id (non-null int key).
+    "text_redact_pii" -> QueryDef(
+      (s, dir) => {
+        val salted = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 or +51 987 654 321")).as("raw"))
+        salted.select(
+          col("doc_id"), TextOps.redactPii(col("raw")).as("redacted"))
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact user' || doc_id || '@example.com at 10.0.' ||
+        |      (doc_id % 256) || '.7 or +51 987 654 321',
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d\- ]{7,}\d', '<PHONE>', 'g') AS redacted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Corpus vocabulary: doc-freq + occurrence counts per token,
     // min-df filtered, deterministic top-k (TakeOrderedAndProject).
     // Two sequential shuffles — never a mixed distinct+plain agg.

@@ -52,4 +52,24 @@ class CurationOpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     assert(vr.toSeq == Seq(("a", 2L, 3L), ("b", 2L, 2L)))
   }
+
+  test("redactPii: emails, IPs, phones -> typed placeholders; clean text untouched") {
+    val rows = Seq(
+      (1L, "write to alice.o-neil+spam@sub.example.co.uk today"),
+      (2L, "server at 192.168.0.1 and 10.255.3.77, version 1.2 intact"),
+      (3L, "call +51 987 654 321 or 4471234567890 now"),
+      (4L, "bob@site.io then 8.8.8.8 then +1 800-555-0199"),
+      (5L, "no pii here, just words and 42 digits")
+    ).toDF("id", "t")
+    val got = rows.select(col("id"),
+      graft.operators.TextOps.redactPii(col("t")).as("r"))
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      1L -> "write to <EMAIL> today",
+      // "version 1.2" must survive: not a dotted quad
+      2L -> "server at <IP> and <IP>, version 1.2 intact",
+      3L -> "call <PHONE> or <PHONE> now",
+      4L -> "<EMAIL> then <IP> then <PHONE>",
+      5L -> "no pii here, just words and 42 digits"))
+  }
 }
