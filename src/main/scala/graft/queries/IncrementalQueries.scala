@@ -3,7 +3,9 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{DenseId, HashSample, SaltedAgg, Scd2, SnapshotDiff}
+import graft.functions.Money
+import graft.functions.Money.decSumSql
+import graft.operators.{DenseId, HashSample, SaltedAgg, Scd2, SkewJoin, SnapshotDiff}
 
 /** Incremental-load / reproducibility operators as verifiable queries:
   * SCD2 dimension history, snapshot CDC diff, deterministic hash
@@ -130,6 +132,33 @@ object IncrementalQueries {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Manual salted skewed join: the hot-key fallback when skew hides
+    // from AQE. Semantics must equal the plain equi-join exactly —
+    // that is what the oracle states (a plain join+agg). The salt
+    // spreads each key over 8 reducers; decimal sums keep the revenue
+    // aggregate order-insensitive so the 8-way split can't perturb it.
+    "skewjoin_priority_revenue" -> QueryDef(
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir).select(
+          col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        val small = Tables.orders(s, dir).select(
+          col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+        SkewJoin.saltedJoin(big, small, "l_orderkey", salt = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            Money.decSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("o_orderpriority"))
+      },
+      s"""SELECT o_orderpriority,
+         |  ${decSumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin),
 
     // ------------------------------------------------------------------
     // Scalable dense surrogate ids: range-repartition + zipWithIndex,

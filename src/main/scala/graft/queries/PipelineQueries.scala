@@ -681,6 +681,39 @@ object PipelineQueries {
         threshold = 0.5, maxBucket = 1000, seed = 7L)),
 
     // ------------------------------------------------------------------
+    // Exact substring-span dedup signal (the "dedup training data at
+    // the substring level" shape): every 8-token span hashed per doc
+    // (distinct within doc), inverted, spans appearing in ≥2 docs
+    // reported by document frequency. One explode + one shuffle keyed
+    // by 63-bit span hash; deterministic (n_docs desc, span_hash asc)
+    // top-200 cut plans as TakeOrderedAndProject.
+    "dedup_common_spans" -> QueryDef(
+      (s, dir) => {
+        val spans = perturbedDocs(s, dir).select(
+          col("doc_id"),
+          explode(graft.functions.md5exprs.md5NgramHashes(col("text"), 8))
+            .as("span_hash"))
+        spans.groupBy(col("span_hash"))
+          .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(desc("n_docs"), col("span_hash"))
+          .limit(200)
+      },
+      s"""WITH corpus AS ($perturbedSql),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sh AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 6),
+         |      i -> ${md5_63("array_to_string(toks[i:i+7], ' ')")})) AS hs
+         |  FROM tk WHERE len(toks) >= 8
+         |),
+         |sp AS (SELECT doc_id, unnest(hs) AS span_hash FROM sh)
+         |SELECT span_hash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+         |FROM sp GROUP BY span_hash HAVING COUNT(*) >= 2
+         |ORDER BY n_docs DESC, span_hash
+         |LIMIT 200""".stripMargin),
+
+    // ------------------------------------------------------------------
     // SimHash near-dup pairs — md5-based 63-bit fingerprints; the
     // pigeonhole chunk blocking is exact (any pair ≤ maxHamming bits
     // apart agrees on ≥1 chunk), so the DuckDB twin reproduces the
