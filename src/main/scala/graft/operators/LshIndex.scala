@@ -38,6 +38,28 @@ object LshIndex {
 
   private def sigsPath(path: String) = s"${path.stripSuffix("/")}/sigs"
   private def bucketsPath(path: String) = s"${path.stripSuffix("/")}/buckets"
+  private def metaPath(path: String) = s"${path.stripSuffix("/")}/meta"
+
+  /** Hash parameters an index was built with. Persisted at build time
+    * and read back by probe/append — signatures hashed under different
+    * (shingleN, numHashes, bands) are silently incomparable, so the
+    * parameters live IN the index, not in call sites.
+    */
+  final case class Params(shingleN: Int, numHashes: Int, bands: Int)
+
+  private def writeMeta(spark: SparkSession, path: String, p: Params): Unit = {
+    import spark.implicits._
+    Seq((p.shingleN, p.numHashes, p.bands))
+      .toDF("shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(path))
+  }
+
+  /** The parameters the index at `path` was built with. */
+  def params(spark: SparkSession, path: String): Params = {
+    val r = spark.read.parquet(metaPath(path))
+      .select("shingle_n", "num_hashes", "bands").head()
+    Params(r.getInt(0), r.getInt(1), r.getInt(2))
+  }
 
   private def banded(
       sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
@@ -50,7 +72,10 @@ object LshIndex {
       .withColumnRenamed("col", "bucket")
   }
 
-  /** Build the index over `df` at `path` (overwrites). */
+  /** Build the index over `df` at `path` (overwrites). The hash
+    * parameters are persisted with the index; probe/append read them
+    * back instead of trusting call sites to repeat them.
+    */
   def build(
       df: DataFrame, idCol: String, textCol: String, path: String,
       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
@@ -60,6 +85,7 @@ object LshIndex {
     sigs.write.mode(SaveMode.Overwrite).parquet(sigsPath(path))
     banded(sigs, numHashes, bands)
       .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
+    writeMeta(df.sparkSession, path, Params(shingleN, numHashes, bands))
   }
 
   /** Near-dup matches of `batch` against the index:
@@ -69,9 +95,8 @@ object LshIndex {
   def probe(
       spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+    val Params(shingleN, numHashes, bands) = params(spark, path)
     val batchSigs = MinHashLsh.signatures(batch, idCol, textCol, shingleN, numHashes)
       .localCheckpoint() // feeds banding AND verification
     val probeB = banded(batchSigs, numHashes, bands)
@@ -97,12 +122,13 @@ object LshIndex {
       .select(col("batch_id"), col("index_id"), col("est_jaccard"))
   }
 
-  /** Add `batch` to the index (idempotent on re-delivery). */
+  /** Add `batch` to the index (idempotent on re-delivery), under the
+    * index's own persisted hash parameters.
+    */
   def append(
       spark: SparkSession, path: String,
-      batch: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
+      batch: DataFrame, idCol: String, textCol: String): Unit = {
+    val Params(shingleN, numHashes, bands) = params(spark, path)
     val sigs = MinHashLsh.signatures(batch, idCol, textCol, shingleN, numHashes)
       .localCheckpoint()
     graft.sources.ParquetMerge.upsert(

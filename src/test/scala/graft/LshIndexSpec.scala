@@ -32,7 +32,10 @@ class LshIndexSpec extends SparkSuite {
 
   test("probe finds planted near-dups of the corpus, and only those") {
     val path = Files.createTempDirectory("lshindex").toString + "/idx"
-    LshIndex.build(corpus, "doc_id", "text", path)
+    // non-default hash params: probe/append must pick them up from the
+    // index's persisted meta, not from call-site defaults
+    LshIndex.build(corpus, "doc_id", "text", path, numHashes = 32, bands = 8)
+    assert(LshIndex.params(spark, path) == LshIndex.Params(3, 32, 8))
     val hits = LshIndex.probe(spark, path, batch, "doc_id", "text",
       threshold = 0.5)
       .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
