@@ -350,6 +350,36 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Sequence packing (concat-and-chunk, the GPT-style pretraining
+    // layout): concatenate docs in id order, slice into fixed
+    // 2048-token sequences; each doc reports its sequence id and
+    // offset. The cumsum driving it is the DISTRIBUTED exclusive
+    // prefix sum (PrefixSum: range-partition + per-partition offsets
+    // — never a single-partition global window); the oracle states
+    // the same packing via DuckDB's window cumsum.
+    "sequence_packing" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        PrefixSum.withExclusivePrefix(toks, Seq(col("doc_id")), "n_tokens", "start_tok")
+          .select(
+            col("doc_id"), col("n_tokens"),
+            expr("start_tok div 2048").as("seq_id"),
+            (col("start_tok") % 2048).as("seq_offset"))
+          .orderBy(col("doc_id"))
+      },
+      s"""SELECT doc_id, n AS n_tokens,
+         |  (cum - n) // 2048 AS seq_id,
+         |  (cum - n) % 2048 AS seq_offset
+         |FROM (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n,
+         |    SUM(CAST(len($toksSql) AS BIGINT)) OVER (
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // PII redaction: the driver corpus carries no PII, so the query
     // salts each doc with deterministic doc_id-derived PII (email +
     // dotted-quad + phone) and redacts it — both engines build the

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+/** Distributed exclusive prefix sum: must equal the window cumsum
+  * exactly, be invariant to input partitioning, and reject non-long
+  * value columns.
+  */
+class PrefixSumSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def df = (1L to 5000L).map(i => (i, (i * 7) % 13)).toDF("k", "v")
+    .select(col("k"), col("v").cast("long").as("v"))
+
+  test("equals SUM OVER (ORDER BY k ROWS UNBOUNDED PRECEDING) minus current") {
+    val got = PrefixSum.withExclusivePrefix(df, Seq(col("k")), "v", "pre")
+      .orderBy("k").select("k", "pre").as[(Long, Long)].collect()
+    val exp = df.withColumn("pre",
+      coalesce(sum("v").over(
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .orderBy("k").select("k", "pre").as[(Long, Long)].collect()
+    assert(got.sameElements(exp))
+  }
+
+  test("partition-layout invariant") {
+    val a = PrefixSum.withExclusivePrefix(df, Seq(col("k")), "v", "pre")
+      .orderBy("k").select("k", "pre").as[(Long, Long)].collect()
+    val b = PrefixSum.withExclusivePrefix(df.repartition(17), Seq(col("k")), "v", "pre")
+      .orderBy("k").select("k", "pre").as[(Long, Long)].collect()
+    assert(a.sameElements(b))
+  }
+
+  test("rejects non-long value columns instead of silently truncating") {
+    val bad = df.withColumn("v", col("v").cast("int"))
+    intercept[IllegalArgumentException] {
+      PrefixSum.withExclusivePrefix(bad, Seq(col("k")), "v", "pre")
+    }
+  }
+}
