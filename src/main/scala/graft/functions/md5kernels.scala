@@ -46,6 +46,20 @@ object Md5Hash {
       ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
       ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) & Long.MaxValue
   }
+
+  /** [[lower63]] as a pure-builtin Column (codegen'd, no custom
+    * Expression): top hex digit mod 8 (= clear the sign bit)
+    * recombined with the next 15 hex digits — 7·2⁶⁰ + (2⁶⁰−1) < 2⁶³,
+    * so every intermediate fits a signed long. Bit-identical to
+    * [[lower63]] and to the DuckDB twin.
+    */
+  def lower63Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val h = md5(c.cast("binary"))
+    (conv(substring(h, 1, 1), 16, 10).cast("long") % 8) *
+      lit(1152921504606846976L) + // 2^60
+      conv(substring(h, 2, 15), 16, 10).cast("long")
+  }
 }
 
 /** Modular hash family over the Mersenne prime p = 2⁶¹−1, with exact

@@ -350,6 +350,33 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Deterministic negative sampling (contrastive pairs): 3 hash-
+    // drawn negatives per doc via md5-lower63(doc_id:draw) mod N over
+    // a dense rank — no RNG state, reproducible across engines and
+    // layouts; the oracle restates the identical draw with a window
+    // rank. Self-draws excluded (deterministically) on both sides.
+    "negative_sampling" -> QueryDef(
+      (s, dir) =>
+        NegativeSampling.draw(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id", k = 3)
+          .orderBy(col("doc_id"), col("draw_idx")),
+      s"""WITH ids AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk
+         |  FROM documents
+         |),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |draws AS (
+         |  SELECT d.doc_id, i.i AS draw_idx,
+         |    (${md5_63("d.doc_id || ':' || i.i")} %
+         |      (SELECT n_docs FROM n)) + 1 AS rk
+         |  FROM documents d, (SELECT unnest(range(0, 3)) AS i) i
+         |)
+         |SELECT dr.doc_id, dr.draw_idx, ids.doc_id AS neg_id
+         |FROM draws dr JOIN ids ON dr.rk = ids.rk
+         |WHERE ids.doc_id <> dr.doc_id
+         |ORDER BY dr.doc_id, dr.draw_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Sequence packing (concat-and-chunk, the GPT-style pretraining
     // layout): concatenate docs in id order, slice into fixed
     // 2048-token sequences; each doc reports its sequence id and
