@@ -768,6 +768,145 @@ object CleanText {
   }
 }
 
+/** One-pass token-repetition profile of a text column — the
+  * Gopher-style repetition quality signals (Rae et al. 2021, public:
+  * "Scaling Language Models: ... Gopher"; repetition filters drop docs
+  * whose most-frequent n-gram dominates). Tokenization matches the
+  * engine's whitespace convention (`TextOps.tokens`: lowercase, split
+  * on regex-`\s` runs, drop empties), so the DuckDB oracle twin
+  * (`string_split_regex(lower(text),'\s+')`) sees identical tokens.
+  *
+  * Output struct: n_tokens, n_distinct (distinct tokens), n_bigrams
+  * (= max(n_tokens−1, 0)), top_bigram_count (occurrences of the modal
+  * adjacent bigram). All counts exact ints — ratios derived in Column
+  * space stay bit-exact across engines. One map-side pass, one hash
+  * map per row, no shuffle: scales with the scan. Null input → null
+  * (callers coalesce to '' for the reference's NaN→"" convention).
+  */
+case class TokenRepetition(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false),
+    StructField("top_bigram_count", IntegerType, nullable = false)))
+  override def prettyName: String = "token_repetition"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"token_repetition requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val len = s.length
+    @inline def isWs(c: Char): Boolean = (c >= 9 && c <= 13) || c == ' '
+    val distinct = new java.util.HashSet[String]()
+    val bigrams = new java.util.HashMap[String, Int]()
+    var nTokens = 0
+    var top = 0
+    var prev: String = null
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) {
+        val tok = s.substring(start, i)
+        nTokens += 1
+        distinct.add(tok)
+        if (prev != null) {
+          val c = bigrams.merge(prev + " " + tok, 1, (a, b) => a + b)
+          if (c > top) top = c
+        }
+        prev = tok
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, distinct.size(), math.max(nTokens - 1, 0), top))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenRepetition =
+    copy(child = newChild)
+}
+
+/** Int8 scalar-quantization profile of a float/double vector in one
+  * pass: per-vector min/max range, codes
+  * `floor(((x − mn) · 255) / (mx − mn))` (0..255; all-equal vectors
+  * quantize to 0), summarized as (q_min, q_max, q_sum, scale) with
+  * scale = (mx − mn)/255. Every arithmetic step is a fixed-order IEEE
+  * double op, so a DuckDB `list_transform` twin with the same
+  * association reproduces the codes bit-exactly. Null elements are
+  * skipped (SQL NULL propagation); an all-null or empty vector → null.
+  * Map-side only — the codes for a real quantized sink would be
+  * emitted the same way, one byte per element, no shuffle.
+  */
+case class QuantizeStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("q_min", IntegerType, nullable = false),
+    StructField("q_max", IntegerType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("scale", DoubleType, nullable = false)))
+  override def prettyName: String = "quantize_stats"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_stats requires array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val isF = elemIsFloat
+    @inline def elem(i: Int): Double =
+      if (isF) arr.getFloat(i).toDouble else arr.getDouble(i)
+    var mn = 0.0
+    var mx = 0.0
+    var any = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val v = elem(i)
+        if (!any) { mn = v; mx = v; any = true }
+        else {
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+        }
+      }
+      i += 1
+    }
+    if (!any) return null
+    val denom = mx - mn
+    var qmin = Int.MaxValue
+    var qmax = Int.MinValue
+    var qsum = 0L
+    i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val code =
+          if (denom > 0) math.floor(((elem(i) - mn) * 255.0) / denom).toInt
+          else 0
+        if (code < qmin) qmin = code
+        if (code > qmax) qmax = code
+        qsum += code
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](qmin, qmax, qsum, denom / 255.0))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeStats =
+    copy(child = newChild)
+}
+
 object exprs {
   import org.apache.spark.sql.GraftShim
 
@@ -818,6 +957,14 @@ object exprs {
   /** Map-side bloom probe of a long column vs a serialized filter. */
   def bloomMightContainLong(h: Column, filterBytes: Array[Byte]): Column =
     GraftShim.column(BloomMightContainLong(GraftShim.expression(h), filterBytes))
+
+  /** One-pass token repetition profile (Gopher-style signals). */
+  def tokenRepetition(text: Column): Column =
+    GraftShim.column(TokenRepetition(GraftShim.expression(text)))
+
+  /** One-pass int8 scalar-quantization profile of a vector column. */
+  def quantizeStats(vec: Column): Column =
+    GraftShim.column(QuantizeStats(GraftShim.expression(vec)))
 
   /** Random-hyperplane LSH bucket ids (one per table) of a vector. */
   def hyperplaneBuckets(

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.exprs
+import graft.operators.Contamination
+
+/** Corpus-curation operators round 3: benchmark decontamination,
+  * repetition quality signals, embedding quantization — each a one-pass
+  * map-side kernel or broadcast join (see the operator scaladocs for
+  * the 100 TB shapes), each with a bit-exact DuckDB twin.
+  */
+object CurationQueries {
+
+  /** DuckDB token list — must match TextOps.tokens / TokenRepetition:
+    * lowercase, split on whitespace runs, drop empties.
+    */
+  private val toksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // Benchmark decontamination: distinct word 3-gram overlap of every
+    // non-benchmark doc against the src0 "benchmark" slice. Benchmark
+    // gram set is broadcast (eval suites are tiny next to the corpus);
+    // per-doc agg is the only shuffle. Real pipelines use 8–13-grams;
+    // 3 keeps the synthetic corpus's overlap distribution non-trivial.
+    "text_contamination" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        Contamination.overlap(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, source, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+         |    i -> array_to_string(toks[i:i+2], ' ')))) AS gram
+         |  FROM tk WHERE len(toks) >= 3),
+         |bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+         |train AS (SELECT doc_id, gram FROM g WHERE source <> 'src0'),
+         |agg AS (SELECT t.doc_id, count(*) AS n_grams, count(b.gram) AS n_overlap
+         |        FROM train t LEFT JOIN bench b USING (gram) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+         |  CAST(coalesce(a.n_overlap, 0) AS BIGINT) AS n_overlap,
+         |  CAST(coalesce(a.n_overlap, 0) > 0 AS INT) AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+         |LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Gopher-style repetition signals per doc via the one-pass
+    // TokenRepetition kernel: distinct-token ratio + modal-bigram
+    // fraction, exact integer counts so the ratios are bit-exact.
+    "text_repetition" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            exprs.tokenRepetition(coalesce(col("text"), lit(""))).as("st"))
+          .select(
+            col("doc_id"),
+            col("st.n_tokens").as("n_tokens"),
+            col("st.n_distinct").as("n_distinct"),
+            col("st.n_bigrams").as("n_bigrams"),
+            col("st.top_bigram_count").as("top_bigram_count"))
+          .withColumn(
+            "distinct_ratio",
+            when(col("n_tokens") > 0,
+              col("n_distinct").cast("double") / col("n_tokens")).otherwise(0.0))
+          .withColumn(
+            "top_bigram_frac",
+            when(col("n_bigrams") > 0,
+              col("top_bigram_count").cast("double") / col("n_bigrams")).otherwise(0.0))
+          .orderBy(col("doc_id")),
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+         |       FROM tk, unnest(range(1, len(toks))) t(i) WHERE len(toks) >= 2),
+         |bc AS (SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |top AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_bg FROM bc GROUP BY 1)
+         |SELECT t.doc_id,
+         |  CAST(len(toks) AS INT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         |  CAST(coalesce(p.n_bg, 0) AS INT) AS n_bigrams,
+         |  CAST(coalesce(p.top_c, 0) AS INT) AS top_bigram_count,
+         |  CASE WHEN len(toks) > 0
+         |       THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS distinct_ratio,
+         |  CASE WHEN coalesce(p.n_bg, 0) > 0
+         |       THEN CAST(p.top_c AS DOUBLE) / p.n_bg ELSE 0.0 END AS top_bigram_frac
+         |FROM tk t LEFT JOIN top p ON p.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Int8 scalar quantization profile of every embedding via the
+    // one-pass QuantizeStats kernel; fixed-order IEEE arithmetic makes
+    // the codes reproducible in a DuckDB list_transform.
+    "embedding_quantize" -> QueryDef(
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(col("vec_id"), exprs.quantizeStats(col("embedding")).as("q"))
+          .select(
+            col("vec_id"),
+            col("q.q_min").as("q_min"),
+            col("q.q_max").as("q_max"),
+            col("q.q_sum").as("q_sum"),
+            col("q.scale").as("scale"))
+          .orderBy(col("vec_id")),
+      """WITH e AS (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+        |c AS (SELECT vec_id, mn, mx,
+        |  CASE WHEN mx > mn
+        |       THEN list_transform(embedding, x -> CAST(floor(((CAST(x AS DOUBLE) - mn) * 255) / (mx - mn)) AS BIGINT))
+        |       ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS codes FROM e)
+        |SELECT vec_id,
+        |  CAST(list_min(codes) AS INT) AS q_min,
+        |  CAST(list_max(codes) AS INT) AS q_max,
+        |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |  (mx - mn) / 255 AS scale
+        |FROM c ORDER BY vec_id""".stripMargin)
+  )
+}

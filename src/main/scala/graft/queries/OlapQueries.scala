@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -110,6 +111,92 @@ object OlapQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name
          |ORDER BY r_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Rolling 3-month moving average of revenue per region: a framed
+    // window (ROWS BETWEEN 2 PRECEDING) over the monthly star rollup —
+    // partitioned by region, so no single-partition WindowExec; the
+    // frame sums stay decimal until the final double cast.
+    "monthly_moving_avg" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name").as("region"), trunc(col("o_orderdate"), "month").as("month"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).as("rev"))
+        val w = Window.partitionBy(col("region")).orderBy(col("month"))
+          .rowsBetween(-2, Window.currentRow)
+        m.select(
+          col("region"), col("month"),
+          col("rev").cast("double").as("revenue"),
+          (sum(col("rev")).over(w).cast("double") / count(lit(1)).over(w)).as("ma3"))
+          .orderBy(col("region"), col("month"))
+      },
+      """WITH m AS (SELECT r_name AS region, date_trunc('month', o_orderdate) AS month,
+        |  SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT region, month, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(SUM(rev) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma3
+        |FROM m WINDOW w AS (PARTITION BY region ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY region, month""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Customer-value deciles via ExactNtile — NTILE(10) semantics from
+    // a distributed dense rank (range-repartition + zipWithIndex), no
+    // single-partition window; oracle states it as plain ntile.
+    "customer_deciles" -> QueryDef(
+      (s, dir) => {
+        val spend = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).as("spend"))
+        graft.operators.ExactNtile
+          .withNtile(spend, Seq(col("spend").desc, col("o_custkey")), 10, "decile")
+          .groupBy(col("decile"))
+          .agg(
+            count(lit(1)).as("n_customers"),
+            sum(col("spend")).cast("double").as("total_spend"),
+            min(col("spend")).cast("double").as("min_spend"),
+            max(col("spend")).cast("double").as("max_spend"))
+          .orderBy(col("decile"))
+      },
+      """WITH spend AS (SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS spend
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT o_custkey, spend, ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile FROM spend)
+        |SELECT decile, COUNT(*) AS n_customers,
+        |  CAST(SUM(spend) AS DOUBLE) AS total_spend,
+        |  CAST(min(spend) AS DOUBLE) AS min_spend,
+        |  CAST(max(spend) AS DOUBLE) AS max_spend
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Ordered string aggregation: each customer's top-3 orders by value
+    // as a comma list. Partitioned row_number + three conditional maxes
+    // — no collect_list buffering, order enforced by rank not by
+    // accumulation order (which Spark never guarantees distributed).
+    "basket_top3_orders" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(concat_ws(",",
+            max(when(col("rn") === 1, col("o_orderkey").cast("string"))),
+            max(when(col("rn") === 2, col("o_orderkey").cast("string"))),
+            max(when(col("rn") === 3, col("o_orderkey").cast("string")))).as("top_orders"))
+          .orderBy(col("c_custkey"))
+      },
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey AS c_custkey,
+        |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rn) AS top_orders
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ------------------------------------------------------------------
     // Continuous percentiles of order value per status (linear

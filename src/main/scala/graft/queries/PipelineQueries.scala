@@ -1107,6 +1107,28 @@ object PipelineQueries {
          |ORDER BY window_start, event_type""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Funnel conversion view→purchase per user: two user-keyed aggs +
+    // one user-keyed join (one partitioning reused end-to-end, two
+    // timestamps of state per user — see graft.operators.Funnel).
+    "events_funnel" -> QueryDef(
+      (s, dir) =>
+        Funnel.firstConversion(
+          Tables.events(s, dir), "user_id", "ts", "event_type",
+          from = "view", to = "purchase")
+          .select(
+            col("user_id"), col("first_view"), col("first_purchase"),
+            col("us_to_convert"))
+          .orderBy(col("user_id")),
+      """WITH v AS (SELECT user_id, min(ts) AS first_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |p AS (SELECT e.user_id, v.first_view, min(e.ts) AS first_purchase
+        |      FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > v.first_view GROUP BY 1, 2)
+        |SELECT user_id, first_view, first_purchase,
+        |  CAST(date_diff('microsecond', first_view, first_purchase) AS BIGINT) AS us_to_convert
+        |FROM p ORDER BY user_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Sessionization (30-min inactivity gap) via ranking windows — the
     // window-function tier the reference lacks (SURVEY.md §2.5).
     "events_sessionize" -> QueryDef(

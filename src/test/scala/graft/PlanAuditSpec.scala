@@ -17,7 +17,8 @@ class PlanAuditSpec extends SparkSuite {
   private val oneRowCrossJoinOk = Set(
     "share_within_segment", "share_of_total_window", "table_profile",
     "mef_star_incremental_ytd", "ann_bruteforce_topk", "text_tfidf",
-    "negative_sampling") // corpus size N as a broadcast 1-row aggregate
+    "negative_sampling", // corpus size N as a broadcast 1-row aggregate
+    "customer_deciles")  // ExactNtile: total row count N as a broadcast 1-row aggregate
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
