@@ -136,6 +136,33 @@ object TextOps {
       .limit(topK)
   }
 
+  /** Per-doc vocabulary coverage against a fixed token vocabulary —
+    * the tokenizer-fit diagnostic of a training pipeline (how much of
+    * each document a bounded vocab can encode; the complement is the
+    * OOV rate).
+    *
+    * `vocab` must expose a `token` column and is bounded by
+    * construction (a [[vocabulary]] top-k cut), so it rides a
+    * BROADCAST join — the corpus token stream never shuffles on the
+    * token; the only exchange is the per-doc final aggregate keyed by
+    * doc id. Docs with zero tokens survive via `explode_outer` with
+    * coverage 0.
+    */
+  def vocabCoverage(
+      df: DataFrame, idCol: String, textCol: String, vocab: DataFrame): DataFrame =
+    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("token"))
+      .join(
+        broadcast(vocab.select(col("token")).withColumn("in_vocab", lit(1))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("token")).as("n_tokens"),
+        count(col("in_vocab")).as("n_in_vocab"))
+      .withColumn(
+        "vocab_coverage",
+        when(col("n_tokens") > 0,
+          col("n_in_vocab").cast("double") / col("n_tokens")).otherwise(0.0))
+
   /** TF-IDF per (doc, token) with a RATIONAL idf:
     *
     *   tfidf = (tf / doc_len) * (n_docs / doc_freq)

@@ -113,6 +113,61 @@ object OlapQueries {
          |ORDER BY r_name""".stripMargin),
 
     // ------------------------------------------------------------------
+    // CUBE over (region, status): all four grouping-set combinations
+    // in one pass (Expand ×4 of the agg input, not of the scan);
+    // grouping keys coalesced so sort keys stay non-null.
+    "cube_region_status" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .cube(col("r_name"), col("o_orderstatus"))
+          .agg(
+            sum(col("o_totalprice").cast(DecimalType(20, 2))).cast("double").as("total"),
+            count(lit(1)).as("n"))
+          .select(
+            coalesce(col("r_name"), lit("ALL")).as("region"),
+            coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+            col("total"), col("n"))
+          .orderBy(col("region"), col("status")),
+      s"""SELECT COALESCE(r_name, 'ALL') AS region,
+         |  COALESCE(o_orderstatus, 'ALL') AS status,
+         |  ${decSumSql("o_totalprice")} AS total,
+         |  COUNT(*) AS n
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY CUBE(r_name, o_orderstatus)
+         |ORDER BY region, status""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Orders above their customer's average — the decorrelated form of
+    // the scalar subquery `WHERE price > (SELECT avg .. same customer)`:
+    // aggregate once per customer, join back on the same key (the agg's
+    // partitioning is reused; no per-row subquery execution).
+    "orders_above_cust_avg" -> QueryDef(
+      (s, dir) => {
+        val avgs = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg((graft.functions.Money.decSum(col("o_totalprice")) / count(lit(1)))
+            .as("cust_avg"))
+        Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .join(avgs, "o_custkey")
+          .filter(col("o_totalprice") > col("cust_avg"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"), col("cust_avg"))
+          .orderBy(col("o_orderkey"))
+      },
+      s"""WITH avgs AS (
+         |  SELECT o_custkey,
+         |    ${decSumSql("o_totalprice")} / COUNT(*) AS cust_avg
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderkey, o.o_custkey, o_totalprice, cust_avg
+         |FROM orders o JOIN avgs a ON o.o_custkey = a.o_custkey
+         |WHERE o_totalprice > cust_avg
+         |ORDER BY o_orderkey""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Rolling 3-month moving average of revenue per region: a framed
     // window (ROWS BETWEEN 2 PRECEDING) over the monthly star rollup —
     // partitioned by region, so no single-partition WindowExec; the

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Money
 import graft.functions.Money.decSumSql
 import graft.functions.ModPrime
 import graft.functions.md5exprs.winnowFingerprintMd5
@@ -462,6 +463,61 @@ object PipelineQueries {
          |WHERE doc_freq >= 2
          |ORDER BY doc_freq DESC, n_occurrences DESC, token
          |LIMIT 200""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Vocabulary-coverage encoding: how much of each doc a bounded
+    // top-10 vocab can encode (OOV complement). Vocab is broadcast —
+    // the token stream never shuffles on the token.
+    "text_vocab_encode" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val vocab = TextOps.vocabulary(
+          docs, "doc_id", "text", minDf = 2, topK = 10,
+          tokenPattern = Some("^[a-z0-9]+$"))
+        TextOps.vocabCoverage(docs, "doc_id", "text", vocab)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, token FROM (
+         |    SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |  ) WHERE regexp_matches(token, '^[a-z0-9]+$$')
+         |), perdoc AS (
+         |  SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY 1, 2
+         |), vocab AS (
+         |  SELECT token FROM (
+         |    SELECT token, COUNT(*) AS doc_freq, SUM(n) AS n_occurrences
+         |    FROM perdoc GROUP BY 1)
+         |  WHERE doc_freq >= 2
+         |  ORDER BY doc_freq DESC, n_occurrences DESC, token LIMIT 10
+         |), alltok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), cov AS (
+         |  SELECT a.doc_id, count(*) AS n_tokens, count(v.token) AS n_in_vocab
+         |  FROM alltok a LEFT JOIN vocab v ON a.token = v.token GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(c.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(c.n_in_vocab, 0) AS BIGINT) AS n_in_vocab,
+         |  CASE WHEN coalesce(c.n_tokens, 0) > 0
+         |       THEN CAST(c.n_in_vocab AS DOUBLE) / c.n_tokens ELSE 0.0 END AS vocab_coverage
+         |FROM documents d LEFT JOIN cov c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Fixed-bucket value histogram over the event stream: bucket id is
+    // closed-form floor arithmetic (map-side), one hash agg — the
+    // standard distribution profile at any scale.
+    "value_histogram" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(least(floor(col("value") / 50), lit(9L)).cast("int").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            Money.decSum(col("value"), 2).as("total_value"))
+          .orderBy(col("bucket")),
+      s"""SELECT CAST(least(floor(value / 50), 9) AS INT) AS bucket,
+         |  COUNT(*) AS n_events,
+         |  ${decSumSql("value", 2)} AS total_value
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ------------------------------------------------------------------
     // TF-IDF with rational idf — every arithmetic step is a
