@@ -113,6 +113,57 @@ object OlapQueries {
          |ORDER BY r_name""".stripMargin),
 
     // ------------------------------------------------------------------
+    // LEFT SEMI join (EXISTS): customers with ≥1 order in 1998 —
+    // completes the join-type matrix next to the anti-join query; the
+    // year predicate rides TimePred so it prunes at the orders scan.
+    "semijoin_customers_1998" -> QueryDef(
+      (s, dir) =>
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+          .join(
+            Tables.orders(s, dir)
+              .filter(TimePred.inYear(col("o_orderdate"), 1998))
+              .select(col("o_custkey").as("c_custkey")),
+            Seq("c_custkey"), "left_semi")
+          .orderBy(col("c_custkey")),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND year(o_orderdate) = 1998)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // IQR outlier fences per event type (Tukey): percentile fences are
+    // a tiny per-group table → broadcast back over the stream; the
+    // count-above-fence pass stays map-side + one hash agg.
+    "outlier_events_iqr" -> QueryDef(
+      (s, dir) => {
+        val fences = Tables.events(s, dir)
+          .groupBy(col("event_type"))
+          .agg(
+            expr("percentile(value, 0.25)").as("q1"),
+            expr("percentile(value, 0.75)").as("q3"))
+          .withColumn("fence_hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+          .select(col("event_type"), col("fence_hi"))
+        Tables.events(s, dir).select(col("event_type"), col("value"))
+          .join(broadcast(fences), "event_type")
+          .groupBy(col("event_type"), col("fence_hi"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(when(col("value") > col("fence_hi"), 1L).otherwise(0L)).as("n_outliers"))
+          .select(col("event_type"), col("n_events"), col("fence_hi"), col("n_outliers"))
+          .orderBy(col("event_type"))
+      },
+      """WITH f AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1,
+        |    quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, COUNT(*) AS n_events,
+        |  f.q3 + 1.5 * (f.q3 - f.q1) AS fence_hi,
+        |  CAST(SUM(CASE WHEN value > f.q3 + 1.5 * (f.q3 - f.q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM events e JOIN f ON e.event_type = f.event_type
+        |GROUP BY 1, 3 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // CUBE over (region, status): all four grouping-set combinations
     // in one pass (Expand ×4 of the agg input, not of the scan);
     // grouping keys coalesced so sort keys stay non-null.

@@ -1163,6 +1163,37 @@ object PipelineQueries {
          |ORDER BY window_start, event_type""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Inter-event gap profile per user: lag window keyed by user (the
+    // partitioned-window shape — never an empty partition), exact
+    // integer microsecond gaps so the avg division is bit-stable.
+    "events_lag_gaps" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir).select(col("user_id"), col("event_id"), col("ts"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .filter(col("prev_ts").isNotNull)
+          .select(
+            col("user_id"),
+            (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_gaps"),
+            max(col("gap")).as("max_gap_us"),
+            (sum(col("gap")).cast("double") / count(lit(1))).as("avg_gap_us"))
+          .orderBy(col("user_id"))
+      },
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |g AS (SELECT user_id, CAST(date_diff('microsecond', prev_ts, ts) AS BIGINT) AS gap
+        |      FROM d WHERE prev_ts IS NOT NULL)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_us,
+        |  CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Funnel conversion view→purchase per user: two user-keyed aggs +
     // one user-keyed join (one partitioning reused end-to-end, two
     // timestamps of state per user — see graft.operators.Funnel).
