@@ -830,6 +830,94 @@ case class TokenRepetition(child: Expression)
     copy(child = newChild)
 }
 
+/** Distinct word n-grams of a text column as STRINGS, one pass — the
+  * kernel form of `Dedup.shingles`'s HOF composition
+  * (`transform(sequence…, slice+concat_ws)` builds an interpreted
+  * lambda per gram; this walks the token list once). Tokenization is
+  * the engine convention (lowercase, regex-`\s` split, drop empties);
+  * grams join with a single space; output keeps first-occurrence order
+  * exactly like `array_distinct`. Null or short input → empty array
+  * (matches the composed form's `otherwise(array())`). String grams —
+  * not hashes — so DuckDB twins (`array_to_string(toks[i:i+n-1])`)
+  * compare bit-exactly; hash-keyed flows use [[NgramHashes]] instead.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"word_ngrams requires string, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) new GenericArrayData(Array.empty[Any])
+    else WordNgrams.grams(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val ad = "org.apache.spark.sql.catalyst.util.ArrayData"
+    val gad = "org.apache.spark.sql.catalyst.util.GenericArrayData"
+    ev.copy(
+      code = childGen.code +
+        code"""
+           |$ad ${ev.value} = ${childGen.isNull}
+           |  ? new $gad(new Object[0])
+           |  : graft.functions.WordNgrams$$.MODULE$$.grams(${childGen.value}, $n);
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  /** Distinct space-joined word n-grams, first-occurrence order. */
+  def grams(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toLowerCase.toString
+    val len = s.length
+    @inline def isWs(c: Char): Boolean = (c >= 9 && c <= 13) || c == ' '
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var g = 0
+    while (g <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(g + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      g += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** Int8 scalar-quantization profile of a float/double vector in one
   * pass: per-vector min/max range, codes
   * `floor(((x − mn) · 255) / (mx − mn))` (0..255; all-equal vectors
@@ -957,6 +1045,10 @@ object exprs {
   /** Map-side bloom probe of a long column vs a serialized filter. */
   def bloomMightContainLong(h: Column, filterBytes: Array[Byte]): Column =
     GraftShim.column(BloomMightContainLong(GraftShim.expression(h), filterBytes))
+
+  /** Distinct word n-grams as strings, one pass (kernel shingles). */
+  def wordNgrams(text: Column, n: Int): Column =
+    GraftShim.column(WordNgrams(GraftShim.expression(text), n))
 
   /** One-pass token repetition profile (Gopher-style signals). */
   def tokenRepetition(text: Column): Column =

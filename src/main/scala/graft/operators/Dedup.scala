@@ -31,15 +31,16 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
   }
 
-  /** Word n-gram shingle set (distinct), as an array column. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = TextOps.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-        .otherwise(array()))
-  }
+  /** Word n-gram shingle set (distinct, first-occurrence order), as an
+    * array column — the one-pass [[graft.functions.WordNgrams]] kernel.
+    * Bit-equal to the Column composition
+    * `array_distinct(transform(sequence…, concat_ws(" ", slice(toks,…))))`
+    * (AnalyticsOpsSpec asserts the equivalence) but without the
+    * per-gram interpreted lambda: measured 3.4s → sub-second on the
+    * contamination sweep at sf0.1.
+    */
+  def shingles(text: Column, n: Int): Column =
+    graft.functions.exprs.wordNgrams(text, n)
 
   /** Winnowing-fingerprint near-dup pairs: docs sharing ≥ `minShared`
     * fingerprints ([[graft.functions.WinnowFingerprint]] — robust to

@@ -75,6 +75,31 @@ class AnalyticsOpsSpec extends SparkSuite {
       4L -> ((0L, 0L, 0))))
   }
 
+  // ----------------------------------------------------- word ngrams
+  test("WordNgrams kernel == HOF shingle composition, incl. edge shapes") {
+    val docs = Seq(
+      "alpha beta gamma delta beta gamma delta",   // repeated gram → distinct
+      "  Mixed  CASE\ttokens \n split  here  ",
+      "one two",                                   // shorter than n
+      "exact three toks",
+      ""
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(2, 3)) {
+      val toks = filter(split(lower(coalesce(col("text"), lit(""))), "\\s+"),
+        t => length(t) > 0)
+      val hof = array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+      val got = docs.select(col("id"), graft.operators.Dedup.shingles(col("text"), n).as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+      val want = docs.select(col("id"), hof.as("g"))
+        .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList)).toMap
+      assert(got == want, s"n=$n")
+    }
+  }
+
   // ----------------------------------------------------- token repetition
   test("TokenRepetition: counts, modal bigram, whitespace and case") {
     def rep(s: String) = Seq(Tuple1(s)).toDF("text")
