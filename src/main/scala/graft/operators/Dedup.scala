@@ -200,8 +200,16 @@ object Dedup {
     */
   def keepRepresentatives(
       df: DataFrame, idCol: String, pairs: DataFrame,
-      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
-    val drops = connectedComponents(pairs, aCol, bCol)
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame =
+    keepRepresentativesFromLabels(df, idCol, connectedComponents(pairs, aCol, bCol))
+
+  /** [[keepRepresentatives]] over PRECOMPUTED component labels
+    * (id, component) — the load-once/query-many path when the cluster
+    * artifact is already built: one anti-join, no CC rounds.
+    */
+  def keepRepresentativesFromLabels(
+      df: DataFrame, idCol: String, labels: DataFrame): DataFrame = {
+    val drops = labels
       .filter(col("component") =!= col("id"))
       .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")

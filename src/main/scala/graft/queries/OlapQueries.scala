@@ -113,6 +113,66 @@ object OlapQueries {
          |ORDER BY r_name""".stripMargin),
 
     // ------------------------------------------------------------------
+    // EXCEPT ALL / INTERSECT ALL — multiset semantics (bag difference
+    // keeps surplus multiplicity; the distinct forms live in
+    // setops_customer_activity). Results re-aggregated so output is
+    // deterministic.
+    "setops_multiset_priority" -> QueryDef(
+      (s, dir) => {
+        def prio(y: Int) = Tables.orders(s, dir)
+          .filter(TimePred.inYear(col("o_orderdate"), y))
+          .select(col("o_orderpriority"))
+        val ex = prio(1996).exceptAll(prio(1997))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("except_all"))
+        val in = prio(1996).intersectAll(prio(1997))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+          .withColumn("op", lit("intersect_all"))
+        ex.unionByName(in).orderBy(col("op"), col("o_orderpriority"))
+      },
+      """SELECT o_orderpriority, COUNT(*) AS n, 'except_all' AS op FROM (
+        |  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997) GROUP BY 1
+        |UNION ALL
+        |SELECT o_orderpriority, COUNT(*) AS n, 'intersect_all' AS op FROM (
+        |  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1997) GROUP BY 1
+        |ORDER BY op, o_orderpriority""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // GROUPING SETS — the general grouping-set form (rollup and cube
+    // queries cover the derived forms), stated through the SQL surface
+    // over a temp view: identical SQL runs on both engines.
+    "groupingsets_region_year" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .select(
+            col("r_name").as("region"),
+            year(col("o_orderdate")).cast("string").as("anio"),
+            col("o_totalprice").cast(DecimalType(20, 2)).as("p"))
+          .createOrReplaceTempView("gs_orders_v")
+        s.sql(
+          """SELECT COALESCE(region, 'ALL') AS region, COALESCE(anio, 'ALL') AS anio,
+            |  CAST(SUM(p) AS DOUBLE) AS total, COUNT(*) AS n
+            |FROM gs_orders_v GROUP BY GROUPING SETS ((region), (anio), ())
+            |ORDER BY region, anio""".stripMargin)
+      },
+      """WITH j AS (
+        |  SELECT r_name AS region, CAST(year(o_orderdate) AS VARCHAR) AS anio,
+        |         CAST(o_totalprice AS DECIMAL(20,2)) AS p
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey)
+        |SELECT COALESCE(region, 'ALL') AS region, COALESCE(anio, 'ALL') AS anio,
+        |  CAST(SUM(p) AS DOUBLE) AS total, COUNT(*) AS n
+        |FROM j GROUP BY GROUPING SETS ((region), (anio), ())
+        |ORDER BY region, anio""".stripMargin),
+
+    // ------------------------------------------------------------------
     // LEFT SEMI join (EXISTS): customers with ≥1 order in 1998 —
     // completes the join-type matrix next to the anti-join query; the
     // year predicate rides TimePred so it prunes at the orders scan.

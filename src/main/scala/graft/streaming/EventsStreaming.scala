@@ -48,6 +48,29 @@ object EventsStreaming {
         col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("total_value"))
 
+  /** STREAM-STREAM inner join: views ⋈ purchases per user within an
+    * attribution horizon. Both sides carry watermarks and the join
+    * condition bounds purchase_ts to (view_ts, view_ts + horizon] —
+    * the two constraints together let Spark expire buffered rows (a
+    * stream-stream join without them holds both streams forever).
+    * Emits one row per qualifying (view, purchase) pair, unlike the
+    * funnel's first-conversion-only state machine.
+    */
+  def viewPurchaseJoin(events: DataFrame, horizonMinutes: Int = 60): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    views.join(
+      purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event
     * count + value total, updated per micro-batch (Update output mode).
     */
