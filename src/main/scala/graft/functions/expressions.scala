@@ -840,8 +840,12 @@ case class TokenRepetition(child: Expression)
   * (matches the composed form's `otherwise(array())`). String grams —
   * not hashes — so DuckDB twins (`array_to_string(toks[i:i+n-1])`)
   * compare bit-exactly; hash-keyed flows use [[NgramHashes]] instead.
+  *
+  * `dedup = false` keeps every occurrence in order (one gram per token
+  * window) — the multiplicity-preserving form collocation counting
+  * needs; dedup = true (the default) matches shingle semantics.
   */
-case class WordNgrams(child: Expression, n: Int)
+case class WordNgrams(child: Expression, n: Int, dedup: Boolean = true)
     extends UnaryExpression {
   require(n > 0, "n must be positive")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -856,7 +860,7 @@ case class WordNgrams(child: Expression, n: Int)
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
     if (v == null) new GenericArrayData(Array.empty[Any])
-    else WordNgrams.grams(v.asInstanceOf[UTF8String], n)
+    else WordNgrams.grams(v.asInstanceOf[UTF8String], n, dedup)
   }
 
   override protected def doGenCode(
@@ -873,7 +877,7 @@ case class WordNgrams(child: Expression, n: Int)
         code"""
            |$ad ${ev.value} = ${childGen.isNull}
            |  ? new $gad(new Object[0])
-           |  : graft.functions.WordNgrams$$.MODULE$$.grams(${childGen.value}, $n);
+           |  : graft.functions.WordNgrams$$.MODULE$$.grams(${childGen.value}, $n, $dedup);
            |""".stripMargin,
       isNull = FalseLiteral)
   }
@@ -883,8 +887,10 @@ case class WordNgrams(child: Expression, n: Int)
 }
 
 object WordNgrams {
-  /** Distinct space-joined word n-grams, first-occurrence order. */
-  def grams(text: UTF8String, n: Int): GenericArrayData = {
+  /** Space-joined word n-grams: distinct first-occurrence order when
+    * `dedup`, else every window in sequence order.
+    */
+  def grams(text: UTF8String, n: Int, dedup: Boolean = true): GenericArrayData = {
     val s = text.toLowerCase.toString
     val len = s.length
     @inline def isWs(c: Char): Boolean = (c >= 9 && c <= 13) || c == ' '
@@ -898,6 +904,7 @@ object WordNgrams {
     }
     if (toks.length < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()
+    val all = if (dedup) null else new scala.collection.mutable.ArrayBuffer[String]()
     var g = 0
     while (g <= toks.length - n) {
       val sb = new java.lang.StringBuilder()
@@ -907,14 +914,21 @@ object WordNgrams {
         sb.append(toks(g + j))
         j += 1
       }
-      seen.add(sb.toString)
+      if (dedup) seen.add(sb.toString) else all += sb.toString
       g += 1
     }
-    val out = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
-    new GenericArrayData(out)
+    if (dedup) {
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var k = 0
+      while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+      new GenericArrayData(out)
+    } else {
+      val out = new Array[Any](all.length)
+      var k = 0
+      while (k < all.length) { out(k) = UTF8String.fromString(all(k)); k += 1 }
+      new GenericArrayData(out)
+    }
   }
 }
 
@@ -1049,6 +1063,12 @@ object exprs {
   /** Distinct word n-grams as strings, one pass (kernel shingles). */
   def wordNgrams(text: Column, n: Int): Column =
     GraftShim.column(WordNgrams(GraftShim.expression(text), n))
+
+  /** ALL word n-grams in sequence order (multiplicity preserved) —
+    * the counting form for collocation / language-model statistics.
+    */
+  def wordNgramsAll(text: Column, n: Int): Column =
+    GraftShim.column(WordNgrams(GraftShim.expression(text), n, dedup = false))
 
   /** One-pass token repetition profile (Gopher-style signals). */
   def tokenRepetition(text: Column): Column =

@@ -32,4 +32,29 @@ object HashSample {
   /** Sample rows of `df` by hashing `keyCols` (joined with '-'). */
   def sample(df: DataFrame, keyCols: Seq[String], fraction: Double): DataFrame =
     df.filter(accept(concat_ws("-", keyCols.map(col): _*), fraction))
+
+  /** Deterministic train/val/test-style split assignment: each row's
+    * split is chosen by where its key's md5 digest falls among the
+    * cumulative-fraction cut points — e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.9)` with `rest = "test"`.
+    * A pure per-key function like [[accept]]: map-only, reproducible
+    * across engines/cluster sizes, and stable under incremental
+    * appends (new rows never move old rows between splits — the
+    * property a 100 TB corpus refresh needs).
+    */
+  def assignSplits(
+      key: Column, cuts: Seq[(String, Double)], rest: String): Column = {
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cut points must ascend")
+    val h = md5(key.cast("string"))
+    cuts.foldRight(lit(rest)) { case ((name, cum), elseCol) =>
+      when(h < lit(thresholdHex(cum)), name).otherwise(elseCol)
+    }
+  }
+
+  /** DuckDB CASE twin of [[assignSplits]] over a SQL key expression. */
+  def assignSplitsSql(
+      keyExpr: String, cuts: Seq[(String, Double)], rest: String): String =
+    cuts.map { case (name, cum) =>
+      s"WHEN md5(CAST($keyExpr AS VARCHAR)) < '${thresholdHex(cum)}' THEN '$name'"
+    }.mkString("CASE ", " ", s" ELSE '$rest' END")
 }

@@ -110,6 +110,35 @@ object IncrementalQueries {
          |ORDER BY o_orderkey""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Train/val/test split assignment: each doc's split is a pure
+    // function of md5(doc_id) vs cumulative cut points (80/10/10) —
+    // reproducible across engines and cluster sizes, and stable under
+    // appends (new docs never move old docs between splits). Verified
+    // through per-(split, source) counts, char sums, and id extrema:
+    // any single reassigned row shifts at least two groups.
+    "split_assignment_docs" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .withColumn("split", HashSample.assignSplits(
+            col("doc_id"), Seq("train" -> 0.8, "val" -> 0.9), rest = "test"))
+          .groupBy(col("split"), col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_id"),
+            max(col("doc_id")).as("max_id"))
+          .orderBy(col("split"), col("source")),
+      s"""SELECT
+         |  ${HashSample.assignSplitsSql(
+               "doc_id", Seq("train" -> 0.8, "val" -> 0.9), rest = "test")} AS split,
+         |  source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM documents
+         |GROUP BY 1, 2
+         |ORDER BY split, source""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Skew-safe two-stage aggregation: bit-identical to the direct
     // groupBy for decomposable aggregates (quantity is integer-valued).
     "salted_agg_pricing" -> QueryDef(

@@ -113,6 +113,60 @@ object OlapQueries {
          |ORDER BY r_name""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Pearson correlation as a decomposable single-pass aggregate:
+    // corr from {n, Σx, Σy, Σxy, Σx², Σy²}, the standard distributed
+    // derivation (partials merge by addition, so map-side combine and
+    // salting both apply — unlike a naive two-pass mean-then-deviation
+    // form). Sums run in EXACT decimal (order-independent), the final
+    // formula in a fixed IEEE order with correctly-rounded sqrt — so
+    // the double is bit-identical to DuckDB's, where built-in corr()
+    // (order-dependent double accumulation) would not be. Measures are
+    // quantity (integer ≤ 2 digits) and discount (2 decimals): every
+    // sum's unscaled value stays far below 2^53, so the decimal→double
+    // conversions are themselves exact — price² sums would overflow
+    // that range, and their conversion ROUNDING is where engine parity
+    // first breaks (observed: last-ulp corr divergence).
+    "corr_qty_discount" -> QueryDef(
+      (s, dir) => {
+        val x = col("l_quantity").cast(DecimalType(4, 0))
+        val y = col("l_discount").cast(DecimalType(3, 2))
+        val nD = col("n").cast("double")
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"),
+            sum(y * y).cast("double").as("syy"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((nD * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+                sqrt(nD * col("syy") - col("sy") * col("sy"))))
+              .as("corr_qty_discount"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+        |             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))
+        |             * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))
+        |             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |   * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS corr_qty_discount
+        |FROM s ORDER BY l_returnflag""".stripMargin),
+
+    // ------------------------------------------------------------------
     // EXCEPT ALL / INTERSECT ALL — multiset semantics (bag difference
     // keeps surplus multiplicity; the distinct forms live in
     // setops_customer_activity). Results re-aggregated so output is

@@ -373,6 +373,60 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Collocation mining: top bigrams by LIFT = P(xy)/(P(x)P(y)),
+    // stated as c_xy*N/(c_x*c_y) in a fixed IEEE operation order so
+    // both engines produce bit-identical doubles (no transcendentals —
+    // PMI's log is monotone in lift, so ranking is unchanged). The
+    // min-count filter runs BEFORE the two vocab joins: at corpus
+    // scale the bigram-type table shrinks ~100× there, and both joins
+    // key on already-aggregated type counts (one row per type, so
+    // Zipf-head tokens cannot skew a partition).
+    "text_collocations" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val uni = docs.select(
+          explode(graft.functions.exprs.wordNgramsAll(col("text"), 1)).as("tok"))
+        val unic = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val tot = uni.agg(count(lit(1)).as("n_total"))
+        docs
+          .select(explode(
+            graft.functions.exprs.wordNgramsAll(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+          .filter(col("c_xy") >= 5)
+          .withColumn("x", split(col("bigram"), " ").getItem(0))
+          .withColumn("y", split(col("bigram"), " ").getItem(1))
+          .join(unic.select(col("tok").as("x"), col("c").as("c_x")), Seq("x"))
+          .join(unic.select(col("tok").as("y"), col("c").as("c_y")), Seq("y"))
+          .crossJoin(broadcast(tot))
+          .select(
+            col("bigram"), col("c_xy"), col("c_x"), col("c_y"),
+            (col("c_xy").cast("double") * col("n_total").cast("double") /
+              col("c_x").cast("double") / col("c_y").cast("double")).as("lift"))
+          .orderBy(col("lift").desc, col("bigram"))
+          .limit(50)
+      },
+      s"""WITH toks AS (
+         |  SELECT $toksSql AS tk FROM documents),
+         |uni AS (SELECT unnest(tk) AS tok FROM toks),
+         |unic AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+         |tot AS (SELECT COUNT(*) AS n_total FROM uni),
+         |bic AS (
+         |  SELECT bg AS bigram, COUNT(*) AS c_xy FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |    FROM toks) GROUP BY bg
+         |  HAVING COUNT(*) >= 5)
+         |SELECT bigram, c_xy, cx.c AS c_x, cy.c AS c_y,
+         |  CAST(c_xy AS DOUBLE) * CAST(n_total AS DOUBLE)
+         |    / CAST(cx.c AS DOUBLE) / CAST(cy.c AS DOUBLE) AS lift
+         |FROM bic
+         |JOIN unic cx ON cx.tok = string_split(bigram, ' ')[1]
+         |JOIN unic cy ON cy.tok = string_split(bigram, ' ')[2]
+         |CROSS JOIN tot
+         |ORDER BY lift DESC, bigram
+         |LIMIT 50""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Deterministic negative sampling (contrastive pairs): 3 hash-
     // drawn negatives per doc via md5-lower63(doc_id:draw) mod N over
     // a dense rank — no RNG state, reproducible across engines and

@@ -79,6 +79,26 @@ class IncrementalOpsSpec extends SparkSuite {
     assert(s01.subsetOf(s1))
   }
 
+  test("assignSplits: total, append-stable, fractions ballpark, sample-coherent") {
+    val cuts = Seq("train" -> 0.8, "val" -> 0.9)
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), HashSample.assignSplits(col("id"), cuts, "test").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val all = splits(spark.range(10000).toDF("id"))
+    assert(all.values.toSet == Set("train", "val", "test"), "every split populated")
+    // append stability: assignment over a subset is the restriction
+    val head = splits(spark.range(5000).toDF("id"))
+    assert(head.forall { case (k, v) => all(k) == v })
+    // fractions within 2 points
+    val frac = all.values.groupBy(identity).view.mapValues(_.size / 10000.0)
+    assert(math.abs(frac("train") - 0.8) < 0.02, s"train ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.02, s"val ${frac("val")}")
+    // coherent with sample(): the 0.8-fraction accept set IS the train split
+    val s80 = HashSample.sample(spark.range(10000).toDF("id"), Seq("id"), 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(all.filter(_._2 == "train").keySet == s80)
+  }
+
   test("hash sample: fraction edge cases") {
     val df = spark.range(100).select(col("id"))
     assert(HashSample.sample(df, Seq("id"), 0.0).count() == 0)

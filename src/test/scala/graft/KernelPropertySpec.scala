@@ -60,6 +60,20 @@ class KernelPropertySpec extends SparkSuite {
     }
   }
 
+  test("WordNgrams dedup=false: every window in order, multiplicity kept") {
+    for (n <- Seq(1, 2, 3)) {
+      val rows = genTexts.toDF("text")
+        .select(col("text"), exprs.wordNgramsAll(col("text"), n).as("g"))
+        .collect()
+      rows.foreach { r =>
+        val toks = hostTokens(r.getString(0))
+        val grams = r.getSeq[String](1)
+        val expected = toks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+        assert(grams.toList == expected, s"n=$n text='${r.getString(0)}'")
+      }
+    }
+  }
+
   test("QuantizeStats: code bounds, sum envelope, monotone scale") {
     val gen = for {
       n <- Gen.choose(1, 32)
