@@ -384,10 +384,12 @@ object PipelineQueries {
     "text_collocations" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val uni = docs.select(
-          explode(graft.functions.exprs.wordNgramsAll(col("text"), 1)).as("tok"))
-        val unic = uni.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        val tot = uni.agg(count(lit(1)).as("n_total"))
+        val unic = docs
+          .select(explode(
+            graft.functions.exprs.wordNgramsAll(col("text"), 1)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        // total tokens from the vocab counts — no second corpus pass
+        val tot = unic.agg(sum(col("c")).as("n_total"))
         docs
           .select(explode(
             graft.functions.exprs.wordNgramsAll(col("text"), 2)).as("bigram"))
@@ -407,9 +409,10 @@ object PipelineQueries {
       },
       s"""WITH toks AS (
          |  SELECT $toksSql AS tk FROM documents),
-         |uni AS (SELECT unnest(tk) AS tok FROM toks),
-         |unic AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
-         |tot AS (SELECT COUNT(*) AS n_total FROM uni),
+         |unic AS (
+         |  SELECT tok, COUNT(*) AS c
+         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_total FROM unic),
          |bic AS (
          |  SELECT bg AS bigram, COUNT(*) AS c_xy FROM (
          |    SELECT unnest(list_transform(range(1, len(tk)),
