@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
+import graft.functions.Money
 import graft.functions.Money.decSumSql
 import graft.functions.TimePred
 
@@ -111,6 +112,102 @@ object OlapQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name
          |ORDER BY r_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // UNPIVOT (melt): wide per-flag measure sums to long (measure, val)
+    // rows — the inverse of the pivot query. Spark's native unpivot
+    // (Expand under the hood: one pass, no join/union re-scan); the
+    // oracle restates it as UNION ALL over the 3-row aggregate, where
+    // re-scanning is free.
+    "unpivot_pricing" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            Money.decSum(col("l_quantity")).as("sum_qty"),
+            Money.decSum(col("l_extendedprice")).as("sum_price"),
+            Money.decSum(col("l_discount")).as("sum_disc"))
+          .unpivot(
+            ids = Array(col("l_returnflag")),
+            values = Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+            variableColumnName = "measure",
+            valueColumnName = "val")
+          .orderBy(col("l_returnflag"), col("measure")),
+      s"""WITH w AS (
+         |  SELECT l_returnflag,
+         |    ${decSumSql("l_quantity")} AS sum_qty,
+         |    ${decSumSql("l_extendedprice")} AS sum_price,
+         |    ${decSumSql("l_discount")} AS sum_disc
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM w
+         |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+         |UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+         |ORDER BY l_returnflag, measure""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Month-over-month growth WITHOUT a window: the monthly rollup is
+    // group-count-sized, so prior-month attaches by a broadcast
+    // equi-join on the shifted calendar key — no single-partition
+    // global-order window (the lag() formulation Spark warns about),
+    // and the year boundary (Jan ← prior Dec) is handled, which a
+    // year-partitioned window would lose. Growth is fixed-order IEEE
+    // over exact decimal sums.
+    "mom_growth" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.orders(s, dir)
+          .groupBy(
+            year(col("o_orderdate")).as("anio"),
+            month(col("o_orderdate")).as("mes"))
+          .agg(Money.decSum(col("o_totalprice")).as("rev"))
+        val prev = m.select(
+          col("anio").as("p_anio"), col("mes").as("p_mes"),
+          col("rev").as("prev_rev"))
+        m.join(
+          broadcast(prev),
+          col("p_anio") === when(col("mes") === 1, col("anio") - 1).otherwise(col("anio")) &&
+            col("p_mes") === when(col("mes") === 1, lit(12)).otherwise(col("mes") - 1),
+          "left")
+          .select(
+            col("anio"), col("mes"), col("rev"),
+            ((col("rev") - col("prev_rev")) / col("prev_rev")).as("mom_growth"))
+          .orderBy(col("anio"), col("mes"))
+      },
+      s"""WITH m AS (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS anio,
+         |         CAST(month(o_orderdate) AS INT) AS mes,
+         |         ${decSumSql("o_totalprice")} AS rev
+         |  FROM orders GROUP BY 1, 2)
+         |SELECT cur.anio AS anio, cur.mes AS mes, cur.rev AS rev,
+         |  (cur.rev - prev.rev) / prev.rev AS mom_growth
+         |FROM m cur LEFT JOIN m prev
+         |  ON prev.anio = CASE WHEN cur.mes = 1 THEN cur.anio - 1 ELSE cur.anio END
+         | AND prev.mes  = CASE WHEN cur.mes = 1 THEN 12 ELSE cur.mes - 1 END
+         |ORDER BY cur.anio, cur.mes""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Deterministic per-group reservoir: the k "random" rows per group
+    // are the k smallest md5(key) — a pure function of the key set
+    // (cluster-size/run independent, append-composable), executed by
+    // the native TopKPerGroup bounded heaps instead of a per-group
+    // sort. Same hash-order idea as stratified_sample_docs, but
+    // exercised through the custom physical operator.
+    "group_reservoir_orders" -> QueryDef(
+      (s, dir) =>
+        graft.plans.TopKPerGroup(
+          Tables.orders(s, dir).select(
+            col("o_orderstatus"), col("o_orderkey"),
+            md5(col("o_orderkey").cast("string")).as("h")),
+          groupCols = Seq("o_orderstatus"),
+          orderSpecs = Seq(("h", false), ("o_orderkey", false)),
+          k = 10)
+          .select(col("o_orderstatus"), col("o_orderkey"), col("topk_rank"))
+          .orderBy(col("o_orderstatus"), col("topk_rank")),
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(row_number() OVER (PARTITION BY o_orderstatus
+        |       ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INT) AS topk_rank
+        |FROM orders
+        |QUALIFY topk_rank <= 10
+        |ORDER BY o_orderstatus, topk_rank""".stripMargin),
 
     // ------------------------------------------------------------------
     // Pearson correlation as a decomposable single-pass aggregate:

@@ -1001,6 +1001,35 @@ object PipelineQueries {
       ivfOracleSql(dim = 64, nlist = 16, nprobe = 4, seed = 11L, k = 5)),
 
     // ------------------------------------------------------------------
+    // Per-dimension embedding profile: posexplode zips (position,
+    // value) in one generator pass; per-dim stats are comparison-only
+    // (min/max/counts — no float summation, so float32 parity is
+    // trivial). The shuffle key is the dimension index: exactly
+    // `dim` groups regardless of corpus size, each reducer seeing
+    // rows/dim values — the canonical "tall-skinny" array analytics
+    // shape for embedding QA (dead dims, range drift, sign balance).
+    "embedding_dim_profile" -> QueryDef(
+      (s, dir) =>
+        Tables.embeddings(s, dir)
+          .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+          .groupBy(col("dim"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("v")).as("vmin"),
+            max(col("v")).as("vmax"),
+            count(when(col("v") < 0, 1)).as("n_neg"))
+          .orderBy(col("dim")),
+      """WITH e AS (
+        |  SELECT unnest(embedding) AS v,
+        |         unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT CAST(dim AS INT) AS dim, COUNT(*) AS n,
+        |  MIN(v) AS vmin, MAX(v) AS vmax,
+        |  COUNT(*) FILTER (WHERE v < 0) AS n_neg
+        |FROM e GROUP BY dim
+        |ORDER BY dim""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Embedding-cosine near-dup: scaled copies (cosine-invariant) at
     // vec_id+100000 must pair with their originals. Exact-SQL oracle is
     // sound despite the LSH candidate stage: a vector and its positive
