@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Spearman rank correlation per group WITHOUT ranking rows.
+  *
+  * The textbook formulation ranks every row (a global per-group sort —
+  * the single-partition window Spark warns about) and then runs
+  * Pearson on the ranks. For discrete or bucketed measures the rank
+  * transform factors through the JOINT VALUE HISTOGRAM:
+  *
+  *   - one shuffle builds (group, x, y) counts — the only pass over
+  *     the fact table, map-side combinable;
+  *   - marginal histograms derive from the joint (group-count-sized);
+  *   - each distinct value's average rank is a cumulative sum over
+  *     the ordered marginal: below(v) + (count(v)+1)/2 — windows over
+  *     ≤|distinct| rows per group, never over rows;
+  *   - Spearman's moment sums are count-weighted sums over the joint,
+  *     and Pearson's closed form finishes in doubles.
+  *
+  * Everything after the first aggregate is histogram-sized, so a
+  * 100 TB fact costs one aggregation shuffle. Continuous measures get
+  * quantile-bucketed first (then this computes Spearman over buckets).
+  *
+  * Exactness: ranks are .5-step decimals (scale 1); counts and ranks
+  * are kept in DECIMAL(12,·) so triple products peak at precision 38
+  * with no reduction, sums stay exact, and at oracle scale every
+  * unscaled value is below 2^53 — the final doubles are bit-identical
+  * to DuckDB's restatement of the same algebra.
+  *
+  * `x`/`y` must be exact (decimal/integer) expressions over `df`'s
+  * columns — pre-cast doubles with a known scale.
+  */
+object Spearman {
+
+  def byGroup(
+      df: DataFrame, groupCol: String, x: Column, y: Column,
+      outName: String = "spearman"): DataFrame = {
+    val g = col(groupCol)
+    val joint = df.select(g, x.as("x"), y.as("y"))
+      .groupBy(g, col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+
+    // average rank of each distinct value from the ordered marginal
+    def ranks(vCol: String, rName: String) = {
+      val below = Window.partitionBy(g).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      joint
+        .groupBy(g, col(vCol)).agg(sum(col("cnt")).as("cv"))
+        .select(
+          g, col(vCol),
+          (coalesce(sum(col("cv")).over(below), lit(0L)) +
+            (col("cv") + 1).cast(DecimalType(20, 1)) / 2)
+            .cast(DecimalType(12, 1)).as(rName))
+    }
+
+    val cnt = col("cnt").cast(DecimalType(12, 0))
+    val nD = col("n").cast("double")
+    joint
+      .join(ranks("x", "rx"), Seq(groupCol, "x"))
+      .join(ranks("y", "ry"), Seq(groupCol, "y"))
+      .groupBy(g)
+      .agg(
+        sum(col("cnt")).as("n"),
+        sum(cnt * col("rx")).cast("double").as("sx"),
+        sum(cnt * col("ry")).cast("double").as("sy"),
+        sum(cnt * col("rx") * col("ry")).cast("double").as("sxy"),
+        sum(cnt * col("rx") * col("rx")).cast("double").as("sxx"),
+        sum(cnt * col("ry") * col("ry")).cast("double").as("syy"))
+      .select(
+        g, col("n"),
+        ((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+            sqrt(nD * col("syy") - col("sy") * col("sy"))))
+          .as(outName))
+  }
+}

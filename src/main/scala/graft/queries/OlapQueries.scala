@@ -8,6 +8,7 @@ import graft.Tables
 import graft.functions.Money
 import graft.functions.Money.decSumSql
 import graft.functions.TimePred
+import graft.operators.Spearman
 
 /** OLAP surface beyond the reference's inventory (SURVEY.md §2.7 notes
   * it has no set ops, grouping sets, pivots or percentiles) — a user
@@ -112,6 +113,55 @@ object OlapQueries {
          |JOIN region ON n_regionkey = r_regionkey
          |GROUP BY r_name
          |ORDER BY r_name""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Spearman rank correlation per group, computed from the joint
+    // value histogram (operators.Spearman): the rank transform factors
+    // through distinct-value counts, so no row is ever ranked — one
+    // aggregation shuffle over the fact, then histogram-sized windows
+    // and joins. Oracle restates the identical algebra; values equal
+    // pandas' rank().corr() (checked offline).
+    "spearman_qty_disc" -> QueryDef(
+      (s, dir) =>
+        Spearman.byGroup(
+          Tables.lineitem(s, dir),
+          "l_returnflag",
+          col("l_quantity").cast(DecimalType(4, 0)),
+          col("l_discount").cast(DecimalType(3, 2)),
+          outName = "spearman_qty_disc")
+          .orderBy(col("l_returnflag")),
+      """WITH joint AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(4,0)) AS x,
+        |         CAST(l_discount AS DECIMAL(3,2)) AS y, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2, 3),
+        |rx AS (
+        |  SELECT g, x,
+        |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY g ORDER BY x
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + CAST((cv + 1) AS DECIMAL(20,1)) / 2 AS DECIMAL(12,1)) AS rx
+        |  FROM (SELECT g, x, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)),
+        |ry AS (
+        |  SELECT g, y,
+        |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY g ORDER BY y
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + CAST((cv + 1) AS DECIMAL(20,1)) / 2 AS DECIMAL(12,1)) AS ry
+        |  FROM (SELECT g, y, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)),
+        |s AS (
+        |  SELECT j.g,
+        |    SUM(cnt) AS n,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * ry) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx * ry) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx * rx) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * ry * ry) AS DOUBLE) AS syy
+        |  FROM joint j JOIN rx ON rx.g = j.g AND rx.x = j.x
+        |               JOIN ry ON ry.g = j.g AND ry.y = j.y
+        |  GROUP BY j.g)
+        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+        |   * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS spearman_qty_disc
+        |FROM s ORDER BY l_returnflag""".stripMargin),
 
     // ------------------------------------------------------------------
     // UNPIVOT (melt): wide per-flag measure sums to long (measure, val)

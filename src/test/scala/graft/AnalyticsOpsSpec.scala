@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.exprs
-import graft.operators.{Contamination, ExactNtile, Funnel}
+import graft.operators.{Contamination, ExactNtile, Funnel, Spearman}
 
 /** Round-3 analytics/curation operators: exact-ntile vs the window
   * builtin (remainder tiles!), funnel edge ordering, contamination
@@ -12,6 +12,52 @@ import graft.operators.{Contamination, ExactNtile, Funnel}
   */
 class AnalyticsOpsSpec extends SparkSuite {
   import spark.implicits._
+
+  // ------------------------------------------------------------ spearman
+  test("Spearman: matches rank-window Pearson, partition-invariant, signs") {
+    import org.apache.spark.sql.types.DecimalType
+    // deterministic discrete data with ties: x in 0..9, y correlated
+    val rows = (1 to 400).map { i =>
+      val x = i * 7 % 10
+      val y = if (i % 3 == 0) 9 - x else x // mostly monotone up
+      (if (i % 2 == 0) "a" else "b", x.toLong, y.toLong)
+    }
+    val df = rows.toDF("g", "x", "y")
+    def run(d: org.apache.spark.sql.DataFrame) = Spearman.byGroup(
+        d, "g",
+        col("x").cast(DecimalType(4, 0)), col("y").cast(DecimalType(4, 0)))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val got = run(df)
+    // reference: average-rank windows + exact moment Pearson per group
+    val w = Window.partitionBy(col("g"))
+    def rk(c: String) = (count(lit(1)).over(
+        w.orderBy(col(c)).rangeBetween(Window.unboundedPreceding, -1)) +
+      (count(lit(1)).over(w.orderBy(col(c)).rangeBetween(0, 0)) + 1)
+        .cast(DecimalType(20, 1)) / 2).cast(DecimalType(12, 1))
+    val ranked = df.select(col("g"), rk("x").as("rx"), rk("y").as("ry"))
+    val want = ranked.groupBy(col("g"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rx")).cast("double").as("sx"),
+        sum(col("ry")).cast("double").as("sy"),
+        sum(col("rx") * col("ry")).cast("double").as("sxy"),
+        sum(col("rx") * col("rx")).cast("double").as("sxx"),
+        sum(col("ry") * col("ry")).cast("double").as("syy"))
+      .select(col("g"), ((col("n").cast("double") * col("sxy") - col("sx") * col("sy")) /
+        (sqrt(col("n").cast("double") * col("sxx") - col("sx") * col("sx")) *
+          sqrt(col("n").cast("double") * col("syy") - col("sy") * col("sy")))).as("rho"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (g, v) => assert(v == want(g), s"group $g: $v vs ${want(g)}") }
+    // bit-identical under different physical layouts
+    assert(run(df.repartition(13)) == got)
+    assert(run(df.repartition(1)) == got)
+    // perfect monotone association → 1 (to sqrt(z)·sqrt(z) ulp); reversed → -1
+    val mono = (1 to 50).map(i => ("m", (i % 7).toLong, (i % 7).toLong)).toDF("g", "x", "y")
+    assert(math.abs(run(mono)("m") - 1.0) < 1e-15)
+    val anti = (1 to 50).map(i => ("m", (i % 7).toLong, (6 - i % 7).toLong)).toDF("g", "x", "y")
+    assert(math.abs(run(anti)("m") + 1.0) < 1e-15)
+  }
 
   // ---------------------------------------------------------------- ntile
   test("ExactNtile matches ntile() window for remainder and even splits") {
