@@ -115,6 +115,47 @@ object OlapQueries {
          |ORDER BY r_name""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Chi-squared contingency table (categorical independence QA):
+    // the same joint-histogram pattern as Spearman — one fact shuffle
+    // to (x, y) counts, marginals derived from the joint, expected
+    // counts and per-cell chi² contributions in a fixed IEEE order
+    // (÷ and × only — bit-exact). Emitted PER CELL rather than summed:
+    // a float total's addition order is engine-dependent, and the cell
+    // grid (which cells deviate) is the actually useful QA signal.
+    "chi2_status_priority" -> QueryDef(
+      (s, dir) => {
+        val joint = Tables.orders(s, dir)
+          .groupBy(col("o_orderstatus").as("x"), col("o_orderpriority").as("y"))
+          .agg(count(lit(1)).as("cnt"))
+        val mx = joint.groupBy(col("x")).agg(sum(col("cnt")).as("cx"))
+        val my = joint.groupBy(col("y")).agg(sum(col("cnt")).as("cy"))
+        val tot = joint.agg(sum(col("cnt")).as("n"))
+        val e = col("cx").cast("double") * col("cy").cast("double") / col("n").cast("double")
+        joint
+          .join(broadcast(mx), Seq("x")).join(broadcast(my), Seq("y"))
+          .crossJoin(broadcast(tot))
+          .select(
+            col("x"), col("y"), col("cnt").as("observed"),
+            e.as("expected"),
+            ((col("cnt").cast("double") - e) * (col("cnt").cast("double") - e) / e)
+              .as("chi2_cell"))
+          .orderBy(col("x"), col("y"))
+      },
+      """WITH joint AS (
+        |  SELECT o_orderstatus AS x, o_orderpriority AS y, COUNT(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |mx AS (SELECT x, SUM(cnt) AS cx FROM joint GROUP BY 1),
+        |my AS (SELECT y, SUM(cnt) AS cy FROM joint GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM joint)
+        |SELECT x, y, cnt AS observed,
+        |  CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE) AS expected,
+        |  (CAST(cnt AS DOUBLE) - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+        |  * (CAST(cnt AS DOUBLE) - CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE))
+        |  / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2_cell
+        |FROM joint JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+        |ORDER BY x, y""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Spearman rank correlation per group, computed from the joint
     // value histogram (operators.Spearman): the rank transform factors
     // through distinct-value counts, so no row is ever ranked — one
