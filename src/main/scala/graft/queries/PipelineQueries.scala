@@ -1358,6 +1358,43 @@ object PipelineQueries {
         |ORDER BY user_id, session_seq""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Native session_window (batch): the SAME built-in operator the
+    // streaming path uses (EventsStreaming.sessionWindows), here under
+    // the oracle gate — DuckDB restates it as gap islands. Boundary
+    // semantics differ from the lag-formulation: session_window spans
+    // [first, last+gap) so an event exactly gap after its predecessor
+    // starts a NEW session — the islands twin breaks on diff >= gap,
+    // not > gap (events_sessionize keeps the textbook > convention).
+    "events_session_window_native" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(
+            col("user_id"), col("w.start").as("session_start"),
+            (col("w.end") - expr("INTERVAL 30 MINUTES")).as("last_ts"),
+            col("n_events"))
+          .orderBy(col("user_id"), col("session_start")),
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked
+        |)
+        |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS last_ts,
+        |  COUNT(*) AS n_events
+        |FROM sessions
+        |GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin),
+
+    // ------------------------------------------------------------------
     // End-to-end corpus curation — the composed training-data pass:
     // language filter → quality filter → exact dedup (keep lowest id)
     // → deterministic 50% hash sample. Every stage is exact, so the

@@ -18,7 +18,9 @@ class PlanAuditSpec extends SparkSuite {
     "share_within_segment", "share_of_total_window", "table_profile",
     "mef_star_incremental_ytd", "ann_bruteforce_topk", "text_tfidf",
     "negative_sampling", // corpus size N as a broadcast 1-row aggregate
-    "customer_deciles")  // ExactNtile: total row count N as a broadcast 1-row aggregate
+    "customer_deciles",  // ExactNtile: total row count N as a broadcast 1-row aggregate
+    "text_collocations", // total token count as a broadcast 1-row aggregate (lift denominator)
+    "chi2_status_priority") // grand total n as a broadcast 1-row aggregate (expected counts)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
