@@ -17,6 +17,40 @@ import graft.operators.Spearman
   */
 object OlapQueries {
 
+  /** DuckDB twin of [[Spearman.byGroup]]'s algebra: `jointCte` must
+    * produce (g, x, y, cnt); emits (gName, n, outName) rows.
+    */
+  private def spearmanSql(jointCte: String, gName: String, outName: String) =
+    s"""WITH joint AS ($jointCte),
+       |rx AS (
+       |  SELECT g, x,
+       |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY g ORDER BY x
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + CAST((cv + 1) AS DECIMAL(20,1)) / 2 AS DECIMAL(12,1)) AS rx
+       |  FROM (SELECT g, x, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)),
+       |ry AS (
+       |  SELECT g, y,
+       |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY g ORDER BY y
+       |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      + CAST((cv + 1) AS DECIMAL(20,1)) / 2 AS DECIMAL(12,1)) AS ry
+       |  FROM (SELECT g, y, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)),
+       |s AS (
+       |  SELECT j.g,
+       |    SUM(cnt) AS n,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * ry) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx * ry) AS DOUBLE) AS sxy,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx * rx) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * ry * ry) AS DOUBLE) AS syy
+       |  FROM joint j JOIN rx ON rx.g = j.g AND rx.x = j.x
+       |               JOIN ry ON ry.g = j.g AND ry.y = j.y
+       |  GROUP BY j.g)
+       |SELECT g AS $gName, CAST(n AS BIGINT) AS n,
+       |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+       |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
+       |   * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS $outName
+       |FROM s ORDER BY g""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -171,38 +205,44 @@ object OlapQueries {
           col("l_discount").cast(DecimalType(3, 2)),
           outName = "spearman_qty_disc")
           .orderBy(col("l_returnflag")),
-      """WITH joint AS (
-        |  SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(4,0)) AS x,
-        |         CAST(l_discount AS DECIMAL(3,2)) AS y, COUNT(*) AS cnt
-        |  FROM lineitem GROUP BY 1, 2, 3),
-        |rx AS (
-        |  SELECT g, x,
-        |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY g ORDER BY x
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      + CAST((cv + 1) AS DECIMAL(20,1)) / 2 AS DECIMAL(12,1)) AS rx
-        |  FROM (SELECT g, x, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)),
-        |ry AS (
-        |  SELECT g, y,
-        |    CAST(COALESCE(SUM(cv) OVER (PARTITION BY g ORDER BY y
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      + CAST((cv + 1) AS DECIMAL(20,1)) / 2 AS DECIMAL(12,1)) AS ry
-        |  FROM (SELECT g, y, SUM(cnt) AS cv FROM joint GROUP BY 1, 2)),
-        |s AS (
-        |  SELECT j.g,
-        |    SUM(cnt) AS n,
-        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * ry) AS DOUBLE) AS sy,
-        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx * ry) AS DOUBLE) AS sxy,
-        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * rx * rx) AS DOUBLE) AS sxx,
-        |    CAST(SUM(CAST(cnt AS DECIMAL(12,0)) * ry * ry) AS DOUBLE) AS syy
-        |  FROM joint j JOIN rx ON rx.g = j.g AND rx.x = j.x
-        |               JOIN ry ON ry.g = j.g AND ry.y = j.y
-        |  GROUP BY j.g)
-        |SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
-        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
-        |  (sqrt(CAST(n AS DOUBLE) * sxx - sx * sx)
-        |   * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)) AS spearman_qty_disc
-        |FROM s ORDER BY l_returnflag""".stripMargin),
+      spearmanSql(
+        """
+          |  SELECT l_returnflag AS g, CAST(l_quantity AS DECIMAL(4,0)) AS x,
+          |         CAST(l_discount AS DECIMAL(3,2)) AS y, COUNT(*) AS cnt
+          |  FROM lineitem GROUP BY 1, 2, 3""".stripMargin,
+        gName = "l_returnflag", outName = "spearman_qty_disc")),
+
+    // ------------------------------------------------------------------
+    // Spearman for a CONTINUOUS measure: quantile-bucket first (exact
+    // NTILE over a total order — the scalable rank machinery), then
+    // the same joint-histogram Spearman over (bucket, quantity). The
+    // composition SCALE.md promises for continuous inputs: the
+    // histogram stays bounded (20 × |distinct qty|) no matter how many
+    // distinct prices exist.
+    "spearman_pricebucket_qty" -> QueryDef(
+      (s, dir) => {
+        val bucketed = graft.operators.ExactNtile.withNtile(
+          Tables.lineitem(s, dir).select(
+            col("l_returnflag"), col("l_quantity"),
+            col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")),
+          20, "pbucket")
+        Spearman.byGroup(
+          bucketed, "l_returnflag",
+          col("pbucket").cast(DecimalType(4, 0)),
+          col("l_quantity").cast(DecimalType(4, 0)),
+          outName = "spearman_pbucket_qty")
+          .orderBy(col("l_returnflag"))
+      },
+      spearmanSql(
+        """
+          |  SELECT l_returnflag AS g, CAST(pbucket AS DECIMAL(4,0)) AS x,
+          |         CAST(l_quantity AS DECIMAL(4,0)) AS y, COUNT(*) AS cnt
+          |  FROM (SELECT l_returnflag, l_quantity,
+          |          ntile(20) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS pbucket
+          |        FROM lineitem)
+          |  GROUP BY 1, 2, 3""".stripMargin,
+        gName = "l_returnflag", outName = "spearman_pbucket_qty")),
 
     // ------------------------------------------------------------------
     // UNPIVOT (melt): wide per-flag measure sums to long (measure, val)
