@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSuite {
     "negative_sampling", // corpus size N as a broadcast 1-row aggregate
     "customer_deciles",  // ExactNtile: total row count N as a broadcast 1-row aggregate
     "text_collocations", // total token count as a broadcast 1-row aggregate (lift denominator)
-    "chi2_status_priority") // grand total n as a broadcast 1-row aggregate (expected counts)
+    "chi2_status_priority", // grand total n as a broadcast 1-row aggregate (expected counts)
+    "spearman_pricebucket_qty") // ExactNtile's total row count N as a broadcast 1-row aggregate
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
