@@ -430,6 +430,72 @@ object PipelineQueries {
          |LIMIT 50""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Per-language heavy hitters: vocabulary counts shuffled once on
+    // (lang, token), then the native TopKPerGroup bounded heaps pick
+    // each language's top 5 — corpus-size-independent state per
+    // group, no per-language sort. The per-group form of the global
+    // text_vocabulary top-k.
+    "top_tokens_per_lang" -> QueryDef(
+      (s, dir) =>
+        graft.plans.TopKPerGroup(
+          Tables.documents(s, dir)
+            .select(col("lang"),
+              explode(graft.functions.exprs.wordNgramsAll(col("text"), 1)).as("tok"))
+            .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c")),
+          groupCols = Seq("lang"),
+          orderSpecs = Seq(("c", true), ("tok", false)),
+          k = 5)
+          .orderBy(col("lang"), col("topk_rank")),
+      s"""WITH v AS (
+         |  SELECT lang, unnest($toksSql) AS tok FROM documents),
+         |c AS (SELECT lang, tok, COUNT(*) AS c FROM v GROUP BY 1, 2)
+         |SELECT lang, tok, c,
+         |  CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS INT) AS topk_rank
+         |FROM c QUALIFY topk_rank <= 5
+         |ORDER BY lang, topk_rank""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Cross-source vocabulary overlap (corpus-contamination QA): the
+    // pairwise Jaccard matrix of source vocabularies via an inverted
+    // index on the token — each token emits its source pairs, so the
+    // join work is Σ|sources(token)|², never |V_a|×|V_b|; the
+    // source-pair grid after aggregation is tiny (S²/2 rows). Jaccard
+    // is fixed-order IEEE over exact counts.
+    "source_vocab_overlap" -> QueryDef(
+      (s, dir) => {
+        val v = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(graft.functions.exprs.wordNgrams(col("text"), 1)).as("tok"))
+          .distinct()
+        val sizes = v.groupBy(col("source")).agg(count(lit(1)).as("nv"))
+        v.select(col("source").as("src_a"), col("tok"))
+          .join(v.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+          .filter(col("src_a") < col("src_b"))
+          .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("n_common"))
+          .join(broadcast(sizes.select(col("source").as("src_a"), col("nv").as("n_a"))), Seq("src_a"))
+          .join(broadcast(sizes.select(col("source").as("src_b"), col("nv").as("n_b"))), Seq("src_b"))
+          .select(
+            col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+            (col("n_common").cast("double") /
+              (col("n_a").cast("double") + col("n_b").cast("double") -
+                col("n_common").cast("double"))).as("jaccard"))
+          .orderBy(col("src_a"), col("src_b"))
+      },
+      s"""WITH v AS (
+         |  SELECT DISTINCT source, unnest($toksSql) AS tok FROM documents),
+         |sizes AS (SELECT source, COUNT(*) AS nv FROM v GROUP BY 1),
+         |inter AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+         |  FROM v a JOIN v b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, sa.nv AS n_a, sb.nv AS n_b,
+         |  CAST(n_common AS DOUBLE)
+         |    / (CAST(sa.nv AS DOUBLE) + CAST(sb.nv AS DOUBLE) - CAST(n_common AS DOUBLE)) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.source = src_a
+         |           JOIN sizes sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Deterministic negative sampling (contrastive pairs): 3 hash-
     // drawn negatives per doc via md5-lower63(doc_id:draw) mod N over
     // a dense rank — no RNG state, reproducible across engines and
