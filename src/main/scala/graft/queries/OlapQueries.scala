@@ -664,6 +664,93 @@ object OlapQueries {
         |  quantile_cont(o_totalprice, 0.99) AS p99
         |FROM orders
         |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus""".stripMargin)
+        |ORDER BY o_orderstatus""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Gaps-and-islands: runs of consecutive same-status orders per
+    // customer (ordered by date, orderkey — a total order), collapsed
+    // to a streak-length histogram per status. The row_number
+    // difference trick keeps it two windows + two hash aggregates; the
+    // windows share the same partition key (o_custkey) so Catalyst
+    // plans ONE sort+shuffle for both. Pure integer/string output.
+    "order_status_streaks" -> QueryDef(
+      (s, dir) => {
+        val byCust = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val byCustStatus = Window.partitionBy(col("o_custkey"), col("o_orderstatus"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+          .withColumn("island",
+            row_number().over(byCust) - row_number().over(byCustStatus))
+          .groupBy(col("o_custkey"), col("o_orderstatus"), col("island"))
+          .agg(count(lit(1)).as("streak_len"))
+          .groupBy(col("o_orderstatus").as("status"), col("streak_len"))
+          .agg(count(lit(1)).as("n_streaks"))
+          .orderBy(col("status"), col("streak_len"))
+      },
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_orderdate, o_orderkey)
+        |    - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+        |                         ORDER BY o_orderdate, o_orderkey) AS island
+        |  FROM orders),
+        |streaks AS (
+        |  SELECT o_orderstatus, COUNT(*) AS streak_len
+        |  FROM seq GROUP BY o_custkey, o_orderstatus, island)
+        |SELECT o_orderstatus AS status,
+        |  CAST(streak_len AS BIGINT) AS streak_len,
+        |  COUNT(*) AS n_streaks
+        |FROM streaks GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Largest-remainder apportionment: allocate 1000 seats to nations
+    // proportional to order count — the classic exact-integer
+    // allocation (floor quotas, then +1 to the largest remainders,
+    // ties broken by name). Everything is 64-bit integer arithmetic
+    // (1000·c ≤ 1000·|orders| ≪ 2^53), so the result is bit-exact on
+    // any engine. The global total and quota ranking run on 25 rows —
+    // the empty-partition windows are a deliberate 1-partition step
+    // AFTER the big aggregation, same shape as share_of_total_window.
+    "apportionment_seats" -> QueryDef(
+      (s, dir) => {
+        val cnt = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.nation(s, dir),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("c"))
+        val g = Window.partitionBy()
+        val byRem = Window.partitionBy()
+          .orderBy(col("rem").desc, col("n_name"))
+        cnt
+          .withColumn("t", sum(col("c")).over(g))
+          .withColumn("base", expr("(1000 * c) div t"))
+          .withColumn("rem", expr("(1000 * c) % t"))
+          .withColumn("sb", sum(col("base")).over(g))
+          .withColumn("rk", rank().over(byRem))
+          .select(
+            col("n_name").as("nation"),
+            (col("base") + when(col("rk") <= lit(1000) - col("sb"), 1L).otherwise(0L))
+              .cast("long").as("seats"))
+          .orderBy(col("nation"))
+      },
+      """WITH cnt AS (
+        |  SELECT n_name, COUNT(*) AS c
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1),
+        |w AS (SELECT n_name, c, SUM(c) OVER () AS t FROM cnt),
+        |q AS (
+        |  SELECT n_name, (1000 * c) // t AS base, (1000 * c) % t AS rem,
+        |    SUM((1000 * c) // t) OVER () AS sb
+        |  FROM w),
+        |r AS (SELECT *, rank() OVER (ORDER BY rem DESC, n_name) AS rk FROM q)
+        |SELECT n_name AS nation,
+        |  CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END AS BIGINT) AS seats
+        |FROM r ORDER BY 1""".stripMargin)
   )
 }

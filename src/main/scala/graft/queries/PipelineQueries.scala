@@ -1424,6 +1424,159 @@ object PipelineQueries {
         |ORDER BY user_id, session_seq""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Weekly retention cohorts: users keyed to their first-activity
+    // week, activity re-expressed as week offsets from the cohort —
+    // the standard product-analytics grid. Two shuffles total: the
+    // per-user min (map-side combinable) and the distinct-count per
+    // (cohort, offset) cell; the user→cohort attach is a user-keyed
+    // equi-join AQE can broadcast when the user dimension allows.
+    // Both engines truncate weeks to ISO Monday, so cells align.
+    "retention_cohorts" -> QueryDef(
+      (s, dir) => {
+        val firstw = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        Tables.events(s, dir)
+          .join(firstw, Seq("user_id"))
+          .select(
+            col("user_id"), col("cohort_week"),
+            (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort_week")) / 7)
+              .cast("int").as("week_offset"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      """WITH firstw AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT e.user_id, f.cohort_week,
+        |    CAST(datediff('day', f.cohort_week,
+        |                  CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT) AS week_offset
+        |  FROM events e JOIN firstw f USING (user_id))
+        |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+        |FROM act GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Peak concurrent sessions per day — the classic sweep-line: each
+    // session becomes a (+1 at start, -1 at end) delta pair, a running
+    // sum ordered by time gives instantaneous concurrency, MAX per day
+    // is the peak. Sessions spanning midnight are clipped into each
+    // day they touch, so the sweep partitions BY DAY — every window
+    // and aggregate runs parallel across days at any scale, never a
+    // global single-partition sort. Ordering (ts, delta DESC, user_id)
+    // is total and unique (one session per user at a time), making the
+    // running sum engine-independent; delta DESC means boundary
+    // instants count both the ending and the starting session as
+    // active. Output is all integers — bit-exact by construction.
+    "concurrent_sessions_peak" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sessions = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(min(col("ts")).as("s0"), max(col("ts")).as("s1"))
+        val dayed = sessions
+          .select(col("user_id"), col("s0"), col("s1"),
+            explode(sequence(to_date(col("s0")), to_date(col("s1")))).as("day"))
+          .select(col("user_id"), col("day"),
+            greatest(col("s0"), col("day").cast("timestamp")).as("sts"),
+            least(col("s1"), date_add(col("day"), 1).cast("timestamp")).as("ets"))
+        val deltas = dayed
+          .select(col("day"), col("user_id"), col("sts").as("ts"), lit(1L).as("delta"))
+          .unionAll(dayed
+            .select(col("day"), col("user_id"), col("ets").as("ts"), lit(-1L).as("delta")))
+        val sweep = Window.partitionBy(col("day"))
+          .orderBy(col("ts"), col("delta").desc, col("user_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        deltas
+          .withColumn("run", sum(col("delta")).over(sweep))
+          .groupBy(col("day"))
+          .agg(max(col("run")).as("peak_concurrency"))
+          .orderBy(col("day"))
+      },
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked
+        |), bounds AS (
+        |  SELECT user_id, MIN(ts) AS s0, MAX(ts) AS s1
+        |  FROM sess GROUP BY user_id, session_seq
+        |), dayed AS (
+        |  SELECT user_id, CAST(u AS DATE) AS day,
+        |    greatest(s0, CAST(CAST(u AS DATE) AS TIMESTAMP)) AS sts,
+        |    least(s1, CAST(CAST(u AS DATE) + 1 AS TIMESTAMP)) AS ets
+        |  FROM bounds,
+        |    unnest(generate_series(CAST(s0 AS DATE), CAST(s1 AS DATE),
+        |                           INTERVAL 1 DAY)) AS t(u)
+        |), deltas AS (
+        |  SELECT day, user_id, sts AS ts, 1 AS delta FROM dayed
+        |  UNION ALL
+        |  SELECT day, user_id, ets AS ts, -1 AS delta FROM dayed
+        |), run AS (
+        |  SELECT day,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC, user_id
+        |                     ROWS UNBOUNDED PRECEDING) AS r
+        |  FROM deltas
+        |)
+        |SELECT day, CAST(MAX(r) AS BIGINT) AS peak_concurrency
+        |FROM run GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Trailing-24h distinct active users per hour — the sliding
+    // distinct window made shuffle-friendly by BOUNDED REPLICATION:
+    // each event lands in exactly the 24 hour-buckets whose trailing
+    // window can see it (explode of a 24-element sequence, a map-side
+    // fan-out — no inequality join, no global sort), then one
+    // two-phase distinct aggregate per bucket. The spine join keeps
+    // only hours that actually occur in the data (observational
+    // spine), and AQE broadcasts it. At 1000 executors this is a
+    // single shuffle keyed (hour, user) — the replication factor is a
+    // constant 24, independent of data volume.
+    "rolling_active_users" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), date_trunc("hour", col("ts")).as("he"))
+        val spine = ev.select(col("he").as("h")).distinct()
+        val rep = ev.select(col("user_id"),
+          explode(sequence(
+            col("he"),
+            col("he") + expr("INTERVAL 23 HOURS"),
+            expr("INTERVAL 1 HOUR"))).as("h"))
+        rep.join(spine, Seq("h"))
+          .groupBy(col("h"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .orderBy(col("h"))
+      },
+      """WITH ev AS (
+        |  SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS he
+        |  FROM events),
+        |spine AS (SELECT DISTINCT he AS h FROM ev),
+        |rep AS (
+        |  SELECT user_id, CAST(u AS TIMESTAMP) AS h
+        |  FROM ev,
+        |    unnest(generate_series(he, he + INTERVAL 23 HOUR,
+        |                           INTERVAL 1 HOUR)) AS t(u))
+        |SELECT h, COUNT(DISTINCT user_id) AS active_users
+        |FROM rep JOIN spine USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Native session_window (batch): the SAME built-in operator the
     // streaming path uses (EventsStreaming.sessionWindows), here under
     // the oracle gate — DuckDB restates it as gap islands. Boundary
