@@ -1721,6 +1721,173 @@ object PipelineQueries {
         |       THEN CAST(dec_total AS DOUBLE) / CAST(SUM(dec_total) OVER () AS DOUBLE)
         |       ELSE 0.0 END AS share
         |FROM t
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Hourly event-rate anomalies per type: flag hours whose count
+    // sits > 2 sample standard deviations above the type's mean. All
+    // aggregates are INTEGER sums (count, Σc, Σc²) so they're exact on
+    // any engine; the mean/variance/z doubles are derived from those
+    // integers with +,-,×,÷,sqrt in identical textual order on both
+    // sides — the only float-parity-safe recipe (CLAUDE.md). The stats
+    // side is one row per event_type, so the re-join broadcasts.
+    "event_rate_anomaly" -> QueryDef(
+      (s, dir) => {
+        val hourly = Tables.events(s, dir)
+          .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+          .agg(count(lit(1)).as("c"))
+        val stats = hourly.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("c")).as("sx"),
+            sum(col("c") * col("c")).as("sxx"))
+        hourly.join(broadcast(stats), Seq("event_type"))
+          .withColumn("mean", col("sx").cast("double") / col("n").cast("double"))
+          .withColumn("varr",
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              (col("n") * (col("n") - 1)).cast("double"))
+          .filter(col("n") >= 2 && col("varr") > 0)
+          .withColumn("z",
+            (col("c").cast("double") - col("mean")) / sqrt(col("varr")))
+          .filter(col("z") > 2.0)
+          .select(col("event_type"), col("h"), col("c"), col("z"))
+          .orderBy(col("event_type"), col("h"))
+      },
+      """WITH hourly AS (
+        |  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(c) AS BIGINT) AS sx,
+        |    CAST(SUM(c * c) AS BIGINT) AS sxx
+        |  FROM hourly GROUP BY 1),
+        |j AS (
+        |  SELECT h.event_type, h.h, h.c,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    CAST(n * sxx - sx * sx AS DOUBLE) /
+        |      CAST(n * (n - 1) AS DOUBLE) AS varr
+        |  FROM hourly h JOIN stats s ON s.event_type = h.event_type
+        |  WHERE n >= 2)
+        |SELECT event_type, h, c,
+        |  (CAST(c AS DOUBLE) - mean) / sqrt(varr) AS z
+        |FROM j
+        |WHERE varr > 0 AND (CAST(c AS DOUBLE) - mean) / sqrt(varr) > 2.0
+        |ORDER BY event_type, h""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Market-basket association rules over order line items: distinct
+    // (order, part) pairs self-joined on the order key (p1 < p2 halves
+    // the product), pair counts filtered by min support, top-20 by
+    // support with deterministic integer tie-breaks, then confidence
+    // and lift from the part frequencies. The pair shuffle carries
+    // Σk(k-1)/2 rows (k = parts per order — bounded), the part-count
+    // re-join broadcasts, and the 1-row basket total rides the J9
+    // broadcast-cross-join shape (whitelisted in PlanAuditSpec).
+    "basket_association_rules" -> QueryDef(
+      (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val partCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
+        val tot = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+        items.as("a")
+          .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+          .agg(count(lit(1)).as("c_pair"))
+          .filter(col("c_pair") >= 3)
+          .orderBy(col("c_pair").desc, col("p1"), col("p2"))
+          .limit(20)
+          .join(broadcast(partCnt.select(col("l_partkey").as("p1"), col("pc").as("c1"))), Seq("p1"))
+          .join(broadcast(partCnt.select(col("l_partkey").as("p2"), col("pc").as("c2"))), Seq("p2"))
+          .crossJoin(broadcast(tot))
+          .select(
+            col("p1"), col("p2"), col("c_pair"), col("c1"), col("c2"),
+            (col("c_pair").cast("double") / col("c1").cast("double")).as("confidence"),
+            (col("c_pair").cast("double") * col("n_baskets").cast("double") /
+              col("c1").cast("double") / col("c2").cast("double")).as("lift"))
+          .orderBy(col("c_pair").desc, col("p1"), col("p2"))
+      },
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT l_partkey, COUNT(*) AS pc FROM items GROUP BY 1),
+        |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+        |pairs AS (
+        |  SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS c_pair
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3
+        |  ORDER BY c_pair DESC, p1, p2
+        |  LIMIT 20)
+        |SELECT p1, p2, CAST(c_pair AS BIGINT) AS c_pair,
+        |  CAST(c1.pc AS BIGINT) AS c1, CAST(c2.pc AS BIGINT) AS c2,
+        |  CAST(c_pair AS DOUBLE) / CAST(c1.pc AS DOUBLE) AS confidence,
+        |  CAST(c_pair AS DOUBLE) * CAST(n_baskets AS DOUBLE)
+        |    / CAST(c1.pc AS DOUBLE) / CAST(c2.pc AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN pc c1 ON c1.l_partkey = p1
+        |JOIN pc c2 ON c2.l_partkey = p2
+        |CROSS JOIN tot
+        |ORDER BY c_pair DESC, p1, p2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Bigram next-token table — the n-gram language-model primitive:
+    // for each of the 50 most frequent unigrams, the most likely
+    // successor (argmax by bigram count, lexicographic tie-break) and
+    // its conditional probability. The head-unigram selection is a
+    // TakeOrderedAndProject top-k (no global sort materialized), the
+    // 50-row head broadcasts into the bigram side, and the per-prev
+    // argmax is one window partitioned by the prev token.
+    "bigram_next_token" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val unic = docs
+          .select(explode(
+            graft.functions.exprs.wordNgramsAll(col("text"), 1)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val topx = unic.orderBy(col("c").desc, col("tok")).limit(50)
+        val byPrev = Window.partitionBy(col("x"))
+          .orderBy(col("c_xy").desc, col("y"))
+        docs
+          .select(explode(
+            graft.functions.exprs.wordNgramsAll(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+          .withColumn("x", split(col("bigram"), " ").getItem(0))
+          .withColumn("y", split(col("bigram"), " ").getItem(1))
+          .join(broadcast(topx.select(col("tok").as("x"), col("c").as("c_x"))), Seq("x"))
+          .withColumn("rn", row_number().over(byPrev))
+          .filter(col("rn") === 1)
+          .select(
+            col("x"), col("y").as("next_tok"), col("c_x"), col("c_xy"),
+            (col("c_xy").cast("double") / col("c_x").cast("double")).as("confidence"))
+          .orderBy(col("x"))
+      },
+      s"""WITH toks AS (
+         |  SELECT $toksSql AS tk FROM documents),
+         |unic AS (
+         |  SELECT tok, COUNT(*) AS c
+         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok),
+         |topx AS (SELECT tok, c FROM unic ORDER BY c DESC, tok LIMIT 50),
+         |bic AS (
+         |  SELECT bg AS bigram, COUNT(*) AS c_xy FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |    FROM toks) GROUP BY bg),
+         |nxt AS (
+         |  SELECT string_split(bigram, ' ')[1] AS x,
+         |         string_split(bigram, ' ')[2] AS y, c_xy
+         |  FROM bic),
+         |ranked AS (
+         |  SELECT x, y, c_xy,
+         |    row_number() OVER (PARTITION BY x ORDER BY c_xy DESC, y) AS rn
+         |  FROM nxt)
+         |SELECT x, y AS next_tok, CAST(t.c AS BIGINT) AS c_x,
+         |  CAST(c_xy AS BIGINT) AS c_xy,
+         |  CAST(c_xy AS DOUBLE) / CAST(t.c AS DOUBLE) AS confidence
+         |FROM ranked JOIN topx t ON t.tok = ranked.x
+         |WHERE rn = 1
+         |ORDER BY x""".stripMargin)
   )
 }
