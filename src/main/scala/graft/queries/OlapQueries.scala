@@ -751,6 +751,59 @@ object OlapQueries {
         |r AS (SELECT *, rank() OVER (ORDER BY rem DESC, n_name) AS rk FROM q)
         |SELECT n_name AS nation,
         |  CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END AS BIGINT) AS seats
-        |FROM r ORDER BY 1""".stripMargin)
+        |FROM r ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Winsorized mean of order value per status — robust stats with
+    // EXACT cross-engine boundaries: instead of interpolated
+    // percentiles (whose float math differs per engine), the p05/p95
+    // fences are the values at integer positions ceil(0.05·n) and
+    // ceil(0.95·n) of the (price, orderkey)-sorted sequence, picked by
+    // row_number. Clamped values sum through the decimal path
+    // (Money.decSum) so the mean is bit-exact; the 3-row bounds table
+    // broadcasts back onto the fact scan.
+    "winsorized_revenue" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        val cw = Window.partitionBy(col("o_orderstatus"))
+        val bounds = Tables.orders(s, dir)
+          .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
+          .groupBy(col("o_orderstatus"))
+          .agg(
+            max(col("n")).as("n"),
+            max(when(col("rn") === expr("(n + 19) div 20"), col("o_totalprice")))
+              .as("lo"),
+            max(when(col("rn") === expr("(19 * n + 19) div 20"), col("o_totalprice")))
+              .as("hi"))
+        Tables.orders(s, dir)
+          .join(broadcast(bounds), Seq("o_orderstatus"))
+          .groupBy(col("o_orderstatus"), col("n"), col("lo"), col("hi"))
+          .agg(Money.decSum(
+            least(greatest(col("o_totalprice"), col("lo")), col("hi"))).as("wsum"))
+          .select(
+            col("o_orderstatus"), col("n"), col("lo"), col("hi"),
+            (col("wsum") / col("n").cast("double")).as("winsorized_mean"))
+          .orderBy(col("o_orderstatus"))
+      },
+      s"""WITH ranked AS (
+         |  SELECT o_orderstatus, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_orderstatus
+         |                       ORDER BY o_totalprice, o_orderkey) AS rn,
+         |    COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+         |  FROM orders),
+         |bounds AS (
+         |  SELECT o_orderstatus, CAST(MAX(n) AS BIGINT) AS n,
+         |    MAX(CASE WHEN rn = (n + 19) // 20 THEN o_totalprice END) AS lo,
+         |    MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN o_totalprice END) AS hi
+         |  FROM ranked GROUP BY 1)
+         |SELECT o.o_orderstatus, b.n, b.lo, b.hi,
+         |  ${Money.decSumSql("least(greatest(o_totalprice, lo), hi)")}
+         |    / CAST(b.n AS DOUBLE) AS winsorized_mean
+         |FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY 1""".stripMargin)
   )
 }

@@ -1724,6 +1724,60 @@ object PipelineQueries {
         |ORDER BY event_type""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Growth accounting — the standard DAU decomposition: every active
+    // (user, day) is classified NEW (first-ever day), RETAINED (also
+    // active the previous day) or RESURRECTED (returning after a gap),
+    // and CHURNED(d) is yesterday's actives that didn't return. The
+    // per-user lag runs on the user-partitioned distinct activity grid
+    // (scales out); only the final day-level lag runs on one partition
+    // — at most one row per calendar day, constant size at any data
+    // scale. All counts are integers; gap days emit churned = 0.
+    "growth_accounting" -> QueryDef(
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        val daily = ud
+          .withColumn("prev", lag(col("day"), 1).over(byUser))
+          .groupBy(col("day"))
+          .agg(
+            count(lit(1)).as("active"),
+            sum(when(col("prev").isNull, 1L).otherwise(0L)).as("new_users"),
+            sum(when(datediff(col("day"), col("prev")) === 1, 1L).otherwise(0L))
+              .as("retained"),
+            sum(when(col("prev").isNotNull && datediff(col("day"), col("prev")) > 1, 1L)
+              .otherwise(0L)).as("resurrected"))
+        val byDay = Window.partitionBy().orderBy(col("day"))
+        daily
+          .withColumn("churned",
+            when(lag(col("day"), 1).over(byDay) === date_sub(col("day"), 1),
+              lag(col("active"), 1).over(byDay) - col("retained"))
+              .otherwise(0L))
+          .orderBy(col("day"))
+      },
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |flagged AS (
+        |  SELECT day,
+        |    lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM ud),
+        |daily AS (
+        |  SELECT day,
+        |    CAST(COUNT(*) AS BIGINT) AS active,
+        |    CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |    CAST(SUM(CASE WHEN date_diff('day', prev, day) = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS retained,
+        |    CAST(SUM(CASE WHEN prev IS NOT NULL AND date_diff('day', prev, day) > 1
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS resurrected
+        |  FROM flagged GROUP BY 1)
+        |SELECT day, active, new_users, retained, resurrected,
+        |  CAST(CASE WHEN lag(day) OVER (ORDER BY day) = day - 1
+        |       THEN lag(active) OVER (ORDER BY day) - retained
+        |       ELSE 0 END AS BIGINT) AS churned
+        |FROM daily
+        |ORDER BY day""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Hourly event-rate anomalies per type: flag hours whose count
     // sits > 2 sample standard deviations above the type's mean. All
     // aggregates are INTEGER sums (count, Σc, Σc²) so they're exact on
