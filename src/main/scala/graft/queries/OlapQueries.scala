@@ -804,6 +804,43 @@ object OlapQueries {
          |    / CAST(b.n AS DOUBLE) AS winsorized_mean
          |FROM orders o JOIN bounds b ON o.o_orderstatus = b.o_orderstatus
          |GROUP BY 1, 2, 3, 4
-         |ORDER BY 1""".stripMargin)
+         |ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Percent-of-parent hierarchy rollup: customer counts per
+    // region→nation with each nation's share of its region. The share
+    // normalizer is a window over the ALREADY-AGGREGATED 25-row frame
+    // partitioned by region — zero extra passes over the fact table,
+    // and the dims broadcast into the customer scan. Integer counts,
+    // one division.
+    "region_nation_share" -> QueryDef(
+      (s, dir) => {
+        val byRegion = Window.partitionBy(col("r_name"))
+        Tables.customer(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"))
+          .withColumn("region_total", sum(col("n_customers")).over(byRegion))
+          .select(
+            col("r_name"), col("n_name"), col("n_customers"),
+            (col("n_customers").cast("double") / col("region_total").cast("double"))
+              .as("share_of_region"))
+          .orderBy(col("r_name"), col("n_name"))
+      },
+      """WITH c AS (
+        |  SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |  FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name, n_customers,
+        |  CAST(n_customers AS DOUBLE) /
+        |    CAST(SUM(n_customers) OVER (PARTITION BY r_name) AS DOUBLE)
+        |    AS share_of_region
+        |FROM c
+        |ORDER BY 1, 2""".stripMargin)
   )
 }

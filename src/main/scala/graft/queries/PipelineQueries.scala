@@ -1724,6 +1724,94 @@ object PipelineQueries {
         |ORDER BY event_type""".stripMargin),
 
     // ------------------------------------------------------------------
+    // First-order Markov transition matrix over event types: for every
+    // consecutive event pair per user (total (ts, event_id) order),
+    // the transition count and conditional probability. The lead runs
+    // user-partitioned (scales out); the per-source normalizer is a
+    // tiny type-level aggregate that broadcasts back. Counts are
+    // integers, probability is one division — bit-exact.
+    "event_transition_matrix" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val trans = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("c"))
+        val totals = trans.groupBy(col("from_type")).agg(sum(col("c")).as("c_from"))
+        trans.join(broadcast(totals), Seq("from_type"))
+          .select(
+            col("from_type"), col("to_type"), col("c"),
+            (col("c").cast("double") / col("c_from").cast("double")).as("p"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      """WITH trans AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM trans WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type, CAST(SUM(c) AS BIGINT) AS c_from
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.c,
+        |  CAST(c.c AS DOUBLE) / CAST(t.c_from AS DOUBLE) AS p
+        |FROM cnt c JOIN tot t ON t.from_type = c.from_type
+        |ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Triangle counting on the basket co-occurrence graph — the
+    // classic distributed graph pattern: edges are part pairs
+    // co-ordered in ≥ 3 baskets, kept in canonical (p1 < p2) order so
+    // each triangle (a < b < c) is enumerated exactly once by the
+    // two-hop join a-b ⋈ b-c ⋈ a-c. Support filtering first keeps the
+    // edge set far smaller than the raw pair stream; the joins are
+    // equi-joins on edge endpoints (shuffle by vertex — the standard
+    // MR triangle algorithm). One-row integer output.
+    "basket_triangles" -> QueryDef(
+      (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val edges = items.as("a")
+          .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 3)
+          .select(col("u"), col("v"))
+        val tri = edges.as("e1")
+          .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+          .join(edges.as("e3"),
+            col("e1.u") === col("e3.u") && col("e2.v") === col("e3.v"))
+          .agg(count(lit(1)).as("n_triangles"))
+        val nodes = edges.select(col("u").as("p")).unionAll(edges.select(col("v").as("p")))
+          .distinct().agg(count(lit(1)).as("n_nodes"))
+        val ne = edges.agg(count(lit(1)).as("n_edges"))
+        nodes.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      },
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM items a JOIN items b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 3),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM edges e1
+        |  JOIN edges e2 ON e1.v = e2.u
+        |  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v),
+        |nodes AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+        |    SELECT u AS p FROM edges UNION SELECT v FROM edges)),
+        |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+        |SELECT n_nodes, n_edges, n_triangles FROM nodes, ne, tri""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Growth accounting — the standard DAU decomposition: every active
     // (user, day) is classified NEW (first-ever day), RETAINED (also
     // active the previous day) or RESURRECTED (returning after a gap),
