@@ -841,6 +841,114 @@ object OlapQueries {
         |    CAST(SUM(n_customers) OVER (PARTITION BY r_name) AS DOUBLE)
         |    AS share_of_region
         |FROM c
-        |ORDER BY 1, 2""".stripMargin)
+        |ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Gini coefficient of order counts across customers — distributed
+    // inequality measurement: ranks come from DenseId (range shuffle,
+    // no single-partition window), the measure is an INTEGER (order
+    // count), so every moment sum (N, Σx, Σi·x) is exact on any
+    // engine and the classic closed form finishes in three fixed-order
+    // double ops. Σi·x ≤ N²·max(x) stays far below 2^53 at any test
+    // scale (the decimal-revenue variant would overflow the exact
+    // double range at sf0.1 — measured constraint, CLAUDE.md).
+    "customer_order_gini" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("nord"))
+        graft.operators.DenseId
+          .withDenseId(counts, Seq(col("nord"), col("o_custkey")), "i")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("nord")).as("s1"),
+            sum(col("i") * col("nord")).as("si"))
+          .select(
+            col("n"), col("s1"),
+            ((lit(2.0) * col("si").cast("double") -
+              (col("n") + 1).cast("double") * col("s1").cast("double")) /
+              (col("n").cast("double") * col("s1").cast("double"))).as("gini"))
+      },
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS nord
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT nord,
+        |    row_number() OVER (ORDER BY nord, o_custkey) AS i
+        |  FROM c),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(nord) AS BIGINT) AS s1,
+        |    CAST(SUM(i * nord) AS BIGINT) AS si
+        |  FROM r)
+        |SELECT n, s1,
+        |  (2.0 * CAST(si AS DOUBLE) - CAST(n + 1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(s1 AS DOUBLE)) AS gini
+        |FROM s""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Weighted median quantity per return flag, weighted by revenue —
+    // computed on the VALUE HISTOGRAM (≤ |distinct qty| rows per
+    // group), never per row: cumulative exact-decimal weights per
+    // flag-partitioned window, and the crossing test is the
+    // DIVISION-FREE 2·cum ≥ total (decimal doubling is exact; total/2
+    // would round). One fact-table aggregation shuffle, then
+    // histogram-sized windows.
+    "weighted_median_qty" -> QueryDef(
+      (s, dir) => {
+        val byFlag = Window.partitionBy(col("l_returnflag"))
+        val cumW = byFlag.orderBy(col("l_quantity"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_quantity"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(20, 2))).as("w"))
+          .withColumn("cum", sum(col("w")).over(cumW))
+          .withColumn("total", sum(col("w")).over(byFlag))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("l_quantity")).as("wmedian_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH h AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |c AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS total
+        |  FROM h)
+        |SELECT l_returnflag, MIN(l_quantity) AS wmedian_qty
+        |FROM c WHERE cum * 2 >= total
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Benford first-digit profile of order values — data-quality
+    // fingerprinting. Digit extraction goes through DECIMAL cents
+    // (cast to DECIMAL(12,2), ×100, to BIGINT, to string) because
+    // double→string formatting differs between engines while
+    // decimal/integer formatting does not. Map-side digit, 9-row
+    // aggregate, share off the 9-row window.
+    "benford_first_digit" -> QueryDef(
+      (s, dir) => {
+        val g = Window.partitionBy()
+        Tables.orders(s, dir)
+          .select(substring(
+            (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+              .cast("long").cast("string"), 1, 1).as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            col("n").cast("double") / sum(col("n")).over(g).cast("double"))
+          .orderBy(col("digit"))
+      },
+      """WITH d AS (
+        |  SELECT substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+        |                     AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        |  FROM orders),
+        |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+        |SELECT digit, n,
+        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
+        |FROM c
+        |ORDER BY digit""".stripMargin)
   )
 }
