@@ -949,6 +949,123 @@ object OlapQueries {
         |SELECT digit, n,
         |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share
         |FROM c
-        |ORDER BY digit""".stripMargin)
+        |ORDER BY digit""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Day-of-week × hour activity grid — the calendar heatmap. One
+    // map-side projection + one ≤168-row aggregate. Weekday numbering
+    // is the cross-engine trap: Spark's weekday() is 0=Monday while
+    // dayofweek() is 1=Sunday; DuckDB's isodow() is 1=Monday. Both
+    // sides are pinned to the ISO Monday=0 convention explicitly.
+    "events_dow_hour_grid" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(expr("weekday(ts)").as("dow"), hour(col("ts")).as("hod"))
+          .groupBy(col("dow"), col("hod"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("dow"), col("hod")),
+      """SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+        |  CAST(hour(ts) AS INT) AS hod,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Lorenz curve by revenue decile — the Gini query's visual twin:
+    // customers ranked by exact-decimal revenue into ExactNtile
+    // deciles (no single-partition window), per-decile decimal sums,
+    // then the cumulative share over the TEN-row decile frame. Decimal
+    // sums stay exact end-to-end; doubles appear only in the final
+    // per-decile division.
+    "lorenz_deciles" -> QueryDef(
+      (s, dir) => {
+        val rev = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).as("rev"))
+        val cum = Window.partitionBy().orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        graft.operators.ExactNtile
+          .withNtile(rev, Seq(col("rev"), col("o_custkey")), 10, "decile")
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("rev")).as("drev"))
+          .withColumn("cum", sum(col("drev")).over(cum))
+          .withColumn("total", sum(col("drev")).over(tot))
+          .select(
+            col("decile"), col("n_cust"),
+            col("drev").cast("double").as("decile_rev"),
+            (col("cum").cast("double") / col("total").cast("double"))
+              .as("cum_share"))
+          .orderBy(col("decile"))
+      },
+      """WITH rev AS (
+        |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT rev,
+        |    CAST(ntile(10) OVER (ORDER BY rev, o_custkey) AS INT) AS decile
+        |  FROM rev),
+        |d AS (
+        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    SUM(rev) AS drev
+        |  FROM t GROUP BY 1)
+        |SELECT decile, n_cust, CAST(drev AS DOUBLE) AS decile_rev,
+        |  CAST(SUM(drev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |       AS DOUBLE)
+        |    / CAST(SUM(drev) OVER () AS DOUBLE) AS cum_share
+        |FROM d
+        |ORDER BY decile""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Order-to-ship latency profile per priority: the latency is an
+    // integer day count, so the whole profile — including the exact
+    // median via the division-free 2·cum ≥ total crossing on the
+    // latency histogram — is integer arithmetic. The orders⋈lineitem
+    // equi-join is the only row-scale shuffle; everything after runs
+    // on the (priority, latency) histogram.
+    "ship_latency_profile" -> QueryDef(
+      (s, dir) => {
+        val byPrio = Window.partitionBy(col("o_orderpriority"))
+        val cumW = byPrio.orderBy(col("lat"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority"),
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+              .as("lat"))
+          .groupBy(col("o_orderpriority"), col("lat"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(cumW))
+          .withColumn("total", sum(col("c")).over(byPrio))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            max(col("total")).as("n"),
+            min(when(col("cum") * 2 >= col("total"), col("lat"))).as("median_days"),
+            min(col("lat")).as("min_days"),
+            max(col("lat")).as("max_days"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """WITH lat AS (
+        |  SELECT o_orderpriority,
+        |    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+        |      AS lat
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS (
+        |  SELECT o_orderpriority, lat, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lat GROUP BY 1, 2),
+        |w AS (
+        |  SELECT o_orderpriority, lat, c,
+        |    SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY lat
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY o_orderpriority) AS total
+        |  FROM h)
+        |SELECT o_orderpriority,
+        |  CAST(MAX(total) AS BIGINT) AS n,
+        |  CAST(MIN(CASE WHEN cum * 2 >= total THEN lat END) AS INT) AS median_days,
+        |  CAST(MIN(lat) AS INT) AS min_days,
+        |  CAST(MAX(lat) AS INT) AS max_days
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -23,7 +23,8 @@ class PlanAuditSpec extends SparkSuite {
     "chi2_status_priority", // grand total n as a broadcast 1-row aggregate (expected counts)
     "spearman_pricebucket_qty", // ExactNtile's total row count N as a broadcast 1-row aggregate
     "basket_association_rules", // basket total as a broadcast 1-row aggregate (lift denominator)
-    "basket_triangles") // 1-row node/edge/triangle aggregates composed by cross join
+    "basket_triangles", // 1-row node/edge/triangle aggregates composed by cross join
+    "lorenz_deciles") // ExactNtile: total row count N as a broadcast 1-row aggregate
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
