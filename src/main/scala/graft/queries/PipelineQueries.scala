@@ -1459,6 +1459,93 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Cohort LTV grid: cumulative revenue per first-week cohort across
+    // week offsets — the monetized retention matrix. Revenue sums are
+    // exact decimals end-to-end (the cumulative window included), so
+    // the only doubles are the final per-cell casts. The wide shuffle
+    // is the (cohort, offset) aggregate; the cumulative runs on the
+    // bounded cohort×offset grid partitioned by cohort.
+    "cohort_ltv" -> QueryDef(
+      (s, dir) => {
+        val firstw = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        val cum = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .join(firstw, Seq("user_id"))
+          .select(col("cohort_week"),
+            (datediff(date_trunc("week", col("ts")).cast("date"), col("cohort_week")) / 7)
+              .cast("int").as("week_offset"),
+            col("value"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2))).as("rev"))
+          .withColumn("cum_rev", sum(col("rev")).over(cum))
+          .select(col("cohort_week"), col("week_offset"),
+            col("rev").cast("double").as("week_revenue"),
+            col("cum_rev").cast("double").as("cum_revenue"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      """WITH firstw AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |cell AS (
+        |  SELECT f.cohort_week,
+        |    CAST(datediff('day', f.cohort_week,
+        |                  CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+        |      AS week_offset,
+        |    SUM(CAST(e.value AS DECIMAL(20,2))) AS rev
+        |  FROM events e JOIN firstw f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset,
+        |  CAST(rev AS DOUBLE) AS week_revenue,
+        |  CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_revenue
+        |FROM cell
+        |ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // DAU/MAU stickiness per day: daily actives over trailing-30-day
+    // actives, with the distinct-over-a-sliding-window made
+    // shuffle-friendly by the same bounded-replication trick as
+    // rolling_active_users — each active (user, day) maps into the 30
+    // day-buckets whose trailing window sees it, then one two-phase
+    // distinct per bucket. DAU joins MAU on the day spine; the ratio
+    // is one division.
+    "dau_mau_stickiness" -> QueryDef(
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        val mau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 29))).as("d"))
+          .join(dau.select(col("day").as("d")), Seq("d"))
+          .groupBy(col("d").as("day"))
+          .agg(countDistinct(col("user_id")).as("mau"))
+        dau.join(mau, Seq("day"))
+          .select(col("day"), col("dau"), col("mau"),
+            (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+          .orderBy(col("day"))
+      },
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |dau AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |rep AS (
+        |  SELECT user_id, CAST(u AS DATE) AS day
+        |  FROM ud,
+        |    unnest(generate_series(day, day + 29, INTERVAL 1 DAY)) AS t(u)),
+        |mau AS (
+        |  SELECT r.day, CAST(COUNT(DISTINCT r.user_id) AS BIGINT) AS mau
+        |  FROM rep r JOIN dau USING (day)
+        |  GROUP BY 1)
+        |SELECT day, dau, mau,
+        |  CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) AS stickiness
+        |FROM dau JOIN mau USING (day)
+        |ORDER BY day""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Peak concurrent sessions per day — the classic sweep-line: each
     // session becomes a (+1 at start, -1 at end) delta pair, a running
     // sum ordered by time gives instantaneous concurrency, MAX per day
