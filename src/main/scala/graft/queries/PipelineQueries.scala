@@ -65,6 +65,28 @@ object PipelineQueries {
         "id_a", "id_b")
         .localCheckpoint())
 
+  /** Basket pair-count ARTIFACT, built once per (session, corpus) —
+    * the distinct (order, part) self-join + pair aggregation is the
+    * expensive stage shared by basket_association_rules and
+    * basket_triangles; both read the same checkpointed (p1, p2,
+    * c_pair ≥ 3) table (same contract as [[ccLabels]]).
+    */
+  private val basketPairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def basketPairs(s: SparkSession, dir: String): DataFrame =
+    basketPairCache.getOrElseUpdate((s, dir), {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      items.as("a")
+        .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
+        .agg(count(lit(1)).as("c_pair"))
+        .filter(col("c_pair") >= 3)
+        .localCheckpoint()
+    })
+
   /** DuckDB fragment for [[graft.functions.Md5Hash.lower63]]: first 8
     * MD5 digest bytes big-endian, top bit cleared.
     */
@@ -1860,15 +1882,8 @@ object PipelineQueries {
     // MR triangle algorithm). One-row integer output.
     "basket_triangles" -> QueryDef(
       (s, dir) => {
-        val items = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
-        val edges = items.as("a")
-          .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 3)
-          .select(col("u"), col("v"))
+        val edges = basketPairs(s, dir)
+          .select(col("p1").as("u"), col("p2").as("v"))
         val tri = edges.as("e1")
           .join(edges.as("e2"), col("e1.v") === col("e2.u"))
           .join(edges.as("e3"),
@@ -2020,12 +2035,7 @@ object PipelineQueries {
           .select(col("l_orderkey"), col("l_partkey")).distinct()
         val partCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
         val tot = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
-        items.as("a")
-          .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
-          .agg(count(lit(1)).as("c_pair"))
-          .filter(col("c_pair") >= 3)
+        basketPairs(s, dir)
           .orderBy(col("c_pair").desc, col("p1"), col("p2"))
           .limit(20)
           .join(broadcast(partCnt.select(col("l_partkey").as("p1"), col("pc").as("c1"))), Seq("p1"))
