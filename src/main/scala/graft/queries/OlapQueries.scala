@@ -1066,6 +1066,90 @@ object OlapQueries {
         |  CAST(MIN(CASE WHEN cum * 2 >= total THEN lat END) AS INT) AS median_days,
         |  CAST(MIN(lat) AS INT) AS min_days,
         |  CAST(MAX(lat) AS INT) AS max_days
-        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Five-number summary (boxplot) of supplier balances per nation —
+    // quartiles as integer-position row lookups (ceil(q·n) over the
+    // (balance, suppkey) total order), so the values are actual data
+    // points and bit-exact on any engine, never interpolated. The
+    // windows partition by nation (bounded groups); one pass, one
+    // shuffle.
+    "supplier_balance_fivenum" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("n_name"))
+          .orderBy(col("s_acctbal"), col("s_suppkey"))
+        val cw = Window.partitionBy(col("n_name"))
+        Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), col("s_acctbal"), col("s_suppkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
+          .groupBy(col("n_name"))
+          .agg(
+            max(col("n")).as("n"),
+            min(col("s_acctbal")).as("bal_min"),
+            max(when(col("rn") === expr("(n + 3) div 4"), col("s_acctbal"))).as("q1"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("s_acctbal"))).as("median"),
+            max(when(col("rn") === expr("(3 * n + 3) div 4"), col("s_acctbal"))).as("q3"),
+            max(col("s_acctbal")).as("bal_max"))
+          .orderBy(col("n_name"))
+      },
+      """WITH r AS (
+        |  SELECT n_name, s_acctbal,
+        |    row_number() OVER (PARTITION BY n_name
+        |                       ORDER BY s_acctbal, s_suppkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY n_name) AS n
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |SELECT n_name, CAST(MAX(n) AS BIGINT) AS n,
+        |  MIN(s_acctbal) AS bal_min,
+        |  MAX(CASE WHEN rn = (n + 3) // 4 THEN s_acctbal END) AS q1,
+        |  MAX(CASE WHEN rn = (n + 1) // 2 THEN s_acctbal END) AS median,
+        |  MAX(CASE WHEN rn = (3 * n + 3) // 4 THEN s_acctbal END) AS q3,
+        |  MAX(s_acctbal) AS bal_max
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Dormant-customer census per nation: customers whose LAST order
+    // predates the dataset horizon (max order date) by more than 180
+    // days, versus still-active ones. The horizon is a 1-row aggregate
+    // broadcast back (J9 shape, whitelisted); the per-customer max and
+    // the nation rollup are the only shuffles. Integer output.
+    "dormant_customers" -> QueryDef(
+      (s, dir) => {
+        val lastOrd = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(max(col("o_orderdate")).as("last_ord"))
+        val horizon = Tables.orders(s, dir)
+          .agg(max(col("o_orderdate")).as("maxd"))
+        lastOrd
+          .crossJoin(broadcast(horizon))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(when(datediff(to_date(col("maxd")), to_date(col("last_ord"))) > 180, 1L)
+              .otherwise(0L)).as("n_dormant"),
+            sum(when(datediff(to_date(col("maxd")), to_date(col("last_ord"))) > 180, 0L)
+              .otherwise(1L)).as("n_active"))
+          .orderBy(col("n_name"))
+      },
+      """WITH last_ord AS (
+        |  SELECT o_custkey, MAX(o_orderdate) AS last_ord
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT MAX(o_orderdate) AS maxd FROM orders)
+        |SELECT n_name,
+        |  CAST(SUM(CASE WHEN date_diff('day', CAST(last_ord AS DATE),
+        |                               CAST(maxd AS DATE)) > 180
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dormant,
+        |  CAST(SUM(CASE WHEN date_diff('day', CAST(last_ord AS DATE),
+        |                               CAST(maxd AS DATE)) > 180
+        |           THEN 0 ELSE 1 END) AS BIGINT) AS n_active
+        |FROM last_ord
+        |CROSS JOIN h
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -1481,6 +1481,40 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Time-to-convert distribution: hours between a user's first view
+    // and first purchase, bucketed to an integer-hour histogram. Two
+    // filtered min-aggregates shuffle on the user key (AQE plans the
+    // join between them on the same partitioning); the division is
+    // integer microsecond arithmetic, so every bucket is engine-exact.
+    "conversion_latency_hours" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val firstView = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+        val firstPurch = ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+        firstView.join(firstPurch, Seq("user_id"))
+          .filter(col("p_ts") >= col("v_ts"))
+          .select(expr(
+            "(unix_micros(p_ts) - unix_micros(v_ts)) div 3600000000")
+            .as("latency_hours"))
+          .groupBy(col("latency_hours"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("latency_hours"))
+      },
+      """WITH v AS (
+        |  SELECT user_id, MIN(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, MIN(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT (epoch_us(p_ts) - epoch_us(v_ts)) // 3600000000 AS latency_hours,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM v JOIN p USING (user_id)
+        |WHERE p_ts >= v_ts
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Cohort LTV grid: cumulative revenue per first-week cohort across
     // week offsets — the monetized retention matrix. Revenue sums are
     // exact decimals end-to-end (the cumulative window included), so
