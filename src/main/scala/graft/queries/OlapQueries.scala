@@ -1150,6 +1150,78 @@ object OlapQueries {
         |CROSS JOIN h
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Maximum-drawdown series on monthly revenue — the classic
+    // peak-to-trough measure: running maximum of the exact-decimal
+    // monthly totals, drawdown = peak − current. Decimal max and
+    // subtraction are exact, so every cell is bit-identical; the
+    // running window covers only the bounded month series after the
+    // wide aggregate.
+    "revenue_drawdown" -> QueryDef(
+      (s, dir) => {
+        val runW = Window.partitionBy().orderBy(col("month"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).as("rev"))
+          .withColumn("peak", max(col("rev")).over(runW))
+          .select(
+            col("month"),
+            col("rev").cast("double").as("revenue"),
+            col("peak").cast("double").as("running_peak"),
+            (col("peak") - col("rev")).cast("double").as("drawdown"))
+          .orderBy(col("month"))
+      },
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT month, rev,
+        |    MAX(rev) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM m)
+        |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+        |  CAST(peak AS DOUBLE) AS running_peak,
+        |  CAST(peak - rev AS DOUBLE) AS drawdown
+        |FROM p ORDER BY month""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Key-space gap audit — sequence completeness QA: bucket the
+    // surrogate key range, compare actual distinct keys per bucket to
+    // the bucket's covered span, and report every bucket's hole count
+    // (0 = complete — emitted so the audit is a full census, not just
+    // exceptions). All integer arithmetic, map-side bucketing, one
+    // aggregate; the global horizon rides a broadcast 1-row aggregate.
+    "orderkey_gap_audit" -> QueryDef(
+      (s, dir) => {
+        val horizon = Tables.orders(s, dir)
+          .agg(max(col("o_orderkey")).as("maxk"))
+        Tables.orders(s, dir)
+          .select(expr("(o_orderkey - 1) div 10000").as("bucket"),
+            col("o_orderkey"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_keys"),
+            min(col("o_orderkey")).as("k_min"),
+            max(col("o_orderkey")).as("k_max"))
+          .crossJoin(broadcast(horizon))
+          .select(col("bucket"), col("n_keys"),
+            (least(col("maxk"), (col("bucket") + 1) * 10000) -
+              col("bucket") * 10000).as("span"),
+            (least(col("maxk"), (col("bucket") + 1) * 10000) -
+              col("bucket") * 10000 - col("n_keys")).as("n_missing"))
+          .orderBy(col("bucket"))
+      },
+      """WITH h AS (SELECT MAX(o_orderkey) AS maxk FROM orders),
+        |b AS (
+        |  SELECT (o_orderkey - 1) // 10000 AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys
+        |  FROM orders GROUP BY 1)
+        |SELECT bucket, n_keys,
+        |  least(maxk, (bucket + 1) * 10000) - bucket * 10000 AS span,
+        |  least(maxk, (bucket + 1) * 10000) - bucket * 10000 - n_keys AS n_missing
+        |FROM b CROSS JOIN h
+        |ORDER BY bucket""".stripMargin)
   )
 }
