@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -1222,6 +1223,171 @@ object OlapQueries {
         |  least(maxk, (bucket + 1) * 10000) - bucket * 10000 AS span,
         |  least(maxk, (bucket + 1) * 10000) - bucket * 10000 - n_keys AS n_missing
         |FROM b CROSS JOIN h
-        |ORDER BY bucket""".stripMargin)
+        |ORDER BY bucket""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Simple linear regression (OLS) of quantity on discount per flag
+    // — the corr query's sibling: the same exact decimal moment sums
+    // feed the closed-form slope and intercept, finishing in
+    // fixed-order IEEE doubles. One aggregation pass, bit-exact.
+    "ols_qty_on_discount" -> QueryDef(
+      (s, dir) => {
+        val x = col("l_discount").cast(DecimalType(3, 2))
+        val y = col("l_quantity").cast(DecimalType(4, 0))
+        val nD = col("n").cast("double")
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(x).cast("double").as("sx"),
+            sum(y).cast("double").as("sy"),
+            sum(x * y).cast("double").as("sxy"),
+            sum(x * x).cast("double").as("sxx"))
+          .select(
+            col("l_returnflag"), col("n"),
+            ((nD * col("sxy") - col("sx") * col("sy")) /
+              (nD * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            ((col("sy") - (nD * col("sxy") - col("sx") * col("sy")) /
+              (nD * col("sxx") - col("sx") * col("sx")) * col("sx")) / nD)
+              .as("intercept"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))
+        |             * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))
+        |             * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  (sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE)
+        |    AS intercept
+        |FROM s ORDER BY l_returnflag""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Median absolute deviation of quantity per flag — robust spread,
+    // fully exact: the median comes off the (flag, qty) histogram via
+    // the division-free 2·cum ≥ total crossing, the 3-row median table
+    // broadcasts back onto the SAME histogram (never the rows), the
+    // deviation histogram re-aggregates, and the crossing runs again.
+    // Two fact-scale shuffles total (the first histogram build is
+    // one); everything else is histogram-sized. Decimal |x−m| is
+    // exact, so MAD is bit-identical on any engine.
+    "mad_quantity" -> QueryDef(
+      (s, dir) => {
+        val q = col("l_quantity").cast(DecimalType(4, 0))
+        def crossing(h: DataFrame, valCol: String, out: String): DataFrame = {
+          val byFlag = Window.partitionBy(col("l_returnflag"))
+          val cumW = byFlag.orderBy(col(valCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          h.withColumn("cum", sum(col("c")).over(cumW))
+            .withColumn("total", sum(col("c")).over(byFlag))
+            .filter(col("cum") * 2 >= col("total"))
+            .groupBy(col("l_returnflag"))
+            .agg(min(col(valCol)).as(out))
+        }
+        val hist = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), q.as("qty"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint()
+        val med = crossing(hist, "qty", "med")
+        val devHist = hist.join(broadcast(med), Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"), abs(col("qty") - col("med")).as("dev"))
+          .agg(sum(col("c")).as("c"))
+        crossing(devHist, "dev", "mad")
+          .join(broadcast(med), Seq("l_returnflag"))
+          .select(col("l_returnflag"),
+            col("med").cast("double").as("median_qty"),
+            col("mad").cast("double").as("mad_qty"))
+          .orderBy(col("l_returnflag"))
+      },
+      """WITH hist AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(4,0)) AS qty,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, MIN(qty) AS med FROM (
+        |    SELECT l_returnflag, qty, c,
+        |      SUM(c) OVER (PARTITION BY l_returnflag ORDER BY qty
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |      SUM(c) OVER (PARTITION BY l_returnflag) AS total
+        |    FROM hist)
+        |  WHERE cum * 2 >= total GROUP BY 1),
+        |dev AS (
+        |  SELECT h.l_returnflag, abs(qty - med) AS dev, SUM(c) AS c
+        |  FROM hist h JOIN m USING (l_returnflag)
+        |  GROUP BY 1, 2),
+        |mad AS (
+        |  SELECT l_returnflag, MIN(dev) AS mad FROM (
+        |    SELECT l_returnflag, dev, c,
+        |      SUM(c) OVER (PARTITION BY l_returnflag ORDER BY dev
+        |                   ROWS UNBOUNDED PRECEDING) AS cum,
+        |      SUM(c) OVER (PARTITION BY l_returnflag) AS total
+        |    FROM dev)
+        |  WHERE cum * 2 >= total GROUP BY 1)
+        |SELECT l_returnflag,
+        |  CAST(med AS DOUBLE) AS median_qty,
+        |  CAST(mad AS DOUBLE) AS mad_qty
+        |FROM mad JOIN m USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ABC (Pareto) classification of parts by revenue: A = parts
+    // covering the first 80% of revenue, B = to 95%, C = the tail.
+    // Revenue ranks run through PrefixSum's distributed cumulative
+    // (exact integer cents, descending order via negated keys — no
+    // single-partition window over parts), the class test is the
+    // integer cross-multiplication 5·cum ≤ 4·total / 20·cum ≤
+    // 19·total, and the grand total rides a broadcast 1-row aggregate.
+    "abc_classification" -> QueryDef(
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum(col("l_extendedprice").cast(DecimalType(20, 2))).as("rev"))
+          .select(col("l_partkey"),
+            (col("rev") * 100).cast("long").as("cents"))
+          .withColumn("negcents", -col("cents"))
+        val tot = rev.agg(sum(col("cents")).as("total"))
+        graft.operators.PrefixSum
+          .withExclusivePrefix(
+            rev, Seq(col("negcents"), col("l_partkey")), "cents", "prefix")
+          .crossJoin(broadcast(tot))
+          .withColumn("cuminc", col("prefix") + col("cents"))
+          .withColumn("abc_class",
+            when(col("cuminc") * 5 <= col("total") * 4, "A")
+              .when(col("cuminc") * 20 <= col("total") * 19, "B")
+              .otherwise("C"))
+          .groupBy(col("abc_class"))
+          .agg(count(lit(1)).as("n_parts"), sum(col("cents")).as("class_cents"))
+          .select(col("abc_class"), col("n_parts"),
+            (col("class_cents").cast("double") / lit(100.0)).as("class_revenue"))
+          .orderBy(col("abc_class"))
+      },
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM rev),
+        |c AS (
+        |  SELECT cents,
+        |    CAST(SUM(cents) OVER (ORDER BY -cents, l_partkey
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuminc
+        |  FROM rev),
+        |cls AS (
+        |  SELECT cents,
+        |    CASE WHEN cuminc * 5 <= total * 4 THEN 'A'
+        |         WHEN cuminc * 20 <= total * 19 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c CROSS JOIN t)
+        |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS class_revenue
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSuite {
     "basket_triangles", // 1-row node/edge/triangle aggregates composed by cross join
     "lorenz_deciles", // ExactNtile: total row count N as a broadcast 1-row aggregate
     "dormant_customers", // dataset horizon (max date) as a broadcast 1-row aggregate
-    "orderkey_gap_audit") // key horizon (max key) as a broadcast 1-row aggregate
+    "orderkey_gap_audit", // key horizon (max key) as a broadcast 1-row aggregate
+    "abc_classification") // revenue grand total as a broadcast 1-row aggregate
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
