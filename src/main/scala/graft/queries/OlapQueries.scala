@@ -1388,6 +1388,117 @@ object OlapQueries {
         |  FROM c CROSS JOIN t)
         |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
         |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS class_revenue
-        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Top discount days WITH TIES — dense_rank semantics (every day
+    // tied on the integer count keeps its rank, unlike the row_number
+    // top-k elsewhere). The window runs over the aggregated day frame,
+    // never rows; the measure is an integer so ties are engine-exact.
+    "top_discount_days_with_ties" -> QueryDef(
+      (s, dir) => {
+        val byRank = Window.partitionBy().orderBy(col("n_discounted").desc)
+        Tables.lineitem(s, dir)
+          .filter(col("l_discount") >= 0.05)
+          .groupBy(to_date(col("l_shipdate")).as("ship_day"))
+          .agg(count(lit(1)).as("n_discounted"))
+          .withColumn("rnk", dense_rank().over(byRank))
+          .filter(col("rnk") <= 3)
+          .select(col("ship_day"), col("n_discounted"), col("rnk"))
+          .orderBy(col("rnk"), col("ship_day"))
+      },
+      """WITH d AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
+        |    CAST(COUNT(*) AS BIGINT) AS n_discounted
+        |  FROM lineitem WHERE l_discount >= 0.05
+        |  GROUP BY 1)
+        |SELECT ship_day, n_discounted,
+        |  CAST(dense_rank() OVER (ORDER BY n_discounted DESC) AS INT) AS rnk
+        |FROM d QUALIFY rnk <= 3
+        |ORDER BY rnk, ship_day""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // First-vs-last order value trend per nation — first_value /
+    // last_value over the full frame (ROWS UNBOUNDED PRECEDING AND
+    // FOLLOWING, the trap being that last_value defaults to CURRENT
+    // ROW): customer-partitioned windows scale out, the decimal
+    // difference is exact, and the nation census is integers.
+    "customer_price_trend" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val p = col("o_totalprice").cast(DecimalType(12, 2))
+        val perCust = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), p.as("p"))
+          .withColumn("first_p", first(col("p")).over(w))
+          .withColumn("last_p", last(col("p")).over(w))
+          .groupBy(col("o_custkey"))
+          .agg(max(col("first_p")).as("first_p"), max(col("last_p")).as("last_p"))
+        perCust
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            sum(when(col("last_p") > col("first_p"), 1L).otherwise(0L)).as("n_up"),
+            sum(when(col("last_p") < col("first_p"), 1L).otherwise(0L)).as("n_down"),
+            sum(when(col("last_p") === col("first_p"), 1L).otherwise(0L)).as("n_flat"))
+          .orderBy(col("n_name"))
+      },
+      """WITH fl AS (
+        |  SELECT o_custkey,
+        |    first_value(CAST(o_totalprice AS DECIMAL(12,2)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS first_p,
+        |    last_value(CAST(o_totalprice AS DECIMAL(12,2)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |      AS last_p
+        |  FROM orders),
+        |pc AS (
+        |  SELECT o_custkey, MAX(first_p) AS first_p, MAX(last_p) AS last_p
+        |  FROM fl GROUP BY 1)
+        |SELECT n_name,
+        |  CAST(SUM(CASE WHEN last_p > first_p THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+        |  CAST(SUM(CASE WHEN last_p < first_p THEN 1 ELSE 0 END) AS BIGINT) AS n_down,
+        |  CAST(SUM(CASE WHEN last_p = first_p THEN 1 ELSE 0 END) AS BIGINT) AS n_flat
+        |FROM pc
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // percent_rank and cume_dist over the monthly revenue series —
+    // the remaining ANSI rank-family functions, run on the bounded
+    // month frame after the wide aggregate. Their closed forms are
+    // single divisions of integers ((rank−1)/(n−1), peers/n), so both
+    // engines produce identical doubles.
+    "month_revenue_percentiles" -> QueryDef(
+      (s, dir) => {
+        val byRev = Window.partitionBy().orderBy(col("rev_cents"))
+        Tables.orders(s, dir)
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(20, 2))) * 100)
+            .cast("long").as("rev_cents"))
+          .withColumn("pr", percent_rank().over(byRev))
+          .withColumn("cd", cume_dist().over(byRev))
+          .select(col("month"),
+            (col("rev_cents").cast("double") / lit(100.0)).as("revenue"),
+            col("pr").as("pct_rank"), col("cd").as("cume_dist"))
+          .orderBy(col("month"))
+      },
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |      AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month,
+        |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |  percent_rank() OVER (ORDER BY rev_cents) AS pct_rank,
+        |  cume_dist() OVER (ORDER BY rev_cents) AS cume_dist
+        |FROM m
+        |ORDER BY month""".stripMargin)
   )
 }
