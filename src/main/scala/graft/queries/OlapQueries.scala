@@ -1499,6 +1499,84 @@ object OlapQueries {
         |  percent_rank() OVER (ORDER BY rev_cents) AS pct_rank,
         |  cume_dist() OVER (ORDER BY rev_cents) AS cume_dist
         |FROM m
-        |ORDER BY month""".stripMargin)
+        |ORDER BY month""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Priority mix shift by year: each priority's share of the year's
+    // orders and its change versus the previous year. Shares are
+    // single divisions of exact integers; the delta subtracts two such
+    // doubles in identical order, and the lag runs on the bounded
+    // year×priority frame partitioned by priority.
+    "priority_mix_shift" -> QueryDef(
+      (s, dir) => {
+        val byYear = Window.partitionBy(col("yr"))
+        val byPrio = Window.partitionBy(col("o_orderpriority")).orderBy(col("yr"))
+        Tables.orders(s, dir)
+          .groupBy(year(col("o_orderdate")).as("yr"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("share",
+            col("n").cast("double") / sum(col("n")).over(byYear).cast("double"))
+          .withColumn("delta_share", col("share") - lag(col("share"), 1).over(byPrio))
+          .filter(col("delta_share").isNotNull)
+          .select(col("yr"), col("o_orderpriority"), col("n"),
+            col("share"), col("delta_share"))
+          .orderBy(col("yr"), col("o_orderpriority"))
+      },
+      """WITH c AS (
+        |  SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (
+        |  SELECT yr, o_orderpriority, n,
+        |    CAST(n AS DOUBLE) /
+        |      CAST(SUM(n) OVER (PARTITION BY yr) AS DOUBLE) AS share
+        |  FROM c)
+        |SELECT yr, o_orderpriority, n, share,
+        |  share - lag(share) OVER (PARTITION BY o_orderpriority ORDER BY yr)
+        |    AS delta_share
+        |FROM s
+        |QUALIFY delta_share IS NOT NULL
+        |ORDER BY yr, o_orderpriority""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Herfindahl–Hirschman concentration of order volume across
+    // suppliers, per nation: HHI = Σcᵢ²/T² computed from EXACT integer
+    // sums (never Σ(cᵢ/T)² — per-row double squares would accumulate
+    // in engine-dependent order), finishing in one division. The
+    // per-supplier counts shuffle once; the nation rollup is bounded.
+    "supplier_hhi" -> QueryDef(
+      (s, dir) => {
+        val perSupp = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey")).agg(count(lit(1)).as("c"))
+          .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("s_nationkey") === col("n_nationkey"))
+        perSupp
+          .groupBy(col("n_name"))
+          .agg(
+            count(lit(1)).as("n_suppliers"),
+            sum(col("c")).as("t"),
+            sum(col("c") * col("c")).as("sq"))
+          .select(col("n_name"), col("n_suppliers"),
+            (col("sq").cast("double") /
+              (col("t") * col("t")).cast("double")).as("hhi"))
+          .orderBy(col("n_name"))
+      },
+      """WITH s AS (
+        |  SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |n AS (
+        |  SELECT n_name,
+        |    CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |    CAST(SUM(c) AS BIGINT) AS t,
+        |    CAST(SUM(c * c) AS BIGINT) AS sq
+        |  FROM s
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1)
+        |SELECT n_name, n_suppliers,
+        |  CAST(sq AS DOUBLE) / CAST(t * t AS DOUBLE) AS hhi
+        |FROM n
+        |ORDER BY 1""".stripMargin)
   )
 }

@@ -1481,6 +1481,39 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Zipf rank-frequency table: the top-100 tokens with their rank
+    // and the rank×frequency product (≈ constant under Zipf's law —
+    // corpus-linguistics QA). The vocabulary aggregate is the only
+    // corpus-scale shuffle; the top-100 selection plans as
+    // TakeOrderedAndProject (bounded heaps, no global sort) and the
+    // rank is a window over the collected 100 rows.
+    "zipf_rank_frequency" -> QueryDef(
+      (s, dir) => {
+        val byFreq = Window.partitionBy().orderBy(col("c").desc, col("tok"))
+        Tables.documents(s, dir)
+          .select(explode(
+            graft.functions.exprs.wordNgramsAll(col("text"), 1)).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok"))
+          .limit(100)
+          .withColumn("rank", row_number().over(byFreq))
+          .select(col("rank"), col("tok"), col("c"),
+            (col("rank") * col("c")).as("rank_times_freq"))
+          .orderBy(col("rank"))
+      },
+      s"""WITH unic AS (
+         |  SELECT tok, COUNT(*) AS c
+         |  FROM (SELECT unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY tok),
+         |top AS (SELECT tok, c FROM unic ORDER BY c DESC, tok LIMIT 100)
+         |SELECT CAST(row_number() OVER (ORDER BY c DESC, tok) AS INT) AS rank,
+         |  tok, CAST(c AS BIGINT) AS c,
+         |  CAST(row_number() OVER (ORDER BY c DESC, tok) * c AS BIGINT)
+         |    AS rank_times_freq
+         |FROM top
+         |ORDER BY rank""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Time-to-convert distribution: hours between a user's first view
     // and first purchase, bucketed to an integer-hour histogram. Two
     // filtered min-aggregates shuffle on the user key (AQE plans the
