@@ -1481,6 +1481,135 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Repeat-purchase cycle: the distribution of day gaps between a
+    // user's consecutive purchases — median AND p90 via the same
+    // division-free histogram crossings (2·cum ≥ total, 10·cum ≥
+    // 9·total). The lag runs user-partitioned; the gap histogram is
+    // bounded by the calendar, so the crossings cost nothing at any
+    // corpus size. Pure integer output.
+    "repeat_purchase_cycle" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cumW = Window.partitionBy().orderBy(col("gap_days"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .filter(col("prev_ts").isNotNull)
+          .select(datediff(to_date(col("ts")), to_date(col("prev_ts"))).as("gap_days"))
+          .groupBy(col("gap_days")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(cumW))
+          .withColumn("total", sum(col("c")).over(tot))
+          .agg(
+            max(col("total")).as("n_gaps"),
+            min(when(col("cum") * 2 >= col("total"), col("gap_days"))).as("median_days"),
+            min(when(col("cum") * 10 >= col("total") * 9, col("gap_days"))).as("p90_days"))
+      },
+      """WITH g AS (
+        |  SELECT date_diff('day',
+        |    CAST(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS DATE),
+        |    CAST(ts AS DATE)) AS gap_days
+        |  FROM events WHERE event_type = 'purchase'),
+        |h AS (
+        |  SELECT gap_days, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM g WHERE gap_days IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT gap_days, c,
+        |    SUM(c) OVER (ORDER BY gap_days ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER () AS total
+        |  FROM h)
+        |SELECT CAST(MAX(total) AS BIGINT) AS n_gaps,
+        |  CAST(MIN(CASE WHEN cum * 2 >= total THEN gap_days END) AS INT)
+        |    AS median_days,
+        |  CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN gap_days END) AS INT)
+        |    AS p90_days
+        |FROM w""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Lag-1 autocorrelation of daily order counts — time-series
+    // health: consecutive-day count pairs from a lag over the bounded
+    // daily frame, then Pearson on EXACT integer moment sums with the
+    // fixed-order IEEE finish. Only days with an immediate predecessor
+    // enter (calendar gaps drop the pair on both engines).
+    "daily_orders_autocorr" -> QueryDef(
+      (s, dir) => {
+        val byDay = Window.partitionBy().orderBy(col("day"))
+        val nD = col("n").cast("double")
+        Tables.orders(s, dir)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("x"))
+          .withColumn("prev_day", lag(col("day"), 1).over(byDay))
+          .withColumn("y", lag(col("x"), 1).over(byDay))
+          .filter(col("prev_day") === date_sub(col("day"), 1))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"),
+            ((nD * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+              (sqrt(nD * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+                sqrt(nD * col("syy").cast("double") -
+                  col("sy").cast("double") * col("sy").cast("double"))))
+              .as("autocorr_lag1"))
+      },
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT day, x,
+        |    lag(day) OVER (ORDER BY day) AS prev_day,
+        |    lag(x) OVER (ORDER BY day) AS y
+        |  FROM d),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM p WHERE prev_day = day - 1)
+        |SELECT n,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS autocorr_lag1
+        |FROM s""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Weekday seasonality index: each ISO weekday's order count scaled
+    // by 7/total — index 1.0 = a flat week. n·7 stays in exact
+    // integers; the index is a single division. Bounded 7-row output.
+    "weekday_seasonality" -> QueryDef(
+      (s, dir) => {
+        val tot = Window.partitionBy()
+        Tables.orders(s, dir)
+          .groupBy(expr("weekday(o_orderdate)").as("dow"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("idx",
+            (col("n") * 7).cast("double") / sum(col("n")).over(tot).cast("double"))
+          .select(col("dow"), col("n"), col("idx").as("seasonality_index"))
+          .orderBy(col("dow"))
+      },
+      """WITH c AS (
+        |  SELECT CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT dow, n,
+        |  CAST(n * 7 AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE)
+        |    AS seasonality_index
+        |FROM c
+        |ORDER BY dow""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Zipf rank-frequency table: the top-100 tokens with their rank
     // and the rank×frequency product (≈ constant under Zipf's law —
     // corpus-linguistics QA). The vocabulary aggregate is the only
