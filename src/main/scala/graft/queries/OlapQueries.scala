@@ -1577,6 +1577,126 @@ object OlapQueries {
         |SELECT n_name, n_suppliers,
         |  CAST(sq AS DOUBLE) / CAST(t * t AS DOUBLE) AS hhi
         |FROM n
-        |ORDER BY 1""".stripMargin)
+        |ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // RFM segmentation — the classic customer triage: recency
+    // (days since last order vs the dataset horizon), frequency
+    // (order count), monetary (exact decimal revenue as integer
+    // cents), each quintiled through ExactNtile (distributed rank, no
+    // single-partition window; recency ASCENDING so quintile 1 = most
+    // recent), then the 125-cell segment census. All inputs to the
+    // quintiles are exact integers, so cell membership is bit-exact.
+    "rfm_segments" -> QueryDef(
+      (s, dir) => {
+        val horizon = Tables.orders(s, dir).agg(max(col("o_orderdate")).as("maxd"))
+        val base = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(
+            max(col("o_orderdate")).as("last_ord"),
+            count(lit(1)).as("freq"),
+            (sum(col("o_totalprice").cast(DecimalType(20, 2))) * 100)
+              .cast("long").as("cents"))
+          .crossJoin(broadcast(horizon))
+          .withColumn("rec_days",
+            datediff(to_date(col("maxd")), to_date(col("last_ord"))))
+        val withR = graft.operators.ExactNtile.withNtile(
+          base, Seq(col("rec_days"), col("o_custkey")), 5, "r")
+        val withF = graft.operators.ExactNtile.withNtile(
+          withR, Seq(col("freq"), col("o_custkey")), 5, "f")
+        val withM = graft.operators.ExactNtile.withNtile(
+          withF, Seq(col("cents"), col("o_custkey")), 5, "m")
+        withM
+          .groupBy(col("r"), col("f"), col("m"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("r"), col("f"), col("m"))
+      },
+      """WITH h AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+        |base AS (
+        |  SELECT o_custkey,
+        |    date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+        |              CAST(ANY_VALUE(maxd) AS DATE)) AS rec_days,
+        |    COUNT(*) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders CROSS JOIN h
+        |  GROUP BY 1),
+        |q AS (
+        |  SELECT
+        |    CAST(ntile(5) OVER (ORDER BY rec_days, o_custkey) AS INT) AS r,
+        |    CAST(ntile(5) OVER (ORDER BY freq, o_custkey) AS INT) AS f,
+        |    CAST(ntile(5) OVER (ORDER BY cents, o_custkey) AS INT) AS m
+        |  FROM base)
+        |SELECT r, f, m, CAST(COUNT(*) AS BIGINT) AS n_customers
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // New-vs-repeat revenue split per month: each order's revenue
+    // lands in the NEW bucket iff its month is the customer's
+    // first-ever order month. The first-month attach is a user-keyed
+    // join; revenue stays in exact decimals until the final cast.
+    "new_vs_repeat_revenue" -> QueryDef(
+      (s, dir) => {
+        val firstm = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(date_trunc("month", min(col("o_orderdate"))).cast("date").as("first_month"))
+        Tables.orders(s, dir)
+          .join(firstm, Seq("o_custkey"))
+          .withColumn("month", date_trunc("month", col("o_orderdate")).cast("date"))
+          .groupBy(col("month"))
+          .agg(
+            sum(when(col("month") === col("first_month"),
+              col("o_totalprice").cast(DecimalType(20, 2))).otherwise(lit(0)))
+              .as("new_dec"),
+            sum(when(col("month") =!= col("first_month"),
+              col("o_totalprice").cast(DecimalType(20, 2))).otherwise(lit(0)))
+              .as("rep_dec"))
+          .select(col("month"),
+            col("new_dec").cast("double").as("new_revenue"),
+            col("rep_dec").cast("double").as("repeat_revenue"))
+          .orderBy(col("month"))
+      },
+      """WITH fm AS (
+        |  SELECT o_custkey,
+        |    CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS first_month
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  CAST(SUM(CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+        |                     = first_month
+        |           THEN CAST(o_totalprice AS DECIMAL(20,2)) ELSE 0 END)
+        |       AS DOUBLE) AS new_revenue,
+        |  CAST(SUM(CASE WHEN CAST(date_trunc('month', o_orderdate) AS DATE)
+        |                     <> first_month
+        |           THEN CAST(o_totalprice AS DECIMAL(20,2)) ELSE 0 END)
+        |       AS DOUBLE) AS repeat_revenue
+        |FROM orders JOIN fm USING (o_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Order-width histogram — join fan-out QA: how many line items an
+    // order carries, as a distribution with shares. Two nested
+    // integer aggregates; the share divides exact integers once.
+    "order_width_histogram" -> QueryDef(
+      (s, dir) => {
+        val tot = Window.partitionBy()
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+          .groupBy(col("n_lines")).agg(count(lit(1)).as("n_orders"))
+          .withColumn("share",
+            col("n_orders").cast("double") /
+              sum(col("n_orders")).over(tot).cast("double"))
+          .orderBy(col("n_lines"))
+      },
+      """WITH w AS (
+        |  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |h AS (
+        |  SELECT n_lines, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |  FROM w GROUP BY 1)
+        |SELECT n_lines, n_orders,
+        |  CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)
+        |    AS share
+        |FROM h
+        |ORDER BY n_lines""".stripMargin)
   )
 }
