@@ -1697,6 +1697,80 @@ object OlapQueries {
         |  CAST(n_orders AS DOUBLE) / CAST(SUM(n_orders) OVER () AS DOUBLE)
         |    AS share
         |FROM h
-        |ORDER BY n_lines""".stripMargin)
+        |ORDER BY n_lines""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Q-Q comparison of quantity across return flags: the nine decile
+    // values per flag via integer-position row lookups (actual data
+    // points, engine-exact), pivoted to one row per decile — the
+    // distributional-shift diagnostic. Flag-partitioned windows over
+    // the fact scan, then a 27-cell conditional-max pivot.
+    "qq_quantity_by_flag" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        val cw = Window.partitionBy(col("l_returnflag"))
+        val ranked = Tables.lineitem(s, dir)
+          .select(col("l_returnflag"), col("l_quantity"),
+            col("l_orderkey"), col("l_linenumber"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(cw))
+        val deciles = (1 to 9).map { k =>
+          max(when(col("rn") === expr(s"($k * n + 9) div 10"), col("l_quantity")))
+            .as(s"d$k")
+        }
+        ranked
+          .groupBy(col("l_returnflag"))
+          .agg(deciles.head, deciles.tail: _*)
+          .orderBy(col("l_returnflag"))
+      },
+      s"""WITH r AS (
+         |  SELECT l_returnflag, l_quantity,
+         |    row_number() OVER (PARTITION BY l_returnflag
+         |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+         |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         |  FROM lineitem)
+         |SELECT l_returnflag,
+         |${(1 to 9).map(k =>
+             s"  MAX(CASE WHEN rn = ($k * n + 9) // 10 THEN l_quantity END) AS d$k")
+             .mkString(",\n")}
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Cohort conversion: of the users whose FIRST event falls in week
+    // w, how many ever purchase (at or after that first event)?
+    // Composes the cohort attach with a filtered semi-join-style
+    // flag; counts are integers, the rate is one division.
+    "cohort_conversion" -> QueryDef(
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val firstw = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).cast("date").as("cohort_week"))
+        val purchasers = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct()
+          .withColumn("converted", lit(1L))
+        firstw
+          .join(purchasers, Seq("user_id"), "left")
+          .groupBy(col("cohort_week"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            sum(coalesce(col("converted"), lit(0L))).as("n_converted"))
+          .withColumn("cvr",
+            col("n_converted").cast("double") / col("n_users").cast("double"))
+          .orderBy(col("cohort_week"))
+      },
+      """WITH fw AS (
+        |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |pu AS (
+        |  SELECT DISTINCT user_id, 1 AS converted
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT cohort_week,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(SUM(COALESCE(converted, 0)) AS BIGINT) AS n_converted,
+        |  CAST(SUM(COALESCE(converted, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    AS cvr
+        |FROM fw LEFT JOIN pu USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
