@@ -1771,6 +1771,52 @@ object OlapQueries {
         |  CAST(SUM(COALESCE(converted, 0)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
         |    AS cvr
         |FROM fw LEFT JOIN pu USING (user_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Whale share: the revenue fraction held by the top 1% of
+    // customers (at least one). The whale count is the exact integer
+    // ceil(n/100) over the DenseId rank (descending via negated
+    // cents), revenue stays in integer cents until the final
+    // division, and both totals ride broadcast 1-row aggregates.
+    "whale_share" -> QueryDef(
+      (s, dir) => {
+        val rev = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg((sum(col("o_totalprice").cast(DecimalType(20, 2))) * 100)
+            .cast("long").as("cents"))
+          .withColumn("negcents", -col("cents"))
+        val tot = rev.agg(
+          count(lit(1)).as("n_cust"), sum(col("cents")).as("total_cents"))
+        graft.operators.DenseId
+          .withDenseId(rev, Seq(col("negcents"), col("o_custkey")), "rk")
+          .crossJoin(broadcast(tot))
+          .filter(col("rk") <= expr("(n_cust + 99) div 100"))
+          .groupBy(col("n_cust"), col("total_cents"))
+          .agg(count(lit(1)).as("n_whales"), sum(col("cents")).as("whale_cents"))
+          .select(
+            col("n_cust"), col("n_whales"),
+            (col("whale_cents").cast("double") / col("total_cents").cast("double"))
+              .as("whale_share"))
+      },
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) * 100 AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |    CAST(SUM(cents) AS BIGINT) AS total_cents
+        |  FROM rev),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY -cents, o_custkey) AS rk
+        |  FROM rev)
+        |SELECT n_cust,
+        |  CAST(COUNT(*) AS BIGINT) AS n_whales,
+        |  CAST(SUM(cents) AS DOUBLE) / CAST(total_cents AS DOUBLE) AS whale_share
+        |FROM r CROSS JOIN t
+        |WHERE rk <= (n_cust + 99) // 100
+        |GROUP BY n_cust, total_cents""".stripMargin)
   )
 }

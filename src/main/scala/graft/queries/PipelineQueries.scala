@@ -1610,6 +1610,39 @@ object PipelineQueries {
         |ORDER BY dow""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Vocabulary growth curve (Heaps'-law companion to the Zipf
+    // query): cumulative distinct tokens as the corpus grows in
+    // 100-doc buckets. First occurrence = min(doc_id) per token (one
+    // vocab-sized shuffle), new-token counts per bucket, cumulative
+    // over the bounded bucket frame. Pure integers.
+    "vocab_growth_curve" -> QueryDef(
+      (s, dir) => {
+        val cum = Window.partitionBy().orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(
+            graft.functions.exprs.wordNgramsAll(col("text"), 1)).as("tok"))
+          .groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+          .groupBy(expr("first_doc div 100").as("bucket"))
+          .agg(count(lit(1)).as("new_tokens"))
+          .withColumn("vocab_size", sum(col("new_tokens")).over(cum))
+          .orderBy(col("bucket"))
+      },
+      s"""WITH first AS (
+         |  SELECT tok, MIN(doc_id) AS first_doc FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |b AS (
+         |  SELECT first_doc // 100 AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS new_tokens
+         |  FROM first GROUP BY 1)
+         |SELECT bucket, new_tokens,
+         |  CAST(SUM(new_tokens) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+         |       AS BIGINT) AS vocab_size
+         |FROM b
+         |ORDER BY bucket""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Zipf rank-frequency table: the top-100 tokens with their rank
     // and the rank×frequency product (≈ constant under Zipf's law —
     // corpus-linguistics QA). The vocabulary aggregate is the only

@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSuite {
     "dormant_customers", // dataset horizon (max date) as a broadcast 1-row aggregate
     "orderkey_gap_audit", // key horizon (max key) as a broadcast 1-row aggregate
     "abc_classification", // revenue grand total as a broadcast 1-row aggregate
-    "rfm_segments") // horizon + three ExactNtile 1-row totals, all broadcast
+    "rfm_segments", // horizon + three ExactNtile 1-row totals, all broadcast
+    "whale_share") // customer count + revenue total as a broadcast 1-row aggregate
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
