@@ -1481,6 +1481,89 @@ object PipelineQueries {
         |ORDER BY 1, 2""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Event-type combination census: which DISTINCT sets of event
+    // types users exhibit. The set is canonicalized as a sorted array
+    // joined to a string — collect_set alone has engine- and
+    // partition-dependent order, sort_array pins it; DuckDB's ordered
+    // string_agg(DISTINCT) states the same canonical form. One
+    // user-keyed shuffle, then a combo-sized aggregate.
+    "event_type_combos" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(array_join(sort_array(collect_set(col("event_type"))), ",")
+            .as("combo"))
+          .groupBy(col("combo"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("combo")),
+      """WITH c AS (
+        |  SELECT user_id,
+        |    string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS combo
+        |  FROM events GROUP BY 1)
+        |SELECT combo, CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Session length profile: median and p90 session duration in
+    // integer seconds, from the sessionize CTE's (start, end) bounds
+    // through the division-free histogram crossings. The duration
+    // histogram is bounded (sessions cap at the activity span), so
+    // the crossings run on a constant-size frame.
+    "session_length_profile" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val cumW = Window.partitionBy().orderBy(col("secs"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = Window.partitionBy()
+        Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_seq", sum(col("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(expr("(unix_micros(max(ts)) - unix_micros(min(ts))) div 1000000")
+            .as("secs"))
+          .groupBy(col("secs")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(cumW))
+          .withColumn("total", sum(col("c")).over(tot))
+          .agg(
+            max(col("total")).as("n_sessions"),
+            min(when(col("cum") * 2 >= col("total"), col("secs"))).as("median_secs"),
+            min(when(col("cum") * 10 >= col("total") * 9, col("secs"))).as("p90_secs"))
+      },
+      """WITH marked AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM marked
+        |), dur AS (
+        |  SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS secs
+        |  FROM sess GROUP BY user_id, session_seq
+        |), h AS (
+        |  SELECT secs, CAST(COUNT(*) AS BIGINT) AS c FROM dur GROUP BY 1
+        |), w AS (
+        |  SELECT secs, c,
+        |    SUM(c) OVER (ORDER BY secs ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER () AS total
+        |  FROM h)
+        |SELECT CAST(MAX(total) AS BIGINT) AS n_sessions,
+        |  CAST(MIN(CASE WHEN cum * 2 >= total THEN secs END) AS BIGINT)
+        |    AS median_secs,
+        |  CAST(MIN(CASE WHEN cum * 10 >= total * 9 THEN secs END) AS BIGINT)
+        |    AS p90_secs
+        |FROM w""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Repeat-purchase cycle: the distribution of day gaps between a
     // user's consecutive purchases — median AND p90 via the same
     // division-free histogram crossings (2·cum ≥ total, 10·cum ≥
