@@ -13,8 +13,20 @@ import graft.functions.exprs.vecDot
   *
   * Train: k-means on a driver-side sample (at 100 TB you sample a few
   * 100k vectors — centroid quality needs samples, not the corpus; the
-  * training set never exceeds `sampleSize`). Deterministic: seeded
-  * sample, k-means++-style farthest-point init, fixed iterations.
+  * training set never exceeds `sampleSize`). Deterministic END TO END:
+  * the sample is the `sampleSize` lowest rows by `(md5(id), id)` — a
+  * pure function of the key set, taken with TakeOrderedAndProject
+  * (per-partition bounded heaps, no full sort, no first-partition
+  * bias) — and the k-means itself runs in EXACT INTEGER arithmetic on
+  * a quantized grid (coordinates `floor(v·1024)+4096`, centroid state
+  * on grid 2^20 via integer floor-division means), so farthest-point
+  * init, assignment argmins, and Lloyd updates are order- and
+  * engine-independent: DuckDB replays the identical training from the
+  * same parquet (see PipelineQueries.trainedIvfOracleSql), which is
+  * what lets the TRAINED path carry a bit-exact oracle, not just the
+  * fixed-quantizer one. Final centroids are exactly-representable
+  * doubles (`q/2^20 − 4`), so serving reuses the same proven
+  * CentroidIds kernel/oracle recipe as the fixed path.
   *
   * Index: one scan assigns each vector to its nearest centroid
   * (broadcast centroid literals, argmin over `nlist` dot products —
@@ -26,62 +38,95 @@ import graft.functions.exprs.vecDot
   */
 object IvfIndex {
 
-  /** Deterministic k-means over a driver-side sample. */
-  private[operators] def trainCentroids(
-      corpus: DataFrame, vecCol: String, nlist: Int,
+  /** Quantization grid: coordinates become `floor(v·1024) + OFFSET`,
+    * non-negative for embeddings with |v| < 4096 — which makes every
+    * integer division a floor division on BOTH engines (truncation =
+    * floor for non-negatives) and keeps all distance sums within
+    * Long/BIGINT range.
+    */
+  private[graft] val QuantOffset = 4096L
+
+  /** Deterministic exact-integer k-means over a hash-ordered sample.
+    * Every arithmetic step (quantize, farthest-point init, assignment
+    * argmin, Lloyd floor-div means) is integer — no float summation
+    * anywhere — so the result is a pure function of the key→vector
+    * map, independent of layout, engine, or iteration order. Returns
+    * centroids as exactly-representable doubles in the original
+    * embedding space.
+    */
+  private[graft] def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
       sampleSize: Int, iters: Int, seed: Long): Array[Array[Double]] = {
-    val sample = corpus.select(col(vecCol))
+    val sample: Array[Array[Long]] = corpus
+      .select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
       .limit(sampleSize)
       .collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Float](1).map { f =>
+        val w = math.floor(f.toDouble * 1024.0).toLong + QuantOffset
+        require(w >= 0 && w <= (1L << 15),
+          s"embedding coordinate $f outside the exact quantization range")
+        w
+      }.toArray)
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
+    // Overflow headroom: |w·1024| ≤ 2^25 ⇒ per-term (Δ)² ≤ 2^52, and
+    // dim ≤ 256 keeps every distance sum below 2^60 — exact in Long
+    // here and BIGINT in the oracle.
+    require(dim <= 256, s"dim $dim exceeds the exact-integer distance bound")
+    val n = sample.length
 
-    // farthest-point init from a seeded start (deterministic k-means++ flavor)
-    val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]]()
-    centroids += sample((seed % sample.length).toInt.abs)
-    while (centroids.length < math.min(nlist, sample.length)) {
-      var best: Array[Double] = null
-      var bestD = -1.0
+    // farthest-point init from a seeded start: integer distances on
+    // the w grid; strict > keeps the FIRST (lowest sample position)
+    // argmax — the tie-break the SQL twin restates as ORDER BY
+    // (min_dist DESC, pos).
+    val centroids = scala.collection.mutable.ArrayBuffer[Array[Long]]()
+    centroids += sample((seed % n).toInt.abs)
+    while (centroids.length < math.min(nlist, n)) {
+      var best: Array[Long] = null
+      var bestD = -1L
       sample.foreach { v =>
-        val d = centroids.map(c => sqDist(v, c)).min
-        if (d > bestD) { bestD = d; best = v }
+        var md = Long.MaxValue
+        centroids.foreach { c => val d = sqDistL(v, c); if (d < md) md = d }
+        if (md > bestD) { bestD = md; best = v }
       }
       centroids += best
     }
-    var cs = centroids.toArray
-    // Lloyd iterations
+
+    // Lloyd state on grid 2^20: q ≈ mean(w)·1024, snapped by integer
+    // floor division so both engines hold the identical state.
+    var q: Array[Array[Long]] = centroids.map(_.map(_ * 1024L)).toArray
     var it = 0
     while (it < iters) {
-      val sums = Array.fill(cs.length)(new Array[Double](dim))
-      val counts = new Array[Int](cs.length)
+      val sums = Array.fill(q.length)(new Array[Long](dim))
+      val counts = new Array[Int](q.length)
       sample.foreach { v =>
-        val a = argminDist(v, cs)
-        counts(a) += 1
+        // assignment: strict < keeps the lowest centroid id on ties
+        var best = 0; var bestD = Long.MaxValue; var ci = 0
+        while (ci < q.length) {
+          val c = q(ci)
+          var s = 0L; var j = 0
+          while (j < dim) { val d = v(j) * 1024L - c(j); s += d * d; j += 1 }
+          if (s < bestD) { bestD = s; best = ci }
+          ci += 1
+        }
+        counts(best) += 1
         var j = 0
-        while (j < dim) { sums(a)(j) += v(j); j += 1 }
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
       }
-      cs = cs.indices.map { i =>
-        if (counts(i) == 0) cs(i)
-        else sums(i).map(_ / counts(i))
+      q = q.indices.map { i =>
+        if (counts(i) == 0) q(i)
+        else sums(i).map(s => (s * 1024L) / counts(i))
       }.toArray
       it += 1
     }
-    cs
+    q.map(_.map(x => x.toDouble / 1048576.0 - 4.0))
   }
 
-  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0; var i = 0
+  private def sqDistL(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
-  }
-
-  private def argminDist(v: Array[Double], cs: Array[Array[Double]]): Int = {
-    var best = 0; var bestD = Double.MaxValue; var i = 0
-    while (i < cs.length) {
-      val d = sqDist(v, cs(i)); if (d < bestD) { bestD = d; best = i }; i += 1
-    }
-    best
   }
 
   /** Deterministic seeded Gaussian centroids — the "load a pre-trained
@@ -107,7 +152,7 @@ object IvfIndex {
       corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int = 16, nprobe: Int = 4,
       sampleSize: Int = 10000, iters: Int = 5, seed: Long = 42L): DataFrame = {
-    val cs = trainCentroids(corpus, vecCol, nlist, sampleSize, iters, seed)
+    val cs = trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed)
       .map(_.toIndexedSeq).toIndexedSeq
     searchWithCentroids(corpus, probes, idCol, vecCol, k, cs, nprobe)
   }

@@ -313,6 +313,109 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of [[IvfIndex.topK]] — the TRAINED path, oracled end
+    * to end: replays the deterministic hash-ordered sample and the
+    * EXACT-INTEGER k-means (quantized grid, farthest-point init, Lloyd
+    * floor-div means — all integer sums, so DuckDB's aggregation order
+    * cannot perturb a single bit; see IvfIndex.trainCentroids), then
+    * serves with the same unrolled-IEEE-chain recipe as
+    * [[ivfOracleSql]], with centroid literals replaced by the trained
+    * `cent` CTE's exactly-representable doubles. CTEs are MATERIALIZED
+    * because each init step references its predecessor twice —
+    * inlining would blow up exponentially.
+    */
+  private def trainedIvfOracleSql(
+      dim: Int, nlist: Int, nprobe: Int,
+      sampleSize: Int, iters: Int, seed: Long, k: Int): String = {
+    val offset = graft.operators.IvfIndex.QuantOffset
+    def distW(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    def distQ(a: String, b: String) =
+      "CAST(list_sum(list_transform(list_zip(list_transform(" +
+        s"$a, x -> x*1024), $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""smp AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos, wq
+      |  FROM (
+      |    SELECT vec_id,
+      |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + $offset) AS wq
+      |    FROM embeddings
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      |    LIMIT $sampleSize))""".stripMargin
+    ctes += s"""cents0 AS MATERIALIZED (
+      |  SELECT 0 AS cid, wq AS cw FROM smp
+      |  WHERE pos = abs($seed % (SELECT count(*) FROM smp)) + 1)""".stripMargin
+    for (t <- 1 until nlist) {
+      ctes += s"""cents$t AS MATERIALIZED (
+        |  SELECT * FROM cents${t - 1}
+        |  UNION ALL
+        |  SELECT * FROM (
+        |    SELECT $t AS cid, s.wq AS cw
+        |    FROM smp s
+        |    JOIN (
+        |      SELECT pos, min(${distW("s2.wq", "c.cw")}) AS md
+        |      FROM smp s2 CROSS JOIN cents${t - 1} c GROUP BY pos
+        |    ) m ON m.pos = s.pos
+        |    ORDER BY m.md DESC, s.pos LIMIT 1))""".stripMargin
+    }
+    ctes += s"lq0 AS MATERIALIZED (SELECT cid, list_transform(cw, x -> x*1024) AS q FROM cents${nlist - 1})"
+    for (i <- 0 until iters) {
+      ctes += s"""asg$i AS MATERIALIZED (
+        |  SELECT pos, wq, cid FROM (
+        |    SELECT s.pos, s.wq, c.cid,
+        |      row_number() OVER (PARTITION BY s.pos ORDER BY ${distQ("s.wq", "c.q")}, c.cid) AS r
+        |    FROM smp s CROSS JOIN lq$i c)
+        |  WHERE r = 1)""".stripMargin
+      ctes += s"""upd$i AS MATERIALIZED (
+        |  SELECT cid, list((sv*1024)//cnt ORDER BY dim) AS q
+        |  FROM (
+        |    SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv, count(*) AS cnt
+        |    FROM (SELECT cid, unnest(wq) AS val, unnest(range(1, len(wq)+1)) AS dim FROM asg$i)
+        |    GROUP BY cid, dim)
+        |  GROUP BY cid)""".stripMargin
+      ctes += s"""lq${i + 1} AS MATERIALIZED (
+        |  SELECT c.cid, coalesce(u.q, c.q) AS q
+        |  FROM lq$i c LEFT JOIN upd$i u ON u.cid = c.cid)""".stripMargin
+    }
+    val hnChain = (0 until dim).map(i => s"cvec[${i + 1}]*cvec[${i + 1}]").mkString(" + ")
+    ctes += s"""cent AS MATERIALIZED (
+      |  SELECT cid, cvec, ($hnChain)/2.0 AS hn
+      |  FROM (SELECT cid, list_transform(q, x -> CAST(x AS DOUBLE)/1048576.0 - 4.0) AS cvec FROM lq$iters))""".stripMargin
+    val scoreChain = (0 until dim)
+      .map(i => s"CAST(e.embedding[${i + 1}] AS DOUBLE)*c.cvec[${i + 1}]").mkString(" + ")
+    val selfDot = (0 until dim)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*CAST(embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val pairDot = (0 until dim)
+      .map(i => s"CAST(e_n[${i + 1}] AS DOUBLE)*CAST(e_q[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    ctes += s"""scored AS MATERIALIZED (
+      |  SELECT vec_id, embedding, cid, s,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+      |  FROM (
+      |    SELECT e.vec_id, e.embedding, c.cid, ($scoreChain) - c.hn AS s
+      |    FROM embeddings e CROSS JOIN cent c))""".stripMargin
+    ctes += s"nrm AS (SELECT vec_id, sqrt($selfDot) AS n FROM embeddings)"
+    ctes += s"""pairs AS (
+      |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |         c.embedding AS e_n, p.embedding AS e_q
+      |  FROM scored c JOIN scored p ON c.cid = p.cid
+      |  WHERE c.r = 1 AND p.r <= $nprobe AND p.vec_id < 10 AND c.vec_id <> p.vec_id)""".stripMargin
+    ctes += s"""rescored AS (
+      |  SELECT query_id, neighbor_id,
+      |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n) ELSE 0.0 END AS sim
+      |  FROM pairs
+      |  JOIN nrm nn ON nn.vec_id = pairs.neighbor_id
+      |  JOIN nrm nq ON nq.vec_id = pairs.query_id)""".stripMargin
+    ctes += s"""ranked AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+      |  FROM rescored)""".stripMargin
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k ORDER BY query_id, rank"
+  }
+
   /** DuckDB twin of [[Similarity.lshTopK]] over `embeddings` with
     * probes `vec_id < 10`: regenerates the SAME seeded Gaussian planes
     * as [[graft.functions.HyperplaneBuckets]] (identical draw order)
@@ -1057,10 +1160,11 @@ object PipelineQueries {
       lshOracleSql(dim = 64, tables = 12, planesPerTable = 8, seed = 42L, k = 5)),
 
     // ------------------------------------------------------------------
-    // IVF ANN (coarse-quantizer inverted lists — spec-verified recall).
-    // Centroids are k-means-trained from the data on the driver, so no
-    // static SQL twin exists for THIS variant; the serve path is
-    // oracle-checked via ann_ivf_fixed_topk below.
+    // IVF ANN, TRAINED path — oracled end to end: training is an
+    // exact-integer k-means over a hash-ordered deterministic sample
+    // (IvfIndex.trainCentroids), so the oracle replays sample + init +
+    // Lloyd bit-for-bit in DuckDB integer arithmetic and serves with
+    // the fixed-path unrolled-IEEE recipe over the trained centroids.
     "ann_ivf_topk" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -1068,7 +1172,9 @@ object PipelineQueries {
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy(col("query_id"), col("rank"))
       },
-      None),
+      trainedIvfOracleSql(
+        dim = 64, nlist = 16, nprobe = 4,
+        sampleSize = 10000, iters = 5, seed = 42L, k = 5)),
 
     // ------------------------------------------------------------------
     // IVF ANN against a FIXED (pre-trained) coarse quantizer — the

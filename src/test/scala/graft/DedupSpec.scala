@@ -125,6 +125,19 @@ class DedupSpec extends SparkSuite {
     assert(hit >= 40, s"IVF top-1 planted-copy recall $hit/50")
   }
 
+  test("IVF training is layout-invariant and exactly reproducible") {
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    def train(df: DataFrame) = operators.IvfIndex.trainCentroids(
+      df, "vec_id", "embedding", nlist = 16, sampleSize = 10000, iters = 5, seed = 42L)
+    val a = train(e)
+    val b = train(e.repartition(13))
+    val c = train(e.orderBy($"vec_id".desc))
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.map(_.toSeq).toSeq == c.map(_.toSeq).toSeq)
+    // centroids are exactly-representable doubles on the 2^-20 grid
+    assert(a.flatten.forall(x => (x + 4.0) * 1048576.0 == math.rint((x + 4.0) * 1048576.0)))
+  }
+
   test("embedding nearDupPairs: scaled copies pair with originals") {
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding").filter($"vec_id" < 100)
     val c = e.unionAll(e.select(
