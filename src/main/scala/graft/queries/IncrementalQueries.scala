@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -205,23 +206,55 @@ object IncrementalQueries {
         |ORDER BY rid""".stripMargin),
 
     // ------------------------------------------------------------------
-    // Sketch profile: HLL distinct + approx quantiles per event type
-    // (approx — no SQL oracle; SketchSpec bounds error vs exact).
-    // Quantiles emitted as two SCALAR columns: the correctness harness
-    // canonicalizes cells by sorting/hashing and cannot handle array
-    // cells (round-2 ADVICE — numpy.ndarray is unhashable).
-    "sketch_event_profile" -> QueryDef(
+    // The HLL/approx-quantile SKETCH profile lives in SketchSpec only
+    // (approx results have no SQL twin; the spec bounds sketch error
+    // against this oracled exact profile), so every row the driver
+    // gate sees is hash-comparable: exact distinct users (own pass —
+    // never mixed with plain aggregates, the (D+1)×
+    // Expand lesson) and exact p50/p90 via the value HISTOGRAM +
+    // division-free k·cum ≥ m·total crossing (no float division, no
+    // row-level window: `value` saturates to a bounded domain, so the
+    // per-type window runs over histogram-sized frames at any corpus
+    // size). SketchSpec bounds the sketch profile's error against
+    // THIS query's exact columns.
+    "exact_event_profile" -> QueryDef(
       (s, dir) => {
-        val pcts = percentile_approx(
-          col("value"), array(lit(0.5), lit(0.9)), lit(10000))
-        Tables.events(s, dir)
-          .groupBy(col("event_type"))
-          .agg(
-            approx_count_distinct(col("user_id")).as("approx_users"),
-            pcts.getItem(0).as("value_p50"),
-            pcts.getItem(1).as("value_p90"))
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"), col("value"))
+        val du = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+        val hist = ev.groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("c"))
+        val cum = hist
+          .withColumn("cum", sum(col("c")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("value"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("c")).over(
+            Window.partitionBy(col("event_type"))))
+        val p50 = cum.filter(col("cum") * 2 >= col("total"))
+          .groupBy(col("event_type")).agg(min(col("value")).as("value_p50"))
+        val p90 = cum.filter(col("cum") * 10 >= col("total") * 9)
+          .groupBy(col("event_type")).agg(min(col("value")).as("value_p90"))
+        du.join(p50, Seq("event_type")).join(p90, Seq("event_type"))
           .orderBy(col("event_type"))
       },
-      None)
+      """WITH h AS (
+        |  SELECT event_type, value, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, value, c,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY value
+        |                 ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY event_type) AS total
+        |  FROM h),
+        |p50 AS (SELECT event_type, MIN(value) AS value_p50
+        |        FROM cum WHERE cum*2 >= total GROUP BY 1),
+        |p90 AS (SELECT event_type, MIN(value) AS value_p90
+        |        FROM cum WHERE cum*10 >= total*9 GROUP BY 1),
+        |du AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |       FROM events GROUP BY 1)
+        |SELECT du.event_type, n_users, value_p50, value_p90
+        |FROM du JOIN p50 USING (event_type) JOIN p90 USING (event_type)
+        |ORDER BY event_type""".stripMargin)
   )
 }

@@ -10,6 +10,31 @@ class SketchSpec extends SparkSuite {
   private lazy val sfDir = "/root/testdata/sf0.001"
   private lazy val events = Tables.events(spark, sfDir)
 
+  test("sketch event profile error bounded by exact_event_profile twin") {
+    val defs = queries.IncrementalQueries.defs
+    // The sketch profile itself (HLL distinct + approx quantiles) —
+    // spec-only: approx cells have no DuckDB twin, so it must not
+    // appear in the driver gate's query map.
+    val pcts = percentile_approx(col("value"), array(lit(0.5), lit(0.9)), lit(10000))
+    val sk = events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        pcts.getItem(0).as("value_p50"),
+        pcts.getItem(1).as("value_p90"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ex = defs("exact_event_profile").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(sk.keySet == ex.keySet)
+    val range = events.agg(max(col("value")) - min(col("value"))).collect()(0).getDouble(0)
+    ex.foreach { case (k, (nUsers, p50, p90)) =>
+      val (aUsers, a50, a90) = sk(k)
+      assert(math.abs(aUsers - nUsers).toDouble / nUsers <= 0.05, s"$k users: $aUsers vs $nUsers")
+      assert(math.abs(a50 - p50) <= 0.02 * range, s"$k p50: $a50 vs $p50")
+      assert(math.abs(a90 - p90) <= 0.02 * range, s"$k p90: $a90 vs $p90")
+    }
+  }
+
   test("approx_count_distinct within 5% of exact per event type") {
     val approx = events.groupBy("event_type")
       .agg(approx_count_distinct(col("user_id")).as("a"))
