@@ -58,11 +58,15 @@ object Dedup {
     val fps = df.select(
       col(idCol).as("doc_id"),
       explode(fpExpr).as("fp"))
-    val capped = fps
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
-      .filter(col("df") <= maxFingerprintDf)
-      .drop("df")
+    // Hot-fingerprint blacklist via groupBy + broadcast anti-join — no
+    // per-partition sort in the candidate stage (vs count-over-window;
+    // the map-side combine shrinks the agg exchange to one row per
+    // distinct fingerprint, and only over-cap ones broadcast).
+    val hotFps = broadcast(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxFingerprintDf)
+        .select(col("fp")))
+    val capped = fps.join(hotFps, Seq("fp"), "left_anti")
     val a = capped.select(col("doc_id").as("id_a"), col("fp"))
     val b = capped.select(col("doc_id").as("id_b"), col("fp"))
     a.join(b, Seq("fp"))
@@ -95,11 +99,14 @@ object Dedup {
       .filter(col("n_sh") > 0)
     val inverted = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
-    val capped = inverted
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("shingle"))))
-      .filter(col("df") <= maxShingleDf)
-      .drop("df")
+    // Same blacklist shape as [[winnowPairs]]: document frequency per
+    // shingle via map-side-combined groupBy, over-cap shingles
+    // broadcast, candidate rows filtered by a map-only anti-join.
+    val hotShingles = broadcast(
+      inverted.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDf)
+        .select(col("shingle")))
+    val capped = inverted.join(hotShingles, Seq("shingle"), "left_anti")
     val a = capped.select(col("doc_id").as("id_a"), col("n_sh").as("n_a"), col("shingle"))
     val b = capped.select(col("doc_id").as("id_b"), col("n_sh").as("n_b"), col("shingle"))
     a.join(b, Seq("shingle"))

@@ -105,12 +105,20 @@ object MinHashLsh {
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bucket")
 
-    // cap pathological buckets (all-identical boilerplate docs)
-    val capped = banded
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band_idx"), col("bucket"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    // Cap pathological buckets (all-identical boilerplate docs) via a
+    // broadcast hot-bucket blacklist: groupBy with map-side combine
+    // shrinks to one row per bucket BEFORE the exchange, the HAVING
+    // filter leaves only the handful of over-cap buckets, and the
+    // anti-join is map-only. The count-over-window formulation this
+    // replaces sorted every (band, bucket, id) row inside the widest
+    // stage of the pipeline — at 100 TB that per-partition sort is
+    // pure overhead for what is semantically a blacklist lookup.
+    val hotBuckets = broadcast(
+      banded.groupBy(col("band_idx"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select(col("band_idx"), col("bucket")))
+    val capped = banded.join(hotBuckets, Seq("band_idx", "bucket"), "left_anti")
 
     val a = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_a"))
     val b = capped.select(col("band_idx"), col("bucket"), col("doc_id").as("id_b"))

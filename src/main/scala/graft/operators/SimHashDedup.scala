@@ -47,11 +47,14 @@ object SimHashDedup {
           .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
-    val capped = chunked
-      .withColumn("bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_idx"), col("chunk_val"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    // Hot-chunk blacklist (groupBy + broadcast anti-join) instead of
+    // count-over-window — the candidate stage stays sort-free.
+    val hotChunks = broadcast(
+      chunked.groupBy(col("chunk_idx"), col("chunk_val"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select(col("chunk_idx"), col("chunk_val")))
+    val capped = chunked.join(hotChunks, Seq("chunk_idx", "chunk_val"), "left_anti")
     val a = capped.select(col("chunk_idx"), col("chunk_val"),
       col("doc_id").as("id_a"), col("simhash").as("fp_a"))
     val b = capped.select(col("chunk_idx"), col("chunk_val"),

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (array<float>).
@@ -143,11 +142,19 @@ object Similarity {
         posexplode(bucketIds(col("vec"), dim, tables, planesPerTable, seed)))
       .withColumnRenamed("pos", "table_idx")
       .withColumnRenamed("col", "bucket")
-    val capped = bucketed
-      .withColumn("bsz", count(lit(1)).over(
-        Window.partitionBy(col("table_idx"), col("bucket"))))
-      .filter(col("bsz") <= maxBucket)
-      .drop("bsz")
+    // Broadcast hot-bucket blacklist instead of count-over-window: the
+    // groupBy combines map-side to one row per bucket, only over-cap
+    // buckets survive the HAVING, and the anti-join is map-only — no
+    // per-partition sort in the candidate stage (the widest stage at
+    // 100 TB). `bucketed` is re-derived for the agg, but its upstream
+    // is the checkpointed `base`, so the extra pass is one map-only
+    // kernel scan, measured cheaper than sorting the exploded frame.
+    val hotBuckets = broadcast(
+      bucketed.groupBy(col("table_idx"), col("bucket"))
+        .agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz") > maxBucket)
+        .select(col("table_idx"), col("bucket")))
+    val capped = bucketed.join(hotBuckets, Seq("table_idx", "bucket"), "left_anti")
     val candidates = capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_a"))
       .join(capped.select(col("table_idx"), col("bucket"), col("doc_id").as("id_b")),
         Seq("table_idx", "bucket"))
