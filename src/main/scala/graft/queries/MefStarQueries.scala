@@ -115,6 +115,41 @@ object MefStarQueries {
         |GROUP BY r_name
         |ORDER BY devengado_ytd DESC, sector_nombre""".stripMargin),
 
+    // Multi-batch fold: the reference's monthly-file cadence run THREE
+    // loads deep (build on months 1-2, append 3-4, append 5-6), then
+    // months 3-4 re-delivered — the crash-resume case
+    // (`etl/cargar_postgres.py:245-249` ON CONFLICT DO NOTHING) — which
+    // must be a no-op: dims keep ids, every re-sent grain row loses
+    // first-write-wins. The oracle states the H1 semantics directly, so
+    // a re-delivery that double-counted (or an append that dropped a
+    // batch) hash-mismatches. Also the append path's bench entry:
+    // repeated folds make incremental-load regressions visible per
+    // round, where the single-append query amortized them.
+    "mef_star_append_fold" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        import graft.mef.{Normalize, Star, Transform}
+        val li = Tables.lineitem(s, dir)
+          .filter(TimePred.inYearMonths(col("l_shipdate"), 1997, 1, 6))
+        val typed = Transform(syntheticRawFrom(li, s, dir)).localCheckpoint()
+        def months(lo: Int, hi: Int) =
+          Normalize(typed.filter(col("MES_EJE") >= lo && col("MES_EJE") <= hi))
+        val s0 = Star.build(s, months(1, 2))
+        val s1 = Star.append(s, s0, months(3, 4))
+        val s2 = Star.append(s, s1, months(5, 6))
+        val s3 = Star.append(s, s2, months(3, 4)) // re-delivery: no-op
+        Analytics.ytdDevengadoPorSector(s3, anio = 2017, mesCorte = 6)
+          .orderBy(desc("devengado_ytd"), col("sector_nombre"))
+      },
+      """SELECT r_name AS sector_nombre, SUM(l_quantity) AS devengado_ytd
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(l_shipdate) = 1997 AND month(l_shipdate) BETWEEN 1 AND 6
+        |GROUP BY r_name
+        |ORDER BY devengado_ytd DESC, sector_nombre""".stripMargin),
+
     // Full pipeline → A3-style annual view rollup (exercises the
     // 2-way view join + placeholder-free grouping over the built star).
     "mef_star_pipeline_annual" -> QueryDef(

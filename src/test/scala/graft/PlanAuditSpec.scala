@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSuite {
   private val oneRowCrossJoinOk = Set(
     "share_within_segment", "share_of_total_window", "table_profile",
     "mef_star_incremental_ytd", "ann_bruteforce_topk", "text_tfidf",
+    "mef_star_append_fold", // SERIAL-analog max-id as a broadcast 1-row aggregate, ×3 appends
     "negative_sampling", // corpus size N as a broadcast 1-row aggregate
     "customer_deciles",  // ExactNtile: total row count N as a broadcast 1-row aggregate
     "text_collocations", // total token count as a broadcast 1-row aggregate (lift denominator)
