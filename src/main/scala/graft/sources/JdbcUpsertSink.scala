@@ -17,10 +17,12 @@ import org.apache.spark.sql.{DataFrame, Row}
   * (e.g. `Star.build`'s grain consolidation) so first-write-wins
   * never drops real data.
   *
-  * NOTE: exercised in tests only at the SQL-generation level — this
-  * container ships no database server or JDBC driver. The
-  * `foreachPartition` mechanics are identical to
-  * [[ParquetSink]]-verified paths.
+  * The write mechanics (foreachPartition, paging, commit) execute for
+  * real against embedded Derby in ExtensionsSpec, alongside the
+  * [[JdbcDim]] read path; the `ON CONFLICT` clause itself is Postgres
+  * dialect, exercised at the SQL-generation level (no Postgres in the
+  * container) with its DO-NOTHING semantics oracle-tested
+  * engine-natively via `Star.append`.
   */
 object JdbcUpsertSink {
 
