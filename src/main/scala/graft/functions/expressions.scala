@@ -245,8 +245,17 @@ case class SimHashText(child: Expression)
   * Input: string; output: array<long>, sorted ascending.
   */
 object NgramHashes {
+  /** Whitespace = RE2's `\s` class `[\t\n\f\r ]` — the dialect the
+    * DuckDB oracle twins speak. Java's `\s` additionally matches
+    * vertical tab `\u000B`; a document containing one would silently
+    * break bit-parity on every tokenized oracle query if any kernel
+    * (or any Spark-side regex paired with a twin) used the Java class,
+    * so ALL tokenization in this codebase — these kernels, and
+    * explicit `[\t\n\f\r ]` character classes in Column-level
+    * regexes — pins the RE2 set.
+    */
   private[functions] def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 }
 
 case class NgramHashes(child: Expression, n: Int)
@@ -694,8 +703,9 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
 }
 
 /** F1 `limpiar_texto` (`etl/transformar_mensual.py:91-94`) as a single
-  * byte pass: null→"", collapse every run of regex-`\s` whitespace
-  * (0x09–0x0D, 0x20) to one space, drop leading/trailing runs.
+  * byte pass: null→"", collapse every run of RE2-`\s` whitespace
+  * (0x09, 0x0A, 0x0C, 0x0D, 0x20 — NOT vertical tab 0x0B; see
+  * [[NgramHashes.isWs]]) to one space, drop leading/trailing runs.
   * Byte-for-byte equal to
   * `trim(regexp_replace(coalesce(cast(c as string), ''), "\\s+", " "))`
   * — the composed form walks each value three times through two regex
@@ -742,7 +752,7 @@ case class CleanText(child: Expression) extends UnaryExpression {
 }
 
 object CleanText {
-  /** One-pass collapse+trim. Whitespace set = Java regex `\s`. */
+  /** One-pass collapse+trim. Whitespace set = RE2 `\s` = `[\t\n\f\r ]`. */
   def clean(s: UTF8String): UTF8String = {
     val n = s.numBytes()
     if (n == 0) return UTF8String.EMPTY_UTF8
@@ -753,7 +763,7 @@ object CleanText {
     var i = 0
     while (i < n) {
       val b = in(i)
-      if ((b >= 9 && b <= 13) || b == 32) {
+      if ((b >= 9 && b <= 13 && b != 11) || b == 32) {
         // leading run (o == 0) is dropped outright; internal runs emit
         // one space lazily, so trailing runs emit nothing
         pendingSpace = o > 0
@@ -800,7 +810,7 @@ case class TokenRepetition(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toLowerCase.toString
     val len = s.length
-    @inline def isWs(c: Char): Boolean = (c >= 9 && c <= 13) || c == ' '
+    @inline def isWs(c: Char): Boolean = NgramHashes.isWs(c)
     val distinct = new java.util.HashSet[String]()
     val bigrams = new java.util.HashMap[String, Int]()
     var nTokens = 0
@@ -893,7 +903,7 @@ object WordNgrams {
   def grams(text: UTF8String, n: Int, dedup: Boolean = true): GenericArrayData = {
     val s = text.toLowerCase.toString
     val len = s.length
-    @inline def isWs(c: Char): Boolean = (c >= 9 && c <= 13) || c == ' '
+    @inline def isWs(c: Char): Boolean = NgramHashes.isWs(c)
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     var i = 0
     while (i < len) {

@@ -10,9 +10,14 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace tokenization of lowercased text; empty input → empty array. */
+  /** Whitespace tokenization of lowercased text; empty input → empty array.
+    * Whitespace is spelled as the explicit class `[\t\n\f\r ]` (RE2's
+    * `\s`), never Java's `\s` — Java additionally matches vertical tab
+    * and would silently diverge from the DuckDB oracle dialect on a
+    * document containing one (see [[graft.functions.NgramHashes.isWs]]).
+    */
   def tokens(text: Column): Column =
-    filter(split(lower(coalesce(text, lit(""))), "\\s+"), t => length(t) > 0)
+    filter(split(lower(coalesce(text, lit(""))), "[\\t\\n\\f\\r ]+"), t => length(t) > 0)
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text))
@@ -23,13 +28,13 @@ object TextOps {
     */
   def bpeIshTokenCount(text: Column): Column =
     coalesce(
-      regexp_count(coalesce(text, lit("")), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")),
+      regexp_count(coalesce(text, lit("")), lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\t\\n\\f\\r ]")),
       lit(0))
 
   /** Characters per token — a classic gibberish signal. */
   def meanTokenLen(text: Column): Column = {
     val n = tokenCount(text)
-    when(n > 0, length(regexp_replace(coalesce(text, lit("")), "\\s+", "")).cast("double") / n)
+    when(n > 0, length(regexp_replace(coalesce(text, lit("")), "[\\t\\n\\f\\r ]+", "")).cast("double") / n)
       .otherwise(lit(0.0))
   }
 
@@ -37,7 +42,7 @@ object TextOps {
   def punctRatio(text: Column): Column = {
     val t = coalesce(text, lit(""))
     when(length(t) > 0,
-      regexp_count(t, lit("[^A-Za-z0-9\\s]")).cast("double") / length(t))
+      regexp_count(t, lit("[^A-Za-z0-9\\t\\n\\f\\r ]")).cast("double") / length(t))
       .otherwise(lit(0.0))
   }
 

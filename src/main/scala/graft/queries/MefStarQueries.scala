@@ -28,11 +28,10 @@ object MefStarQueries {
   /** Load once, query many — the warehouse contract. Both queries (and
     * any future ones) share the star built for a (session, sfDir).
     */
-  private val starCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Star.StarSchema]
+  private val starCache = new SessionScopedCache[Star.StarSchema]
 
   private def star(s: SparkSession, dir: String): Star.StarSchema =
-    starCache.getOrElseUpdate((s, dir), MefPipeline.buildFromRaw(s, syntheticRaw(s, dir)))
+    starCache.getOrElseUpdate(s, dir)(MefPipeline.buildFromRaw(s, syntheticRaw(s, dir)))
 
   /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw.
     * All three dim joins broadcast explicitly (bounded domains, like

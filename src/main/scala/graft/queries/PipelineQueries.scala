@@ -30,7 +30,7 @@ object PipelineQueries {
     val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
     d.unionAll(d.select(
       (col("doc_id") + 100000).as("doc_id"),
-      regexp_replace(col("text"), "^\\S+\\s*", "").as("text")))
+      regexp_replace(col("text"), "^[^\\t\\n\\f\\r ]+[\\t\\n\\f\\r ]*", "").as("text")))
   }
 
   private val perturbedSql =
@@ -53,17 +53,16 @@ object PipelineQueries {
     * pipeline exactly once; the final localCheckpoint truncates the
     * whole lineage for the readers.
     */
-  private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val ccCache = new SessionScopedCache[DataFrame]
 
   private def ccLabels(s: SparkSession, dir: String): DataFrame =
-    ccCache.getOrElseUpdate(
-      (s, dir),
+    ccCache.getOrElseUpdate(s, dir) {
       Dedup.connectedComponents(
         Dedup.ngramJaccardPairs(
           perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5),
         "id_a", "id_b")
-        .localCheckpoint())
+        .localCheckpoint()
+    }
 
   /** Basket pair-count ARTIFACT, built once per (session, corpus) —
     * the distinct (order, part) self-join + pair aggregation is the
@@ -71,11 +70,10 @@ object PipelineQueries {
     * basket_triangles; both read the same checkpointed (p1, p2,
     * c_pair ≥ 3) table (same contract as [[ccLabels]]).
     */
-  private val basketPairCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val basketPairCache = new SessionScopedCache[DataFrame]
 
   private def basketPairs(s: SparkSession, dir: String): DataFrame =
-    basketPairCache.getOrElseUpdate((s, dir), {
+    basketPairCache.getOrElseUpdate(s, dir) {
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
       items.as("a")
@@ -85,7 +83,7 @@ object PipelineQueries {
         .agg(count(lit(1)).as("c_pair"))
         .filter(col("c_pair") >= 3)
         .localCheckpoint()
-    })
+    }
 
   /** DuckDB fragment for [[graft.functions.Md5Hash.lower63]]: first 8
     * MD5 digest bytes big-endian, top bit cleared.

@@ -32,14 +32,18 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(rows(6).getSeq[Long](0).length == 1, "any whitespace splits")
   }
 
-  test("cleanText ≡ trim(regexp_replace(coalesce(cast, ''), \\s+, ' ')) incl. edges") {
+  // Composed reference spells whitespace as the explicit RE2 class
+  // [\t\n\f\r ] (the oracle dialect); the fuzz alphabet includes
+  // \u000B precisely because Java's \s and RE2's \s disagree on it —
+  // the kernel must treat it as a NON-space character.
+  test("cleanText ≡ trim(regexp_replace(coalesce(cast, ''), [\\t\\n\\f\\r ]+, ' ')) incl. edges") {
     val edges = Seq(
       null, "", " ", "   ", "a", "  a  ", "a b", "a  b", "\t a \n b \r",
       "ab", "a\fb\r\n c", "tab\tsep", "ñandú  café x", //   is NOT \s
       "多  字　节", "mixed　ideographic") // 　 is NOT Java \s
     val df = edges.toDF("t").select(
       exprs.cleanText($"t".cast("string")).as("kernel"),
-      trim(regexp_replace(coalesce($"t".cast("string"), lit("")), "\\s+", " ")).as("composed"))
+      trim(regexp_replace(coalesce($"t".cast("string"), lit("")), "[\\t\\n\\f\\r ]+", " ")).as("composed"))
     df.collect().foreach { r =>
       assert(!r.isNullAt(0), "kernel is never null")
       assert(r.getString(0) == r.getString(1), s"mismatch for ${r.getString(1)}")
@@ -58,7 +62,7 @@ class ExpressionEdgeSpec extends SparkSuite {
       IndexedSeq.fill(rng.nextInt(24))(alphabet(rng.nextInt(alphabet.length))).mkString)
     val df = strings.toDF("t").select(
       exprs.cleanText($"t".cast("string")).as("kernel"),
-      trim(regexp_replace(coalesce($"t".cast("string"), lit("")), "\\s+", " ")).as("composed"))
+      trim(regexp_replace(coalesce($"t".cast("string"), lit("")), "[\\t\\n\\f\\r ]+", " ")).as("composed"))
     df.collect().foreach { r =>
       assert(r.getString(0) == r.getString(1),
         s"kernel '${r.getString(0)}' != composed '${r.getString(1)}'")

@@ -26,7 +26,7 @@ class KernelPropertySpec extends SparkSuite {
   }
 
   private def hostTokens(s: String): List[String] =
-    s.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+    s.toLowerCase.split("[\\t\\n\\f\\r ]+").filter(_.nonEmpty).toList
 
   test("TokenRepetition == host recomputation on generated text") {
     val texts = genTexts :+ "" :+ "  " :+ "x"
