@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{exprs, Md5Hash}
+import graft.operators.{MixtureSample, PrefixSum, TextOps}
+
+/** Training-mixture assembly operators, oracle-verified: per-source
+  * count-targeted selection, greedy selection under a global token
+  * budget, deterministic output sharding, and the exact-integer
+  * embedding second-moment matrix. These are the steps between a
+  * curated corpus and a training run — what a mixture spec ("30% web,
+  * 30% code, 40% books, 1T tokens, 16-way sharded") compiles to.
+  */
+object TrainingMixQueries {
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+
+  private def md5_63(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
+
+  /** Mixture spec for the documents fixture: head sources oversampled
+    * 3× — exact target counts, not fractions.
+    */
+  private val mixBudgets: Map[String, Int] =
+    (0 until 20).map(i => s"src$i" -> (if (i < 5) 15 else 5)).toMap
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // Count-targeted mixture selection: exactly 15 docs from each head
+    // source, 5 from each tail source, picked as the budget-lowest
+    // md5(doc_id) per source — deterministic, append-stable, and
+    // executed by the bounded-heap TopKPerGroup (map-side partials,
+    // never a per-group sort; see MixtureSample). The oracle restates
+    // the rank with a window row_number.
+    "mixture_sample_counts" -> QueryDef(
+      (s, dir) =>
+        MixtureSample.toCounts(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("lang")),
+          "doc_id", "source", mixBudgets)
+          .orderBy(col("doc_id")),
+      s"""SELECT doc_id, source, lang
+         |FROM (${MixtureSample.selectedSql("documents", "doc_id", "source", mixBudgets)})
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Greedy selection under a global token budget: docs ranked by
+    // descending distinct-token count (an integer quality proxy — no
+    // float scores, so the order is engine-exact), taken until the
+    // running token total reaches 20k. The cumulative sum is the
+    // DISTRIBUTED exclusive prefix sum (PrefixSum — range-partition +
+    // value-keyed per-partition offsets, no single-partition window),
+    // same operator the sequence-packing layout rides.
+    "corpus_token_budget" -> QueryDef(
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+            exprs.tokenRepetition(coalesce(col("text"), lit("")))
+              .getField("n_distinct").as("n_distinct"))
+        PrefixSum.withExclusivePrefix(
+          scored, Seq(-col("n_distinct"), col("doc_id")), "n_tokens", "cum_before")
+          .filter(col("cum_before") < 20000)
+          .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    CAST(len($toksSql) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct($toksSql)) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tokens,
+         |    SUM(n_tokens) OVER (ORDER BY -n_distinct, doc_id
+         |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+         |  FROM tk)
+         |SELECT doc_id, n_tokens, CAST(cum_before AS BIGINT) AS cum_before
+         |FROM c WHERE cum_before < 20000
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Deterministic 16-way output sharding + manifest: shard =
+    // md5-lower63(doc_id) mod 16 (the webdataset-style layout step),
+    // manifest = per-shard doc/token/char totals and id range — what a
+    // training loader needs to plan reads. One map-side-combining
+    // groupBy over a map-only shard assignment; at 100 TB the manifest
+    // is 16 rows regardless of corpus size.
+    "shard_manifest" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            (Md5Hash.lower63Col(col("doc_id").cast("string")) % 16).as("shard_id"),
+            col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+            col("n_chars").cast("long").as("n_chars"))
+          .groupBy(col("shard_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("n_tokens"),
+            sum(col("n_chars")).as("n_chars_total"),
+            min(col("doc_id")).as("min_doc"),
+            max(col("doc_id")).as("max_doc"))
+          .orderBy(col("shard_id")),
+      s"""SELECT (${md5_63("CAST(doc_id AS VARCHAR)")} % 16) AS shard_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+         |  MIN(doc_id) AS min_doc,
+         |  MAX(doc_id) AS max_doc
+         |FROM documents
+         |GROUP BY 1
+         |ORDER BY shard_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Exact-integer embedding second-moment matrix, top-20 off-diagonal
+    // pairs by magnitude — the input to PCA whitening / decorrelation
+    // diagnostics over an embedding corpus. Coordinates quantize to
+    // floor(v·1024) and pair products sum as int64 inside ONE typed
+    // Aggregator whose buffer is the flat upper triangle (2016 longs
+    // for dim 64): map-side partials mean the shuffle carries one
+    // buffer per task, never rows × dim² exploded pairs — and integer
+    // sums make the matrix bit-identical across partitionings and
+    // engines (the float-covariance pitfall). The oracle restates the
+    // same integer arithmetic over unnested dimension pairs.
+    "embedding_covariance_topk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val covAgg = udaf(new graft.functions.CovarianceSketch(64))
+        val flat = Tables.embeddings(s, dir)
+          .agg(covAgg(col("embedding")).as("s"))
+        val idx = (for { i <- 0 until 64; j <- (i + 1) until 64 } yield (i, j))
+          .zipWithIndex.map { case ((i, j), k) => (k, i, j) }
+          .toDF("pos", "i", "j")
+        flat.select(posexplode(col("s")).as(Seq("pos", "s_ij")))
+          .join(broadcast(idx), "pos")
+          .select(col("i"), col("j"), col("s_ij"))
+          .orderBy(abs(col("s_ij")).desc, col("i"), col("j"))
+          .limit(20)
+      },
+      """WITH pairs AS (
+        |  SELECT i.i AS i, j.j AS j,
+        |    CAST(SUM(
+        |      CAST(floor(CAST(embedding[i.i + 1] AS DOUBLE) * 1024) AS BIGINT) *
+        |      CAST(floor(CAST(embedding[j.j + 1] AS DOUBLE) * 1024) AS BIGINT)) AS BIGINT) AS s_ij
+        |  FROM embeddings,
+        |    (SELECT unnest(range(0, 64)) AS i) i,
+        |    (SELECT unnest(range(0, 64)) AS j) j
+        |  WHERE i.i < j.j
+        |  GROUP BY 1, 2)
+        |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, s_ij
+        |FROM pairs
+        |ORDER BY abs(s_ij) DESC, i, j
+        |LIMIT 20""".stripMargin)
+  )
+}

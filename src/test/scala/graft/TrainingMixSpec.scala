@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.MixtureSample
+
+/** Training-mixture operators: exact budgets, determinism across
+  * partition layouts, and the covariance aggregator's merge law.
+  */
+class TrainingMixSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs =
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+
+  test("MixtureSample hits each group's budget exactly and is layout-invariant") {
+    val budgets = (0 until 20).map(i => s"src$i" -> (if (i < 5) 15 else 5)).toMap
+    val sel = MixtureSample.toCounts(docs, "doc_id", "source", budgets)
+    val counts = sel.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    budgets.foreach { case (g, b) => assert(counts(g) == b.toLong, s"$g: ${counts(g)} != $b") }
+
+    val ids = sel.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    Seq(1, 7, 32).foreach { n =>
+      val again = MixtureSample
+        .toCounts(docs.repartition(n), "doc_id", "source", budgets)
+        .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(again == ids, s"selection changed under $n partitions")
+    }
+  }
+
+  test("MixtureSample: unknown groups and zero budgets select nothing") {
+    val sel = MixtureSample.toCounts(docs, "doc_id", "source",
+      Map("src0" -> 3, "src1" -> 0, "no_such_source" -> 10))
+    val bySrc = sel.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc == Map("src0" -> 3L))
+  }
+
+  test("MixtureSample: growing the corpus never reshuffles a selection, only displaces") {
+    val budgets = Map("src0" -> 10)
+    val base = docs.filter(col("source") === "src0")
+    val before = MixtureSample.toCounts(base.filter(col("doc_id") < 400), "doc_id", "source", budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val after = MixtureSample.toCounts(base, "doc_id", "source", budgets)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // append-stability: the selection over the grown corpus keeps every
+    // previously-picked doc except those displaced by new lower-hash docs
+    assert((after -- before).forall(id => !before.contains(id)))
+    assert(before.intersect(after).size >= budgets("src0") - (after -- before).size)
+  }
+
+  test("CovarianceSketch: bit-identical across partition layouts; matches direct compute") {
+    val emb = Tables.embeddings(spark, dir).select(col("embedding"))
+    val agg = udaf(new graft.functions.CovarianceSketch(64))
+    def run(n: Int): Seq[Long] =
+      emb.repartition(n).agg(agg(col("embedding")).as("s"))
+        .collect()(0).getSeq[Long](0)
+    val one = run(1)
+    assert(run(8) == one && run(32) == one, "aggregation order changed the matrix")
+
+    // direct reference on a small slice: first 50 vectors, dim pair (0, 1)
+    val vecs = Tables.embeddings(spark, dir).orderBy("vec_id").limit(50)
+      .collect().map(_.getSeq[Float](1))
+    val expect01 = vecs.map { v =>
+      math.floor(v(0).toDouble * 1024.0).toLong * math.floor(v(1).toDouble * 1024.0).toLong
+    }.sum
+    val small = Tables.embeddings(spark, dir).orderBy("vec_id").limit(50)
+      .agg(agg(col("embedding")).as("s")).collect()(0).getSeq[Long](0)
+    assert(small(0) == expect01)
+  }
+}
