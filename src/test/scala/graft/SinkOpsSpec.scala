@@ -28,6 +28,33 @@ class SinkOpsSpec extends SparkSuite {
     assert(j.agg(sum("o_totalprice")).head.getDouble(0) == total)
   }
 
+  test("JSONL ingest: one-scan good/quarantine split, gz shards, no silent drops") {
+    import java.nio.charset.StandardCharsets
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val dir = Files.createTempDirectory("jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "hola mundo", "lang": "es"}""",
+      """not json at all""",
+      """{"doc_id": "NaN-ish", "text": 42}""", // type mismatch → corrupt
+      """{"doc_id": 5, "text": "ok", "lang": null}""")
+    Files.write(dir.resolve("part0.jsonl"), lines.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    // a gz shard alongside (gzip not splittable — parallelism is per file)
+    val gz = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(dir.resolve("part1.jsonl.gz")))
+    gz.write("""{"doc_id": 6, "text": "gz shard", "lang": "en"}""".getBytes(StandardCharsets.UTF_8))
+    gz.close()
+    val schema = StructType(new StructType()
+      .add("doc_id", LongType).add("text", StringType).add("lang", StringType))
+    val split = graft.sources.JsonlIngest(spark, dir.toString, schema)
+    val good = split.good.collect().map(_.getLong(0)).sorted.toSeq
+    assert(good == Seq(1L, 2L, 5L, 6L), s"good rows: $good")
+    val bad = split.quarantine.select("raw_line").collect().map(_.getString(0)).toSet
+    assert(bad.exists(_.contains("not json")), "malformed line quarantined with raw text")
+    assert(bad.exists(_.contains("NaN-ish")), "type-mismatch line quarantined")
+    assert(split.good.count() + split.quarantine.count() == 6, "no silent drops")
+  }
+
   test("schema evolution: mergeSchema unions schemas across writes (ALTER TABLE analog, §2.11)") {
     val dir = Files.createTempDirectory("evolve").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(dir + "/batch=1")
