@@ -1041,6 +1041,58 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Cross-source near-dup matrix: which SOURCES leak into each other
+    // — the diagnostic a mixture owner reads before weighting sources
+    // (two crawls of the same site look like two sources until this
+    // table says they're one). Near-dup pairs on the ORIGINAL corpus
+    // (planted cross-source dups in the fixture), sources re-attached
+    // by broadcast join, matrix cell = unordered source pair. Only
+    // count/min/max aggregate per cell — each jaccard is a per-pair
+    // IEEE-exact ratio and min/max are selections, so no double SUM
+    // (CLAUDE.md parity law).
+    "dedup_cross_source_matrix" -> QueryDef(
+      (s, dir) => {
+        val srcOf = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+        Dedup.ngramJaccardPairs(
+          Tables.documents(s, dir), "doc_id", "text", n = 4, threshold = 0.2)
+          .join(broadcast(srcOf.select(col("doc_id").as("id_a"), col("source").as("sa"))), "id_a")
+          .join(broadcast(srcOf.select(col("doc_id").as("id_b"), col("source").as("sb"))), "id_b")
+          .select(
+            least(col("sa"), col("sb")).as("src_lo"),
+            greatest(col("sa"), col("sb")).as("src_hi"),
+            col("jaccard"))
+          .groupBy(col("src_lo"), col("src_hi"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            min(col("jaccard")).as("min_jac"),
+            max(col("jaccard")).as("max_jac"))
+          .orderBy(col("src_lo"), col("src_hi"))
+      },
+      s"""WITH tk AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |docs AS (
+         |  SELECT doc_id, source,
+         |    list_distinct(list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
+         |  FROM tk WHERE len(toks) >= 4),
+         |inv AS (SELECT doc_id, source, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.source AS sa, b.source AS sb,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4, 5, 6),
+         |jac AS (
+         |  SELECT least(sa, sb) AS src_lo, greatest(sa, sb) AS src_hi,
+         |    CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+         |  FROM pairs
+         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.2)
+         |SELECT src_lo, src_hi, COUNT(*) AS n_pairs,
+         |  MIN(jaccard) AS min_jac, MAX(jaccard) AS max_jac
+         |FROM jac
+         |GROUP BY 1, 2
+         |ORDER BY src_lo, src_hi""".stripMargin),
+
+    // ------------------------------------------------------------------
     // MinHash+LSH near-dup pairs. The md5/mod-prime family makes every
     // stage (shingle hash, 64 permutations, banding, signature match
     // count) reproducible in DuckDB — bit-exact oracle; the xxhash64
