@@ -116,6 +116,34 @@ object TrainingMixQueries {
          |ORDER BY shard_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Corpus census CUBE over (lang, source): doc and token totals at
+    // every aggregation level in one pass — the table a mixture spec
+    // is written AGAINST (how many English tokens does src3 actually
+    // have?). Spark's cube() compiles to one Expand + a single
+    // map-side-combining agg; all measures integer, so every cell is
+    // engine-exact.
+    "corpus_census_cube" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            col("lang"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+          .cube(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+          .select(
+            coalesce(col("lang"), lit("ALL")).as("lang"),
+            coalesce(col("source"), lit("ALL")).as("source"),
+            col("n_docs"), col("n_tokens"))
+          .orderBy(col("lang"), col("source")),
+      s"""SELECT COALESCE(lang, 'ALL') AS lang,
+         |  COALESCE(source, 'ALL') AS source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(len($toksSql)) AS BIGINT) AS n_tokens
+         |FROM documents
+         |GROUP BY CUBE (lang, source)
+         |ORDER BY lang, source""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Exact-integer embedding second-moment matrix, top-20 off-diagonal
     // pairs by magnitude — the input to PCA whitening / decorrelation
     // diagnostics over an embedding corpus. Coordinates quantize to
