@@ -1226,6 +1226,53 @@ object OlapQueries {
         |ORDER BY bucket""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Join-key skew profile — the table that decides whether a join
+    // needs salting (operators.SaltedAgg) BEFORE it runs: distribution
+    // of per-key row counts for a prospective join key, as max/p50/p99
+    // frequency plus the row share of the 10 hottest keys. Percentiles
+    // via the freq-of-freq histogram + division-free crossing (the
+    // windows run over histogram-sized frames); top-10 is a bounded
+    // TakeOrdered. All integers — engine-exact.
+    "join_key_skew_profile" -> QueryDef(
+      (s, dir) => {
+        val freq = Tables.orders(s, dir)
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("f"))
+        val top10 = freq.orderBy(desc("f"), col("o_custkey")).limit(10)
+          .agg(sum(col("f")).as("top10_rows"))
+        val cumW = Window.orderBy(col("f"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        freq.groupBy(col("f")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(cumW))
+          .withColumn("total", sum(col("c")).over(Window.partitionBy()))
+          .agg(
+            sum(col("f") * col("c")).as("n_rows"),
+            max(col("total")).as("n_keys"),
+            max(col("f")).as("max_freq"),
+            min(when(col("cum") * 2 >= col("total"), col("f"))).as("p50_freq"),
+            min(when(col("cum") * 100 >= col("total") * 99, col("f"))).as("p99_freq"))
+          .crossJoin(broadcast(top10))
+      },
+      """WITH freq AS (
+        |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM orders GROUP BY 1),
+        |t10 AS (
+        |  SELECT CAST(SUM(f) AS BIGINT) AS top10_rows
+        |  FROM (SELECT f FROM freq ORDER BY f DESC, o_custkey LIMIT 10)),
+        |h AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS c FROM freq GROUP BY 1),
+        |w AS (
+        |  SELECT f, c,
+        |    SUM(c) OVER (ORDER BY f ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER () AS total
+        |  FROM h)
+        |SELECT CAST(SUM(f * c) AS BIGINT) AS n_rows,
+        |  CAST(MAX(total) AS BIGINT) AS n_keys,
+        |  CAST(MAX(f) AS BIGINT) AS max_freq,
+        |  CAST(MIN(CASE WHEN cum * 2 >= total THEN f END) AS BIGINT) AS p50_freq,
+        |  CAST(MIN(CASE WHEN cum * 100 >= total * 99 THEN f END) AS BIGINT) AS p99_freq,
+        |  (SELECT top10_rows FROM t10) AS top10_rows
+        |FROM w""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Simple linear regression (OLS) of quantity on discount per flag
     // — the corr query's sibling: the same exact decimal moment sums
     // feed the closed-form slope and intercept, finishing in

@@ -116,6 +116,50 @@ object TrainingMixQueries {
          |ORDER BY shard_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Sequence-length tradeoff table: for each candidate training
+    // sequence length, how many docs truncate (and how many tokens
+    // truncation loses), how much padding one-doc-per-sequence wastes,
+    // and how many sequences greedy concat-packing emits. Pure integer
+    // arithmetic over one corpus scan + a 4-row explode — the table
+    // that decides "train at 2048 or 4096" before any packing run.
+    "packing_efficiency" -> QueryDef(
+      (s, dir) => {
+        val lens = array(lit(512), lit(1024), lit(2048), lit(4096))
+        Tables.documents(s, dir)
+          .select(TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+          .select(col("n_toks"), explode(lens).as("seq_len"))
+          .groupBy(col("seq_len"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("total_tokens"),
+            sum(when(col("n_toks") > col("seq_len"), lit(1)).otherwise(lit(0)))
+              .as("n_docs_truncated"),
+            sum(greatest(col("n_toks") - col("seq_len"), lit(0L)))
+              .as("tokens_lost_truncation"),
+            sum(col("seq_len").cast("long") - least(col("n_toks"), col("seq_len")))
+              .as("padding_one_doc_per_seq"))
+          .withColumn("seqs_greedy_concat",
+            expr("(total_tokens + seq_len - 1) div seq_len"))
+          .orderBy(col("seq_len"))
+      },
+      s"""WITH tk AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_toks FROM documents),
+         |x AS (SELECT n_toks, unnest([512, 1024, 2048, 4096]) AS seq_len FROM tk)
+         |SELECT seq_len,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CASE WHEN n_toks > seq_len THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_docs_truncated,
+         |  CAST(SUM(greatest(n_toks - seq_len, 0)) AS BIGINT)
+         |    AS tokens_lost_truncation,
+         |  CAST(SUM(seq_len - least(n_toks, seq_len)) AS BIGINT)
+         |    AS padding_one_doc_per_seq,
+         |  CAST((CAST(SUM(n_toks) AS BIGINT) + seq_len - 1) // seq_len AS BIGINT)
+         |    AS seqs_greedy_concat
+         |FROM x
+         |GROUP BY seq_len
+         |ORDER BY seq_len""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Corpus census CUBE over (lang, source): doc and token totals at
     // every aggregation level in one pass — the table a mixture spec
     // is written AGAINST (how many English tokens does src3 actually

@@ -30,7 +30,8 @@ class PlanAuditSpec extends SparkSuite {
     "orderkey_gap_audit", // key horizon (max key) as a broadcast 1-row aggregate
     "abc_classification", // revenue grand total as a broadcast 1-row aggregate
     "rfm_segments", // horizon + three ExactNtile 1-row totals, all broadcast
-    "whale_share") // customer count + revenue total as a broadcast 1-row aggregate
+    "whale_share", // customer count + revenue total as a broadcast 1-row aggregate
+    "join_key_skew_profile") // top-10 hot-key row total as a broadcast 1-row aggregate
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
