@@ -26,26 +26,123 @@ import org.apache.spark.sql.functions._
   */
 object MixtureSample {
 
+  /** Past this per-group budget, [[toCounts]] switches from the
+    * bounded-heap rank to the threshold+bucket-rank path — a 100k-entry
+    * heap per (task, group) is the practical memory ceiling.
+    */
+  val HeapBudgetCap: Int = 100000
+
   /** Rows of `df` selected to hit `budgets(group)` rows per group
     * (groups absent from the map get 0). Appends nothing; output
-    * columns = input columns.
+    * columns = input columns. Budgets ≤ `heapCap` rank via the
+    * bounded-heap [[graft.plans.TopKPerGroup]]; larger budgets (a real
+    * mix wants millions of docs per source — no heap should hold
+    * that) take [[toCountsViaThreshold]], which selects the same rows.
     */
   def toCounts(
       df: DataFrame, keyCol: String, groupCol: String,
-      budgets: Map[String, Int]): DataFrame = {
+      budgets: Map[String, Int], heapCap: Int = HeapBudgetCap): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "budgets must be >= 0")
     val maxBudget = budgets.values.max
-    val budgetCol: Column = budgets.foldLeft(lit(0)) { case (acc, (g, b)) =>
-      when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
-    }
+    if (maxBudget > heapCap) return toCountsViaThreshold(df, keyCol, groupCol, budgets)
     val hashed = df
       .withColumn("__ms_h", md5(col(keyCol).cast("string")))
-      .withColumn("__ms_budget", budgetCol)
+      .withColumn("__ms_budget", budgetExpr(groupCol, budgets))
       .filter(col("__ms_budget") > 0)
     graft.plans.TopKPerGroup(
       hashed, Seq(groupCol), Seq(("__ms_h", false), (keyCol, false)), maxBudget)
       .filter(col("topk_rank") <= col("__ms_budget"))
       .drop("__ms_h", "__ms_budget", "topk_rank")
+  }
+
+  private def budgetExpr(groupCol: String, budgets: Map[String, Int]): Column =
+    budgets.foldLeft(lit(0)) { case (acc, (g, b)) =>
+      when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
+    }
+
+  /** The large-budget path — same selection as [[toCounts]], no
+    * bounded heap, no global or per-group-sized window:
+    *
+    *  1. count each group (one agg; O(groups) to the driver — groups
+    *     are the human-written mixture spec, bounded by construction);
+    *  2. preselect `md5(key) < thresholdHex(margin · budget/n)` per
+    *     group — a map-only filter that keeps ≈ margin × budget rows
+    *     (uniform hash ⇒ Chernoff-concentrated; margin 2 puts the
+    *     shortfall probability below e⁻ᵇᵘᵈᵍᵉᵗ/⁸). A verification agg
+    *     CHECKS the preselection actually covered every budget and
+    *     doubles the margin until it does, so the result is exact for
+    *     any data, not just probably-exact;
+    *  3. rank the preselected rows per group WITHOUT sorting them
+    *     globally: count per (group, 12-bit hash-prefix bucket) — a
+    *     map-side-combining agg — exclusive-scan the ≤4096-row
+    *     per-group bucket histogram for bucket base ranks, and
+    *     row_number only WITHIN each bucket (≈ margin·budget/4096
+    *     rows per window partition);
+    *  4. keep rank ≤ budget.
+    *
+    * Row order inside buckets and the histogram scan use the same
+    * (md5, key) order as the heap path, so both paths pick the
+    * IDENTICAL row set (equivalence spec-checked).
+    */
+  def toCountsViaThreshold(
+      df: DataFrame, keyCol: String, groupCol: String,
+      budgets: Map[String, Int], margin: Double = 2.0): DataFrame = {
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    val spark = df.sparkSession
+    val hashed = df
+      .withColumn("__ms_h", md5(col(keyCol).cast("string")))
+      .withColumn("__ms_budget", budgetExpr(groupCol, budgets))
+      .filter(col("__ms_budget") > 0)
+      .localCheckpoint() // feeds count agg + preselect + (rare) retries
+    val groupN: Map[String, Long] = hashed
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    var m = margin
+    var result: Option[DataFrame] = None
+    while (result.isEmpty) {
+      val thresholds: Map[String, String] = groupN.map { case (g, n) =>
+        val b = budgets.getOrElse(g, 0)
+        g -> HashSample.thresholdHex(math.min(1.0, if (n == 0) 1.0 else m * b / n))
+      }
+      val thresholdCol = thresholds.foldLeft(lit("")) { case (acc, (g, t)) =>
+        when(col(groupCol) === lit(g), lit(t)).otherwise(acc)
+      }
+      val pre = hashed.filter(col("__ms_h") < thresholdCol)
+      val bucketed = pre.withColumn("__ms_bkt",
+        conv(substring(col("__ms_h"), 1, 3), 16, 10).cast("int"))
+      val hist = bucketed.groupBy(col(groupCol), col("__ms_bkt"))
+        .agg(count(lit(1)).as("__ms_c"))
+        .withColumn("__ms_base",
+          coalesce(
+            sum(col("__ms_c")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col(groupCol)).orderBy(col("__ms_bkt"))
+                .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+      // exactness check: did the preselection cover every budget?
+      val got: Map[String, Long] = hist
+        .groupBy(col(groupCol)).agg(sum(col("__ms_c")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val short = groupN.exists { case (g, n) =>
+        val want = math.min(n, budgets.getOrElse(g, 0).toLong)
+        got.getOrElse(g, 0L) < want
+      }
+      if (short) m *= 2
+      else {
+        val inBucket = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol), col("__ms_bkt"))
+          .orderBy(col("__ms_h"), col(keyCol))
+        result = Some(
+          bucketed
+            .join(hist.select(col(groupCol), col("__ms_bkt"), col("__ms_base")),
+              Seq(groupCol, "__ms_bkt"))
+            .withColumn("__ms_rank", col("__ms_base") + row_number().over(inBucket))
+            .filter(col("__ms_rank") <= col("__ms_budget"))
+            .drop("__ms_h", "__ms_budget", "__ms_bkt", "__ms_base", "__ms_rank"))
+      }
+    }
+    result.get
   }
 
   /** DuckDB twin of the per-group rank: selected iff

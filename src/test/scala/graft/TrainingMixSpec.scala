@@ -50,6 +50,31 @@ class TrainingMixSpec extends SparkSuite {
     assert(before.intersect(after).size >= budgets("src0") - (after -- before).size)
   }
 
+  test("large-budget threshold path selects the IDENTICAL rows as the heap path") {
+    val budgets = (0 until 20).map(i => s"src$i" -> (if (i < 5) 15 else 5)).toMap
+    val heap = MixtureSample.toCounts(docs, "doc_id", "source", budgets)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val thresh = MixtureSample.toCountsViaThreshold(docs, "doc_id", "source", budgets)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(thresh == heap, "threshold path diverged from heap path")
+    // auto-switch: heapCap below maxBudget must route to the threshold path
+    val auto = MixtureSample.toCounts(docs, "doc_id", "source", budgets, heapCap = 10)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(auto == heap)
+    // a margin so small the preselection must fall short forces the
+    // verification agg to escalate — result still exact
+    val tiny = MixtureSample.toCountsViaThreshold(
+      docs, "doc_id", "source", budgets, margin = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tiny == heap, "margin escalation lost exactness")
+  }
+
+  test("threshold path: budget above group size takes the whole group") {
+    val sel = MixtureSample.toCountsViaThreshold(
+      docs, "doc_id", "source", Map("src0" -> 1000))
+    assert(sel.count() == 25) // src0 has 25 docs at sf0.001
+  }
+
   test("CovarianceSketch: bit-identical across partition layouts; matches direct compute") {
     val emb = Tables.embeddings(spark, dir).select(col("embedding"))
     val agg = udaf(new graft.functions.CovarianceSketch(64))
