@@ -116,6 +116,58 @@ object TrainingMixQueries {
          |ORDER BY shard_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Deterministic importance-weighted sampling: accept a doc with
+    // probability proportional to its (integer) quality weight, with
+    // no RNG state — accept iff md5-lower63(id) mod 10000 < the doc's
+    // scaled weight. Pure integer compare: reproducible across
+    // engines, layouts, and reruns; map-only (the accept rides the
+    // scan). The fixed 10000 denominator keeps the acceptance exact —
+    // no float probability ever materializes.
+    "weighted_sample_docs" -> QueryDef(
+      (s, dir) => {
+        val w = least(
+          lit(10000L),
+          exprs.tokenRepetition(coalesce(col("text"), lit("")))
+            .getField("n_distinct").cast("long") * 40)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"), w.as("weight_scaled"),
+            (Md5Hash.lower63Col(col("doc_id").cast("string")) % 10000).as("draw"))
+          .filter(col("draw") < col("weight_scaled"))
+          .select(col("doc_id"), col("source"), col("weight_scaled"))
+          .orderBy(col("doc_id"))
+      },
+      s"""SELECT doc_id, source, weight_scaled
+         |FROM (
+         |  SELECT doc_id, source,
+         |    least(10000, CAST(len(list_distinct($toksSql)) AS BIGINT) * 40)
+         |      AS weight_scaled,
+         |    (${md5_63("CAST(doc_id AS VARCHAR)")} % 10000) AS draw
+         |  FROM documents)
+         |WHERE draw < weight_scaled
+         |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Deterministic global training order — the "shuffle the corpus"
+    // step with no RNG: order = dense rank of md5(doc_id), assigned by
+    // DenseId (range-partition + broadcast per-partition offsets —
+    // never a global row_number window). Retraining on the same corpus
+    // replays the identical order; appended docs interleave uniformly
+    // without moving existing relative order (hash order is stable).
+    "training_order_ids" -> QueryDef(
+      (s, dir) =>
+        graft.operators.DenseId.withDenseId(
+          Tables.documents(s, dir).select(
+            col("doc_id"), md5(col("doc_id").cast("string")).as("h")),
+          Seq(col("h"), col("doc_id")), "order_idx")
+          .select(col("doc_id"), col("order_idx"))
+          .orderBy(col("doc_id")),
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS order_idx
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Sequence-length tradeoff table: for each candidate training
     // sequence length, how many docs truncate (and how many tokens
     // truncation loses), how much padding one-doc-per-sequence wastes,
