@@ -67,6 +67,28 @@ class SinkOpsSpec extends SparkSuite {
     assert(merged.filter(col("batch") === 2).select("extra").head.getDouble(0) == 3.0)
   }
 
+  test("dataset manifest: fingerprint survives rewrite, catches mutation") {
+    import graft.sources.DatasetManifest
+    val dir = Files.createTempDirectory("manifest").toString + "/ds"
+    val src = Tables.region(spark, "/root/testdata/sf0.001")
+    val written = DatasetManifest.write(src, dir)
+    assert(written.rows == 5)
+    val (stored, actual) = DatasetManifest.verify(spark, dir)
+    assert(stored == actual, "clean re-read must verify")
+    // a layout rewrite (different partitioning, same rows) still verifies
+    val dir2 = Files.createTempDirectory("manifest2").toString + "/ds"
+    spark.read.parquet(dir).repartition(4).write.parquet(dir2)
+    Files.copy(
+      java.nio.file.Paths.get(dir, "_graft_manifest.json"),
+      java.nio.file.Paths.get(dir2, "_graft_manifest.json"))
+    val (s2, a2) = DatasetManifest.verify(spark, dir2)
+    assert(s2 == a2, "order-independent fingerprint must survive repartition")
+    // mutate: append one row -> count AND hash move
+    src.limit(1).write.mode("append").parquet(dir2)
+    val (s3, a3) = DatasetManifest.verify(spark, dir2)
+    assert(s3 != a3 && a3.rows == 6, "mutation must break verification")
+  }
+
   test("compactor: shrinks a many-file dataset to the planned file count") {
     val dir = Files.createTempDirectory("compact_in").toString
     val out = Files.createTempDirectory("compact_out").toString
