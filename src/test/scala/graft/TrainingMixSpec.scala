@@ -38,16 +38,30 @@ class TrainingMixSpec extends SparkSuite {
   }
 
   test("MixtureSample: growing the corpus never reshuffles a selection, only displaces") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def expected(ids: Seq[Long], budget: Int): Set[Long] =
+      ids.sortBy(id => (md5hex(id.toString), id)).take(budget).toSet
+
     val budgets = Map("src0" -> 10)
     val base = docs.filter(col("source") === "src0")
+    val allIds = base.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val oldIds = allIds.filter(_ < 400)
+
     val before = MixtureSample.toCounts(base.filter(col("doc_id") < 400), "doc_id", "source", budgets)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val after = MixtureSample.toCounts(base, "doc_id", "source", budgets)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // append-stability: the selection over the grown corpus keeps every
-    // previously-picked doc except those displaced by new lower-hash docs
-    assert((after -- before).forall(id => !before.contains(id)))
-    assert(before.intersect(after).size >= budgets("src0") - (after -- before).size)
+    // both selections are exactly the budget-lowest md5 of their corpus
+    assert(before == expected(oldIds, 10))
+    assert(after == expected(allIds, 10))
+    // append-stability: every previously-picked doc survives unless a
+    // NEW doc hashes lower — old picks never displace each other
+    val newcomers = after -- oldIds.toSet
+    assert((before -- after).size == newcomers.intersect(after).size,
+      "picks lost must equal new lower-hash docs admitted")
+    assert(newcomers.nonEmpty || before == after)
   }
 
   test("large-budget threshold path selects the IDENTICAL rows as the heap path") {
