@@ -45,20 +45,28 @@ object MixtureSample {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "budgets must be >= 0")
     val maxBudget = budgets.values.max
     if (maxBudget > heapCap) return toCountsViaThreshold(df, keyCol, groupCol, budgets)
-    val hashed = df
+    val hashed = withBudgets(df, groupCol, budgets)
       .withColumn("__ms_h", md5(col(keyCol).cast("string")))
-      .withColumn("__ms_budget", budgetExpr(groupCol, budgets))
-      .filter(col("__ms_budget") > 0)
     graft.plans.TopKPerGroup(
       hashed, Seq(groupCol), Seq(("__ms_h", false), (keyCol, false)), maxBudget)
       .filter(col("topk_rank") <= col("__ms_budget"))
       .drop("__ms_h", "__ms_budget", "topk_rank")
   }
 
-  private def budgetExpr(groupCol: String, budgets: Map[String, Int]): Column =
-    budgets.foldLeft(lit(0)) { case (acc, (g, b)) =>
-      when(col(groupCol) === lit(g), lit(b)).otherwise(acc)
-    }
+  /** Attach per-group budgets (and drop zero-budget groups) via a
+    * broadcast join on a tiny budgets table — NOT a when-chain: a
+    * per-group `when` builds a literal forest whose analysis/codegen
+    * cost grows with the spec (the measured CentroidIds lesson), while
+    * the broadcast join is flat at any spec size.
+    */
+  private def withBudgets(
+      df: DataFrame, groupCol: String, budgets: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.filter(_._2 > 0)
+      .toDF(groupCol, "__ms_budget")
+    df.join(broadcast(budgetDf), Seq(groupCol))
+  }
 
   /** The large-budget path — same selection as [[toCounts]], no
     * bounded heap, no global or per-group-sized window:
@@ -89,11 +97,13 @@ object MixtureSample {
       budgets: Map[String, Int], margin: Double = 2.0): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "budgets must be >= 0")
     val spark = df.sparkSession
-    val hashed = df
+    import spark.implicits._
+    // Deliberately NOT checkpointed: the corpus is scanned twice (the
+    // group-count agg, then the preselect) — at 100 TB two map-only
+    // scans beat materializing the whole corpus to executor disk, and
+    // both scans push column pruning to the source.
+    val hashed = withBudgets(df, groupCol, budgets)
       .withColumn("__ms_h", md5(col(keyCol).cast("string")))
-      .withColumn("__ms_budget", budgetExpr(groupCol, budgets))
-      .filter(col("__ms_budget") > 0)
-      .localCheckpoint() // feeds count agg + preselect + (rare) retries
     val groupN: Map[String, Long] = hashed
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -101,14 +111,14 @@ object MixtureSample {
     var m = margin
     var result: Option[DataFrame] = None
     while (result.isEmpty) {
-      val thresholds: Map[String, String] = groupN.map { case (g, n) =>
-        val b = budgets.getOrElse(g, 0)
-        g -> HashSample.thresholdHex(math.min(1.0, if (n == 0) 1.0 else m * b / n))
-      }
-      val thresholdCol = thresholds.foldLeft(lit("")) { case (acc, (g, t)) =>
-        when(col(groupCol) === lit(g), lit(t)).otherwise(acc)
-      }
-      val pre = hashed.filter(col("__ms_h") < thresholdCol)
+      val thresholdDf = broadcast(
+        groupN.toSeq.map { case (g, n) =>
+          val b = budgets.getOrElse(g, 0)
+          (g, HashSample.thresholdHex(math.min(1.0, if (n == 0) 1.0 else m * b / n)))
+        }.toDF(groupCol, "__ms_thresh"))
+      val pre = hashed.join(thresholdDf, Seq(groupCol))
+        .filter(col("__ms_h") < col("__ms_thresh"))
+        .drop("__ms_thresh")
       val bucketed = pre.withColumn("__ms_bkt",
         conv(substring(col("__ms_h"), 1, 3), 16, 10).cast("int"))
       val hist = bucketed.groupBy(col(groupCol), col("__ms_bkt"))
