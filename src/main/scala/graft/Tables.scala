@@ -20,16 +20,25 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is TIMESTAMP(NANOS) in the parquet; under
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a long which we
-    * convert to a microsecond timestamp (integer `div` — no double
-    * round-trip, nanos exceed 2^53). Matches DuckDB's ns→µs truncation.
+  /** `events.ts` normalization. The driver has generated this column as
+    * TIMESTAMP(NANOS) (arrives as a long under
+    * `spark.sql.legacy.parquet.nanosAsLong`: integer-`div` to µs, no double
+    * round-trip — nanos exceed 2^53, matches DuckDB's ns→µs truncation) and
+    * as plain timestamp[us] with isAdjustedToUTC=false (arrives as
+    * TIMESTAMP_NTZ under Spark 4's `inferTimestampNTZ` default: cast to
+    * session-tz TIMESTAMP — the session is pinned to UTC in Sessions, so the
+    * cast preserves the microsecond value bit-for-bit and matches DuckDB's
+    * naive-timestamp read). Downstream queries always see TIMESTAMP.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = apply(s, d, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
