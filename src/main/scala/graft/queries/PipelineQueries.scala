@@ -676,6 +676,28 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // TRIPWIRE for the packing gate (VERDICT r4 #2): the same
+    // distributed exclusive prefix sum, but over octet_length(text) —
+    // NO tokenizer anywhere in the loop. If sequence_packing ever
+    // hash-mismatches again while this row stays green, tokenization
+    // diverged; if both red, the cumsum did. One round localizes it.
+    "prefix_sum_bytes" -> QueryDef(
+      (s, dir) => {
+        val sized = Tables.documents(s, dir).select(
+          col("doc_id"),
+          octet_length(coalesce(col("text"), lit(""))).cast("long").as("n_bytes"))
+        PrefixSum.withExclusivePrefix(sized, Seq(col("doc_id")), "n_bytes", "start_byte")
+          .orderBy(col("doc_id"))
+      },
+      """SELECT doc_id,
+        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(SUM(strlen(coalesce(text, ''))) OVER (
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS start_byte
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // PII redaction: the driver corpus carries no PII, so the query
     // salts each doc with deterministic doc_id-derived PII (email +
     // dotted-quad + phone) and redacts it — both engines build the

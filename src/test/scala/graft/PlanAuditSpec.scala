@@ -31,7 +31,11 @@ class PlanAuditSpec extends SparkSuite {
     "abc_classification", // revenue grand total as a broadcast 1-row aggregate
     "rfm_segments", // horizon + three ExactNtile 1-row totals, all broadcast
     "whale_share", // customer count + revenue total as a broadcast 1-row aggregate
-    "join_key_skew_profile") // top-10 hot-key row total as a broadcast 1-row aggregate
+    "join_key_skew_profile", // top-10 hot-key row total as a broadcast 1-row aggregate
+    // PrefixSum r5: the sorted pivot array rides a broadcast 1-row
+    // aggregate cross join (the value-bucketing that replaced the RDD
+    // two-job path); abc_classification above is the third consumer.
+    "sequence_packing", "corpus_token_budget", "prefix_sum_bytes")
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
