@@ -32,11 +32,14 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = apply(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      // cast to the TYPE, not the "timestamp" type STRING: the string
+      // resolves through spark.sql.timestampType, so a session pinned
+      // to TIMESTAMP_NTZ would silently turn this cast into a no-op.
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case _                => raw
     }
   }

@@ -1,5 +1,9 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -9,13 +13,23 @@ import org.apache.spark.sql.functions._
   * `mapInPandas`: fixed-size batches through a per-batch kernel,
   * no per-row interpreter round trips).
   *
-  * The DECODE KERNEL IS A STUB — this container ships no image/audio
-  * codecs. [[FakeDecoder]] parses a deterministic fake header instead;
-  * swap in a real codec (JavaCV, TwelveMonkeys, …) behind the same
-  * `decode` signature and every schema/partitioning/batching decision
-  * here carries over unchanged.
+  * The decode kernel is REAL (round-5 upgrade from the disclosed
+  * FakeDecoder stub): payloads are genuine BMP and PNG image bytes —
+  * BMP hand-assembled (the 54-byte header + padded BGR rows are
+  * byte-deterministic), PNG via the JDK's own `javax.imageio` writer —
+  * and [[ImageDecoder]] decodes them with `ImageIO.read`, a pure-JVM
+  * codec that ships in every JDK. Features are computed from DECODED
+  * PIXELS, never from container bytes, so the oracle twin stays exact
+  * even for PNG, whose deflate stream is zlib-implementation-shaped
+  * (the same reason DeflateStats sits outside the oracle gate).
+  * Swapping in heavier codecs (JPEG via the same ImageIO call, video
+  * via JavaCV) changes only the kernel body — every schema,
+  * partitioning, and batching decision here carries over unchanged.
   */
 object Multimodal {
+
+  // In-memory streams only — never let ImageIO spill scratch files.
+  ImageIO.setUseCache(false)
 
   /** One media asset: opaque payload + typed metadata. */
   final case class MediaRow(
@@ -27,23 +41,85 @@ object Multimodal {
       width: Int, height: Int, mean_intensity: Double,
       feature: Array[Float])
 
-  /** STUB decoder: deterministic "decode" that reads a fake 8-byte
-    * header (width, height as int32 LE) and summarizes the payload.
-    * Replace with a real codec at deploy time — signature stays.
+  /** Minimal 24-bit bottom-up BMP encoder for grayscale pixels
+    * (`gray.length == width*height`, row-major top-down input). Every
+    * byte of the output is determined by the pixels — no compressor,
+    * no library versioning — which is why the fixtures' even rows use
+    * it: the container itself is reproducible, not just the decode.
     */
-  object FakeDecoder {
-    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Double, Array[Float]) = {
-      val w = if (bytes.length >= 4)
-        ((bytes(0) & 0xff)) | ((bytes(1) & 0xff) << 8) | ((bytes(2) & 0xff) << 16) else 0
-      val h = if (bytes.length >= 8)
-        ((bytes(4) & 0xff)) | ((bytes(5) & 0xff) << 8) | ((bytes(6) & 0xff) << 16) else 0
-      val body = bytes.drop(8)
-      val mean = if (body.isEmpty) 0.0 else body.map(b => (b & 0xff).toDouble).sum / body.length
-      // 8-bin byte histogram as the stand-in embedding
+  def encodeBmp(gray: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"bad BMP shape: ${gray.length} pixels for ${width}x$height")
+    val rowSize = (width * 3 + 3) / 4 * 4
+    val fileSize = 54 + rowSize * height
+    val out = new Array[Byte](fileSize)
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putInt(2, fileSize); putInt(10, 54)
+    putInt(14, 40); putInt(18, width); putInt(22, height)
+    out(26) = 1; out(28) = 24
+    putInt(34, rowSize * height)
+    var y = 0
+    while (y < height) { // file rows run bottom-up
+      var x = 0
+      while (x < width) {
+        val v = gray((height - 1 - y) * width + x)
+        val off = 54 + y * rowSize + x * 3
+        out(off) = v; out(off + 1) = v; out(off + 2) = v
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 8-bit grayscale PNG via the JDK's ImageIO writer. Lossless, so
+    * decoded samples equal `gray` exactly; the compressed BYTES are
+    * zlib-shaped and must never be oracle-compared (pixels only).
+    */
+  def encodePng(gray: Array[Byte], width: Int, height: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && gray.length == width * height,
+      s"bad PNG shape: ${gray.length} pixels for ${width}x$height")
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, gray)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode: `ImageIO.read` sniffs the container (BMP, PNG,
+    * JPEG, GIF — whatever the JDK registry knows), then features come
+    * from raster samples of band 0 (fixtures are grayscale, so any
+    * band). Returns (width, height, mean intensity, 8-bin normalized
+    * intensity histogram).
+    */
+  object ImageDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Double, Array[Float]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      val raster = img.getRaster
       val hist = new Array[Float](8)
-      body.foreach(b => hist((b & 0xff) >> 5) += 1f)
-      val n = math.max(1, body.length).toFloat
-      (w, h, mean, hist.map(_ / n))
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = raster.getSample(x, y, 0)
+          sum += v
+          hist(v >> 5) += 1f
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      (w, h, sum.toDouble / n, hist.map(_ / n.toFloat))
     }
   }
 
@@ -56,9 +132,9 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would open the codec once here (STUB: no-op)
+        // per-batch setup would pre-allocate codec state here
         batch.iterator.map { m =>
-          val (w, h, mean, feat) = FakeDecoder.decode(m.kind, m.content)
+          val (w, h, mean, feat) = ImageDecoder.decode(m.content)
           MediaFeatures(m.media_id, m.kind, m.content.length, w, h, mean, feat)
         }
       }
@@ -68,22 +144,34 @@ object Multimodal {
   final case class ResizedMedia(
       media_id: Long, kind: String, width: Int, height: Int, content: Array[Byte])
 
-  /** STUB resize: real codecs would decode → scale → re-encode; the
-    * stub rewrites the fake header dims and subsamples payload bytes by
-    * the same ratio, preserving the batched-executor-side shape.
+  /** Real resize: decode → nearest-neighbor downsample to `targetW`
+    * (never upscales) → re-encode as deterministic BMP. Nearest-
+    * neighbor rather than an AWT Graphics scale keeps the resample
+    * arithmetic integer-exact and library-version-independent.
     */
   def resize(media: Dataset[MediaRow], targetW: Int, batchSize: Int = 256): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.iterator.map { m =>
-          val (w, h, _, _) = FakeDecoder.decode(m.kind, m.content)
-          val ratio = if (w > 0) targetW.toDouble / w else 1.0
-          val body = m.content.drop(8)
-          val step = math.max(1, math.round(1 / math.min(1.0, ratio)).toInt)
-          val sampled = body.indices.collect { case i if i % step == 0 => body(i) }.toArray
-          ResizedMedia(m.media_id, m.kind, math.min(targetW, math.max(w, 1)),
-            math.max(1, (h * ratio).toInt), sampled)
+          val img = ImageIO.read(new ByteArrayInputStream(m.content))
+          require(img != null, "undecodable image payload")
+          val (w0, h0) = (img.getWidth, img.getHeight)
+          val nw = math.max(1, math.min(targetW, w0))
+          val nh = math.max(1, math.round(h0.toDouble * nw / w0).toInt)
+          val raster = img.getRaster
+          val gray = new Array[Byte](nw * nh)
+          var y = 0
+          while (y < nh) {
+            var x = 0
+            while (x < nw) {
+              gray(y * nw + x) =
+                raster.getSample(x * w0 / nw, y * h0 / nh, 0).toByte
+              x += 1
+            }
+            y += 1
+          }
+          ResizedMedia(m.media_id, m.kind, nw, nh, encodeBmp(gray, nw, nh))
         }
       }
     }
@@ -91,26 +179,28 @@ object Multimodal {
 
   final case class Frame(media_id: Long, frame_idx: Int, frame: Array[Byte])
 
-  /** STUB frame sampling for "video": treat the payload as fixed-size
-    * frames, keep every `everyN`-th — the executor-side explode shape
-    * (one row in, many rows out, payload never on the driver) is the
-    * real pattern; the codec is the stub.
+  /** Frame sampling for raw "video" payloads (fixed-size uncompressed
+    * frames, the yuv/rgb-raw layout): keep every `everyN`-th frame —
+    * the executor-side explode shape (one row in, many rows out,
+    * payload never on the driver) is the pattern a real container
+    * demuxer would slot into.
     */
   def sampleFrames(
       media: Dataset[MediaRow], frameBytes: Int = 64, everyN: Int = 4): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.flatMap { m =>
-      val body = m.content.drop(8)
-      body.grouped(frameBytes).zipWithIndex.collect {
+      m.content.grouped(frameBytes).zipWithIndex.collect {
         case (frame, idx) if idx % everyN == 0 => Frame(m.media_id, idx, frame)
       }
     }
   }
 
-  /** Deterministic synthetic media corpus derived from `documents`
-    * (the container has no binary fixtures): 8-byte little-endian fake
-    * header + UTF-8 payload, assembled byte-exact in a typed map (SQL
-    * string functions would UTF-8-mangle bytes ≥ 0x80).
+  /** Deterministic media corpus derived from `documents`: each doc's
+    * UTF-8 bytes become the grayscale pixel row of a REAL 1×N image —
+    * even ids as hand-assembled BMP, odd ids as ImageIO-written PNG —
+    * so the decode path downstream exercises two genuine containers.
+    * Empty text gets one zero pixel (zero-width images are invalid in
+    * both formats).
     */
   def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -118,25 +208,27 @@ object Multimodal {
       .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
       .as[(Long, String, String, Long)]
       .map { case (id, text, source, nChars) =>
-        val w = (nChars % 1024).toInt
-        val header = Array[Byte](
-          (w & 0xff).toByte, ((w >> 8) & 0xff).toByte, ((w >> 16) & 0xff).toByte, 0,
-          3, 0, 0, 0)
-        MediaRow(
-          id,
-          if (id % 2 == 0) "image" else "audio",
-          header ++ text.getBytes("UTF-8"),
-          source, nChars)
+        val bytes = Option(text).getOrElse("").getBytes("UTF-8")
+        val gray = if (bytes.isEmpty) Array[Byte](0) else bytes
+        val (kind, content) =
+          if (id % 2 == 0) ("image/bmp", encodeBmp(gray, gray.length, 1))
+          else ("image/png", encodePng(gray, gray.length, 1))
+        MediaRow(id, kind, content, source, nChars)
       }
   }
 
-  /** End-to-end demo frame: synth corpus → batched decode → features. */
+  /** End-to-end demo frame: real-image corpus → batched ImageIO decode
+    * → pixel-derived features. Container byte counts (PNG: zlib-
+    * shaped) stay OUT of the comparable columns; width/height/mean/f0
+    * are functions of decoded pixels, which the oracle restates from
+    * the source text.
+    */
   def featureFrame(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(syntheticMedia(spark, dir))
       .toDF()
       .select(
-        col("media_id"), col("kind"), col("n_bytes"),
+        col("media_id"), col("kind"),
         col("width"), col("height"),
         round(col("mean_intensity"), 4).as("mean_intensity"),
         round(element_at(col("feature"), 1).cast("double"), 4).as("f0"))

@@ -1494,20 +1494,26 @@ object PipelineQueries {
     // IS DuckDB-oracle-expressible (byte = code point).
     "multimodal_features" -> QueryDef(
       (s, dir) => Multimodal.featureFrame(s, dir),
+      // The r5 REAL decode path: payloads are genuine 1×N grayscale
+      // BMP/PNG whose pixel row is the doc's UTF-8 bytes, decoded by
+      // javax.imageio — so the oracle restates width/mean/f0 straight
+      // from the text. Pixel-derived columns only: PNG container size
+      // is zlib-shaped and deliberately not compared.
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-        |    CAST(8 + octet_length(encode(text)) AS INT) AS n_bytes,
-        |    CAST(n_chars % 1024 AS INT) AS width,
-        |    CAST(3 AS INT) AS height,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'image/png' END AS kind,
+        |    CAST(greatest(1, octet_length(encode(text))) AS INT) AS width,
+        |    CAST(1 AS INT) AS height,
         |    CASE WHEN len(text) > 0
         |         THEN CAST(list_sum(list_transform(string_split(text,''), c -> ascii(c))) AS DOUBLE) / len(text)
         |         ELSE 0.0 END AS mean_raw,
-        |    CAST(CAST(len(list_filter(string_split(text,''), c -> ascii(c) < 32)) AS FLOAT)
-        |         / CAST(greatest(1, octet_length(encode(text))) AS FLOAT) AS DOUBLE) AS f0_raw
+        |    CASE WHEN len(text) > 0
+        |         THEN CAST(CAST(len(list_filter(string_split(text,''), c -> ascii(c) < 32)) AS FLOAT)
+        |              / CAST(octet_length(encode(text)) AS FLOAT) AS DOUBLE)
+        |         ELSE 1.0 END AS f0_raw
         |  FROM documents
         |)
-        |SELECT media_id, kind, n_bytes, width, height,
+        |SELECT media_id, kind, width, height,
         |  round(mean_raw, 4) AS mean_intensity, round(f0_raw, 4) AS f0
         |FROM m ORDER BY media_id""".stripMargin),
 

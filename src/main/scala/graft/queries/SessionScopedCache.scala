@@ -18,13 +18,36 @@ import org.apache.spark.sql.SparkSession
   * checkpoint blocks themselves are then GC-reclaimed with the
   * frames.
   *
-  * Keys name immutable corpus dirs (the fixture contract). A caller
-  * that mutates data under a cached dir must [[invalidate]] — the
-  * cache cannot see filesystem changes.
+  * Staleness (round-4 ADVICE): each entry stores a fingerprint of the
+  * dir's file tree (paths, sizes, mtimes) taken at build time; a
+  * lookup whose current fingerprint differs rebuilds instead of
+  * serving the stale artifact. The walk is a few dozen stat calls on
+  * a corpus dir — noise next to any query it fronts. [[invalidate]]
+  * remains for callers that KNOW they changed data out from under a
+  * running build.
   */
 final class SessionScopedCache[V] {
-  private val entries = TrieMap.empty[(SparkSession, String), V]
+  private val entries = TrieMap.empty[(SparkSession, String), (Long, V)]
   private val hooked = TrieMap.empty[SparkSession, Unit]
+
+  private def fingerprint(dir: String): Long = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) 0L
+    else {
+      val stream = Files.walk(root)
+      try {
+        var h = 1125899906842597L
+        stream.sorted().forEach { p =>
+          val f = p.toFile
+          h = h * 31 + p.toString.hashCode
+          h = h * 31 + f.length()
+          h = h * 31 + f.lastModified()
+        }
+        h
+      } finally stream.close()
+    }
+  }
 
   def getOrElseUpdate(s: SparkSession, key: String)(build: => V): V = {
     hooked.getOrElseUpdate(s, {
@@ -36,7 +59,14 @@ final class SessionScopedCache[V] {
         }
       })
     })
-    entries.getOrElseUpdate((s, key), build)
+    val fp = fingerprint(key)
+    entries.get((s, key)) match {
+      case Some((cachedFp, v)) if cachedFp == fp => v
+      case _ =>
+        val v = build
+        entries.put((s, key), (fp, v))
+        v
+    }
   }
 
   def invalidate(s: SparkSession, key: String): Unit = {

@@ -1,51 +1,95 @@
 package graft
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.MediaRow
 
-/** Binary-column plumbing: schema, batching, and the deterministic
-  * stub decode (FIXME-real-codec boundary is FakeDecoder.decode).
+/** Binary-column plumbing with a REAL decode path: fixtures are
+  * genuine BMP (hand-assembled, byte-deterministic) and PNG (JDK
+  * ImageIO writer) containers; the kernel decodes them with
+  * `ImageIO.read` and features come from decoded pixels only.
   */
 class MultimodalSpec extends SparkSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("syntheticMedia: binary payload + typed metadata schema") {
-    val m = Multimodal.syntheticMedia(spark, dir)
-    val schema = m.schema
-    assert(schema("content").dataType.typeName == "binary")
-    assert(m.count() == 500)
+  test("encode/decode round trip: BMP and PNG give back the exact pixels") {
+    val gray = Array.tabulate(12 * 5)(i => ((i * 37) % 256).toByte)
+    for ((name, bytes) <- Seq(
+        "bmp" -> Multimodal.encodeBmp(gray, 12, 5),
+        "png" -> Multimodal.encodePng(gray, 12, 5))) {
+      val (w, h, mean, hist) = Multimodal.ImageDecoder.decode(bytes)
+      assert((w, h) == (12, 5), s"$name dims")
+      val exp = gray.map(_ & 0xff)
+      assert(mean == exp.map(_.toLong).sum.toDouble / exp.length, s"$name mean")
+      val expHist = new Array[Float](8)
+      exp.foreach(v => expHist(v >> 5) += 1f)
+      assert(hist.toSeq == expHist.map(_ / exp.length).toSeq, s"$name hist")
+    }
+    // container magics: the payloads really are those formats
+    val bmp = Multimodal.encodeBmp(gray, 12, 5)
+    assert(bmp(0) == 'B' && bmp(1) == 'M')
+    val png = Multimodal.encodePng(gray, 12, 5)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
   }
 
-  test("extractFeatures: batched decode produces stable features") {
-    val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, dir), batchSize = 64)
-    val rows = feats.collect()
+  test("syntheticMedia: real image payloads + typed metadata schema") {
+    val m = Multimodal.syntheticMedia(spark, dir)
+    assert(m.schema("content").dataType.typeName == "binary")
+    val rows = m.collect()
     assert(rows.length == 500)
-    rows.foreach { f =>
-      assert(f.n_bytes > 8, "payload after header")
-      assert(f.height == 3, "fake header height")
+    rows.foreach { r =>
+      if (r.media_id % 2 == 0) {
+        assert(r.kind == "image/bmp" && r.content(0) == 'B' && r.content(1) == 'M')
+      } else {
+        assert(r.kind == "image/png" && (r.content(0) & 0xff) == 0x89)
+      }
+    }
+  }
+
+  test("extractFeatures: batched ImageIO decode produces pixel-exact features") {
+    val media = Multimodal.syntheticMedia(spark, dir)
+    val feats = Multimodal.extractFeatures(media, batchSize = 64)
+    val byId = feats.collect().map(f => f.media_id -> f).toMap
+    assert(byId.size == 500)
+    val texts = Tables.documents(spark, dir)
+      .selectExpr("doc_id", "coalesce(text, '') AS text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byId.values.foreach { f =>
+      val bytes = texts(f.media_id).getBytes("UTF-8")
+      val pix = if (bytes.isEmpty) Array(0) else bytes.map(_ & 0xff)
+      assert(f.height == 1 && f.width == pix.length, s"dims of ${f.media_id}")
+      assert(f.mean_intensity == pix.map(_.toLong).sum.toDouble / pix.length,
+        s"mean of ${f.media_id}")
       assert(f.feature.length == 8 && math.abs(f.feature.sum - 1.0f) < 1e-3,
         "normalized 8-bin histogram")
     }
-    // determinism across runs / batch sizes
-    val again = Multimodal.extractFeatures(
-      Multimodal.syntheticMedia(spark, dir), batchSize = 7).collect()
-    assert(rows.sortBy(_.media_id).map(_.mean_intensity).toSeq ==
+    // determinism across batch sizes
+    val again = Multimodal.extractFeatures(media, batchSize = 7).collect()
+    assert(byId.keys.toSeq.sorted.map(byId(_).mean_intensity) ==
       again.sortBy(_.media_id).map(_.mean_intensity).toSeq)
   }
 
-  test("resize + frame sampling: executor-side, deterministic shapes") {
+  test("resize: real decode -> nearest-neighbor -> re-encoded BMP round-trips") {
     val media = Multimodal.syntheticMedia(spark, dir)
     val resized = Multimodal.resize(media, targetW = 16).collect()
     assert(resized.length == 500)
-    assert(resized.forall(_.width <= 1024))
-    val frames = Multimodal.sampleFrames(media, frameBytes = 32, everyN = 4)
-    val perDoc = frames.groupBy("media_id").count().collect()
-    assert(perDoc.nonEmpty)
-    // every 4th frame of ceil(len/32) frames
-    val one = Multimodal.syntheticMedia(spark, dir).filter(_.media_id == 0).collect()(0)
-    val expected = ((one.content.length - 8) + 31) / 32
-    val got = frames.filter(_.media_id == 0).count()
-    assert(got == (expected + 3) / 4, s"$got vs ceil($expected/4)")
+    resized.foreach { r =>
+      assert(r.width <= 16 && r.width >= 1 && r.height == 1)
+      val (w, h, _, _) = Multimodal.ImageDecoder.decode(r.content)
+      assert((w, h) == (r.width, r.height), "re-encoded dims decode back")
+    }
+  }
+
+  test("sampleFrames: raw-frame explode shape, executor-side") {
+    import spark.implicits._
+    val raw = Seq(
+      MediaRow(1L, "video/raw", Array.tabulate(200)(_.toByte), "synth", 200L),
+      MediaRow(2L, "video/raw", Array.tabulate(31)(_.toByte), "synth", 31L)).toDS()
+    val frames = Multimodal.sampleFrames(raw, frameBytes = 32, everyN = 4).collect()
+    // id 1: ceil(200/32)=7 frames, keep idx 0 and 4 -> 2; id 2: 1 frame, idx 0
+    assert(frames.count(_.media_id == 1L) == 2)
+    assert(frames.count(_.media_id == 2L) == 1)
+    assert(frames.filter(_.media_id == 2L).head.frame.length == 31)
   }
 
   test("featureFrame: compact output, no binary column leaves the plan") {
