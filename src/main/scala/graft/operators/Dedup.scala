@@ -55,9 +55,15 @@ object Dedup {
     val fpExpr =
       if (md5Based) graft.functions.md5exprs.winnowFingerprintMd5(col(textCol), k, w)
       else graft.functions.exprs.winnowFingerprint(col(textCol), k, w)
+    // localCheckpoint so the md5-per-position kernel runs ONCE: the
+    // broadcast-blacklist probe side has no exchange, so nothing else
+    // dedups the three references (blacklist agg + both self-join
+    // sides) — r5 measured the missing checkpoint as a 2.4× regression
+    // on dedup_winnow_pairs (same lesson as MinHashLsh.scala:82).
     val fps = df.select(
       col(idCol).as("doc_id"),
       explode(fpExpr).as("fp"))
+      .localCheckpoint()
     // Hot-fingerprint blacklist via groupBy + broadcast anti-join — no
     // per-partition sort in the candidate stage (vs count-over-window;
     // the map-side combine shrinks the agg exchange to one row per
@@ -97,8 +103,12 @@ object Dedup {
       graft.functions.exprs.ngramHashes(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+    // localCheckpoint for the same reason as [[winnowPairs]]: the
+    // shingle-hash kernel + explode feed the blacklist agg and both
+    // self-join sides, and the broadcast probe has no exchange to reuse.
     val inverted = docs
       .select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+      .localCheckpoint()
     // Same blacklist shape as [[winnowPairs]]: document frequency per
     // shingle via map-side-combined groupBy, over-cap shingles
     // broadcast, candidate rows filtered by a map-only anti-join.

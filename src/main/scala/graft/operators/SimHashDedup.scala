@@ -47,6 +47,10 @@ object SimHashDedup {
           .bitwiseAND(lit((1L << bitsPer) - 1))): _*)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk_val")
+      // localCheckpoint: the simhash kernel feeds the blacklist agg and
+      // both self-join sides; the broadcast probe has no exchange to
+      // reuse (same lesson as Dedup.winnowPairs / MinHashLsh).
+      .localCheckpoint()
     // Hot-chunk blacklist (groupBy + broadcast anti-join) instead of
     // count-over-window — the candidate stage stays sort-free.
     val hotChunks = broadcast(
