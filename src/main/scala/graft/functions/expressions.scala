@@ -396,6 +396,55 @@ case class LongArrayMatchCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Count of elements ≤ `right` in the SORTED array `left` — i.e. the
+  * upper-bound index by binary search. This is [[graft.operators.PrefixSum]]'s
+  * bucket assignment: O(log B) comparisons per row instead of the
+  * O(B) interpreted lambda a `size(filter(arr, p -> p <= k))` HOF
+  * costs (HOFs never codegen, so each of the B comparisons is a tree
+  * walk). The comparator is Spark's own interpreted ordering for the
+  * element type — identical semantics to `sort_array` and to the
+  * `<=` the HOF would evaluate, structs included.
+  */
+case class SearchSortedCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "search_sorted_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = left.dataType match {
+    // sameType: nullability/metadata-insensitive — the key expression
+    // and the collected pivot elements routinely disagree on field
+    // nullability for identical values.
+    case ArrayType(et, _)
+        if DataType.equalsStructurally(et, right.dataType, ignoreNullability = true) =>
+      if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(et))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"search_sorted_count element type $et is not orderable")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"search_sorted_count requires (array<T>, T), got ($other, ${right.dataType})")
+  }
+
+  private lazy val elementType =
+    left.dataType.asInstanceOf[ArrayType].elementType
+  private lazy val ordering =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(elementType)
+
+  override def nullSafeEval(a: Any, k: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var lo = 0
+    var hi = arr.numElements() // invariant: arr(i) <= k for all i < lo
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (ordering.lteq(arr.get(mid, elementType), k)) lo = mid + 1 else hi = mid
+    }
+    java.lang.Integer.valueOf(lo)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SearchSortedCount =
+    copy(left = l, right = r)
+}
+
 /** Bloom-filter membership probe of a LONG column against a pre-built,
   * serialized `org.apache.spark.util.sketch.BloomFilter`. The filter
   * bytes ship inside the expression with the task binary (~120 KB per
@@ -1081,6 +1130,11 @@ object exprs {
   /** Double dot product of two float/double array columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** #elements ≤ key in a sorted array column (binary search). */
+  def searchSortedCount(sortedArr: Column, key: Column): Column =
+    GraftShim.column(SearchSortedCount(
+      GraftShim.expression(sortedArr), GraftShim.expression(key)))
 
   /** Distinct word n-gram hashes of a text column. */
   def ngramHashes(text: Column, n: Int): Column =

@@ -100,11 +100,14 @@ object PrefixSum {
       .limit(buckets - 1)
       .agg(sort_array(collect_list(col("__ps_k"))).as("__ps_pivots"))
 
-    // 2. bucket = #pivots <= key (struct comparison is lexicographic
-    // on the key columns — the same order the windows sort by).
+    // 2. bucket = #pivots <= key — binary search over the sorted pivot
+    // array (SearchSortedCount, O(log B)/row; a filter-HOF lambda is
+    // O(B) interpreted tree walks). Struct comparison is lexicographic
+    // on the key columns — the same order the windows sort by.
     val withSeg = keyed
       .crossJoin(broadcast(pivots))
-      .withColumn("__ps_seg", size(filter(col("__ps_pivots"), p => p <= kStruct)))
+      .withColumn("__ps_seg",
+        graft.functions.exprs.searchSortedCount(col("__ps_pivots"), kStruct))
       .drop("__ps_pivots")
 
     // 3. Exclusive scan of per-bucket totals: the only unpartitioned

@@ -39,4 +39,26 @@ class PrefixSumSpec extends SparkSuite {
       PrefixSum.withExclusivePrefix(bad, Seq(col("k")), "v", "pre")
     }
   }
+
+  test("SearchSortedCount ≡ the filter-HOF count, atomic and struct keys") {
+    // The bucket assignment kernel must agree with the declarative
+    // size(filter(arr, p -> p <= k)) it replaced — including keys
+    // below, inside, above, and equal to pivot values.
+    val probes = df.select(
+      col("k"),
+      struct((col("k") % 17).as("a"), col("k").as("b")).as("ks"),
+      sort_array(sequence(lit(3L), lit(4800L), lit(7L))).as("arr"),
+      sort_array(array((1L to 40L).map(i =>
+        struct(lit(i % 17).as("a"), lit(i * 100).as("b"))): _*)).as("sarr"))
+    val rows = probes.select(
+      graft.functions.exprs.searchSortedCount(col("arr"), col("k")).as("bs"),
+      size(filter(col("arr"), p => p <= col("k"))).as("hof"),
+      graft.functions.exprs.searchSortedCount(col("sarr"), col("ks")).as("sbs"),
+      size(filter(col("sarr"), p => p <= col("ks"))).as("shof"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) == r.getInt(1), "atomic key")
+      assert(r.getInt(2) == r.getInt(3), "struct key")
+    }
+  }
 }
