@@ -39,6 +39,18 @@ import org.apache.spark.sql.functions._
   * is a total order (enforce uniqueness upstream or pass tiebreakers;
   * with duplicate keys the ids are still dense and sort-consistent,
   * but the order WITHIN a duplicate group is partition-layout-defined).
+  *
+  * Why this keeps its checkpoint machinery when [[PrefixSum]] retired
+  * its RDD formulation (r5): PrefixSum's offsets lived in an EXTERNAL
+  * driver map keyed by an assumption that two separate jobs saw the
+  * same layout — a silent-wrongness channel if they didn't. Here the
+  * partition id is embedded IN each row (`__mid`) at materialization;
+  * the counts aggregate and the offset join both read those frozen
+  * values from the same checkpointed blocks, so a changed layout
+  * cannot renumber anything — and checkpoint truncation means lost
+  * blocks ERROR rather than recompute differently. It also accepts
+  * `.desc` sort orders and duplicate keys, which PrefixSum's
+  * value-bucketed scheme deliberately rejects.
   */
 object DenseId {
 
