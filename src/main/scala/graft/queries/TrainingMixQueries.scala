@@ -116,6 +116,46 @@ object TrainingMixQueries {
          |ORDER BY shard_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Sharded packing layout — streaming.StreamingPacker's batch twin:
+    // per-SHARD concat-and-chunk positions. Unlike the global cumsum
+    // (sequence_packing, which needs the distributed PrefixSum), a
+    // PARTITIONED cumsum is a plain window — every shard is its own
+    // partition, parallelism = shard count, no single-task funnel —
+    // so this deliberately uses the builtin window, not PrefixSum.
+    "shard_packing_layout" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir).select(
+          (Md5Hash.lower63Col(col("doc_id").cast("string")) % 16).as("shard_id"),
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard_id")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        toks
+          .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+          .select(
+            col("shard_id"), col("doc_id"), col("n_tokens"),
+            expr("start_tok div 2048").as("seq_id"),
+            (col("start_tok") % 2048).as("seq_offset"))
+          .orderBy(col("shard_id"), col("doc_id"))
+      },
+      s"""WITH tk AS (
+         |  SELECT (${md5_63("CAST(doc_id AS VARCHAR)")} % 16) AS shard_id,
+         |    doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT shard_id, doc_id, n_tokens,
+         |    CAST(COALESCE(SUM(n_tokens) OVER (
+         |      PARTITION BY shard_id ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS start_tok
+         |  FROM tk)
+         |SELECT shard_id, doc_id, n_tokens,
+         |  start_tok // 2048 AS seq_id, start_tok % 2048 AS seq_offset
+         |FROM c
+         |ORDER BY shard_id, doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Deterministic importance-weighted sampling: accept a doc with
     // probability proportional to its (integer) quality weight, with
     // no RNG state — accept iff md5-lower63(id) mod 10000 < the doc's
