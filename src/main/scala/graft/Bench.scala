@@ -31,6 +31,16 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.lineitem(spark, sfDir).limit(1).collect()
     spark.range(100).toDF("h").stat.bloomFilter("h", 1000L, 0.01)
+    // PrefixSum machinery (TakeOrderedAndProject, broadcast join,
+    // WindowExec, SearchSortedCount classload): the alphabetically
+    // FIRST query is a PrefixSum consumer and otherwise absorbs this
+    // one-time codegen into its recorded number
+    locally {
+      import org.apache.spark.sql.functions.{col, lit}
+      operators.PrefixSum.withExclusivePrefix(
+        spark.range(10000).select(col("id"), lit(1L).as("v")),
+        Seq(col("id")), "v", "p").count()
+    }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(name.contains) }
