@@ -396,6 +396,175 @@ case class LongArrayMatchCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Product-quantization codes of a float/double vector (Jégou et al.,
+  * TPAMI 2011): the vector quantizes to the w grid (`floor(v·1024) +
+  * 4096`, [[graft.operators.IvfIndex.QuantOffset]]), splits into M
+  * subvectors, and each subspace emits the id of its nearest codebook
+  * entry by EXACT integer squared distance (ties → lower id), so the
+  * encoding is bit-replayable by the SQL oracle. `codebooks` is
+  * M × ksub × (dim/M) longs on the same w grid, embedded in this one
+  * node (the CentroidIds rule — never a literal forest). Output:
+  * array<int> of length M.
+  */
+case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_codes requires array<float|double>, got $other")
+  }
+
+  @transient private lazy val cbs: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = PqKernels.gridVec(input.asInstanceOf[ArrayData], elemIsFloat)
+    val m = cbs.length
+    val ds = cbs(0)(0).length
+    require(w.length == m * ds, s"dim ${w.length} != M*dsub ${m * ds}")
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val cb = cbs(mi)
+      var best = 0
+      var bestD = Long.MaxValue
+      var j = 0
+      while (j < cb.length) {
+        val c = cb(j)
+        var s = 0L
+        var i = 0
+        while (i < ds) { val d = w(mi * ds + i) - c(i); s += d * d; i += 1 }
+        if (s < bestD) { bestD = s; best = j } // strict <: ties keep lower id
+        j += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** ADC lookup table of a PROBE vector against the same codebooks as
+  * [[PqCodes]]: array<long> of length M·ksub where entry m·ksub + j
+  * is the exact integer squared w-grid distance of the probe's m-th
+  * subvector to codebook[m][j]. Per-candidate ADC distance is then a
+  * pure table lookup ([[AdcDistance]]) — O(M) per pair instead of
+  * O(dim), the PQ speedup.
+  */
+case class PqAdcTable(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
+    extends UnaryExpression with CodegenFallback {
+  require(codebooks.nonEmpty && codebooks.head.nonEmpty)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_adc_table"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc_table requires array<float|double>, got $other")
+  }
+
+  @transient private lazy val cbs: Array[Array[Array[Long]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = PqKernels.gridVec(input.asInstanceOf[ArrayData], elemIsFloat)
+    val m = cbs.length
+    val ksub = cbs(0).length
+    val ds = cbs(0)(0).length
+    require(w.length == m * ds, s"dim ${w.length} != M*dsub ${m * ds}")
+    val out = new Array[Long](m * ksub)
+    var mi = 0
+    while (mi < m) {
+      var j = 0
+      while (j < ksub) {
+        val c = cbs(mi)(j)
+        var s = 0L
+        var i = 0
+        while (i < ds) { val d = w(mi * ds + i) - c(i); s += d * d; i += 1 }
+        out(mi * ksub + j) = s
+        j += 1
+      }
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqAdcTable =
+    copy(child = newChild)
+}
+
+private[functions] object PqKernels {
+  /** Quantize a float/double vector onto the exact w grid (same
+    * mapping as IvfIndex.sampleGrid and the SQL oracle).
+    */
+  def gridVec(vec: ArrayData, isFloat: Boolean): Array[Long] = {
+    val n = vec.numElements()
+    val w = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = if (isFloat) vec.getFloat(i).toDouble else vec.getDouble(i)
+      val g = math.floor(v * 1024.0).toLong + 4096L
+      require(g >= 0 && g <= (1L << 15),
+        s"coordinate $v outside the exact quantization range")
+      w(i) = g
+      i += 1
+    }
+    w
+  }
+}
+
+/** Σ_m table[m·ksub + codes[m]] — the asymmetric-distance lookup
+  * joining [[PqCodes]] (candidate) with [[PqAdcTable]] (probe).
+  */
+case class AdcDistance(left: Expression, right: Expression, ksub: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  require(ksub > 0)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "adc_distance"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adc_distance requires (array<int> codes, array<long> table), got $other")
+  }
+
+  override def nullSafeEval(codesAny: Any, tableAny: Any): Any = {
+    val codes = codesAny.asInstanceOf[ArrayData]
+    val table = tableAny.asInstanceOf[ArrayData]
+    val m = codes.numElements()
+    require(table.numElements() == m * ksub,
+      s"table length ${table.numElements()} != M*ksub ${m * ksub}")
+    var s = 0L
+    var mi = 0
+    while (mi < m) {
+      s += table.getLong(mi * ksub + codes.getInt(mi))
+      mi += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =
+    copy(left = l, right = r)
+}
+
 /** Count of elements ≤ `right` in the SORTED array `left` — i.e. the
   * upper-bound index by binary search. This is [[graft.operators.PrefixSum]]'s
   * bucket assignment: O(log B) comparisons per row instead of the
@@ -1135,6 +1304,19 @@ object exprs {
   def searchSortedCount(sortedArr: Column, key: Column): Column =
     GraftShim.column(SearchSortedCount(
       GraftShim.expression(sortedArr), GraftShim.expression(key)))
+
+  /** PQ codes of a vector against w-grid codebooks. */
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Long]]]): Column =
+    GraftShim.column(PqCodes(GraftShim.expression(vec), codebooks))
+
+  /** ADC lookup table of a probe vector against w-grid codebooks. */
+  def pqAdcTable(vec: Column, codebooks: Seq[Seq[Seq[Long]]]): Column =
+    GraftShim.column(PqAdcTable(GraftShim.expression(vec), codebooks))
+
+  /** ADC distance: sum of per-subspace table entries at the codes. */
+  def adcDistance(codes: Column, table: Column, ksub: Int): Column =
+    GraftShim.column(AdcDistance(
+      GraftShim.expression(codes), GraftShim.expression(table), ksub))
 
   /** Distinct word n-gram hashes of a text column. */
   def ngramHashes(text: Column, n: Int): Column =

@@ -56,7 +56,16 @@ object IvfIndex {
     */
   private[graft] def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String, nlist: Int,
-      sampleSize: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+      sampleSize: Int, iters: Int, seed: Long): Array[Array[Double]] =
+    lloydGridQ(sampleGrid(corpus, idCol, vecCol, sampleSize), nlist, iters, seed)
+      .map(_.map(x => x.toDouble / 1048576.0 - 4.0))
+
+  /** The deterministic hash-ordered training sample, quantized to the
+    * w grid — shared by IVF (full vectors) and PQ (subvector slices).
+    */
+  private[graft] def sampleGrid(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      sampleSize: Int): Array[Array[Long]] = {
     val sample: Array[Array[Long]] = corpus
       .select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string")), col(idCol))
@@ -69,6 +78,17 @@ object IvfIndex {
         w
       }.toArray)
     require(sample.nonEmpty, "empty corpus")
+    sample
+  }
+
+  /** The exact-integer Lloyd core over a w-grid sample; returns
+    * centroids on the q grid (= w·1024, snapped by integer floor-div
+    * means each round). Shared by IVF and the per-subspace PQ
+    * codebook training ([[PqIndex]]).
+    */
+  private[graft] def lloydGridQ(
+      sample: Array[Array[Long]], nlist: Int, iters: Int,
+      seed: Long): Array[Array[Long]] = {
     val dim = sample.head.length
     // Overflow headroom: |w·1024| ≤ 2^25 ⇒ per-term (Δ)² ≤ 2^52, and
     // dim ≤ 256 keeps every distance sum below 2^60 — exact in Long
@@ -120,7 +140,7 @@ object IvfIndex {
       }.toArray
       it += 1
     }
-    q.map(_.map(x => x.toDouble / 1048576.0 - 4.0))
+    q
   }
 
   private def sqDistL(a: Array[Long], b: Array[Long]): Long = {

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs.{adcDistance, pqAdcTable, pqCodes}
+
+/** Product-quantization ANN (Jégou, Douze, Schmid — "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+  * compressed-domain third scale path next to hyperplane LSH
+  * ([[Similarity.lshTopK]]) and IVF-Flat ([[IvfIndex]]).
+  *
+  * The vector space splits into M subspaces; each subspace gets its
+  * own ksub-entry codebook, and a corpus vector stores only M small
+  * code ids (M bytes at ksub ≤ 256 — a 64-dim float vector compresses
+  * 256 B → 8 B). Search is ASYMMETRIC DISTANCE (ADC): the probe
+  * precomputes one M × ksub table of exact subspace distances, and
+  * each candidate costs M table lookups instead of a dim-length dot —
+  * at 100 TB the corpus-side scan touches codes only (the vectors
+  * never re-shuffle), and the probe tables ride the broadcast.
+  *
+  * Everything stays on [[IvfIndex]]'s exact integer w grid
+  * (`floor(v·1024)+4096`): encode argmins, table entries, and ADC
+  * sums are all integer arithmetic — bit-replayable by the DuckDB
+  * oracle (`ann_pq_fixed_topk`), with ties broken by lower code id /
+  * lower neighbor id. Codebooks come either seeded (the fixed
+  * "pre-trained index artifact" path, like [[IvfIndex.seededCentroids]])
+  * or trained per subspace by the SAME deterministic sample +
+  * exact-integer Lloyd core IVF training uses ([[IvfIndex.lloydGridQ]]
+  * — one sample collect, M in-memory trainings).
+  */
+object PqIndex {
+
+  /** Seeded w-grid codebooks — the fixed/pre-trained path. Gaussian
+    * draws land well inside the exact range (|g|·1024 ≪ 2^15−4096).
+    */
+  def seededCodebooks(dim: Int, m: Int, ksub: Int, seed: Long): Seq[Seq[Seq[Long]]] = {
+    require(m > 0 && dim % m == 0, s"M=$m must divide dim=$dim")
+    val ds = dim / m
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(m)(IndexedSeq.fill(ksub)(IndexedSeq.fill(ds)(
+      math.floor(rng.nextGaussian() * 1024.0).toLong + IvfIndex.QuantOffset)))
+  }
+
+  /** Per-subspace codebooks trained on the shared deterministic
+    * hash-ordered sample: one corpus collect, then M runs of the
+    * exact-integer Lloyd core over subvector slices (seed varies per
+    * subspace). Results snap from the q grid back to the w grid by
+    * integer floor-division — still layout/engine-independent.
+    */
+  def trainCodebooks(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, sampleSize: Int = 10000, iters: Int = 5,
+      seed: Long = 42L): Seq[Seq[Seq[Long]]] = {
+    val sample = IvfIndex.sampleGrid(corpus, idCol, vecCol, sampleSize)
+    val dim = sample.head.length
+    require(m > 0 && dim % m == 0, s"M=$m must divide dim=$dim")
+    val ds = dim / m
+    (0 until m).map { mi =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, mi * ds, (mi + 1) * ds))
+      IvfIndex.lloydGridQ(sub, ksub, iters, seed + mi)
+        .map(_.map(_ / 1024L).toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** ADC top-k search: corpus encodes to M codes map-side; probes
+    * build their lookup tables map-side and broadcast; per-pair cost
+    * is M integer lookups; bounded-heap [[graft.plans.TopKPerGroup]]
+    * keeps the top k per probe (ascending ADC distance, ties → lower
+    * neighbor id). Output: (query_id, neighbor_id, rank, adc_dist).
+    */
+  def topK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, codebooks: Seq[Seq[Seq[Long]]]): DataFrame = {
+    val ksub = codebooks.head.length
+    val coded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), codebooks).as("codes"))
+    val tabled = probes.select(
+      col(idCol).as("query_id"),
+      pqAdcTable(col(vecCol), codebooks).as("tbl"))
+    val pairs = coded.crossJoin(broadcast(tabled))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDistance(col("codes"), col("tbl"), ksub))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("adc_dist", false), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
+  }
+}

@@ -264,6 +264,51 @@ object PipelineQueries {
     * assignment (argmax score, ties to the lower centroid id) and
     * cosine rerank.
     */
+  /** DuckDB replay of the PQ-ADC search: the same seeded w-grid
+    * codebooks inline as a VALUES table, encode via per-(vector,
+    * subspace) integer argmin (row_number ties → lower code id), ADC
+    * via the probe's (m, code) distance lookup summed per pair — all
+    * BIGINT arithmetic, so the comparison is hash-exact.
+    */
+  private def pqOracleSql(dim: Int, m: Int, ksub: Int, seed: Long, k: Int): String = {
+    val cbs = graft.operators.PqIndex.seededCodebooks(dim, m, ksub, seed)
+    val ds = dim / m
+    val rows = (for (mi <- 0 until m; j <- 0 until ksub) yield
+      s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n      |  ")
+    s"""WITH cb(m, j, cw) AS (VALUES
+       |  $rows),
+       |wq AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
+       |  FROM embeddings),
+       |dists AS (
+       |  SELECT q.vec_id, c.m, c.j,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(q.w[c.m*$ds+1 : c.m*$ds+$ds], c.cw),
+       |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+       |  FROM wq q CROSS JOIN cb c),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+       |    FROM dists) WHERE r = 1),
+       |adc AS (
+       |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |    CAST(SUM(p.d) AS BIGINT) AS adc_dist
+       |  FROM codes n JOIN dists p ON p.m = n.m AND p.j = n.code
+       |  WHERE p.vec_id < 10 AND n.vec_id <> p.vec_id
+       |  GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rank, adc_dist
+       |FROM topk WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def ivfOracleSql(
       dim: Int, nlist: Int, nprobe: Int, seed: Long, k: Int): String = {
     val cs = IvfIndex.seededCentroids(dim, nlist, seed)
@@ -1265,6 +1310,24 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       ivfOracleSql(dim = 64, nlist = 16, nprobe = 4, seed = 11L, k = 5)),
+
+    // ------------------------------------------------------------------
+    // Product-quantization ADC top-k (Jégou et al. TPAMI 2011) — the
+    // compressed-domain ANN path: corpus vectors encode to M=8 code
+    // bytes map-side (PqCodes kernel), probes precompute one M×ksub
+    // integer distance table (PqAdcTable, broadcast), and each
+    // candidate costs M lookups (AdcDistance) instead of a dim-64
+    // dot. Everything rides IVF's exact w grid, so encode argmins,
+    // tables, and ADC sums replay bit-exactly in DuckDB.
+    "ann_pq_fixed_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        PqIndex.topK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, codebooks = PqIndex.seededCodebooks(dim = 64, m = 8, ksub = 8, seed = 7L))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      pqOracleSql(dim = 64, m = 8, ksub = 8, seed = 7L, k = 5)),
 
     // ------------------------------------------------------------------
     // Per-dimension embedding profile: posexplode zips (position,
