@@ -60,7 +60,11 @@ object Explain {
     "prefix_sum_bytes" ->
       "Tokenizer-free PrefixSum tripwire: octet_length in the scan projection; otherwise the identical bucketed-cumsum plan as sequence_packing (divergence localizer).",
     "multimodal_features" ->
-      "Real javax.imageio decode inside a typed mapPartitions batch kernel; binary payloads never shuffle — the only exchange is the final orderBy of the compact feature rows.")
+      "Real javax.imageio decode inside a typed mapPartitions batch kernel; binary payloads never shuffle — the only exchange is the final orderBy of the compact feature rows.",
+    "ann_pq_fixed_topk" ->
+      "PQ-ADC: corpus scan emits M-byte codes map-side (PqCodes); probe tables broadcast; per-pair cost is M integer lookups (AdcDistance); bounded-heap TopKPerGroup — vectors never shuffle.",
+    "shard_packing_layout" ->
+      "Per-shard packing is a PLAIN partitioned window (shard-count parallelism is native) — PrefixSum stays reserved for the truly global cumsum.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
