@@ -272,12 +272,17 @@ object PipelineQueries {
     */
   private def pqOracleSql(dim: Int, m: Int, ksub: Int, seed: Long, k: Int): String = {
     val cbs = graft.operators.PqIndex.seededCodebooks(dim, m, ksub, seed)
-    val ds = dim / m
     val rows = (for (mi <- 0 until m; j <- 0 until ksub) yield
-      s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n      |  ")
-    s"""WITH cb(m, j, cw) AS (VALUES
-       |  $rows),
-       |wq AS (
+      s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n  ")
+    s"WITH cb(m, j, cw) AS (VALUES\n  $rows),\n" + pqSearchTailSql(dim / m, k)
+  }
+
+  /** The encode + ADC + top-k replay shared by the fixed and trained
+    * PQ oracles — everything downstream of a `cb(m, j, cw)` codebook
+    * CTE on the w grid.
+    */
+  private def pqSearchTailSql(ds: Int, k: Int): String =
+    s"""wqe AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
@@ -287,7 +292,7 @@ object PipelineQueries {
        |    CAST(list_sum(list_transform(
        |      list_zip(q.w[c.m*$ds+1 : c.m*$ds+$ds], c.cw),
        |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
-       |  FROM wq q CROSS JOIN cb c),
+       |  FROM wqe q CROSS JOIN cb c),
        |codes AS (
        |  SELECT vec_id, m, j AS code FROM (
        |    SELECT vec_id, m, j,
@@ -307,6 +312,75 @@ object PipelineQueries {
        |SELECT query_id, neighbor_id, rank, adc_dist
        |FROM topk WHERE rank <= $k
        |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of TRAINED PQ: per-subspace exact-integer k-means
+    * over the shared hash-ordered sample (the trainedIvfOracleSql
+    * recipe, one CTE chain per subspace with seed+m), codebooks
+    * snapped q→w by floor-div, then the same encode/ADC tail as the
+    * fixed path. Every step is integer, so the comparison is
+    * hash-exact.
+    */
+  private def pqTrainedOracleSql(
+      dim: Int, m: Int, ksub: Int, sampleSize: Int, iters: Int,
+      seed: Long, k: Int): String = {
+    val offset = graft.operators.IvfIndex.QuantOffset
+    val ds = dim / m
+    def distW(a: String, b: String) =
+      s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += s"""smp AS MATERIALIZED (
+      |  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS pos, wq
+      |  FROM (
+      |    SELECT vec_id,
+      |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + $offset) AS wq
+      |    FROM embeddings
+      |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      |    LIMIT $sampleSize))""".stripMargin
+    for (mi <- 0 until m) {
+      val subSeed = seed + mi
+      ctes += s"smp_$mi AS MATERIALIZED (SELECT pos, wq[${mi * ds + 1} : ${mi * ds + ds}] AS w FROM smp)"
+      ctes += s"""c${mi}_0 AS MATERIALIZED (
+        |  SELECT 0 AS cid, w AS cw FROM smp_$mi
+        |  WHERE pos = abs($subSeed % (SELECT count(*) FROM smp_$mi)) + 1)""".stripMargin
+      for (t <- 1 until ksub) {
+        ctes += s"""c${mi}_$t AS MATERIALIZED (
+          |  SELECT * FROM c${mi}_${t - 1}
+          |  UNION ALL
+          |  SELECT * FROM (
+          |    SELECT $t AS cid, s.w AS cw
+          |    FROM smp_$mi s
+          |    JOIN (
+          |      SELECT pos, min(${distW("s2.w", "c.cw")}) AS md
+          |      FROM smp_$mi s2 CROSS JOIN c${mi}_${t - 1} c GROUP BY pos
+          |    ) m ON m.pos = s.pos
+          |    ORDER BY m.md DESC, s.pos LIMIT 1))""".stripMargin
+      }
+      ctes += s"q${mi}_0 AS MATERIALIZED (SELECT cid, list_transform(cw, x -> x*1024) AS q FROM c${mi}_${ksub - 1})"
+      for (i <- 0 until iters) {
+        val dq = "CAST(list_sum(list_transform(list_zip(list_transform(" +
+          "s.w, x -> x*1024), c.q), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        ctes += s"""a${mi}_$i AS MATERIALIZED (
+          |  SELECT pos, w, cid FROM (
+          |    SELECT s.pos, s.w, c.cid,
+          |      row_number() OVER (PARTITION BY s.pos ORDER BY $dq, c.cid) AS r
+          |    FROM smp_$mi s CROSS JOIN q${mi}_$i c)
+          |  WHERE r = 1)""".stripMargin
+        ctes += s"""u${mi}_$i AS MATERIALIZED (
+          |  SELECT cid, list((sv*1024)//cnt ORDER BY dim) AS q
+          |  FROM (
+          |    SELECT cid, dim, CAST(SUM(val) AS BIGINT) AS sv, count(*) AS cnt
+          |    FROM (SELECT cid, unnest(w) AS val, unnest(range(1, len(w)+1)) AS dim FROM a${mi}_$i)
+          |    GROUP BY cid, dim)
+          |  GROUP BY cid)""".stripMargin
+        ctes += s"""q${mi}_${i + 1} AS MATERIALIZED (
+          |  SELECT c.cid, coalesce(u.q, c.q) AS q
+          |  FROM q${mi}_$i c LEFT JOIN u${mi}_$i u ON u.cid = c.cid)""".stripMargin
+      }
+    }
+    ctes += "cb AS MATERIALIZED (\n  " + (0 until m).map(mi =>
+      s"SELECT $mi AS m, cid AS j, list_transform(q, x -> x // 1024) AS cw FROM q${mi}_$iters")
+      .mkString("\n  UNION ALL\n  ") + ")"
+    "WITH " + ctes.mkString(",\n") + ",\n" + pqSearchTailSql(ds, k)
   }
 
   private def ivfOracleSql(
@@ -1328,6 +1402,27 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       pqOracleSql(dim = 64, m = 8, ksub = 8, seed = 7L, k = 5)),
+
+    // ------------------------------------------------------------------
+    // TRAINED PQ — per-subspace codebooks from the deterministic
+    // sample + exact-integer Lloyd (the same core the trained-IVF
+    // oracle already replays, once per subspace with seed+m); DuckDB
+    // re-trains all M codebooks and replays encode/ADC, so even the
+    // trained path is hash-exact, not just the fixed one.
+    "ann_pq_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        PqIndex.topK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5,
+          codebooks = PqIndex.trainCodebooks(
+            emb, "vec_id", "embedding", m = 4, ksub = 4,
+            sampleSize = 1000, iters = 2, seed = 21L))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      pqTrainedOracleSql(
+        dim = 64, m = 4, ksub = 4, sampleSize = 1000, iters = 2,
+        seed = 21L, k = 5)),
 
     // ------------------------------------------------------------------
     // Per-dimension embedding profile: posexplode zips (position,
