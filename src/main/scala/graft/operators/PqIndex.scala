@@ -87,4 +87,37 @@ object PqIndex {
       .withColumnRenamed("topk_rank", "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
   }
+
+  /** Two-stage search — the standard production composition: the
+    * corpus-wide pass is compressed-domain ADC (codes only) down to a
+    * `shortK` shortlist, then full vectors re-attach for ONLY
+    * shortlist rows (≤ probes × shortK — the skinny-shuffle rule) and
+    * an exact cosine rerank picks the final k. Cosine rides the same
+    * VecDot/left-fold arithmetic the IVF/LSH oracles replay
+    * bit-exactly.
+    */
+  def rerankTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortK: Int, codebooks: Seq[Seq[Seq[Long]]]): DataFrame = {
+    import graft.functions.exprs.vecDot
+    val shortlist = topK(corpus, probes, idCol, vecCol, shortK, codebooks)
+      .select(col("query_id"), col("neighbor_id"))
+    val nSide = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
+      Similarity.l2Norm(col(vecCol)).as("norm_n"))
+    val qSide = probes.select(
+      col(idCol).as("query_id"), col(vecCol).as("vec_q"),
+      Similarity.l2Norm(col(vecCol)).as("norm_q"))
+    val rescored = shortlist
+      .join(nSide, Seq("neighbor_id"))
+      .join(broadcast(qSide), Seq("query_id"))
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      rescored, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

@@ -282,6 +282,55 @@ object PipelineQueries {
     * CTE on the w grid.
     */
   private def pqSearchTailSql(ds: Int, k: Int): String =
+    pqSearchCtesSql(ds) +
+      s"""
+         |SELECT query_id, neighbor_id, rank, adc_dist
+         |FROM topk WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB replay of the two-stage PQ search: integer ADC shortlist
+    * (rank ≤ shortK), then exact cosine over re-attached embeddings —
+    * the pairDot/selfDot left-associated double chains proven
+    * bit-exact by the IVF oracles.
+    */
+  private def pqRerankOracleSql(
+      dim: Int, m: Int, ksub: Int, seed: Long, shortK: Int, k: Int): String = {
+    val cbs = graft.operators.PqIndex.seededCodebooks(dim, m, ksub, seed)
+    val rows = (for (mi <- 0 until m; j <- 0 until ksub) yield
+      s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n  ")
+    val selfDot = (0 until dim)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*CAST(embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val pairDot = (0 until dim)
+      .map(i => s"CAST(e_n[${i + 1}] AS DOUBLE)*CAST(e_q[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    s"WITH cb(m, j, cw) AS (VALUES\n  $rows),\n" + pqSearchCtesSql(dim / m) + ",\n" +
+      s"""short AS (SELECT query_id, neighbor_id FROM topk WHERE rank <= $shortK),
+         |nrm AS (SELECT vec_id, sqrt($selfDot) AS n FROM embeddings),
+         |rescored AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n)
+         |         ELSE 0.0 END AS sim
+         |  FROM short s
+         |  JOIN (SELECT vec_id, embedding AS e_n FROM embeddings) en
+         |    ON en.vec_id = s.neighbor_id
+         |  JOIN (SELECT vec_id, embedding AS e_q FROM embeddings) eq
+         |    ON eq.vec_id = s.query_id
+         |  JOIN nrm nn ON nn.vec_id = s.neighbor_id
+         |  JOIN nrm nq ON nq.vec_id = s.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+         |  FROM rescored)
+         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The CTE chain alone (wqe → … → topk with ranks, no cutoff) — the
+    * rerank oracle composes more CTEs after it.
+    */
+  private def pqSearchCtesSql(ds: Int): String =
     s"""wqe AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
@@ -308,10 +357,7 @@ object PipelineQueries {
        |  SELECT query_id, neighbor_id, adc_dist,
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
-       |  FROM adc)
-       |SELECT query_id, neighbor_id, rank, adc_dist
-       |FROM topk WHERE rank <= $k
-       |ORDER BY query_id, rank""".stripMargin
+       |  FROM adc)""".stripMargin
 
   /** DuckDB replay of TRAINED PQ: per-subspace exact-integer k-means
     * over the shared hash-ordered sample (the trainedIvfOracleSql
@@ -1423,6 +1469,23 @@ object PipelineQueries {
       pqTrainedOracleSql(
         dim = 64, m = 4, ksub = 4, sampleSize = 1000, iters = 2,
         seed = 21L, k = 5)),
+
+    // ------------------------------------------------------------------
+    // Two-stage PQ search: compressed-domain ADC shortlist (top-50 by
+    // integer distance), then exact cosine rerank of ONLY the
+    // shortlist — vectors re-attach for ≤ probes × 50 rows, never the
+    // corpus. The oracle replays the integer shortlist and the
+    // left-folded double cosine (the IVF pairDot recipe).
+    "ann_pq_rerank_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        PqIndex.rerankTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, shortK = 50,
+          codebooks = PqIndex.seededCodebooks(dim = 64, m = 8, ksub = 8, seed = 7L))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      pqRerankOracleSql(dim = 64, m = 8, ksub = 8, seed = 7L, shortK = 50, k = 5)),
 
     // ------------------------------------------------------------------
     // Per-dimension embedding profile: posexplode zips (position,
