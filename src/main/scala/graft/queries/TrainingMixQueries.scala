@@ -116,6 +116,51 @@ object TrainingMixQueries {
          |ORDER BY shard_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Epoch-factor mixture — the data-recipe shape real pretraining
+    // mixes use ("2.5 epochs of web, 0.5 of the tail"): every doc
+    // repeats floor(factor) times, and the fractional epoch admits a
+    // deterministic md5(doc:epoch) hash fraction — no RNG state, so
+    // the recipe reproduces exactly on retrain and re-delivery. One
+    // broadcast factors join + a bounded explode (≤ factor+1 rows per
+    // doc); at 100 TB the blow-up is the OUTPUT, never an
+    // intermediate.
+    "corpus_epoch_mixture" -> QueryDef(
+      (s, dir) => {
+        val factors = (0 until 20).map(i =>
+          (s"src$i", if (i < 5) 2 else 0, 500))
+        val fdf = broadcast(
+          s.createDataFrame(factors).toDF("source", "full_e", "frac_m"))
+        Tables.documents(s, dir).select(col("doc_id"), col("source"))
+          .join(fdf, Seq("source"))
+          .select(
+            col("doc_id"), col("source"),
+            explode(sequence(lit(0), col("full_e"))).as("epoch_idx"),
+            col("full_e"), col("frac_m"))
+          .filter(
+            col("epoch_idx") < col("full_e") ||
+              (Md5Hash.lower63Col(concat(
+                col("doc_id").cast("string"), lit(":"),
+                col("epoch_idx").cast("string"))) % 1000) < col("frac_m"))
+          .select(col("doc_id"), col("source"), col("epoch_idx").cast("int").as("epoch_idx"))
+          .orderBy(col("doc_id"), col("epoch_idx"))
+      },
+      // NOTE: an unnest(range(0, f.full_e + 1)) correlated with the
+      // joined factors table trips a DuckDB binder INTERNAL error —
+      // the proven shape (negative_sampling) is a standalone range
+      // table joined on epoch_idx <= full_e.
+      s"""WITH f(source, full_e, frac_m) AS (VALUES
+         |  ${(0 until 20).map(i =>
+              s"('src$i', ${if (i < 5) 2 else 0}, 500)").mkString(",\n         |  ")}),
+         |e AS (SELECT unnest(range(0, 3)) AS epoch_idx)
+         |SELECT d.doc_id, d.source, CAST(e.epoch_idx AS INT) AS epoch_idx
+         |FROM documents d
+         |JOIN f USING (source)
+         |JOIN e ON e.epoch_idx <= f.full_e
+         |WHERE e.epoch_idx < f.full_e
+         |   OR (${md5_63("d.doc_id || ':' || e.epoch_idx")} % 1000) < f.frac_m
+         |ORDER BY d.doc_id, e.epoch_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Sharded packing layout — streaming.StreamingPacker's batch twin:
     // per-SHARD concat-and-chunk positions. Unlike the global cumsum
     // (sequence_packing, which needs the distributed PrefixSum), a
