@@ -40,6 +40,16 @@ class PrefixSumSpec extends SparkSuite {
     }
   }
 
+  test("result is provably independent of the bucket count") {
+    def run(buckets: Int) =
+      PrefixSum.withExclusivePrefix(df, Seq(col("k")), "v", "pre", buckets)
+        .orderBy("k").select("k", "pre").as[(Long, Long)].collect().toSeq
+    val base = run(0) // auto
+    for (b <- Seq(1, 2, 7, 64, 10000)) {
+      assert(run(b) == base, s"numBuckets=$b must not change the answer")
+    }
+  }
+
   test("SearchSortedCount ≡ the filter-HOF count, atomic and struct keys") {
     // The bucket assignment kernel must agree with the declarative
     // size(filter(arr, p -> p <= k)) it replaced — including keys
