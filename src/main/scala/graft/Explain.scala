@@ -64,7 +64,11 @@ object Explain {
     "ann_pq_fixed_topk" ->
       "PQ-ADC: corpus scan emits M-byte codes map-side (PqCodes); probe tables broadcast; per-pair cost is M integer lookups (AdcDistance); bounded-heap TopKPerGroup — vectors never shuffle.",
     "shard_packing_layout" ->
-      "Per-shard packing is a PLAIN partitioned window (shard-count parallelism is native) — PrefixSum stays reserved for the truly global cumsum.")
+      "Per-shard packing is a PLAIN partitioned window (shard-count parallelism is native) — PrefixSum stays reserved for the truly global cumsum.",
+    "ann_pq_rerank_topk" ->
+      "Two-stage: integer ADC shortlist over codes, then vectors re-attach for probes x 50 rows only (skinny-shuffle) and exact cosine reranks inside bounded heaps.",
+    "corpus_epoch_mixture" ->
+      "Broadcast factors join + bounded explode (<= factor+1 rows/doc); the fractional-epoch draw is a map-side md5 — the output IS the blow-up, no wide intermediate.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
