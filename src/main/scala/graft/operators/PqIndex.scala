@@ -88,6 +88,41 @@ object PqIndex {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
   }
 
+  /** IVF-routed PQ search — the IVFPQ composition (Jégou et al.'s
+    * IVFADC system shape, here with PQ over raw vectors rather than
+    * residuals, the `by_residual=false` variant public IVFPQ
+    * implementations also ship): the coarse quantizer
+    * ([[IvfIndex.seededCentroids]] + the proven CentroidIds kernel)
+    * routes every corpus vector to one inverted list and each probe to
+    * its `nprobe` nearest lists, and candidates are scored by integer
+    * ADC over codes. The candidate stage is an EQUI-join on list id —
+    * no cross join at all — touching M-byte codes only; compared
+    * candidates shrink to ≈ corpus × nprobe / nlist on top of PQ's
+    * per-pair O(M) cost.
+    */
+  def ivfAdcTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Long]]],
+      nprobe: Int): DataFrame = {
+    import graft.functions.exprs.centroidIds
+    val ksub = codebooks.head.length
+    val coded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      element_at(centroidIds(col(vecCol), coarse, 1), 1).as("list_id"),
+      pqCodes(col(vecCol), codebooks).as("codes"))
+    val probed = probes.select(
+      col(idCol).as("query_id"),
+      pqAdcTable(col(vecCol), codebooks).as("tbl"),
+      explode(centroidIds(col(vecCol), coarse, nprobe)).as("list_id"))
+    val pairs = coded.join(broadcast(probed), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDistance(col("codes"), col("tbl"), ksub))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("adc_dist", false), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
+  }
+
   /** Two-stage search — the standard production composition: the
     * corpus-wide pass is compressed-domain ADC (codes only) down to a
     * `shortK` shortlist, then full vectors re-attach for ONLY

@@ -288,6 +288,72 @@ object PipelineQueries {
          |FROM topk WHERE rank <= $k
          |ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB replay of IVF-routed PQ: coarse routing by the proven
+    * unrolled-IEEE score chains (ivfOracleSql's recipe — corpus r=1,
+    * probes r ≤ nprobe), candidates joined on list id, then the
+    * integer ADC scoring of the PQ tail restricted to routed pairs.
+    */
+  private def ivfAdcOracleSql(
+      dim: Int, nlist: Int, nprobe: Int, coarseSeed: Long,
+      m: Int, ksub: Int, pqSeed: Long, k: Int): String = {
+    val cs = IvfIndex.seededCentroids(dim, nlist, coarseSeed)
+    val halfNorms = cs.map(c => c.map(x => x * x).sum / 2.0)
+    def scoreExpr(ci: Int): String =
+      "(" + (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE)*${cs(ci)(i)}").mkString(" + ") +
+        s") - ${halfNorms(ci)}"
+    val scoreList = (0 until nlist).map(scoreExpr).mkString(",\n      ")
+    val cbs = graft.operators.PqIndex.seededCodebooks(dim, m, ksub, pqSeed)
+    val ds = dim / m
+    val rows = (for (mi <- 0 until m; j <- 0 until ksub) yield
+      s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n  ")
+    s"""WITH cb(m, j, cw) AS (VALUES
+       |  $rows),
+       |scored AS (
+       |  SELECT vec_id, cid, r FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+       |    FROM (
+       |      SELECT vec_id, unnest(range(0, $nlist)) AS cid,
+       |        unnest([
+       |      $scoreList]) AS s
+       |      FROM embeddings))),
+       |wqe AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
+       |  FROM embeddings),
+       |dists AS (
+       |  SELECT q.vec_id, c.m, c.j,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(q.w[c.m*$ds+1 : c.m*$ds+$ds], c.cw),
+       |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+       |  FROM wqe q CROSS JOIN cb c),
+       |codes AS (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+       |    FROM dists) WHERE r = 1),
+       |pairs0 AS (
+       |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id
+       |  FROM scored n JOIN scored p ON n.cid = p.cid
+       |  WHERE n.r = 1 AND p.r <= $nprobe AND p.vec_id < 10 AND n.vec_id <> p.vec_id),
+       |adc AS (
+       |  SELECT pr.query_id, pr.neighbor_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
+       |  FROM pairs0 pr
+       |  JOIN codes n ON n.vec_id = pr.neighbor_id
+       |  JOIN dists d ON d.vec_id = pr.query_id AND d.m = n.m AND d.j = n.code
+       |  GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT query_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+       |  FROM adc)
+       |SELECT query_id, neighbor_id, rank, adc_dist
+       |FROM topk WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of the two-stage PQ search: integer ADC shortlist
     * (rank ≤ shortK), then exact cosine over re-attached embeddings —
     * the pairDot/selfDot left-associated double chains proven
@@ -1486,6 +1552,28 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       pqRerankOracleSql(dim = 64, m = 8, ksub = 8, seed = 7L, shortK = 50, k = 5)),
+
+    // ------------------------------------------------------------------
+    // IVF-routed PQ (the IVFPQ/IVFADC composition, by_residual=false):
+    // the coarse quantizer routes corpus vectors to inverted lists and
+    // probes to their nprobe nearest lists (the proven CentroidIds
+    // recipe), and candidates — an EQUI-join on list id, no cross join
+    // — score by integer ADC over M-byte codes. Candidates shrink to
+    // ≈ corpus × nprobe / nlist on top of PQ's O(M) per-pair cost.
+    "ann_ivfadc_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        PqIndex.ivfAdcTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5,
+          coarse = IvfIndex.seededCentroids(dim = 64, nlist = 16, seed = 11L),
+          codebooks = PqIndex.seededCodebooks(dim = 64, m = 8, ksub = 8, seed = 7L),
+          nprobe = 4)
+          .orderBy(col("query_id"), col("rank"))
+      },
+      ivfAdcOracleSql(
+        dim = 64, nlist = 16, nprobe = 4, coarseSeed = 11L,
+        m = 8, ksub = 8, pqSeed = 7L, k = 5)),
 
     // ------------------------------------------------------------------
     // Per-dimension embedding profile: posexplode zips (position,
