@@ -434,7 +434,17 @@ object PipelineQueries {
     */
   private def pqTrainedOracleSql(
       dim: Int, m: Int, ksub: Int, sampleSize: Int, iters: Int,
-      seed: Long, k: Int): String = {
+      seed: Long, k: Int): String =
+    "WITH " + pqTrainedCbCtes(dim, m, ksub, sampleSize, iters, seed) + ",\n" +
+      pqSearchTailSql(dim / m, k)
+
+  /** The per-subspace k-means CTE chain ending in `cb(m, j, cw)` on
+    * the w grid — shared by the trained-PQ search oracle and the
+    * semdedup bucket oracle.
+    */
+  private def pqTrainedCbCtes(
+      dim: Int, m: Int, ksub: Int, sampleSize: Int, iters: Int,
+      seed: Long): String = {
     val offset = graft.operators.IvfIndex.QuantOffset
     val ds = dim / m
     def distW(a: String, b: String) =
@@ -492,7 +502,7 @@ object PipelineQueries {
     ctes += "cb AS MATERIALIZED (\n  " + (0 until m).map(mi =>
       s"SELECT $mi AS m, cid AS j, list_transform(q, x -> x // 1024) AS cw FROM q${mi}_$iters")
       .mkString("\n  UNION ALL\n  ") + ")"
-    "WITH " + ctes.mkString(",\n") + ",\n" + pqSearchTailSql(ds, k)
+    ctes.mkString(",\n")
   }
 
   private def ivfOracleSql(
@@ -1574,6 +1584,63 @@ object PipelineQueries {
       ivfAdcOracleSql(
         dim = 64, nlist = 16, nprobe = 4, coarseSeed = 11L,
         m = 8, ksub = 8, pqSeed = 7L, k = 5)),
+
+    // ------------------------------------------------------------------
+    // SemDeDup-style candidate buckets (Abbas et al. 2023's idea —
+    // cluster embeddings, dedup within clusters): vectors sharing
+    // their first two TRAINED PQ codes (the k-means-adapted coarse
+    // signature, 16 buckets at ksub=4) are semantic-dedup candidates.
+    // Map-side codes, one count agg — the exact-verify pass within
+    // each bucket is embedding_neardup's machinery. Oracle re-trains
+    // the codebooks (the shared trained-PQ CTE chain) and replays
+    // bucketing.
+    "embedding_semdedup_buckets" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cbs = PqIndex.trainCodebooks(
+          emb, "vec_id", "embedding", m = 4, ksub = 4,
+          sampleSize = 1000, iters = 2, seed = 21L)
+        emb
+          .select(col("vec_id"),
+            graft.functions.exprs.pqCodes(col("embedding"), cbs).as("c"))
+          .select(col("vec_id"),
+            (element_at(col("c"), 1) + element_at(col("c"), 2) * 4)
+              .cast("long").as("bucket"))
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_members"),
+            concat_ws(",", transform(
+              sort_array(collect_list(col("vec_id"))), _.cast("string"))).as("members"))
+          .filter(col("n_members") >= 2)
+          .orderBy(col("bucket"))
+      },
+      "WITH " + pqTrainedCbCtes(
+        dim = 64, m = 4, ksub = 4, sampleSize = 1000, iters = 2, seed = 21L) + ",\n" +
+        s"""wqe AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
+           |  FROM embeddings),
+           |dists AS (
+           |  SELECT q.vec_id, c.m, c.j,
+           |    CAST(list_sum(list_transform(
+           |      list_zip(q.w[c.m*16+1 : c.m*16+16], c.cw),
+           |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+           |  FROM wqe q CROSS JOIN cb c
+           |  WHERE c.m < 2),
+           |codes AS (
+           |  SELECT vec_id, m, j AS code FROM (
+           |    SELECT vec_id, m, j,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+           |    FROM dists) WHERE r = 1),
+           |bkt AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(code * CASE WHEN m = 0 THEN 1 ELSE 4 END) AS BIGINT) AS bucket
+           |  FROM codes GROUP BY vec_id)
+           |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_members,
+           |  string_agg(vec_id, ',' ORDER BY vec_id) AS members
+           |FROM bkt GROUP BY bucket HAVING COUNT(*) >= 2
+           |ORDER BY bucket""".stripMargin),
 
     // ------------------------------------------------------------------
     // Per-dimension embedding profile: posexplode zips (position,

@@ -60,6 +60,27 @@ class PqIndexSpec extends SparkSuite {
     assert(res == run(dup.repartition(17)), "layout must not change ADC results")
   }
 
+  test("ivfAdcTopK: candidates come only from visited lists; layout-invariant") {
+    val df = corpus(60)
+    val coarse = graft.operators.IvfIndex.seededCentroids(dim = 16, nlist = 4, seed = 2L)
+    val cbs = PqIndex.seededCodebooks(dim = 16, m = 4, ksub = 4, seed = 3L)
+    def run(d: org.apache.spark.sql.DataFrame) =
+      PqIndex.ivfAdcTopK(d, d.filter(col("vec_id") < 3), "vec_id", "embedding",
+        k = 10, coarse = coarse, codebooks = cbs, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val res = run(df)
+    assert(res.nonEmpty)
+    assert(res == run(df.repartition(13)), "routing+ADC must be layout-invariant")
+    // routing really restricts: nprobe=all-lists must see a superset
+    val full = PqIndex.ivfAdcTopK(df, df.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 1000, coarse = coarse, codebooks = cbs, nprobe = 4)
+      .count()
+    val routed = PqIndex.ivfAdcTopK(df, df.filter(col("vec_id") < 3), "vec_id", "embedding",
+      k = 1000, coarse = coarse, codebooks = cbs, nprobe = 1)
+      .count()
+    assert(routed < full, s"nprobe=1 ($routed) must visit fewer candidates than all lists ($full)")
+  }
+
   test("trained codebooks are a pure function of the data (layout-invariant)") {
     val df = corpus(60)
     val a = PqIndex.trainCodebooks(df, "vec_id", "embedding", m = 4, ksub = 4,
