@@ -1586,6 +1586,60 @@ object PipelineQueries {
         m = 8, ksub = 8, pqSeed = 7L, k = 5)),
 
     // ------------------------------------------------------------------
+    // In-engine ANN quality eval: recall@5 of the PQ index against the
+    // exact brute-force top-5, per probe — the metric an index
+    // deployment monitors. Pure set-intersection counting over the two
+    // proven pipelines; integer output, zero-overlap probes kept via
+    // left join.
+    "ann_pq_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(
+          emb, probes, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val approx = PqIndex.topK(
+          emb, probes, "vec_id", "embedding", k = 5,
+          codebooks = PqIndex.seededCodebooks(dim = 64, m = 8, ksub = 8, seed = 7L))
+          .select(col("query_id"), col("neighbor_id"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(
+            exact.join(approx, Seq("query_id", "neighbor_id"))
+              .groupBy(col("query_id")).agg(count(lit(1)).as("hits_at_5")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits_at_5"), lit(0L)).as("hits_at_5"))
+          .orderBy(col("query_id"))
+      },
+      {
+        val cbs = graft.operators.PqIndex.seededCodebooks(64, 8, 8, 7L)
+        val rows = (for (mi <- 0 until 8; j <- 0 until 8) yield
+          s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n  ")
+        s"WITH cb(m, j, cw) AS (VALUES\n  $rows),\n" + pqSearchCtesSql(8) + ",\n" +
+          """exactp AS (
+            |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+            |  FROM embeddings c, embeddings p
+            |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+            |exact5 AS (
+            |  SELECT query_id, neighbor_id FROM (
+            |    SELECT query_id, neighbor_id,
+            |      row_number() OVER (PARTITION BY query_id
+            |        ORDER BY sim DESC, neighbor_id) AS r
+            |    FROM exactp) WHERE r <= 5),
+            |pq5 AS (SELECT query_id, neighbor_id FROM topk WHERE rank <= 5),
+            |hits AS (
+            |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits_at_5
+            |  FROM exact5 e JOIN pq5 q USING (query_id, neighbor_id)
+            |  GROUP BY 1)
+            |SELECT p.vec_id AS query_id,
+            |  CAST(COALESCE(h.hits_at_5, 0) AS BIGINT) AS hits_at_5
+            |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p
+            |LEFT JOIN hits h ON h.query_id = p.vec_id
+            |ORDER BY query_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // SemDeDup-style candidate buckets (Abbas et al. 2023's idea —
     // cluster embeddings, dedup within clusters): vectors sharing
     // their first two TRAINED PQ codes (the k-means-adapted coarse
