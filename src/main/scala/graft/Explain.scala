@@ -68,7 +68,11 @@ object Explain {
     "ann_pq_rerank_topk" ->
       "Two-stage: integer ADC shortlist over codes, then vectors re-attach for probes x 50 rows only (skinny-shuffle) and exact cosine reranks inside bounded heaps.",
     "corpus_epoch_mixture" ->
-      "Broadcast factors join + bounded explode (<= factor+1 rows/doc); the fractional-epoch draw is a map-side md5 — the output IS the blow-up, no wide intermediate.")
+      "Broadcast factors join + bounded explode (<= factor+1 rows/doc); the fractional-epoch draw is a map-side md5 — the output IS the blow-up, no wide intermediate.",
+    "ann_ivfadc_topk" ->
+      "IVFPQ composition: CentroidIds routes map-side; candidates are an EQUI-join on list id (broadcast probe tables) — no cross join; per-pair cost is M integer lookups over codes.",
+    "embedding_semdedup_buckets" ->
+      "Trained-PQ code prefix as the cluster signature: map-side codes, ONE count aggregate — the semantic-dedup candidate stage at any corpus size.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
