@@ -69,7 +69,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the full metric line: the driver's BENCH_r*.json
+    // keeps only the log tail, which truncates ~100 of the per-query
+    // timings (round-5 VERDICT) — the file survives intact.
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_latest.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

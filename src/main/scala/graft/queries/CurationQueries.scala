@@ -122,6 +122,57 @@ object CurationQueries {
         |  CAST(list_max(codes) AS INT) AS q_max,
         |  CAST(list_sum(codes) AS BIGINT) AS q_sum,
         |  (mx - mn) / 255 AS scale
-        |FROM c ORDER BY vec_id""".stripMargin)
+        |FROM c ORDER BY vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // C4 / RefinedWeb line-grain dedup (LineDedup operator): the
+    // synthetic corpus has no newlines, so the query salts every doc
+    // with deterministic doc_id-derived footer lines — two shared
+    // boilerplate strings (every 3rd / 5th doc) plus per-doc unique
+    // lines — then drops lines whose md5 appears in >2 distinct docs
+    // and reassembles. Both engines build the identical salted corpus,
+    // so the blacklist, the surviving text, and the counts compare
+    // byte-exactly. Blacklist is broadcast; the only corpus shuffle is
+    // the doc_id reassembly.
+    "line_dedup_boilerplate" -> QueryDef(
+      (s, dir) => {
+        val salted = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat_ws("\n",
+            coalesce(col("text"), lit("")),
+            when(col("doc_id") % 3 === 0,
+              lit("subscribe to our newsletter for daily updates"))
+              .otherwise(concat(lit("doc "), col("doc_id"), lit(" unique footer"))),
+            when(col("doc_id") % 5 === 0,
+              lit("copyright 2024 all rights reserved"))
+              .otherwise(concat(lit("doc "), col("doc_id"), lit(" extra line"))))
+            .as("text"))
+        graft.operators.LineDedup.dropCommonLines(salted, "doc_id", "text", maxDocs = 2L)
+          .orderBy(col("doc_id"))
+      },
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || chr(10) ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter for daily updates'
+        |         ELSE 'doc ' || doc_id || ' unique footer' END || chr(10) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN 'copyright 2024 all rights reserved'
+        |         ELSE 'doc ' || doc_id || ' extra line' END AS text
+        |  FROM documents),
+        |lx AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+        |  FROM salted),
+        |bl AS (
+        |  SELECT md5(line) AS h FROM lx
+        |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 2)
+        |SELECT lx.doc_id,
+        |  coalesce(string_agg(lx.line, chr(10) ORDER BY lx.pos)
+        |    FILTER (WHERE bl.h IS NULL), '') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(bl.h) AS BIGINT) AS n_dropped
+        |FROM lx LEFT JOIN bl ON md5(lx.line) = bl.h
+        |GROUP BY lx.doc_id
+        |ORDER BY lx.doc_id""".stripMargin)
   )
 }

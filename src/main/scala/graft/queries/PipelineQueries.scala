@@ -906,9 +906,13 @@ object PipelineQueries {
             (col("start_tok") % 2048).as("seq_offset"))
           .orderBy(col("doc_id"))
       },
+      // CAST back to BIGINT: SUM(BIGINT) OVER widens to HUGEINT in
+      // DuckDB, which pandas fetchdf renders as float64 and the
+      // driver's value hash then sees 0.0 vs 0 (the 3-round r3-r5
+      // gate red; shard_packing_layout's cast form was always green).
       s"""SELECT doc_id, n AS n_tokens,
-         |  (cum - n) // 2048 AS seq_id,
-         |  (cum - n) % 2048 AS seq_offset
+         |  CAST((cum - n) // 2048 AS BIGINT) AS seq_id,
+         |  CAST((cum - n) % 2048 AS BIGINT) AS seq_offset
          |FROM (
          |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n,
          |    SUM(CAST(len($toksSql) AS BIGINT)) OVER (

@@ -29,6 +29,12 @@ import org.apache.spark.sql.SparkSession
 final class SessionScopedCache[V] {
   private val entries = TrieMap.empty[(SparkSession, String), (Long, V)]
   private val hooked = TrieMap.empty[SparkSession, Unit]
+  // Per-key build guard (round-5 ADVICE): the fingerprint check made
+  // the miss path a non-atomic get/build/put, so two concurrent
+  // callers could both run an expensive star/corpus build. Builds for
+  // a given (session, dir) now serialize on this lock; distinct keys
+  // still build concurrently.
+  private val buildLocks = TrieMap.empty[(SparkSession, String), Object]
 
   private def fingerprint(dir: String): Long = {
     import java.nio.file.{Files, Paths}
@@ -54,6 +60,7 @@ final class SessionScopedCache[V] {
       s.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit = {
           entries.filterInPlace { case ((sess, _), _) => sess ne s }
+          buildLocks.filterInPlace { case ((sess, _), _) => sess ne s }
           hooked.remove(s)
           ()
         }
@@ -63,14 +70,25 @@ final class SessionScopedCache[V] {
     entries.get((s, key)) match {
       case Some((cachedFp, v)) if cachedFp == fp => v
       case _ =>
-        val v = build
-        entries.put((s, key), (fp, v))
-        v
+        val lock = buildLocks.getOrElseUpdate((s, key), new Object)
+        lock.synchronized {
+          // Re-check under the lock (and re-fingerprint: the dir may
+          // have changed while we waited on another caller's build).
+          val fp2 = fingerprint(key)
+          entries.get((s, key)) match {
+            case Some((cachedFp, v)) if cachedFp == fp2 => v
+            case _ =>
+              val v = build
+              entries.put((s, key), (fp2, v))
+              v
+          }
+        }
     }
   }
 
   def invalidate(s: SparkSession, key: String): Unit = {
     entries.remove((s, key))
+    buildLocks.remove((s, key))
     ()
   }
 

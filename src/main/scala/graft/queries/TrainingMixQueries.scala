@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{exprs, Md5Hash}
-import graft.operators.{MixtureSample, PrefixSum, TextOps}
+import graft.operators.{Bpe, MixtureSample, PrefixSum, TextOps}
 
 /** Training-mixture assembly operators, oracle-verified: per-source
   * count-targeted selection, greedy selection under a global token
@@ -26,6 +26,52 @@ object TrainingMixQueries {
     */
   private val mixBudgets: Map[String, Int] =
     (0 until 20).map(i => s"src$i" -> (if (i < 5) 15 else 5)).toMap
+
+  /** DuckDB replay of [[Bpe.train]]: k unrolled merge rounds (the same
+    * unrolled-iteration technique as the PQ/IVF training oracles) —
+    * each round recounts adjacent pairs over the evolving double-space
+    * encodings, picks the (count DESC, left ASC, right ASC) argmax,
+    * and applies it with the identical boundary-anchored replace.
+    */
+  private def bpeMergesOracleSql(k: Int): String = {
+    val head =
+      s"""tk AS (SELECT unnest($toksSql) AS word FROM documents),
+         |v0 AS (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    ' ' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i:i]), '  ') || ' ' AS enc
+         |  FROM tk GROUP BY word)""".stripMargin
+    val rounds = (0 until k).map { i =>
+      val apply =
+        if (i == k - 1) ""
+        else
+          s""",
+             |v${i + 1} AS (
+             |  SELECT v.word, v.freq,
+             |    replace(v.enc, ' ' || m.left_sym || '  ' || m.right_sym || ' ',
+             |            ' ' || m.left_sym || m.right_sym || ' ') AS enc
+             |  FROM v$i v, m$i m)""".stripMargin
+      s"""p$i AS (
+         |  SELECT syms[j] AS left_sym, syms[j+1] AS right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS j
+         |        FROM (SELECT freq, string_split(trim(enc), '  ') AS syms FROM v$i) t0) t1
+         |  GROUP BY 1, 2),
+         |m$i AS (SELECT CAST($i AS INT) AS step, left_sym, right_sym, pair_count
+         |        FROM p$i ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1)$apply""".stripMargin
+    }
+    val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"WITH $head,\n${rounds.mkString(",\n")}\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** The first 8 merges [[Bpe.train]] learns on the documents fixture —
+    * the "fixed codebook" twin of bpe_merges (same pattern as
+    * ann_pq_fixed_topk vs ann_pq_topk): the serving-side segmentation
+    * is exercised without replaying training in the oracle. Note step
+    * 7 merges p+ar onto step 6's output — the list is genuinely
+    * hierarchical.
+    */
+  private val fixedBpeMerges: Seq[(String, String)] = Seq(
+    "e" -> "r", "o" -> "r", "i" -> "n", "o" -> "w",
+    "s" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar")
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -363,6 +409,59 @@ object TrainingMixQueries {
         |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, s_ij
         |FROM pairs
         |ORDER BY abs(s_ij) DESC, i, j
-        |LIMIT 20""".stripMargin)
+        |LIMIT 20""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Distributed BPE merge induction (Bpe.train): 8 rounds of
+    // corpus-wide adjacent-pair counting + argmax merge over the
+    // word-frequency vocabulary. The corpus is scanned once; every
+    // round is a skinny aggregation on the vocab frame. The oracle
+    // replays all 8 rounds with unrolled CTEs — pair counts, the
+    // deterministic tie-break, and the boundary-anchored greedy
+    // replace are all restated exactly, so the merge table compares
+    // bit-exactly (on this corpus step 7 already merges p+ar onto
+    // step 6's output).
+    "bpe_merges" -> QueryDef(
+      (s, dir) =>
+        Bpe.train(Tables.documents(s, dir), "text", numMerges = 8)
+          .orderBy(col("step")),
+      bpeMergesOracleSql(8)),
+
+    // ------------------------------------------------------------------
+    // BPE serving-side segmentation under the fixed learned merges
+    // (the ann_pq_fixed pattern): map-only, fully codegen'd string
+    // kernel — doc-level double-space encoding with | token fences,
+    // one literal replace per merge. Output is the subword count plus
+    // an md5 fingerprint of the full segmentation, so the compare is
+    // byte-exact without shipping megabytes of segmented text.
+    "bpe_segment_fixed" -> QueryDef(
+      (s, dir) => {
+        val enc = Bpe.segmentEncoding(col("text"), fixedBpeMerges)
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            enc.as("enc"),
+            TextOps.tokenCount(col("text")).as("n_toks"))
+          .select(
+            col("doc_id"),
+            Bpe.subwordCount(col("enc"), col("n_toks")).as("subword_count"),
+            md5(col("enc")).as("seg_md5"))
+          .orderBy(col("doc_id"))
+      }, {
+        val enc = fixedBpeMerges.foldLeft(
+          """regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[\t\n\f\r ]+', '|', 'g'), '^\|+|\|+$', '', 'g'), '(.)', ' \1 ', 'g')""") {
+          case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+        }
+        s"""WITH seg AS (SELECT doc_id, $enc AS enc FROM documents),
+           |tc AS (SELECT doc_id, CAST(len($toksSql) AS INT) AS n_toks FROM documents)
+           |SELECT s.doc_id,
+           |  CASE WHEN len(trim(s.enc)) = 0 THEN CAST(0 AS BIGINT)
+           |       ELSE CAST(len(string_split(trim(s.enc), '  ')) AS BIGINT)
+           |            - CAST(CASE WHEN t.n_toks > 1 THEN t.n_toks - 1 ELSE 0 END AS BIGINT)
+           |  END AS subword_count,
+           |  md5(s.enc) AS seg_md5
+           |FROM seg s JOIN tc t ON s.doc_id = t.doc_id
+           |ORDER BY s.doc_id""".stripMargin
+      })
   )
 }

@@ -40,8 +40,12 @@ object StreamingCuration {
       numShards: Int = 16, seqLen: Long = 2048L): Dataset[PackedDoc] = {
     import docs.sparkSession.implicits._
     val scored = docs
+      // round() before the cast: the kernel HALF_UP-rounds to 6
+      // decimals, but that decimal is not exactly double-representable,
+      // so score*1e6 can sit one ulp below the intended integer and a
+      // bare cast (truncation) would admit/reject off-by-one.
       .filter(
-        (TextOps.qualityScore(col("text")) * 1000000).cast("long") >= minScoreMicros)
+        round(TextOps.qualityScore(col("text")) * 1000000).cast("long") >= minScoreMicros)
       .select(md5(col("text")).as("h"), col("doc_id"), col("text")).as[Hashed]
     val admitted = scored
       .groupByKey(_.h)

@@ -7,6 +7,16 @@ Reads each <verifyOutDir>/<name>/ parquet (Spark output), runs the
 matching oracle_sql.json entry in DuckDB against the same parquet
 tables, and compares: row count, schema (column names), and exact
 values (columns sorted by name, rows sorted by all columns).
+
+Strictness (r6): the driver hashes raw values, so this mimic must be
+at least as strict as the driver.
+- Oracle result TYPES are audited: any DuckDB column typed HUGEINT /
+  UHUGEINT / DECIMAL / FLOAT / TINYINT / ... fails the query outright
+  — pandas fetchdf renders HUGEINT as float64 and the driver's value
+  hash then sees 0.0 vs 0 (the r3-r5 sequence_packing red). Cast in
+  the oracle SQL instead.
+- Values are compared with NO dtype coercion; a pandas dtype mismatch
+  between the Spark parquet and the oracle frame is itself a FAIL.
 """
 import json
 import sys
@@ -20,6 +30,19 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+def type_audit(types, columns) -> list:
+    """Flag oracle columns whose DuckDB type loses fidelity through pandas:
+    HUGEINT/UHUGEINT materialize as float64 and DECIMAL as float64/object,
+    so the driver's value hash diverges from an integral Spark column even
+    when the numbers are equal (the r3-r5 sequence_packing red). Cast them
+    in the oracle SQL."""
+    out = []
+    for c, t in zip(columns, types):
+        t = str(t).upper()
+        if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+            out.append(f"oracle col {c} has non-hash-safe DuckDB type {t} (cast it in the oracle SQL)")
+    return out
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -27,7 +50,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         if df[c].dtype == object and len(df) and isinstance(
                 df[c].iloc[0], __import__("datetime").date):
             df[c] = pd.to_datetime(df[c])
-        elif str(df[c].dtype).startswith("datetime64"):
+        if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort")
@@ -50,12 +73,13 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         got = pd.read_parquet(qdir)
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            rel = con.sql(oracle[name])
+            problems = type_audit(rel.types, rel.columns)
+            exp = rel.fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
-        problems = []
         if sorted(got.columns) != sorted(exp.columns):
             problems.append(f"columns {sorted(got.columns)} != {sorted(exp.columns)}")
         elif len(got) != len(exp):
@@ -64,8 +88,20 @@ def main(sf_dir: str, out_dir: str) -> int:
             g, e = canon(got), canon(exp)
             for c in g.columns:
                 gv, ev = g[c], e[c]
+                # No cross-kind coercion: the driver's value hash renders
+                # 0.0 != 0, so float-vs-int dtype divergence (the HUGEINT
+                # path) is a real failure even when the numbers look equal.
+                # Same-kind width differences (int32 vs int64) hash alike
+                # on the driver (customer_deciles is driver-green), so
+                # integers compare widened.
+                gk, ek = gv.dtype.kind, ev.dtype.kind
+                if gk in "iu" and ek in "iu":
+                    gv, ev = gv.astype("int64"), ev.astype("int64")
+                elif str(gv.dtype) != str(ev.dtype):
+                    problems.append(f"col {c}: dtype mismatch spark={gv.dtype} oracle={ev.dtype}")
+                    continue
                 try:
-                    same = gv.equals(ev.astype(gv.dtype))
+                    same = gv.equals(ev)
                 except Exception:
                     same = list(gv) == list(ev)
                 if not same:
