@@ -72,7 +72,11 @@ object Explain {
     "ann_ivfadc_topk" ->
       "IVFPQ composition: CentroidIds routes map-side; candidates are an EQUI-join on list id (broadcast probe tables) — no cross join; per-pair cost is M integer lookups over codes.",
     "embedding_semdedup_buckets" ->
-      "Trained-PQ code prefix as the cluster signature: map-side codes, ONE count aggregate — the semantic-dedup candidate stage at any corpus size.")
+      "Trained-PQ code prefix as the cluster signature: map-side codes, ONE count aggregate — the semantic-dedup candidate stage at any corpus size.",
+    "line_dedup_boilerplate" ->
+      "C4-style line dedup: exploded lines checkpointed once; blacklist (lines in >k docs) is a broadcast build side, so the corpus probe never shuffles — the doc_id reassembly agg is the only corpus exchange.",
+    "bpe_segment_fixed" ->
+      "BPE serving: the whole segmentation is regexp_replace + literal StringReplace chains inside the scan-stage projection — map-only, one codegen span, the final orderBy is the only exchange.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
