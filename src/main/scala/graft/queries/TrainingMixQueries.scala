@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{exprs, Md5Hash}
-import graft.operators.{Bpe, MixtureSample, PrefixSum, TextOps}
+import graft.operators.{Bpe, ImportanceWeight, MixtureSample, PrefixSum, TemperatureSample, TextOps}
 
 /** Training-mixture assembly operators, oracle-verified: per-source
   * count-targeted selection, greedy selection under a global token
@@ -462,6 +462,59 @@ object TrainingMixQueries {
            |  md5(s.enc) AS seg_md5
            |FROM seg s JOIN tc t ON s.doc_id = t.doc_id
            |ORDER BY s.doc_id""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Temperature-scaled mixture resampling at α=0.5 (rate ∝
+    // sqrt(group share) — the mBERT/XLM-R smoothing rule), grouped by
+    // token-length band (non-uniform on this corpus: long 231 / mid
+    // 116 / short 153 at sf0.001). The whole float chain is sqrt/×/÷/
+    // floor on exact integers in identical textual order, so the
+    // per-group md5 thresholds are bit-identical across engines; the
+    // accept test is map-side (pure key function, append-stable).
+    "mixture_temperature_sample" -> QueryDef(
+      (s, dir) => {
+        val n = TextOps.tokenCount(col("text"))
+        val band = when(n >= 60, "long").when(n >= 40, "mid").otherwise("short")
+        TemperatureSample.select(
+          Tables.documents(s, dir).select(col("doc_id"), col("source"), col("text")),
+          "doc_id", band, budget = 120.0)
+          .select(col("doc_id"), col("source"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH b AS (SELECT doc_id, source,
+         |  CASE WHEN len($toksSql) >= 60 THEN 'long'
+         |       WHEN len($toksSql) >= 40 THEN 'mid' ELSE 'short' END AS grp
+         |  FROM documents),
+         |${TemperatureSample.thresholdsSql("b", "grp", 120.0)}
+         |SELECT b.doc_id, b.source FROM b JOIN tst ON b.grp = tst.grp
+         |WHERE (${md5_63("CAST(b.doc_id AS VARCHAR)")} >> 10) < tst.thr
+         |ORDER BY b.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // DSIR-shaped importance selection: rank background docs by
+    // target-likeness (target = src0, the same benchmark slice the
+    // contamination query uses) under the integer-scaled smoothed
+    // unigram ratio — no floats, no logs, so the exact sum is
+    // order-independent and the oracle restates it directly. One
+    // token-stream pass builds both unigram tables; the ratio table
+    // broadcasts back onto the checkpointed stream.
+    "dsir_importance_select" -> QueryDef(
+      (s, dir) =>
+        ImportanceWeight.selectTopK(
+          Tables.documents(s, dir), "doc_id", "text",
+          isTarget = col("source") === "src0", k = 50),
+      s"""WITH tk AS (SELECT doc_id, source = 'src0' AS is_target, unnest($toksSql) AS tok FROM documents),
+         |v AS (SELECT tok,
+         |        CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+         |        CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS bc
+         |      FROM tk GROUP BY tok),
+         |r AS (SELECT tok,
+         |        CASE WHEN tc > 0 THEN ((tc + 1) * 1000000) // (bc + 1) ELSE 0 END AS ratio
+         |      FROM v),
+         |s AS (SELECT t.doc_id, CAST(SUM(r.ratio) AS BIGINT) AS importance, CAST(count(*) AS BIGINT) AS n_tokens
+         |      FROM tk t JOIN r ON r.tok = t.tok WHERE NOT t.is_target GROUP BY 1)
+         |SELECT doc_id, importance, n_tokens FROM s
+         |ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin)
   )
 }

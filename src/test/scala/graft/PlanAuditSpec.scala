@@ -37,7 +37,10 @@ class PlanAuditSpec extends SparkSuite {
     // PrefixSum r5: the sorted pivot array rides a broadcast 1-row
     // aggregate cross join (the value-bucketing that replaced the RDD
     // two-job path); abc_classification above is the third consumer.
-    "sequence_packing", "corpus_token_budget", "prefix_sum_bytes")
+    "sequence_packing", "corpus_token_budget", "prefix_sum_bytes",
+    // TemperatureSample: the sqrt-share denominator is a broadcast
+    // 1-row aggregate cross-joined onto the O(groups) count frame
+    "mixture_temperature_sample")
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
