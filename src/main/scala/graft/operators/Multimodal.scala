@@ -202,10 +202,19 @@ object Multimodal {
     * Empty text gets one zero pixel (zero-width images are invalid in
     * both formats).
     */
-  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] = {
-    import spark.implicits._
-    graft.Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+  def syntheticMedia(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaFrom(
+      graft.Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars")))
+
+  /** [[syntheticMedia]] over an arbitrary `(doc_id, text, source,
+    * n_chars)` frame — lets callers encode perturbed corpora (the
+    * image near-dup query's planted variants) through the same real
+    * BMP/PNG containers.
+    */
+  def mediaFrom(docs: DataFrame): Dataset[MediaRow] = {
+    import docs.sparkSession.implicits._
+    docs
       .as[(Long, String, String, Long)]
       .map { case (id, text, source, nChars) =>
         val bytes = Option(text).getOrElse("").getBytes("UTF-8")
@@ -215,6 +224,44 @@ object Multimodal {
           else ("image/png", encodePng(gray, gray.length, 1))
         MediaRow(id, kind, content, source, nChars)
       }
+  }
+
+  final case class DHashRow(media_id: Long, dhash: Long, n_pixels: Int)
+
+  /** Difference-hash perceptual fingerprint (the classic dHash:
+    * Krawetz's "kind of like that" gradient hash): decode → flatten
+    * the raster row-major → nearest-neighbor sample `n = min(64, L)`
+    * pixels (`s[x] = p[x·L/n]`, the integer arithmetic of [[resize]])
+    * → bit x = (s[x] < s[x+1]) for x in 0..n−2, packed little-endian
+    * into ≤63 bits (BIGINT-safe). Robust to uniform brightness/
+    * contrast shifts (gradients survive), which is what makes it the
+    * standard image near-dup signature; integer-only, so a SQL oracle
+    * restates it from the source bytes exactly.
+    */
+  def dHash(media: Dataset[MediaRow], batchSize: Int = 256): Dataset[DHashRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.content))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val len = w * h
+          val p = new Array[Int](len)
+          var i = 0
+          while (i < len) { p(i) = raster.getSample(i % w, i / w, 0); i += 1 }
+          val n = math.min(64, len)
+          var hash = 0L
+          var x = 0
+          while (x < n - 1) {
+            if (p(x * len / n) < p((x + 1) * len / n)) hash |= 1L << x
+            x += 1
+          }
+          DHashRow(m.media_id, hash, len)
+        }
+      }
+    }
   }
 
   /** End-to-end demo frame: real-image corpus → batched ImageIO decode

@@ -36,10 +36,21 @@ object SimHashDedup {
   def nearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 10000,
-      md5Based: Boolean = false): DataFrame = {
+      md5Based: Boolean = false): DataFrame =
+    pairsFromFingerprints(
+      fingerprints(df, idCol, textCol, md5Based), maxHamming, maxBucket)
+
+  /** Pigeonhole blocking + hamming verify over ANY 64-bit-fingerprint
+    * frame `(doc_id, simhash)` — shared by text SimHash and the image
+    * dHash path ([[Multimodal.dHash]]): hamming ≤ k guarantees at
+    * least one of k+1 bit-chunks matches exactly, so candidates come
+    * from an equi-join on (chunk_idx, chunk_val), never an all-pairs
+    * product.
+    */
+  def pairsFromFingerprints(
+      fps: DataFrame, maxHamming: Int, maxBucket: Int): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
-    val fps = fingerprints(df, idCol, textCol, md5Based)
     val chunked = fps.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until chunks).map(i =>

