@@ -996,6 +996,105 @@ object CleanText {
   }
 }
 
+/** One-pass BPE segmentation pre-encoding ([[graft.operators.Bpe]]):
+  * lowercase, collapse whitespace runs (`[\t\n\f\r ]`, the RE2-`\s`
+  * convention) to a single `|` token fence with ends trimmed, then
+  * wrap every code point in single spaces — so adjacent characters
+  * are separated by a double space and the output is exactly the
+  * double-space merge encoding `" t  h  e  |  f  a  s  t "`.
+  * Byte-identical to the composed
+  * `regexp_replace(regexp_replace(regexp_replace(lower(x), '\s+','|'),
+  * '^\|+|\|+$',''), '(.)', ' $1 ')` chain the DuckDB oracle states
+  * (for inputs free of the exotic line terminators `
+  *  `, which Java's `.` skips), but in ONE byte pass instead of
+  * three regex traversals — the same regexp-dominates lesson as
+  * [[CleanText]] (CLAUDE.md: the `\s+` regex was ~45% of the
+  * Transform projection).
+  */
+case class SpaceEncode(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "space_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"space_encode requires string, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8
+    else SpaceEncode.encode(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val ut = "org.apache.spark.unsafe.types.UTF8String"
+    ev.copy(
+      code = childGen.code +
+        code"""
+           |$ut ${ev.value} = ${childGen.isNull} ? $ut.EMPTY_UTF8 :
+           |  graft.functions.SpaceEncode$$.MODULE$$.encode(${childGen.value});
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceEncode =
+    copy(child = newChild)
+}
+
+object SpaceEncode {
+  def encode(raw: UTF8String): UTF8String = {
+    val s = raw.toLowerCase // exactly Spark's lower()
+    val n = s.numBytes()
+    if (n == 0) return UTF8String.EMPTY_UTF8
+    val in = s.getBytes
+    // per code point: 2 wrapping spaces + its bytes; pipes (from ws
+    // runs or literal '|'s) 3 bytes each, ≤ one per input byte → ≤ 6n
+    val out = new Array[Byte](6 * n)
+    var o = 0
+    // pipes not yet emitted: each ws RUN contributes one, each literal
+    // '|' contributes one — exactly the collapsed string's pipe runs.
+    // A leading run drops (o == 0) and a trailing run never flushes,
+    // which is the regex chain's ^\|+ / \|+$ trim.
+    var pendingPipes = 0
+    var inWs = false
+    var i = 0
+    while (i < n) {
+      val b = in(i)
+      if ((b >= 9 && b <= 13 && b != 11) || b == 32) {
+        if (!inWs) { pendingPipes += 1; inWs = true }
+        i += 1
+      } else {
+        inWs = false
+        if (b == '|') { pendingPipes += 1; i += 1 }
+        else {
+          if (o > 0) {
+            while (pendingPipes > 0) {
+              out(o) = ' '; out(o + 1) = '|'; out(o + 2) = ' '
+              o += 3
+              pendingPipes -= 1
+            }
+          }
+          pendingPipes = 0
+          val len = UTF8String.numBytesForFirstByte(b)
+          out(o) = ' '; o += 1
+          var j = 0
+          while (j < len && i + j < n) { out(o) = in(i + j); o += 1; j += 1 }
+          out(o) = ' '; o += 1
+          i += len
+        }
+      }
+    }
+    if (o == 0) UTF8String.EMPTY_UTF8 else UTF8String.fromBytes(out, 0, o)
+  }
+}
+
 /** One-pass token-repetition profile of a text column — the
   * Gopher-style repetition quality signals (Rae et al. 2021, public:
   * "Scaling Language Models: ... Gopher"; repetition filters drop docs
@@ -1287,6 +1386,10 @@ object exprs {
   /** One-pass F1 cleaning kernel over a string column. */
   def cleanText(c: Column): Column =
     GraftShim.column(CleanText(GraftShim.expression(c)))
+
+  /** One-pass BPE double-space encoding kernel. */
+  def spaceEncode(c: Column): Column =
+    GraftShim.column(SpaceEncode(GraftShim.expression(c)))
 
   /** SimHash fingerprint of a token array column. */
   def simhash64(tokens: Column): Column =

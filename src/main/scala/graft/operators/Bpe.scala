@@ -104,19 +104,19 @@ object Bpe {
   }
 
   /** Serving-side segmentation encoding for a learned merge list —
-    * entirely codegen'd string builtins (3 regexp_replace + one
-    * literal replace per merge), never a HOF over per-token arrays
-    * (the measured ~50× interpreted-lambda penalty; see CLAUDE.md):
-    * the whole DOCUMENT is encoded as one string with `|` marking
-    * token boundaries (`" t  h  e  |  f  a  st "`), which the
-    * boundary-anchored merge patterns can never cross. Merges ship as
-    * literals, so the corpus pass is map-only with no shuffle.
+    * the one-pass [[graft.functions.SpaceEncode]] byte kernel
+    * (lowercase + whitespace→`|` fence + per-code-point spacing,
+    * byte-identical to the 3-regexp_replace chain the oracle states,
+    * in a single traversal) followed by one literal codegen'd
+    * StringReplace per merge. Never a HOF over per-token arrays (the
+    * measured ~50× interpreted-lambda penalty; see CLAUDE.md): the
+    * whole DOCUMENT is one string with `|` marking token boundaries
+    * (`" t  h  e  |  f  a  st "`), which the boundary-anchored merge
+    * patterns can never cross. Merges ship as literals, so the corpus
+    * pass is map-only with no shuffle.
     */
   def segmentEncoding(text: org.apache.spark.sql.Column, merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
-    val collapsed =
-      regexp_replace(lower(coalesce(text, lit(""))), "[\\t\\n\\f\\r ]+", "|")
-    val trimmed = regexp_replace(collapsed, "^\\|+|\\|+$", "")
-    val spaced = regexp_replace(trimmed, "(.)", " $1 ")
+    val spaced = graft.functions.exprs.spaceEncode(coalesce(text, lit("")))
     merges.foldLeft(spaced) { case (acc, (l, r)) =>
       replace(acc, lit(s" $l  $r "), lit(s" $l$r "))
     }

@@ -181,4 +181,37 @@ class ExpressionEdgeSpec extends SparkSuite {
       .collect()(0).getSeq[Int](0)
     assert(ids == Seq(0, 1), "all-NaN scores fall back to centroid index order")
   }
+
+  test("spaceEncode: byte-identical to the composed regexp chain") {
+    val cases = Seq(
+      null, "", "   ", "\t\n\f\r ", "a", "ab", "a b", "  a  b  ",
+      "The Fast KEY", "a\tb\nc\fd\re", "xy", // vertical tab is a CHAR, not ws
+      "cafÉ Über", // multi-byte lowercase: É→é, Ü→ü
+      "mixed   runs\t\t of\n\nspace", "|pipes| stay |",
+      "a| b", "||x||", "| |", "|", "a ||| b")
+      .toDF("t")
+    val composed = regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(coalesce($"t", lit(""))), "[\\t\\n\\f\\r ]+", "|"),
+        "^\\|+|\\|+$", ""),
+      "(.)", " $1 ")
+    val rows = cases.select(
+      exprs.spaceEncode(coalesce($"t", lit(""))).as("k"),
+      composed.as("r")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel ${r.getString(0).replace(" ", "_")} != regex ${r.getString(1).replace(" ", "_")}"))
+  }
+
+  test("spaceEncode: corpus-wide equality with the regex form") {
+    val n = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(
+        exprs.spaceEncode(coalesce($"text", lit(""))).as("k"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(coalesce($"text", lit(""))), "[\\t\\n\\f\\r ]+", "|"),
+            "^\\|+|\\|+$", ""),
+          "(.)", " $1 ").as("r"))
+      .filter($"k" =!= $"r").count()
+    assert(n == 0L)
+  }
 }
