@@ -1701,6 +1701,85 @@ object PipelineQueries {
            |ORDER BY bucket""".stripMargin),
 
     // ------------------------------------------------------------------
+    // SemDeDup PRUNE stage (Abbas et al. 2023) — the step after
+    // embedding_semdedup_buckets: within each trained-PQ-prefix
+    // bucket, exact-cosine pairs ≥ 0.99 mark semantic duplicates, and
+    // every non-minimum member of a pair is pruned in favor of its
+    // lowest-id representative. Planted exact copies (vec_id+100000,
+    // identical vectors → identical codes → same bucket) are recovered
+    // with recall 1; natural pairs sit ≤ 0.52 cosine on the fixtures,
+    // so the 0.99 threshold has the same float margin argument as
+    // embedding_neardup. Candidate join carries (vec_id, bucket) ONLY
+    // — vectors re-attach for the verify (the id-only shuffle rule);
+    // buckets are bounded by ksub^2 = 16, the SemDeDup cluster-count
+    // knob a 100 TB run scales with corpus size.
+    "embedding_semdedup_prune" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val cbs = PqIndex.trainCodebooks(
+          emb, "vec_id", "embedding", m = 4, ksub = 4,
+          sampleSize = 1000, iters = 2, seed = 21L)
+        val corpus = emb.unionAll(emb.select(
+          (col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val bucketed = corpus
+          .select(col("vec_id"),
+            graft.functions.exprs.pqCodes(col("embedding"), cbs).as("c"))
+          .select(col("vec_id"),
+            (element_at(col("c"), 1) + element_at(col("c"), 2) * 4)
+              .cast("long").as("bucket"))
+        val cand = bucketed.as("a")
+          .join(bucketed.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        val ea = corpus.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val eb = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        cand.join(ea, Seq("id_a")).join(eb, Seq("id_b"))
+          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.99)
+          .groupBy(col("id_b").as("pruned_id"))
+          .agg(min(col("id_a")).as("rep_id"))
+          .orderBy(col("pruned_id"))
+      },
+      "WITH " + pqTrainedCbCtes(
+        dim = 64, m = 4, ksub = 4, sampleSize = 1000, iters = 2, seed = 21L) + ",\n" +
+        """corpus2 AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings),
+          |wq2 AS (
+          |  SELECT vec_id, embedding,
+          |    list_transform(embedding,
+          |      x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
+          |  FROM corpus2),
+          |d2 AS (
+          |  SELECT q.vec_id, c.m, c.j,
+          |    CAST(list_sum(list_transform(
+          |      list_zip(q.w[c.m*16+1 : c.m*16+16], c.cw),
+          |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+          |  FROM wq2 q CROSS JOIN cb c
+          |  WHERE c.m < 2),
+          |codes2 AS (
+          |  SELECT vec_id, m, j AS code FROM (
+          |    SELECT vec_id, m, j,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+          |    FROM d2) WHERE r = 1),
+          |bkt2 AS (
+          |  SELECT vec_id,
+          |    CAST(SUM(code * CASE WHEN m = 0 THEN 1 ELSE 4 END) AS BIGINT) AS bucket
+          |  FROM codes2 GROUP BY vec_id),
+          |cand AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM bkt2 a JOIN bkt2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+          |pairs AS (
+          |  SELECT cand.id_a, cand.id_b
+          |  FROM cand
+          |  JOIN wq2 ea ON ea.vec_id = cand.id_a
+          |  JOIN wq2 eb ON eb.vec_id = cand.id_b
+          |  WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= 0.99)
+          |SELECT id_b AS pruned_id, MIN(id_a) AS rep_id
+          |FROM pairs GROUP BY id_b
+          |ORDER BY pruned_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Per-dimension embedding profile: posexplode zips (position,
     // value) in one generator pass; per-dim stats are comparison-only
     // (min/max/counts — no float summation, so float32 parity is
