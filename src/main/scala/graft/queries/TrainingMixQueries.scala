@@ -515,6 +515,74 @@ object TrainingMixQueries {
          |s AS (SELECT t.doc_id, CAST(SUM(r.ratio) AS BIGINT) AS importance, CAST(count(*) AS BIGINT) AS n_tokens
          |      FROM tk t JOIN r ON r.tok = t.tok WHERE NOT t.is_target GROUP BY 1)
          |SELECT doc_id, importance, n_tokens FROM s
-         |ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin)
+         |ORDER BY importance DESC, doc_id LIMIT 50""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility by detected language — the subwords-per-word
+    // ratio a tokenizer team watches per language (high fertility =
+    // the vocab under-serves that language). Composes langId + the
+    // fixed-merge BPE segmentation; all sums are exact integers, the
+    // single double division happens once per group in identical
+    // textual order, so the ratio is bit-exact.
+    "bpe_fertility_by_lang" -> QueryDef(
+      (s, dir) => {
+        val enc = Bpe.segmentEncoding(col("text"), fixedBpeMerges)
+        Tables.documents(s, dir)
+          .select(
+            TextOps.langId(col("text")).as("lang_pred"),
+            Bpe.subwordCount(enc, TextOps.tokenCount(col("text"))).as("n_sub"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+          .groupBy(col("lang_pred"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_sub")).as("total_subwords"),
+            sum(col("n_tok")).as("total_tokens"))
+          .withColumn(
+            "fertility",
+            when(col("total_tokens") > 0,
+              col("total_subwords").cast("double") / col("total_tokens").cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy(col("lang_pred"))
+      }, {
+        val enc = fixedBpeMerges.foldLeft(
+          """regexp_replace(regexp_replace(regexp_replace(lower(coalesce(text,'')), '[\t\n\f\r ]+', '|', 'g'), '^\|+|\|+$', '', 'g'), '(.)', ' \1 ', 'g')""") {
+          case (acc, (l, r)) => s"replace($acc, ' $l  $r ', ' $l$r ')"
+        }
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString("\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id, $hits,
+           |    CAST(len($toksSql) AS INT) AS n_toks,
+           |    $enc AS enc
+           |  FROM documents),
+           |lg AS (
+           |  SELECT doc_id, n_toks, enc, $g AS g,
+           |    CASE WHEN $g = 0 THEN 'und'
+           |      $cases
+           |    END AS lang_pred
+           |  FROM t),
+           |per AS (
+           |  SELECT lang_pred,
+           |    CASE WHEN len(trim(enc)) = 0 THEN CAST(0 AS BIGINT)
+           |         ELSE CAST(len(string_split(trim(enc), '  ')) AS BIGINT)
+           |              - CAST(CASE WHEN n_toks > 1 THEN n_toks - 1 ELSE 0 END AS BIGINT)
+           |    END AS n_sub,
+           |    CAST(n_toks AS BIGINT) AS n_tok
+           |  FROM lg)
+           |SELECT lang_pred,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_sub) AS BIGINT) AS total_subwords,
+           |  CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           |  CASE WHEN SUM(n_tok) > 0
+           |       THEN CAST(CAST(SUM(n_sub) AS BIGINT) AS DOUBLE) / CAST(CAST(SUM(n_tok) AS BIGINT) AS DOUBLE)
+           |       ELSE 0.0 END AS fertility
+           |FROM per GROUP BY lang_pred
+           |ORDER BY lang_pred""".stripMargin
+      })
   )
 }
