@@ -76,7 +76,13 @@ object Explain {
     "line_dedup_boilerplate" ->
       "C4-style line dedup: exploded lines checkpointed once; blacklist (lines in >k docs) is a broadcast build side, so the corpus probe never shuffles — the doc_id reassembly agg is the only corpus exchange.",
     "bpe_segment_fixed" ->
-      "BPE serving: the whole segmentation is regexp_replace + literal StringReplace chains inside the scan-stage projection — map-only, one codegen span, the final orderBy is the only exchange.")
+      "BPE serving: the whole segmentation is the one-pass SpaceEncode kernel + literal StringReplace chains inside the scan-stage projection — map-only, the final orderBy is the only exchange.",
+    "mixture_temperature_sample" ->
+      "Temperature resampling: O(groups) count agg + broadcast 1-row denominator; thresholds broadcast back, the corpus accept test is a map-side md5 filter — the corpus never shuffles.",
+    "dsir_importance_select" ->
+      "DSIR selection: checkpointed token stream feeds the vocab agg; ratio table broadcasts onto the probe; one map-side-combining per-doc agg + TakeOrderedAndProject for the top-k.",
+    "image_dhash_neardup" ->
+      "Image near-dup: decode+dHash stay in the typed scan stage (checkpointed); candidates are an equi-join on fingerprint chunks with a broadcast hot-chunk blacklist — no all-pairs product.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
