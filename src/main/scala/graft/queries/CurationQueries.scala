@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.exprs
-import graft.operators.{Contamination, Multimodal, SimHashDedup}
+import graft.operators.{Chunking, Contamination, Multimodal, SimHashDedup}
 
 /** Corpus-curation operators round 3: benchmark decontamination,
   * repetition quality signals, embedding quantization — each a one-pass
@@ -232,6 +232,31 @@ object CurationQueries {
         |    ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Sliding-window chunking (Chunking.tokenWindows): 64-token windows
+    // at stride 32, last window right-aligned to the doc end (the HF
+    // overflow convention) — the prep between a curated corpus and an
+    // embedding index. Bounded map-side explode, no shuffle until the
+    // final orderBy; integer-exact starts, so the oracle restates the
+    // windows verbatim.
+    "doc_chunk_windows" -> QueryDef(
+      (s, dir) =>
+        Chunking.tokenWindows(
+          Tables.documents(s, dir), "doc_id", "text", window = 64, stride = 32)
+          .orderBy(col("doc_id"), col("chunk_idx")),
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM tk WHERE len(toks) > 0),
+         |e AS (SELECT doc_id, toks, n,
+         |        unnest(range(0, 1 + (greatest(n - 64, 0) + 31) // 32)) AS i
+         |      FROM d),
+         |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |        least(i * 32, greatest(n - 64, 0)) AS start_tok, toks
+         |      FROM e)
+         |SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
+         |  CAST(len(toks[start_tok + 1 : start_tok + 64]) AS BIGINT) AS chunk_tokens,
+         |  array_to_string(toks[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
   )
 }

@@ -101,4 +101,22 @@ class KernelPropertySpec extends SparkSuite {
       }
     }
   }
+
+  test("SpaceEncode == composed regexp chain on generated text") {
+    // generated docs include tabs/newlines/\r separators and mixed-case
+    // alphanumerics; add literal-pipe and unicode adversaries by hand
+    val texts = genTexts ++ Seq(
+      "", " ", "|", "a|b", "| a |", "É Über straße", "ab", "x||||y")
+    val bad = texts.toDF("text")
+      .select(
+        exprs.spaceEncode(coalesce(col("text"), lit(""))).as("k"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(coalesce(col("text"), lit(""))), "[\\t\\n\\f\\r ]+", "|"),
+            "^\\|+|\\|+$", ""),
+          "(.)", " $1 ").as("r"))
+      .filter(col("k") =!= col("r"))
+      .collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
 }
