@@ -48,4 +48,36 @@ object NegativeSampling {
       .filter(col("neg_id") =!= col(idCol))
       .select(col(idCol), col("draw_idx"), col("neg_id"))
   }
+
+  /** Hard-negative mining (the contrastive-training refinement of
+    * [[draw]]): instead of uniform negatives, sample from the band of
+    * NEAR-BUT-NOT-NEAREST neighbors — ranks (skipTop, kScan] of an
+    * exact top-kScan scan — which are the negatives that actually
+    * move a retrieval model. The per-query sample of `perQuery` is
+    * the md5-lowest band members (the MixtureSample convention):
+    * deterministic, engine-portable, append-stable within a fixed
+    * band.
+    *
+    * 100 TB shape: inherits [[Similarity.bruteForceTopK]]'s broadcast
+    * probe set + bounded-heap TopKPerGroup for the scan (swap in the
+    * IVF/PQ searcher for a billion-vector corpus — the band+sample
+    * stages are searcher-agnostic); the md5 sample is one partitioned
+    * window over ≤ probes×(kScan−skipTop) rows.
+    */
+  def hardNegatives(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      kScan: Int, skipTop: Int, perQuery: Int): DataFrame = {
+    require(0 < skipTop && skipTop < kScan && perQuery > 0)
+    import org.apache.spark.sql.expressions.Window
+    Similarity.bruteForceTopK(corpus, probes, idCol, vecCol, kScan)
+      .filter(col("rank") > skipTop)
+      .withColumn(
+        "_draw",
+        md5(concat(col("query_id").cast("string"), lit(":"), col("neighbor_id").cast("string"))))
+      .withColumn(
+        "pick",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("_draw"))))
+      .filter(col("pick") <= perQuery)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("pick"))
+  }
 }

@@ -1460,6 +1460,44 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Hard-negative mining for contrastive training: from each probe's
+    // exact top-50, skip the top-5 (likely positives/near-dups) and
+    // deterministically md5-sample 8 from the near-but-not-nearest
+    // band — the negatives that actually move a retrieval model. Band
+    // via bruteForceTopK (broadcast probes, bounded heaps); the sample
+    // is one partitioned window over ≤ probes×45 rows. The oracle
+    // replays ranking, band, and the md5 draw.
+    "ann_hard_negatives" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        NegativeSampling.hardNegatives(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          kScan = 50, skipTop = 5, perQuery = 8)
+          .orderBy(col("query_id"), col("pick"))
+      },
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM pairs
+        |), band AS (
+        |  SELECT query_id, neighbor_id, rank FROM ranked
+        |  WHERE rank > 5 AND rank <= 50
+        |), picked AS (
+        |  SELECT query_id, neighbor_id, rank,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY md5(CAST(query_id AS VARCHAR) || ':' || CAST(neighbor_id AS VARCHAR))) AS INT) AS pick
+        |  FROM band
+        |)
+        |SELECT query_id, neighbor_id, rank, pick FROM picked WHERE pick <= 8
+        |ORDER BY query_id, pick""".stripMargin),
+
+    // ------------------------------------------------------------------
     // LSH ANN — bit-exact DuckDB oracle: the seeded Gaussian planes are
     // regenerated by [[lshOracleSql]] and inlined as double literals;
     // every dot product is an unrolled left-to-right chain of IEEE

@@ -29,4 +29,22 @@ class NegativeSamplingSpec extends SparkSuite {
     // draws actually spread over the corpus, not a constant partner
     assert(a.map(_._3).distinct.size > 300)
   }
+
+  test("hardNegatives: band exclusion, per-query cap, layout independence") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter(col("vec_id") < 5)
+    val hn = NegativeSampling.hardNegatives(
+      emb, probes, "vec_id", "embedding", kScan = 20, skipTop = 5, perQuery = 4)
+      .as[(Long, Long, Int, Int)].collect().sorted.toSeq
+    assert(hn.nonEmpty)
+    // never a top-skipTop neighbor, never beyond the scan, cap holds
+    assert(hn.forall { case (_, _, rank, _) => rank > 5 && rank <= 20 })
+    val perQ = hn.groupBy(_._1).view.mapValues(_.size)
+    assert(perQ.values.forall(_ == 4))
+    assert(hn.forall { case (q, n, _, _) => q != n })
+    val hn2 = NegativeSampling.hardNegatives(
+      emb.repartition(7), probes, "vec_id", "embedding", 20, 5, 4)
+      .as[(Long, Long, Int, Int)].collect().sorted.toSeq
+    assert(hn == hn2)
+  }
 }

@@ -40,7 +40,8 @@ class PlanAuditSpec extends SparkSuite {
     "sequence_packing", "corpus_token_budget", "prefix_sum_bytes",
     // TemperatureSample: the sqrt-share denominator is a broadcast
     // 1-row aggregate cross-joined onto the O(groups) count frame
-    "mixture_temperature_sample")
+    "mixture_temperature_sample",
+    "ann_hard_negatives") // bruteForceTopK's broadcast probe × corpus product is the scan
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
