@@ -65,3 +65,50 @@ class CovarianceSketch(dim: Int)
   override def outputEncoder: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
+
+/** Count-Min sketch over a token column (Cormode & Muthukrishnan 2005
+  * — the classic mergeable heavy-hitter summary): `depth` hash rows ×
+  * `width` counters; each token increments one counter per row
+  * (bucket = md5-lower63 of `"j:token"` mod width, the engine's
+  * portable hash family), and a point estimate is the MIN over rows —
+  * always ≥ the true count, within εN with probability 1−δ for
+  * width = e/ε, depth = ln(1/δ).
+  *
+  * Scale shape: the buffer is ONE flat `depth·width` long array —
+  * map-side partials collapse each task's token stream into a single
+  * 4096-counter buffer before the exchange, and merge is elementwise
+  * addition, so the sketch is layout-independent (integer sums
+  * commute) and shards' sketches merge exactly. That is the entire
+  * point at 100 TB: per-shard sketches reduce to one, no second pass
+  * over the corpus, and the md5 bucket family means a SQL oracle can
+  * recompute any cell as a bucket-collision sum.
+  */
+class CountMinSketch(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+
+  override def reduce(b: Array[Long], tok: String): Array[Long] = {
+    var j = 0
+    while (j < depth) {
+      b(j * width + (Md5Hash.lower63(s"$j:$tok") % width).toInt) += 1L
+      j += 1
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var k = 0
+    val n = depth * width
+    while (k < n) { a(k) += b(k); k += 1 }
+    a
+  }
+
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

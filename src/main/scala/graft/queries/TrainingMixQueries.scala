@@ -583,6 +583,71 @@ object TrainingMixQueries {
            |       ELSE 0.0 END AS fertility
            |FROM per GROUP BY lang_pred
            |ORDER BY lang_pred""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Count-Min sketch (Cormode & Muthukrishnan 2005): ONE typed
+    // Aggregator builds the 4×1024 counter array over the token stream
+    // (map-side partials collapse each task to one buffer; merge is
+    // elementwise addition, so the sketch is layout-independent and
+    // per-shard sketches merge exactly — the mergeable-summary shape a
+    // 100 TB heavy-hitter pass needs). Point estimates for 10 probe
+    // tokens = MIN over the 4 rows, always ≥ the true count; the
+    // oracle recomputes every probed cell as an md5-bucket collision
+    // sum, so sketch construction, hashing, and the min all compare
+    // bit-exactly.
+    "count_min_tokens" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val depth = 4
+        val width = 1024
+        val probeTokens = Seq(
+          "the", "data", "spark", "merge", "window",
+          "join", "fast", "slow", "key", "value")
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("t"))
+        val cmAgg = udaf(new graft.functions.CountMinSketch(depth, width))
+        val sketch = toks.agg(cmAgg(col("t")).as("sk"))
+        val truth = toks.groupBy(col("t")).agg(count(lit(1)).as("true_count"))
+        val est = probeTokens.toDF("token")
+          .crossJoin(broadcast(sketch))
+          .withColumn(
+            "cms_estimate",
+            (0 until depth).map { j =>
+              element_at(
+                col("sk"),
+                (lit(j * width) +
+                  (Md5Hash.lower63Col(concat(lit(s"$j:"), col("token"))) % width) +
+                  1).cast("int"))
+            }.reduce(least(_, _)))
+        est.join(truth, est("token") === truth("t"), "left")
+          .select(
+            col("token"),
+            coalesce(col("true_count"), lit(0L)).as("true_count"),
+            col("cms_estimate"))
+          .orderBy(col("token"))
+      },
+      s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+         |cnt AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+         |probes(token) AS (VALUES ('the'),('data'),('spark'),('merge'),('window'),
+         |                         ('join'),('fast'),('slow'),('key'),('value')),
+         |rj AS (SELECT unnest(range(0, 4)) AS j),
+         |bk AS (SELECT rj.j, cnt.t, cnt.c,
+         |         ${md5_63("CAST(rj.j AS VARCHAR) || ':' || cnt.t")} % 1024 AS b
+         |       FROM cnt CROSS JOIN rj),
+         |pb AS (SELECT rj.j, p.token,
+         |         ${md5_63("CAST(rj.j AS VARCHAR) || ':' || p.token")} % 1024 AS b
+         |       FROM probes p CROSS JOIN rj),
+         |est AS (SELECT pb.token, pb.j, CAST(SUM(bk.c) AS BIGINT) AS e
+         |        FROM pb JOIN bk ON bk.j = pb.j AND bk.b = pb.b
+         |        GROUP BY 1, 2)
+         |SELECT p.token,
+         |  CAST(coalesce(tc.c, 0) AS BIGINT) AS true_count,
+         |  CAST(coalesce(MIN(est.e), 0) AS BIGINT) AS cms_estimate
+         |FROM probes p
+         |LEFT JOIN cnt tc ON tc.t = p.token
+         |LEFT JOIN est ON est.token = p.token
+         |GROUP BY 1, 2
+         |ORDER BY p.token""".stripMargin)
   )
 }

@@ -41,7 +41,8 @@ class PlanAuditSpec extends SparkSuite {
     // TemperatureSample: the sqrt-share denominator is a broadcast
     // 1-row aggregate cross-joined onto the O(groups) count frame
     "mixture_temperature_sample",
-    "ann_hard_negatives") // bruteForceTopK's broadcast probe × corpus product is the scan
+    "ann_hard_negatives", // bruteForceTopK's broadcast probe × corpus product is the scan
+    "count_min_tokens") // the 1-row sketch buffer broadcast onto the 10-row probe frame
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

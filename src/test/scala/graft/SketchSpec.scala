@@ -63,4 +63,28 @@ class SketchSpec extends SparkSuite {
       assert(math.abs(a - e) <= 0.02 * range, s"approx $a vs exact $e (range $range)")
     }
   }
+
+  test("CountMinSketch: overestimate property + layout-independent merge") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    // tiny width forces collisions so the ≥-property is non-trivial
+    val agg = udaf(new graft.functions.CountMinSketch(3, 16))
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+    val sk1 = toks.agg(agg(col("t"))).as[Seq[Long]].head()
+    val sk2 = toks.repartition(13).agg(agg(col("t"))).as[Seq[Long]].head()
+    assert(sk1 == sk2, "merge order must not change the sketch")
+    val truth = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect()
+    val total = truth.map(_._2).sum
+    truth.foreach { case (t, c) =>
+      val est = (0 until 3).map { j =>
+        sk1(j * 16 + (graft.functions.Md5Hash.lower63(s"$j:$t") % 16).toInt)
+      }.min
+      assert(est >= c, s"CMS underestimated '$t': $est < $c")
+      assert(est <= total, "estimate bounded by stream length")
+    }
+    // every row's counters sum to the full stream length
+    (0 until 3).foreach(j => assert(sk1.slice(j * 16, j * 16 + 16).sum == total))
+  }
 }
