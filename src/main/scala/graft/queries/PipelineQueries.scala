@@ -1375,6 +1375,74 @@ object PipelineQueries {
         threshold = 0.5, maxBucket = 1000, seed = 7L)),
 
     // ------------------------------------------------------------------
+    // Dedup-quality eval harness (the ann_pq_recall analog for the
+    // dedup tier): MinHash-LSH candidate pairs scored against the
+    // EXACT 3-gram Jaccard ground truth at the same threshold, in one
+    // query — n_true / n_pred / n_hit counts plus precision & recall
+    // (each a single integer→double division, engine-identical). This
+    // is the measurement a curation team runs before trusting an LSH
+    // parameterization at corpus scale; both pipelines reuse their
+    // production operators, and the oracle replays BOTH chains.
+    "dedup_lsh_eval" -> QueryDef(
+      (s, dir) => {
+        val exact = Dedup.ngramJaccardPairs(
+          perturbedDocs(s, dir), "doc_id", "text", n = 3, threshold = 0.5)
+          .select(col("id_a"), col("id_b"), lit(1).as("t"))
+        val lsh = MinHashLsh.nearDupPairs(
+          perturbedDocs(s, dir), "doc_id", "text", threshold = 0.5,
+          family = MinHashLsh.Family.Md5Mod(7L))
+          .select(col("id_a"), col("id_b"), lit(1).as("p"))
+        exact.join(lsh, Seq("id_a", "id_b"), "full")
+          .agg(
+            count(col("t")).as("n_true"),
+            count(col("p")).as("n_pred"),
+            count(when(col("t").isNotNull && col("p").isNotNull, 1)).as("n_hit"))
+          .withColumn(
+            "precision",
+            when(col("n_pred") > 0,
+              col("n_hit").cast("double") / col("n_pred").cast("double")).otherwise(lit(0.0)))
+          .withColumn(
+            "recall",
+            when(col("n_true") > 0,
+              col("n_hit").cast("double") / col("n_true").cast("double")).otherwise(lit(0.0)))
+      },
+      s"""WITH corpus0 AS ($perturbedSql),
+         |exdocs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> array_to_string(toks[i:i+2], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus0)
+         |  WHERE len(toks) >= 3
+         |),
+         |exinv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM exdocs),
+         |expairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+         |  FROM exinv a JOIN exinv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |ex AS (
+         |  SELECT id_a, id_b FROM expairs
+         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5),
+         |mh AS (
+         |  SELECT id_a, id_b FROM (
+         |${minhashOracleSql(shingleN = 3, numHashes = 64, bands = 16,
+           threshold = 0.5, maxBucket = 1000, seed = 7L)}
+         |  )),
+         |j AS (
+         |  SELECT ex.id_a IS NOT NULL AS t, mh.id_a IS NOT NULL AS p
+         |  FROM ex FULL JOIN mh USING (id_a, id_b)),
+         |c AS (
+         |  SELECT CAST(count(*) FILTER (WHERE t) AS BIGINT) AS n_true,
+         |         CAST(count(*) FILTER (WHERE p) AS BIGINT) AS n_pred,
+         |         CAST(count(*) FILTER (WHERE t AND p) AS BIGINT) AS n_hit
+         |  FROM j)
+         |SELECT n_true, n_pred, n_hit,
+         |  CASE WHEN n_pred > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE) ELSE 0.0 END AS precision,
+         |  CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / CAST(n_true AS DOUBLE) ELSE 0.0 END AS recall
+         |FROM c""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Exact substring-span dedup signal (the "dedup training data at
     // the substring level" shape): every 8-token span hashed per doc
     // (distinct within doc), inverted, spans appearing in ≥2 docs
