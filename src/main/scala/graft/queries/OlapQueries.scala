@@ -1864,6 +1864,40 @@ object OlapQueries {
         |  CAST(SUM(cents) AS DOUBLE) / CAST(total_cents AS DOUBLE) AS whale_share
         |FROM r CROSS JOIN t
         |WHERE rk <= (n_cust + 99) // 100
-        |GROUP BY n_cust, total_cents""".stripMargin)
+        |GROUP BY n_cust, total_cents""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Z-order (Morton) cell statistics — the key behind multi-dim
+    // data-skipping layout (ClusteredWrite.writeZOrdered): interleaving
+    // (customer, order-day) bits makes each coarse z-cell cover a
+    // bounded RECTANGLE in both dimensions at once, which is exactly
+    // why z-clustered files carry tight footer stats on both columns.
+    // Pure integer bit arithmetic (32 disjoint-bit terms), restated
+    // verbatim in the oracle.
+    "zorder_cell_stats" -> QueryDef(
+      (s, dir) => {
+        val x = (col("o_custkey") % 65536).cast("long")
+        val y = (datediff(col("o_orderdate"), to_date(lit("1992-01-01"))) % 65536).cast("long")
+        Tables.orders(s, dir)
+          .select(graft.functions.ZOrder.interleave16(x, y).as("zval"),
+            x.as("x"), y.as("y"))
+          .select(expr("zval div 1048576").as("cell"), col("x"), col("y"))
+          .groupBy(col("cell"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+          .orderBy(col("cell"))
+      },
+      s"""WITH k AS (
+         |  SELECT (o_custkey % 65536) AS x,
+         |         (date_diff('day', DATE '1992-01-01', o_orderdate) % 65536) AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, ${graft.functions.ZOrder.interleave16Sql("x", "y")} AS zval FROM k)
+         |SELECT CAST(zval // 1048576 AS BIGINT) AS cell,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
+         |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -37,6 +37,23 @@ object ClusteredWrite {
       .write.mode(SaveMode.Overwrite).parquet(out)
   }
 
+  /** Z-ordered write: cluster files on the Morton interleave of two
+    * quantized coordinates ([[graft.functions.ZOrder]]) so BOTH
+    * columns get tight per-file min/max footer stats — a predicate on
+    * either dimension (or a 2-D box) skips most files, where 1-D
+    * range clustering serves only its own key. `xExpr`/`yExpr` must
+    * already be quantized into [0, 65536).
+    */
+  def writeZOrdered(
+      df: DataFrame, out: String, nFiles: Int,
+      xExpr: org.apache.spark.sql.Column, yExpr: org.apache.spark.sql.Column): Unit = {
+    val keyed = df.withColumn("_z", graft.functions.ZOrder.interleave16(xExpr, yExpr))
+    keyed.repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode(SaveMode.Overwrite).parquet(out)
+  }
+
   /** Per-file (min, max) of `keyCol` for a parquet dataset — the
     * pruning evidence: after [[write]], ranges are pairwise disjoint,
     * so any range predicate overlaps few files. Reads each file's

@@ -37,6 +37,36 @@ class ClusteredWriteSpec extends SparkSuite {
       dfIn.agg(sum("payload")).head().getLong(0))
   }
 
+  test("z-ordered layout prunes 2-D box predicates where 1-D clustering can't") {
+    import graft.sources.ClusteredWrite.fileRanges
+    // two independent uniform dims in [0, 4096)
+    val pts = spark.range(0, 20000).select(
+      (col("id") * 37 % 4096).as("x"),
+      (col("id") * 101 % 4096).as("y"),
+      col("id").as("payload"))
+    val zOut = Files.createTempDirectory("zorder").toString + "/t"
+    val xOut = Files.createTempDirectory("xclustered").toString + "/t"
+    ClusteredWrite.writeZOrdered(pts, zOut, nFiles = 16, col("x"), col("y"))
+    ClusteredWrite.write(pts, xOut, nFiles = 16, clusterCols = Seq("x"))
+
+    // files whose [min,max] box intersects the query box on a given dim
+    def touched(path: String, dim: String, lo: Long, hi: Long): Int =
+      fileRanges(spark, path, dim)
+        .map { case (_, a, b) => (a.toLong, b.toLong) }
+        .count { case (a, b) => a <= hi && b >= lo }
+
+    // predicate on Y only: x-clustered files all span full y-range →
+    // every file touched; z-ordered cells bound y → most files skipped
+    val zTouchY = touched(zOut, "y", 0, 255)
+    val xTouchY = touched(xOut, "y", 0, 255)
+    assert(xTouchY == 16, s"1-D layout should touch all files on y, got $xTouchY")
+    assert(zTouchY <= 8, s"z-order should skip most files on y, got $zTouchY")
+    // and the z layout still prunes on X too (both dims bounded)
+    assert(touched(zOut, "x", 0, 255) <= 8)
+    // rows survive
+    assert(spark.read.parquet(zOut).count() == 20000)
+  }
+
   test("contrast: a hash-partitioned write overlaps on nearly every file") {
     val out = Files.createTempDirectory("unclustered").toString + "/t"
     dfIn.repartition(8, col("k"))
