@@ -82,7 +82,13 @@ object Explain {
     "dsir_importance_select" ->
       "DSIR selection: checkpointed token stream feeds the vocab agg; ratio table broadcasts onto the probe; one map-side-combining per-doc agg + TakeOrderedAndProject for the top-k.",
     "image_dhash_neardup" ->
-      "Image near-dup: decode+dHash stay in the typed scan stage (checkpointed); candidates are an equi-join on fingerprint chunks with a broadcast hot-chunk blacklist — no all-pairs product.")
+      "Image near-dup: decode+dHash stay in the typed scan stage (checkpointed); candidates are an equi-join on fingerprint chunks with a broadcast hot-chunk blacklist — no all-pairs product.",
+    "kmv_distinct_orders" ->
+      "Mergeable bottom-k sketch: udaf partials hold ≤k longs per task (map-side combine), ONE exchange of O(k) state per group; the 'ALL' row re-aggregates the per-group sketches — no distinct-shuffle of the keys, no rescan.",
+    "hll_distinct_orders" ->
+      "HLL registers: fixed 256-long buffer per task, merge = element-wise max; the only key-bearing exchange is the separate exact-distinct twin — the sketch itself ships O(m) state.",
+    "quality_hash_classifier" ->
+      "Hashed linear filter: token weights are md5 arithmetic in the scan stage (the hash IS the model — no vocab broadcast); one map-side-combining doc agg + an O(sources) rollup.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Integer PageRank (Brin & Page 1998) over an undirected bipartite
+  * graph, in EXACT scaled-integer arithmetic so every round — and
+  * therefore the final ranking — is bit-identical across engines and
+  * layouts: ranks live in micro-units (r₀ = 1 000 000), each round is
+  *   r′(v) = 150 000 + (85 · Σ_{u→v} (r(u) div deg(u))) div 100
+  * i.e. damping 0.85 with floor division everywhere (all operands
+  * positive, so Spark's `div` and DuckDB's `//` agree). Floor losses
+  * leak a little mass per round — irrelevant for ranking, essential
+  * for determinism: no double SUM ever happens.
+  *
+  * 100 TB shape: the classic iterative-join formulation — each round
+  * is ONE equi-join of the edge list to the current rank frame on the
+  * source key plus ONE aggregation on the destination key (the same
+  * skinny shape as pointer-jumping CC). The edge frame joins its
+  * degree once up front and is localCheckpoint'ed (scanned k times);
+  * rank frames are O(nodes) and checkpoint each round to truncate
+  * lineage (the star-build lesson — without it round k re-analyzes a
+  * k-deep join tree). On a cluster you'd co-partition edges and ranks
+  * on u so rounds reuse one partitioning; symmetric edges mean no
+  * dangling-mass correction is needed.
+  */
+object PageRank {
+
+  /** Run `rounds` iterations over the symmetric edge list
+    * `edges(u, v)` (must already be distinct; both directions
+    * present). Returns (node LONG, rank LONG).
+    */
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val ed = edges.join(deg, Seq("u")).localCheckpoint()
+    var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
+      .localCheckpoint()
+    (0 until rounds).foreach { _ =>
+      ranks = ed
+        .join(ranks, ed("u") === ranks("node"))
+        .select(col("v"), expr("rank div deg").as("contrib"))
+        .groupBy(col("v"))
+        .agg(expr("CAST(150000 + (85 * sum(contrib)) div 100 AS BIGINT)").as("rank"))
+        .select(col("v").as("node"), col("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

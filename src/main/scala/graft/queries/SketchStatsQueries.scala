@@ -1,0 +1,502 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{HllRegisters, KmvSketch, Md5Hash}
+import graft.operators.{PageRank, TextOps, WordPiece}
+
+/** Cardinality sketches, rank statistics, and tokenizer-adjacent
+  * operators, oracle-verified. The sketches (KMV bottom-k,
+  * HyperLogLog) are the mergeable-summary family the Count-Min query
+  * started: per-shard partial buffers collapse map-side and merge
+  * order-independently, so a 100 TB profiling pass pays one skinny
+  * shuffle of O(k)/O(m) state per group rather than a distinct-shuffle
+  * of the keys themselves — and per-file sketches roll up to dataset
+  * totals with no second scan (demonstrated by the 'ALL' scope, which
+  * re-aggregates the per-group sketches instead of rescanning). The
+  * rank statistics (Kolmogorov–Smirnov, Mann–Whitney U) run entirely
+  * on exact integer counts — distribution comparison tools a data-
+  * curation pipeline uses to detect drift between corpus slices.
+  */
+object SketchStatsQueries {
+
+  private def md5_63(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+
+  /** Shared grouped-count CTE for the two rank statistics: per distinct
+    * quantity value, counts in sample A (returnflag R) and B (N).
+    */
+  private val rankCountsSql =
+    """c AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM lineitem WHERE l_returnflag IN ('R', 'N') GROUP BY 1)""".stripMargin
+
+  /** WordPiece oracle: replays `k` likelihood-scored merge rounds with
+    * MATERIALIZED CTEs. Unlike the BPE twin (2 references per round),
+    * each round here references v_i three times (pair counts, symbol
+    * counts, next encoding) — plain CTE inlining makes the expression
+    * tree 3^k and DuckDB takes minutes at k=6; MATERIALIZED pins each
+    * round to one evaluation (measured 0.07 s).
+    */
+  private def wordpieceOracleSql(k: Int): String = {
+    val head =
+      s"""tk AS MATERIALIZED (SELECT unnest($toksSql) AS word FROM documents),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq,
+         |    ' ' || array_to_string(list_transform(range(1, len(word)+1), i -> word[i:i]), '  ') || ' ' AS enc
+         |  FROM tk GROUP BY word)""".stripMargin
+    val rounds = (0 until k).map { i =>
+      val apply =
+        if (i == k - 1) ""
+        else
+          s""",
+             |v${i + 1} AS MATERIALIZED (
+             |  SELECT v.word, v.freq,
+             |    replace(v.enc, ' ' || m.left_sym || '  ' || m.right_sym || ' ',
+             |            ' ' || m.left_sym || m.right_sym || ' ') AS enc
+             |  FROM v$i v, m$i m)""".stripMargin
+      s"""sy$i AS MATERIALIZED (
+         |  SELECT sym, CAST(SUM(freq) AS BIGINT) AS sym_count
+         |  FROM (SELECT freq, unnest(string_split(trim(enc), '  ')) AS sym FROM v$i) t
+         |  GROUP BY 1),
+         |p$i AS MATERIALIZED (
+         |  SELECT syms[j] AS left_sym, syms[j+1] AS right_sym, CAST(SUM(freq) AS BIGINT) AS pair_count
+         |  FROM (SELECT freq, syms, unnest(range(1, len(syms))) AS j
+         |        FROM (SELECT freq, string_split(trim(enc), '  ') AS syms FROM v$i) t0) t1
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT CAST($i AS INT) AS step, p.left_sym, p.right_sym, p.pair_count,
+         |         sl.sym_count AS left_count, sr.sym_count AS right_count
+         |  FROM p$i p
+         |  JOIN sy$i sl ON sl.sym = p.left_sym
+         |  JOIN sy$i sr ON sr.sym = p.right_sym
+         |  ORDER BY CAST(p.pair_count AS DOUBLE) / (CAST(sl.sym_count AS DOUBLE) * CAST(sr.sym_count AS DOUBLE)) DESC,
+         |           p.left_sym, p.right_sym
+         |  LIMIT 1)$apply""".stripMargin
+    }
+    val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+    s"WITH $head,\n${rounds.mkString(",\n")}\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // KMV (bottom-k) distinct sketch, k=256, keyed by md5(l_orderkey),
+    // grouped by return flag. One mergeable-aggregator pass builds the
+    // per-flag sketches (map-side partials keep ≤k longs per task);
+    // the 'ALL' row re-aggregates the per-flag SKETCHES — union of
+    // bottom-k sets is the bottom-k of the union, the property that
+    // lets per-shard sketches roll up without rescanning. Estimator
+    // (k−1)·2⁶³/h₍ₖ₎ in scaled integer form (255·2⁵⁵ // (h>>8)) so
+    // both engines emit the identical BIGINT; exact distinct rides a
+    // separate aggregation (mixing distinct + udaf in one agg plans
+    // the (D+1)× Expand — the Profiler lesson).
+    "kmv_distinct_orders" -> QueryDef(
+      (s, dir) => {
+        val k = 256
+        val kmv = udaf(new KmvSketch(k))
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("scope"),
+          Md5Hash.lower63Col(col("l_orderkey").cast("string")).as("h"))
+        val perFlag = li.groupBy(col("scope")).agg(kmv(col("h")).as("sk"))
+        val merged = perFlag
+          .select(lit("ALL").as("scope"), explode(col("sk")).as("h"))
+          .groupBy(col("scope")).agg(kmv(col("h")).as("sk"))
+        val sketches = perFlag.unionByName(merged)
+        val exact = li.groupBy(col("scope"))
+          .agg(countDistinct(col("h")).as("exact_distinct"))
+        val exactAll = li.agg(countDistinct(col("h")).as("exact_distinct"))
+          .select(lit("ALL").as("scope"), col("exact_distinct"))
+        sketches
+          .select(
+            col("scope"),
+            size(col("sk")).cast("long").as("k_seen"),
+            element_at(col("sk"), -1).as("kth_hash"))
+          .join(broadcast(exact.unionByName(exactAll)), Seq("scope"))
+          .withColumn(
+            "est_distinct",
+            when(col("k_seen") < k, col("k_seen"))
+              .otherwise(expr(
+                "CAST(9187343239835811840L div greatest(shiftright(kth_hash, 8), CAST(1 AS BIGINT)) AS BIGINT)")))
+          .select(col("scope"), col("k_seen"), col("kth_hash"),
+            col("est_distinct"), col("exact_distinct"))
+          .orderBy(col("scope"))
+      },
+      s"""WITH d AS (SELECT DISTINCT l_returnflag AS scope0, ${md5_63("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem),
+         |r AS (SELECT scope0, h, row_number() OVER (PARTITION BY scope0 ORDER BY h) AS rn FROM d),
+         |g AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (SELECT DISTINCT h FROM d) t),
+         |ex AS (SELECT scope0, CAST(count(*) AS BIGINT) AS exact_distinct FROM d GROUP BY 1),
+         |pt AS (SELECT scope0 AS scope, CAST(count(*) AS BIGINT) AS k_seen, max(h) AS kth_hash
+         |       FROM r WHERE rn <= 256 GROUP BY 1),
+         |gl AS (SELECT 'ALL' AS scope, CAST(count(*) AS BIGINT) AS k_seen, max(h) AS kth_hash
+         |       FROM g WHERE rn <= 256),
+         |exg AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM (SELECT DISTINCT h FROM d) t),
+         |u AS (SELECT pt.scope, pt.k_seen, pt.kth_hash, ex.exact_distinct
+         |      FROM pt JOIN ex ON pt.scope = ex.scope0
+         |      UNION ALL
+         |      SELECT gl.scope, gl.k_seen, gl.kth_hash, exg.exact_distinct FROM gl, exg)
+         |SELECT scope, k_seen, kth_hash,
+         |  CASE WHEN k_seen < 256 THEN k_seen
+         |       ELSE CAST(9187343239835811840 // greatest(kth_hash >> 8, 1::BIGINT) AS BIGINT)
+         |  END AS est_distinct,
+         |  exact_distinct
+         |FROM u ORDER BY scope""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // HyperLogLog registers (p=8, m=256), same key/grouping as the KMV
+    // twin. The aggregator keeps max-rank registers (merge =
+    // element-wise MAX); the 'ALL' row max-merges the per-flag
+    // register arrays through one 256-row aggregation. The harmonic
+    // mean stays integer: numer = Σ 2^(54−min(rank,54)) ≤ m·2⁵⁴ < 2⁶³,
+    // and the α·m²·2⁵⁴/numer scaling is a fixed textual chain of IEEE
+    // ×,÷ identical in both engines (every literal is exactly
+    // representable), then floor → BIGINT.
+    "hll_distinct_orders" -> QueryDef(
+      (s, dir) => {
+        val hll = udaf(new HllRegisters(8))
+        val li = Tables.lineitem(s, dir).select(
+          col("l_returnflag").as("scope"),
+          Md5Hash.lower63Col(col("l_orderkey").cast("string")).as("h"))
+        val perFlag = li.groupBy(col("scope")).agg(hll(col("h")).as("regs"))
+        val regRows = perFlag.select(
+          col("scope"), posexplode(col("regs")).as(Seq("bucket", "rho")))
+        val allRows = regRows.groupBy(col("bucket"))
+          .agg(max(col("rho")).as("rho"))
+          .select(lit("ALL").as("scope"), col("bucket"), col("rho"))
+        val agg0 = regRows.unionByName(allRows)
+          .groupBy(col("scope"))
+          .agg(
+            sum(when(col("rho") === 0, 1L).otherwise(0L)).as("n_zero_regs"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(54 - least(rho, 54) AS INT))"))
+              .as("harmonic_numer"))
+        val exact = li.groupBy(col("scope"))
+          .agg(countDistinct(col("h")).as("exact_distinct"))
+        val exactAll = li.agg(countDistinct(col("h")).as("exact_distinct"))
+          .select(lit("ALL").as("scope"), col("exact_distinct"))
+        agg0
+          .join(broadcast(exact.unionByName(exactAll)), Seq("scope"))
+          .withColumn(
+            "hll_est",
+            expr("CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 18014398509481984.0 / CAST(harmonic_numer AS DOUBLE)) AS BIGINT)"))
+          .select(col("scope"), col("n_zero_regs"), col("harmonic_numer"),
+            col("hll_est"), col("exact_distinct"))
+          .orderBy(col("scope"))
+      },
+      s"""WITH e AS (SELECT l_returnflag AS scope0, ${md5_63("CAST(l_orderkey AS VARCHAR)")} AS h FROM lineitem),
+         |reg0 AS (SELECT scope0, h >> 55 AS bucket,
+         |    CASE WHEN (h & ((1::BIGINT << 55) - 1)) = 0 THEN 56
+         |         ELSE 56 - length(bin(h & ((1::BIGINT << 55) - 1))) END AS rho
+         |  FROM e),
+         |regs AS (SELECT scope0, bucket, CAST(max(rho) AS BIGINT) AS rho FROM reg0 GROUP BY 1, 2),
+         |scopes AS (SELECT DISTINCT scope0 AS scope FROM e UNION ALL SELECT 'ALL'),
+         |spine AS (SELECT s.scope, b.bucket FROM scopes s, (SELECT unnest(range(0, 256)) AS bucket) b),
+         |allregs AS (SELECT scope0 AS scope, bucket, rho FROM regs
+         |            UNION ALL
+         |            SELECT 'ALL' AS scope, bucket, CAST(max(rho) AS BIGINT) AS rho FROM regs GROUP BY 2),
+         |filled AS (SELECT sp.scope, sp.bucket, coalesce(ar.rho, 0) AS rho
+         |           FROM spine sp LEFT JOIN allregs ar ON sp.scope = ar.scope AND sp.bucket = ar.bucket),
+         |agg AS (SELECT scope,
+         |    CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs,
+         |    CAST(SUM(1::BIGINT << CAST(54 - least(rho, 54) AS INT)) AS BIGINT) AS harmonic_numer
+         |  FROM filled GROUP BY 1),
+         |exd AS (SELECT scope0 AS scope, CAST(count(DISTINCT h) AS BIGINT) AS exact_distinct FROM e GROUP BY 1
+         |        UNION ALL
+         |        SELECT 'ALL' AS scope, CAST(count(DISTINCT h) AS BIGINT) FROM e)
+         |SELECT a.scope, a.n_zero_regs, a.harmonic_numer,
+         |  CAST(floor(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 18014398509481984.0 / CAST(a.harmonic_numer AS DOUBLE)) AS BIGINT) AS hll_est,
+         |  e.exact_distinct
+         |FROM agg a JOIN exd e ON a.scope = e.scope
+         |ORDER BY a.scope""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // KMV set algebra — the Theta-sketch trick (Dasgupta et al. 2016):
+    // Jaccard similarity between two key sets estimated ENTIRELY from
+    // their bottom-k sketches. The union sketch is the re-aggregated
+    // union of the two input sketches (never a rescan); each union-
+    // sketch hash is tested for membership in the per-set sketches via
+    // two ≤k-row broadcast semi-joins. J ≈ |S ∩ A ∩ B| / |S| — the
+    // corpus-overlap primitive (cross-source contamination, split
+    // leakage) at sketch cost instead of a distinct-join of the keys.
+    // Exact twin columns ride a separate distinct aggregation.
+    "kmv_jaccard_flags" -> QueryDef(
+      (s, dir) => {
+        val k = 256
+        val kmv = udaf(new KmvSketch(k))
+        val d = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("R", "N"))
+          .select(
+            col("l_returnflag").as("sc"),
+            Md5Hash.lower63Col(col("l_orderkey").cast("string")).as("h"))
+        val sk = d.groupBy(col("sc")).agg(kmv(col("h")).as("sk"))
+        val a = sk.filter(col("sc") === "R").select(explode(col("sk")).as("h"))
+        val b = sk.filter(col("sc") === "N").select(explode(col("sk")).as("h"))
+        val u = a.unionByName(b).agg(kmv(col("h")).as("sk"))
+          .select(explode(col("sk")).as("h"))
+        val interSketch = u
+          .join(broadcast(a), Seq("h"), "left_semi")
+          .join(broadcast(b), Seq("h"), "left_semi")
+          .agg(count(lit(1)).as("inter_sketch"))
+        val kUnion = u.agg(count(lit(1)).as("k_union"))
+        val exact = d.groupBy(col("h"))
+          .agg(countDistinct(col("sc")).as("nsc"))
+          .agg(
+            sum(when(col("nsc") === 2, 1L).otherwise(0L)).as("exact_inter"),
+            count(lit(1)).as("exact_union"))
+        kUnion.crossJoin(interSketch).crossJoin(exact)
+          .select(
+            col("k_union"), col("inter_sketch"),
+            (col("inter_sketch").cast("double") / col("k_union").cast("double"))
+              .as("jaccard_est"),
+            col("exact_inter"), col("exact_union"),
+            (col("exact_inter").cast("double") / col("exact_union").cast("double"))
+              .as("jaccard_exact"))
+      },
+      s"""WITH d AS (SELECT DISTINCT l_returnflag AS sc, ${md5_63("CAST(l_orderkey AS VARCHAR)")} AS h
+         |           FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+         |a AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM d WHERE sc = 'R') t WHERE rn <= 256),
+         |b AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM d WHERE sc = 'N') t WHERE rn <= 256),
+         |u AS (SELECT h FROM (
+         |        SELECT h, row_number() OVER (ORDER BY h) AS rn
+         |        FROM (SELECT DISTINCT h FROM (SELECT h FROM a UNION ALL SELECT h FROM b) t0) t1) t2
+         |      WHERE rn <= 256),
+         |isk AS (SELECT CAST(count(*) AS BIGINT) AS inter_sketch
+         |        FROM u WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+         |ku AS (SELECT CAST(count(*) AS BIGINT) AS k_union FROM u),
+         |ex AS (SELECT CAST(SUM(CASE WHEN nsc = 2 THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter,
+         |              CAST(count(*) AS BIGINT) AS exact_union
+         |       FROM (SELECT h, count(DISTINCT sc) AS nsc FROM d GROUP BY h) t)
+         |SELECT ku.k_union, isk.inter_sketch,
+         |  CAST(isk.inter_sketch AS DOUBLE) / CAST(ku.k_union AS DOUBLE) AS jaccard_est,
+         |  ex.exact_inter, ex.exact_union,
+         |  CAST(ex.exact_inter AS DOUBLE) / CAST(ex.exact_union AS DOUBLE) AS jaccard_exact
+         |FROM ku, isk, ex""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+    // 1998, the consistent-placement rule: doc → argmax over shards of
+    // md5(doc:shard). Map-only in both engines (array_max over an
+    // inline struct array — the documented argmax pattern; never a
+    // when/otherwise reduce). The query proves the consistency
+    // property a 100 TB layout cares about: adding a 17th shard moves
+    // ONLY the docs whose new-shard hash wins (≈1/17 of each shard),
+    // vs md5-mod resharding which moves ~16/17 of everything.
+    "rendezvous_sharding" -> QueryDef(
+      (s, dir) => {
+        // literal struct array, not a HOF lambda — stays in codegen
+        // (the measured interpreted-HOF penalty; 16 entries is a small
+        // literal forest, nothing like the tables×planes×dim caution)
+        def hrw(n: Int) = array_max(array((0 until n).map { sh =>
+          struct(
+            Md5Hash.lower63Col(
+              concat(col("doc_id").cast("string"), lit(s":$sh"))).as("h"),
+            lit(sh.toLong).as("s"))
+        }: _*)).getField("s")
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            hrw(16).as("shard16"),
+            hrw(17).as("shard17"))
+          .groupBy(col("shard16"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("shard16") =!= col("shard17"), 1L).otherwise(0L)).as("n_moved"))
+          .orderBy(col("shard16"))
+      },
+      s"""WITH m AS (SELECT doc_id,
+         |    list_max(list_transform(range(0, 16),
+         |      s -> {'h': ${md5_63("doc_id || ':' || s")}, 's': s})).s AS shard16,
+         |    list_max(list_transform(range(0, 17),
+         |      s -> {'h': ${md5_63("doc_id || ':' || s")}, 's': s})).s AS shard17
+         |  FROM documents)
+         |SELECT shard16, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN shard16 <> shard17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+         |FROM m GROUP BY 1 ORDER BY shard16""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Two-sample Kolmogorov–Smirnov distance between the quantity
+    // distributions of returnflag R vs N — corpus-drift detection on
+    // exact integers. D = max|n_b·cumA − n_a·cumB| / (n_a·n_b): the
+    // numerator is BIGINT-exact (≤ n² < 2⁵³ keeps the final division
+    // operand exactly representable), and the single ÷ at the end is
+    // IEEE-deterministic. First aggregate to distinct values (50 for
+    // quantity), so the unpartitioned cumulative window is O(distinct)
+    // — the same shrink-then-window shape as the rank queries.
+    "ks_two_sample_qty" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("R", "N"))
+        val c = li.groupBy(col("l_quantity").cast("long").as("q"))
+          .agg(
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cb"))
+        val w = Window.orderBy(col("q"))
+        val cum = c
+          .withColumn("cuma", sum(col("ca")).over(w))
+          .withColumn("cumb", sum(col("cb")).over(w))
+        val t = c.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+        cum.crossJoin(broadcast(t))
+          .groupBy(col("n_a"), col("n_b"))
+          .agg(max(abs(col("n_b") * col("cuma") - col("n_a") * col("cumb"))).as("d_num"))
+          .withColumn(
+            "ks_stat",
+            col("d_num").cast("double") / (col("n_a") * col("n_b")).cast("double"))
+          .select(col("n_a"), col("n_b"), col("d_num"), col("ks_stat"))
+      },
+      s"""WITH $rankCountsSql,
+         |w AS (SELECT q, CAST(SUM(ca) OVER (ORDER BY q) AS BIGINT) AS cuma,
+         |             CAST(SUM(cb) OVER (ORDER BY q) AS BIGINT) AS cumb FROM c),
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+         |SELECT t.na AS n_a, t.nb AS n_b,
+         |  CAST(max(abs(t.nb * w.cuma - t.na * w.cumb)) AS BIGINT) AS d_num,
+         |  CAST(max(abs(t.nb * w.cuma - t.na * w.cumb)) AS DOUBLE) / CAST(t.na * t.nb AS DOUBLE) AS ks_stat
+         |FROM w, t GROUP BY t.na, t.nb""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Mann–Whitney U (Wilcoxon rank-sum) with midrank tie handling,
+    // same two samples. Midranks are half-integers, so the query
+    // carries 2·R_A: for a value with cumbefore items below and t tied,
+    // 2·midrank = 2·cumbefore + t + 1 — all BIGINT. 2·U_A =
+    // 2·R_A − n_a(n_a+1) exactly; AUC (the common-language effect
+    // size U/(n_a·n_b)) is one IEEE division at the end.
+    "mannwhitney_qty" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("R", "N"))
+        val c = li.groupBy(col("l_quantity").cast("long").as("q"))
+          .agg(
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cb"))
+        val w = Window.orderBy(col("q"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = c
+          .withColumn("t", col("ca") + col("cb"))
+          .withColumn("cumbefore", coalesce(sum(col("ca") + col("cb")).over(w), lit(0L)))
+        val r2 = ranked.agg(
+          sum(col("ca") * (lit(2L) * col("cumbefore") + col("t") + 1L)).as("r2a"),
+          sum(col("ca")).as("n_a"),
+          sum(col("cb")).as("n_b"))
+        r2
+          .withColumn("u2_a", col("r2a") - col("n_a") * (col("n_a") + 1L))
+          .withColumn(
+            "auc",
+            col("u2_a").cast("double") /
+              (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .select(col("n_a"), col("n_b"), col("u2_a"), col("auc"))
+      },
+      s"""WITH $rankCountsSql,
+         |w AS (SELECT q, ca, cb, ca + cb AS t,
+         |    CAST(coalesce(SUM(ca + cb) OVER (ORDER BY q ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumbefore
+         |  FROM c),
+         |r AS (SELECT CAST(SUM(ca * (2 * cumbefore + t + 1)) AS BIGINT) AS r2a,
+         |             CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM w)
+         |SELECT r.na AS n_a, r.nb AS n_b,
+         |  CAST(r.r2a - r.na * (r.na + 1) AS BIGINT) AS u2_a,
+         |  CAST(r.r2a - r.na * (r.na + 1) AS DOUBLE) / (2.0 * CAST(r.na AS DOUBLE) * CAST(r.nb AS DOUBLE)) AS auc
+         |FROM r""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Integer PageRank over the supplier↔customer graph (who supplies
+    // whom, via lineitem⋈orders): 5 rounds of exact scaled-integer
+    // damping (PageRank.run — micro-unit ranks, floor division
+    // everywhere, so no double SUM exists and the oracle replays every
+    // round bit-exactly with MATERIALIZED CTEs). Each round is one
+    // edge⋈rank equi-join + one destination agg — the iterative-join
+    // shape that scales with the edge count, like pointer-jumping CC.
+    "pagerank_supplier_customer" -> QueryDef(
+      (s, dir) => {
+        val e0 = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (col("l_suppkey") * 2).as("u"),
+            (col("o_custkey") * 2 + 1).as("v"))
+          .distinct()
+        val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+          .distinct()
+        PageRank.run(edges, rounds = 5)
+          .select(
+            when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
+            expr("CAST(node div 2 AS BIGINT)").as("entity_id"),
+            col("rank"))
+          .orderBy(col("rank").desc, col("kind"), col("entity_id"))
+          .limit(20)
+      }, {
+        val rounds = (0 until 5).map { i =>
+          s""",
+             |r${i + 1} AS MATERIALIZED (
+             |  SELECT e.v AS node, CAST(150000 + (85 * SUM(r.rank // e.deg)) // 100 AS BIGINT) AS rank
+             |  FROM ed e JOIN r$i r ON r.node = e.u
+             |  GROUP BY e.v)""".stripMargin
+        }.mkString
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+           |dg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |ed AS MATERIALIZED (SELECT e.u, e.v, d.deg FROM e JOIN dg d ON e.u = d.u),
+           |r0 AS MATERIALIZED (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM dg)$rounds
+           |SELECT CASE WHEN node % 2 = 0 THEN 'supplier' ELSE 'customer' END AS kind,
+           |  CAST(node // 2 AS BIGINT) AS entity_id, rank
+           |FROM r5 ORDER BY rank DESC, kind, entity_id LIMIT 20""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Hashed linear quality classifier — the fastText-shaped filter a
+    // web-corpus curation pass runs at ingest: every token hashes to a
+    // fixed integer weight in [−8, 8] (md5 % 17 − 8; no vocabulary
+    // table to broadcast, the hash IS the model), a document's score
+    // is the exact integer sum over its token bag, and the accept
+    // decision is score ≥ 0. Map-only per doc (one explode + groupBy
+    // doc_id with map-side combine), then a per-source rollup.
+    "quality_hash_classifier" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(sum(
+            Md5Hash.lower63Col(concat(lit("w:"), col("t"))) % 17 - 8).as("score"))
+        docs.select(col("doc_id"), col("source"))
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("score", coalesce(col("score"), lit(0L)))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("score") >= 0, 1L).otherwise(0L)).as("n_accept"),
+            sum(col("score")).as("total_score"),
+            min(col("score")).as("min_score"),
+            max(col("score")).as("max_score"))
+          .orderBy(col("source"))
+      },
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |w AS (SELECT doc_id, CAST(SUM(${md5_63("'w:' || t")} % 17 - 8) AS BIGINT) AS score FROM tk GROUP BY 1),
+         |d AS (SELECT d.doc_id, d.source, coalesce(w.score, 0) AS score
+         |      FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+         |  CAST(SUM(score) AS BIGINT) AS total_score,
+         |  CAST(min(score) AS BIGINT) AS min_score,
+         |  CAST(max(score) AS BIGINT) AS max_score
+         |FROM d GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // WordPiece merge induction (WordPiece.train): 6 rounds scored by
+    // pair likelihood count(l,r)/(count(l)·count(r)) — the BERT
+    // tokenizer's training rule, complementing bpe_merges' raw-count
+    // argmax (on this corpus the first pick is q+u: rare overall but
+    // q occurs nowhere else). The oracle replays every round
+    // bit-exactly; the score comparison is the fixed IEEE ÷,× chain
+    // on exact BIGINTs in both engines.
+    "wordpiece_merges" -> QueryDef(
+      (s, dir) =>
+        WordPiece.train(Tables.documents(s, dir), "text", numMerges = 6)
+          .orderBy(col("step")),
+      wordpieceOracleSql(6))
+  )
+}

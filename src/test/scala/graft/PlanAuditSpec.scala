@@ -42,7 +42,9 @@ class PlanAuditSpec extends SparkSuite {
     // 1-row aggregate cross-joined onto the O(groups) count frame
     "mixture_temperature_sample",
     "ann_hard_negatives", // bruteForceTopK's broadcast probe × corpus product is the scan
-    "count_min_tokens") // the 1-row sketch buffer broadcast onto the 10-row probe frame
+    "count_min_tokens", // the 1-row sketch buffer broadcast onto the 10-row probe frame
+    "ks_two_sample_qty", // sample sizes (n_a, n_b) as a broadcast 1-row aggregate
+    "kmv_jaccard_flags") // three 1-row sketch-stat aggregates composed by cross join
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
