@@ -1750,6 +1750,74 @@ object PipelineQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Reciprocal-rank fusion (Cormack et al. SIGIR 2009) of two
+    // retrievers — the exact cosine top-20 and the PQ-ADC top-20 —
+    // the multi-index ensemble a production retrieval stack serves.
+    // Scores are INTEGER RRF, 10⁹ div (60+rank), summed over
+    // retrievers (a candidate missing from one list contributes 0 via
+    // the full-outer join), so fusion is BIGINT-exact — never a
+    // float SUM whose order could differ. Both candidate lists are
+    // ≤ probes × 20 rows, so the fusion join, window, and final top-5
+    // all run on skinny id+rank frames; vectors never re-enter.
+    "ann_rrf_fusion" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(
+          emb, probes, "vec_id", "embedding", k = 20)
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("r_exact"))
+        val pq = PqIndex.topK(
+          emb, probes, "vec_id", "embedding", k = 20,
+          codebooks = PqIndex.seededCodebooks(dim = 64, m = 8, ksub = 8, seed = 7L))
+          .select(col("query_id"), col("neighbor_id"), col("rank").as("r_pq"))
+        val fused = exact
+          .join(pq, Seq("query_id", "neighbor_id"), "full_outer")
+          .withColumn(
+            "rrf_score",
+            expr("CAST(coalesce(1000000000 div (60 + r_exact), 0) + coalesce(1000000000 div (60 + r_pq), 0) AS BIGINT)"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("neighbor_id"))
+        fused
+          .withColumn("fused_rank", row_number().over(w).cast("int"))
+          .filter(col("fused_rank") <= 5)
+          .select(col("query_id"), col("neighbor_id"), col("rrf_score"), col("fused_rank"))
+          .orderBy(col("query_id"), col("fused_rank"))
+      }, {
+        val cbs = graft.operators.PqIndex.seededCodebooks(64, 8, 8, 7L)
+        val rows = (for (mi <- 0 until 8; j <- 0 until 8) yield
+          s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n  ")
+        s"WITH cb(m, j, cw) AS (VALUES\n  $rows),\n" + pqSearchCtesSql(8) + ",\n" +
+          """pq20 AS (SELECT query_id, neighbor_id, rank AS r_pq FROM topk WHERE rank <= 20),
+            |exactp AS (
+            |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+            |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+            |  FROM embeddings c, embeddings p
+            |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+            |exact20 AS (
+            |  SELECT query_id, neighbor_id, r AS r_exact FROM (
+            |    SELECT query_id, neighbor_id,
+            |      CAST(row_number() OVER (PARTITION BY query_id
+            |        ORDER BY sim DESC, neighbor_id) AS INT) AS r
+            |    FROM exactp) t WHERE r <= 20),
+            |fused AS (
+            |  SELECT coalesce(e.query_id, q.query_id) AS query_id,
+            |         coalesce(e.neighbor_id, q.neighbor_id) AS neighbor_id,
+            |         CAST(coalesce(1000000000 // (60 + e.r_exact), 0)
+            |            + coalesce(1000000000 // (60 + q.r_pq), 0) AS BIGINT) AS rrf_score
+            |  FROM exact20 e FULL JOIN pq20 q
+            |    ON e.query_id = q.query_id AND e.neighbor_id = q.neighbor_id),
+            |ranked AS (
+            |  SELECT query_id, neighbor_id, rrf_score,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY rrf_score DESC, neighbor_id) AS INT) AS fused_rank
+            |  FROM fused)
+            |SELECT query_id, neighbor_id, rrf_score, fused_rank
+            |FROM ranked WHERE fused_rank <= 5
+            |ORDER BY query_id, fused_rank""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // SemDeDup-style candidate buckets (Abbas et al. 2023's idea —
     // cluster embeddings, dedup within clusters): vectors sharing
     // their first two TRAINED PQ codes (the k-means-adapted coarse
