@@ -264,6 +264,69 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Audio: PCM16 payloads. The CODEC stays trivial by design (the
+  // container libs aren't here — a real pipeline swaps parsePcm16 for
+  // an MP3/FLAC frame decoder with the identical batch shape); the
+  // Spark-side plumbing — binary column, typed batches, integer
+  // window features — is real and the feature math is exact.
+
+  final case class AudioRow(media_id: Long, content: Array[Byte])
+  final case class AudioFeatures(
+      media_id: Long, n_samples: Long, n_windows: Long, peak_amp: Long,
+      total_energy: Long, zero_crossings: Long)
+
+  /** Synthetic PCM16-LE payloads from the documents corpus: sample i
+    * is a fixed integer spread of the text's i-th CODE POINT
+    * (cp·523 mod 2048 − 1024 ∈ int16), so the DuckDB oracle restates
+    * every sample from the text with `unicode()` while the engine
+    * round-trips genuine little-endian PCM bytes.
+    */
+  def audioFrom(docs: DataFrame): Dataset[AudioRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val cps = Option(text).getOrElse("").codePoints().toArray
+        val bytes = new Array[Byte](cps.length * 2)
+        var i = 0
+        while (i < cps.length) {
+          val s = (cps(i) * 523) % 2048 - 1024
+          bytes(2 * i) = (s & 0xff).toByte
+          bytes(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        AudioRow(id, bytes)
+      }
+  }
+
+  /** Batched PCM16 "decode" + integer clip features: peak amplitude,
+    * total energy Σs² (≤ len·2³⁰ — BIGINT-exact), sign-change count,
+    * and the 256-sample window count a framing stage would emit.
+    * Payload bytes never leave the executor; output is compact rows.
+    */
+  def audioFeatures(media: Dataset[AudioRow], batchSize: Int = 256): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val b = m.content
+          val n = b.length / 2
+          var peak = 0L; var energy = 0L; var zc = 0L; var prev = 0
+          var i = 0
+          while (i < n) {
+            val s = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt
+            if (math.abs(s) > peak) peak = math.abs(s)
+            energy += s.toLong * s
+            if (i > 0 && prev * s < 0) zc += 1
+            prev = s
+            i += 1
+          }
+          AudioFeatures(m.media_id, n.toLong, (n + 255L) / 256L, peak, energy, zc)
+        }
+      }
+    }
+  }
+
   /** End-to-end demo frame: real-image corpus → batched ImageIO decode
     * → pixel-derived features. Container byte counts (PNG: zlib-
     * shaped) stay OUT of the comparable columns; width/height/mean/f0

@@ -2205,6 +2205,34 @@ object PipelineQueries {
         |FROM m ORDER BY media_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Audio-modality plumbing: PCM16-LE payloads (synthetic — sample i
+    // is a fixed integer spread of the text's i-th code point; a real
+    // pipeline swaps the trivial parse for an MP3/FLAC frame decoder
+    // with the same batch shape) → batched typed decode → integer clip
+    // features (peak, Σs² energy, sign changes, 256-sample window
+    // count). All-integer feature math, so the oracle restates every
+    // sample from the text with unicode() and compares bit-exactly.
+    // Payload bytes never shuffle — the final orderBy moves only the
+    // compact feature rows.
+    "audio_pcm_features" -> QueryDef(
+      (s, dir) =>
+        Multimodal.audioFeatures(
+          Multimodal.audioFrom(Tables.documents(s, dir)))
+          .toDF().orderBy(col("media_id")),
+      """WITH s AS (SELECT doc_id AS media_id,
+        |    list_transform(range(1, len(coalesce(text, '')) + 1),
+        |      i -> (unicode(text[i:i]) * 523) % 2048 - 1024) AS sm
+        |  FROM documents)
+        |SELECT media_id,
+        |  CAST(len(sm) AS BIGINT) AS n_samples,
+        |  CAST((len(sm) + 255) // 256 AS BIGINT) AS n_windows,
+        |  CAST(coalesce(list_max(list_transform(sm, x -> abs(x))), 0) AS BIGINT) AS peak_amp,
+        |  CAST(coalesce(list_sum(list_transform(sm, x -> x * x)), 0) AS BIGINT) AS total_energy,
+        |  CAST(coalesce(list_sum(list_transform(range(2, len(sm) + 1),
+        |    i -> CASE WHEN sm[i-1] * sm[i] < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY media_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Streaming-shaped batch: tumbling 1h windows over events
     // (Structured Streaming twin in graft.streaming.EventsStreaming).
     "events_hourly_window" -> QueryDef(

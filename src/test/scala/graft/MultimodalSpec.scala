@@ -140,4 +140,25 @@ class MultimodalSpec extends SparkSuite {
       MediaRow(1L, "image/bmp", Multimodal.encodeBmp(Array[Byte](0), 1, 1), "s", 0L)).toDS()
     assert(Multimodal.dHash(media).collect().head.dhash == 0L)
   }
+
+  test("audio: PCM16 roundtrip features match a hand computation") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, ""), (3L, "x")).toDF("doc_id", "text")
+    val feats = Multimodal.audioFeatures(Multimodal.audioFrom(docs))
+      .collect().map(f => f.media_id -> f).toMap
+    def sample(cp: Int) = (cp * 523) % 2048 - 1024
+    val (sa, sb) = (sample('a'), sample('b'))
+    assert(feats(1L).n_samples == 2L && feats(1L).n_windows == 1L)
+    assert(feats(1L).peak_amp == math.max(math.abs(sa), math.abs(sb)).toLong)
+    assert(feats(1L).total_energy == sa.toLong * sa + sb.toLong * sb)
+    assert(feats(1L).zero_crossings == (if (sa * sb < 0) 1L else 0L))
+    assert(feats(2L) == Multimodal.AudioFeatures(2L, 0L, 0L, 0L, 0L, 0L))
+    assert(feats(3L).n_samples == 1L && feats(3L).zero_crossings == 0L)
+    // payload is genuine little-endian int16
+    val bytes = Multimodal.audioFrom(docs.filter($"doc_id" === 3L))
+      .collect().head.content
+    val s = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(0).toInt
+    assert(s == sample('x'))
+  }
 }
