@@ -486,6 +486,51 @@ object SketchStatsQueries {
          |FROM d GROUP BY 1 ORDER BY source""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Fuzzy entity resolution on part names: the classic blocking +
+    // verify shape. Names dedupe to their DISTINCT grain first (the
+    // shrink-then-pair move — the name vocabulary is constant-size no
+    // matter how many parts exist), blocking is an inverted-index
+    // EQUI-join on shared tokens (never a cartesian name grid), and
+    // the verifier is builtin levenshtein (unit-cost DP — identical
+    // integer semantics in Spark and DuckDB). Pair weight carries the
+    // part counts so downstream merge decisions see data mass.
+    "fuzzy_name_pairs" -> QueryDef(
+      (s, dir) => {
+        val names = Tables.part(s, dir)
+          .groupBy(col("p_name").as("name"))
+          .agg(count(lit(1)).as("n_parts"))
+        val idx = names.select(
+          col("name"), explode(split(col("name"), " ")).as("tok"))
+        val pairs = idx.as("a")
+          .join(idx.as("b"), col("a.tok") === col("b.tok") &&
+            col("a.name") < col("b.name"))
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+          .distinct()
+        pairs
+          .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+          .filter(col("dist") <= 6)
+          .join(names.select(col("name").as("name_a"), col("n_parts").as("n_a")), Seq("name_a"))
+          .join(names.select(col("name").as("name_b"), col("n_parts").as("n_b")), Seq("name_b"))
+          .select(
+            col("name_a"), col("name_b"), col("dist").cast("long").as("dist"),
+            (col("n_a") * col("n_b")).as("pair_weight"))
+          .orderBy(col("dist"), col("name_a"), col("name_b"))
+      },
+      """WITH names AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+        |               FROM part GROUP BY 1),
+        |idx AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM names),
+        |pairs AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |          FROM idx a JOIN idx b ON a.tok = b.tok AND a.name < b.name),
+        |v AS (SELECT name_a, name_b, CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+        |      FROM pairs)
+        |SELECT v.name_a, v.name_b, v.dist, na.n_parts * nb.n_parts AS pair_weight
+        |FROM v
+        |JOIN names na ON na.name = v.name_a
+        |JOIN names nb ON nb.name = v.name_b
+        |WHERE v.dist <= 6
+        |ORDER BY v.dist, v.name_a, v.name_b""".stripMargin),
+
+    // ------------------------------------------------------------------
     // WordPiece merge induction (WordPiece.train): 6 rounds scored by
     // pair likelihood count(l,r)/(count(l)·count(r)) — the BERT
     // tokenizer's training rule, complementing bpe_merges' raw-count

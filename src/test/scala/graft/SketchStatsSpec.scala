@@ -145,6 +145,20 @@ class SketchStatsSpec extends SparkSuite {
     assert(r == r2)
   }
 
+  test("fuzzy pairs: levenshtein agrees with the classic DP; blocking finds planted near-names") {
+    val d = Seq(("cold widget", "gold widget"), ("cold widget", "cold bolt"))
+      .toDF("a", "b").select(levenshtein(col("a"), col("b"))).as[Int].collect()
+    assert(d.toSeq == Seq(1, 5)) // substitution=1; 'widget'→'bolt' = 5 edits
+    val rows = queries.SketchStatsQueries.defs("fuzzy_name_pairs")
+      .fn(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Long]("dist") <= 6L))
+    // blocking soundness: every emitted pair shares a token
+    assert(rows.forall { r =>
+      r.getAs[String]("name_a").split(" ").toSet
+        .intersect(r.getAs[String]("name_b").split(" ").toSet).nonEmpty
+    })
+  }
+
   test("WordPiece merge table is layout-independent") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
     val t1 = WordPiece.train(docs, "text", 3).collect().toSeq
