@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * source key plus ONE aggregation on the destination key (the same
   * skinny shape as pointer-jumping CC). The edge frame joins its
   * degree once up front and is localCheckpoint'ed (scanned k times);
-  * rank frames are O(nodes) and checkpoint each round to truncate
-  * lineage (the star-build lesson — without it round k re-analyzes a
-  * k-deep join tree). On a cluster you'd co-partition edges and ranks
-  * on u so rounds reuse one partitioning; symmetric edges mean no
+  * rank frames are O(nodes) and stay UNmaterialized — at 5 rounds the
+  * nested plan analyzes fine and per-round localCheckpoints measured
+  * strictly slower (the lineage-truncation lesson applies to DEEP
+  * chains, not k=5). Ranks broadcast by default (see `run`); with
+  * broadcastRanks=false you'd co-partition edges and ranks on u so
+  * rounds reuse one partitioning. Symmetric edges mean no
   * dangling-mass correction is needed.
   */
 object PageRank {
@@ -29,20 +31,29 @@ object PageRank {
   /** Run `rounds` iterations over the symmetric edge list
     * `edges(u, v)` (must already be distinct; both directions
     * present). Returns (node LONG, rank LONG).
+    *
+    * `broadcastRanks` = true (default) ships the O(nodes) rank frame
+    * to the edge partitions each round — right whenever nodes ≪ edges
+    * (every bipartite fact graph; measured 6.2 → 5.2 s iso at sf0.1
+    * vs letting the planner choose, and per-round localCheckpoints
+    * were strictly slower at this depth — 5 rounds nest fine in one
+    * action). For web-scale graphs where ranks outgrow broadcast,
+    * pass false: the rounds become co-partitioned shuffle joins and
+    * the right cluster move is pre-partitioning edges and ranks on u.
     */
-  def run(edges: DataFrame, rounds: Int): DataFrame = {
+  def run(edges: DataFrame, rounds: Int, broadcastRanks: Boolean = true): DataFrame = {
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, Seq("u")).localCheckpoint()
     var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
       .localCheckpoint()
     (0 until rounds).foreach { _ =>
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
       ranks = ed
-        .join(ranks, ed("u") === ranks("node"))
+        .join(r, ed("u") === ranks("node"))
         .select(col("v"), expr("rank div deg").as("contrib"))
         .groupBy(col("v"))
         .agg(expr("CAST(150000 + (85 * sum(contrib)) div 100 AS BIGINT)").as("rank"))
         .select(col("v").as("node"), col("rank"))
-        .localCheckpoint()
     }
     ranks
   }
