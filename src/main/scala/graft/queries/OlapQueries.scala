@@ -456,6 +456,55 @@ object OlapQueries {
         |ORDER BY region, anio""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Recursive CTE (Spark 4's WITH RECURSIVE — UNION ALL body, an
+    // explicit MAX RECURSION LEVEL): chains of consecutive orders per
+    // customer with ≤30-day gaps, walked rank-by-rank from each chain
+    // start. The recursion is ACYCLIC BY CONSTRUCTION (rank strictly
+    // increases) and linear (rank r joins only r+1 — no path
+    // branching), so depth = longest chain and each step is one
+    // equi-join on (customer, rank). The flat gaps-and-islands window
+    // (order_status_streaks) stays the 100 TB default for this
+    // computation; this query pins the recursive SQL surface with a
+    // DuckDB twin that differs only in dialect (date_diff vs datediff,
+    // no LEVEL clause).
+    "recursive_order_chains" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("c")).orderBy(col("d"), col("k"))
+        Tables.orders(s, dir)
+          .select(col("o_custkey").as("c"), col("o_orderdate").as("d"),
+            col("o_orderkey").as("k"))
+          .select(col("c"), row_number().over(w).as("r"),
+            datediff(col("d"), lag(col("d"), 1).over(w)).as("gap"))
+          .createOrReplaceTempView("rc_gaps_v")
+        s.sql(
+          """WITH RECURSIVE ch(c, start_r, r) MAX RECURSION LEVEL 200 AS (
+            |  SELECT c, r, r FROM rc_gaps_v WHERE gap IS NULL OR gap > 30
+            |  UNION ALL
+            |  SELECT ch.c, ch.start_r, g.r FROM ch JOIN rc_gaps_v g
+            |    ON g.c = ch.c AND g.r = ch.r + 1 WHERE g.gap <= 30),
+            |lens AS (SELECT c, start_r, CAST(count(*) AS BIGINT) AS len
+            |         FROM ch GROUP BY 1, 2)
+            |SELECT len, CAST(count(*) AS BIGINT) AS n_chains,
+            |  CAST(count(DISTINCT c) AS BIGINT) AS n_customers
+            |FROM lens GROUP BY 1 ORDER BY len""".stripMargin)
+      },
+      """WITH RECURSIVE g AS (
+        |  SELECT o_custkey AS c, row_number() OVER w AS r,
+        |    date_diff('day', lag(o_orderdate) OVER w, o_orderdate) AS gap
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |ch AS (
+        |  SELECT c, r AS start_r, r FROM g WHERE gap IS NULL OR gap > 30
+        |  UNION ALL
+        |  SELECT ch.c, ch.start_r, g.r FROM ch JOIN g
+        |    ON g.c = ch.c AND g.r = ch.r + 1 WHERE g.gap <= 30),
+        |lens AS (SELECT c, start_r, CAST(count(*) AS BIGINT) AS len
+        |         FROM ch GROUP BY 1, 2)
+        |SELECT len, CAST(count(*) AS BIGINT) AS n_chains,
+        |  CAST(count(DISTINCT c) AS BIGINT) AS n_customers
+        |FROM lens GROUP BY 1 ORDER BY len""".stripMargin),
+
+    // ------------------------------------------------------------------
     // LEFT SEMI join (EXISTS): customers with ≥1 order in 1998 —
     // completes the join-type matrix next to the anti-join query; the
     // year predicate rides TimePred so it prunes at the orders scan.
