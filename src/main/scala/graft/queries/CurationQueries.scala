@@ -19,7 +19,86 @@ object CurationQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 
+  private def md5_63(x: String): String =
+    s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // The flagship composition: the pretraining-data run end to end in
+    // ONE query — hashed-classifier quality gate → exact content dedup
+    // (min-id survivor) → temperature-smoothed mixture sample (α=0.5,
+    // budget 150) → global sequence packing (PrefixSum, 2048-token
+    // sequences) → per-source layout report. Every stage is a proven
+    // production operator reused verbatim; the oracle restates the
+    // whole chain, so the gate certifies the COMPOSITION, not just the
+    // pieces. Per-stage scale shapes are unchanged by composition:
+    // map-side scoring, one dedup agg, broadcast thresholds, bucketed
+    // cumsum — the corpus text itself is scanned once per stage and
+    // never shuffled.
+    "pretrain_data_e2e" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.Md5Hash
+        import graft.operators.{PrefixSum, TemperatureSample, TextOps}
+        val docs = Tables.documents(s, dir)
+        val scored = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(sum(
+            Md5Hash.lower63Col(concat(lit("w:"), col("t"))) % 17 - 8).as("score"))
+        val q = docs.join(scored, Seq("doc_id"), "left")
+          .filter(coalesce(col("score"), lit(0L)) >= 0)
+          .drop("score")
+        val mins = q
+          .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+        val d = q.join(mins.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val sel = TemperatureSample.select(d, "doc_id", col("source"), budget = 150.0)
+        val sized = sel.select(
+          col("doc_id"), col("source"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+        val packed = PrefixSum.withExclusivePrefix(
+          sized, Seq(col("doc_id")), "n_toks", "start_tok")
+        val adm = q.groupBy(col("source")).agg(count(lit(1)).as("n_admitted"))
+        val ded = d.groupBy(col("source")).agg(count(lit(1)).as("n_unique"))
+        packed
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_sampled"),
+            sum(col("n_toks")).as("tok_sampled"),
+            min(expr("start_tok div 2048")).cast("long").as("min_seq"),
+            max(expr("(start_tok + CASE WHEN n_toks > 0 THEN n_toks - 1 ELSE 0 END) div 2048"))
+              .cast("long").as("max_seq"))
+          .join(broadcast(adm), Seq("source"))
+          .join(broadcast(ded), Seq("source"))
+          .select(col("source"), col("n_admitted"), col("n_unique"),
+            col("n_sampled"), col("tok_sampled"), col("min_seq"), col("max_seq"))
+          .orderBy(col("source"))
+      },
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |w AS (SELECT doc_id, CAST(SUM(${md5_63("'w:' || t")} % 17 - 8) AS BIGINT) AS score FROM tk GROUP BY 1),
+         |q AS (SELECT dd.* FROM documents dd LEFT JOIN w ON dd.doc_id = w.doc_id
+         |      WHERE coalesce(w.score, 0) >= 0),
+         |mins AS (SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS doc_id FROM q GROUP BY 1),
+         |d AS (SELECT q.* FROM q JOIN mins ON q.doc_id = mins.doc_id),
+         |${graft.operators.TemperatureSample.thresholdsSql("d", "source", 150.0)},
+         |sel AS (SELECT d.* FROM d JOIN tst ON d.source = tst.grp
+         |        WHERE (${md5_63("CAST(d.doc_id AS VARCHAR)")} >> 10) < tst.thr),
+         |sized AS (SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS n_toks FROM sel),
+         |packed AS (SELECT doc_id, source, n_toks,
+         |    CAST(coalesce(SUM(n_toks) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+         |  FROM sized),
+         |adm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_admitted FROM q GROUP BY 1),
+         |ded AS (SELECT source, CAST(count(*) AS BIGINT) AS n_unique FROM d GROUP BY 1)
+         |SELECT p.source, adm.n_admitted, ded.n_unique,
+         |  CAST(count(*) AS BIGINT) AS n_sampled,
+         |  CAST(SUM(p.n_toks) AS BIGINT) AS tok_sampled,
+         |  CAST(min(p.start_tok // 2048) AS BIGINT) AS min_seq,
+         |  CAST(max((p.start_tok + CASE WHEN p.n_toks > 0 THEN p.n_toks - 1 ELSE 0 END) // 2048) AS BIGINT) AS max_seq
+         |FROM packed p
+         |JOIN adm ON adm.source = p.source
+         |JOIN ded ON ded.source = p.source
+         |GROUP BY 1, 2, 3 ORDER BY p.source""".stripMargin),
 
     // ------------------------------------------------------------------
     // Benchmark decontamination: distinct word 3-gram overlap of every

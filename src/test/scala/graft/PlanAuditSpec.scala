@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSuite {
     "count_min_tokens", // the 1-row sketch buffer broadcast onto the 10-row probe frame
     "ks_two_sample_qty", // sample sizes (n_a, n_b) as a broadcast 1-row aggregate
     "kmv_jaccard_flags", // three 1-row sketch-stat aggregates composed by cross join
-    "ann_rrf_fusion") // embeds bruteForceTopK's broadcast probe × corpus product (the exact retriever being fused)
+    "ann_rrf_fusion", // embeds bruteForceTopK's broadcast probe × corpus product (the exact retriever being fused)
+    "pretrain_data_e2e") // composes TemperatureSample + PrefixSum, each with a broadcast 1-row aggregate
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
