@@ -88,7 +88,13 @@ object Explain {
     "hll_distinct_orders" ->
       "HLL registers: fixed 256-long buffer per task, merge = element-wise max; the only key-bearing exchange is the separate exact-distinct twin — the sketch itself ships O(m) state.",
     "quality_hash_classifier" ->
-      "Hashed linear filter: token weights are md5 arithmetic in the scan stage (the hash IS the model — no vocab broadcast); one map-side-combining doc agg + an O(sources) rollup.")
+      "Hashed linear filter: token weights are md5 arithmetic in the scan stage (the hash IS the model — no vocab broadcast); one map-side-combining doc agg + an O(sources) rollup.",
+    "pretrain_data_e2e" ->
+      "The four-stage composition keeps each stage's shape: map-side scoring, one dedup agg, broadcast mixture thresholds, bucketed PrefixSum cumsum — corpus text is scanned per stage, never shuffled; only ids/counts cross exchanges.",
+    "fuzzy_name_pairs" ->
+      "ER blocking: names shrink to their distinct grain FIRST, candidates are a token inverted-index equi-join (no cartesian name grid), levenshtein verifies in the projection.",
+    "pagerank_supplier_customer" ->
+      "Iterative joins: degree-joined edge frame checkpointed once and scanned 5×; each round is one broadcast-rank equi-join + one destination agg — no per-round materialization at k=5.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")

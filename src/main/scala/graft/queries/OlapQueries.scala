@@ -475,6 +475,9 @@ object OlapQueries {
             col("o_orderkey").as("k"))
           .select(col("c"), row_number().over(w).as("r"),
             datediff(col("d"), lag(col("d"), 1).over(w)).as("gap"))
+          // materialize: the recursion scans this frame once PER LEVEL —
+          // without it every level re-runs the rank/lag window
+          .localCheckpoint()
           .createOrReplaceTempView("rc_gaps_v")
         s.sql(
           """WITH RECURSIVE ch(c, start_r, r) MAX RECURSION LEVEL 200 AS (
