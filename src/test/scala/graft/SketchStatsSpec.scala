@@ -109,6 +109,32 @@ class SketchStatsSpec extends SparkSuite {
     assert((bpe.getString(1), bpe.getString(2)) == ("a", "b"))
   }
 
+  test("property: KMV/HLL merge laws hold on generated streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val streams = Gen.listOfN(40,
+      Gen.listOf(Gen.choose(0L, 500L).map(u => Md5Hash.lower63(u.toString))))
+      .apply(Gen.Parameters.default, Seed(11L)).getOrElse(Nil)
+    val kmv = new KmvSketch(16)
+    val hll = new HllRegisters(8)
+    streams.sliding(2, 2).foreach {
+      case Seq(xs, ys) =>
+        // merge of per-stream sketches == sketch of concatenation
+        var a = kmv.zero; xs.foreach(h => a = kmv.reduce(a, h))
+        var b = kmv.zero; ys.foreach(h => b = kmv.reduce(b, h))
+        var whole = kmv.zero; (xs ++ ys).foreach(h => whole = kmv.reduce(whole, h))
+        assert(kmv.merge(a.clone(), b).toSeq == whole.toSeq)
+        // KMV finish == brute k smallest distinct
+        assert(kmv.finish(whole) == (xs ++ ys).distinct.sorted.take(16))
+        // HLL: same laws, max-merge
+        var ha = hll.zero; xs.foreach(h => ha = hll.reduce(ha, h))
+        var hb = hll.zero; ys.foreach(h => hb = hll.reduce(hb, h))
+        var hw = hll.zero; (ys ++ xs).foreach(h => hw = hll.reduce(hw, h)) // order-insensitive
+        assert(hll.merge(ha.clone(), hb).toSeq == hw.toSeq)
+      case _ => ()
+    }
+  }
+
   test("KMV Jaccard estimate tracks the exact overlap on the fixture") {
     val r = queries.SketchStatsQueries.defs("kmv_jaccard_flags")
       .fn(spark, "/root/testdata/sf0.001").collect()(0)
