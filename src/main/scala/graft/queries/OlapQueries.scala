@@ -1370,6 +1370,128 @@ object OlapQueries {
         |FROM s ORDER BY l_returnflag""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Grouped OLS: per-region monthly-revenue trend — the ols recipe
+    // (exact decimal moment sums, fixed-order IEEE finish) with a
+    // grouped twist: month totals are exact DECIMAL first (one star
+    // shuffle + one O(region×month) agg), so every moment's unscaled
+    // value stays < 2⁵³ and the decimal→double conversion is
+    // identical cross-engine.
+    "trend_by_region" -> QueryDef(
+      (s, dir) => {
+        val monthly = Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(
+            col("r_name").as("region"),
+            ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+              .cast("long").as("mi"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(20, 2))).as("rev"))
+        val nD = col("n").cast("double")
+        monthly
+          .groupBy(col("region"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("mi")).cast("double").as("sx"),
+            sum(col("rev")).cast("double").as("sy"),
+            sum(col("mi") * col("rev")).cast("double").as("sxy"),
+            sum(col("mi") * col("mi")).cast("double").as("sxx"))
+          .select(
+            col("region"), col("n").as("n_months"),
+            ((nD * col("sxy") - col("sx") * col("sy")) /
+              (nD * col("sxx") - col("sx") * col("sx"))).as("slope"),
+            ((col("sy") - (nD * col("sxy") - col("sx") * col("sy")) /
+              (nD * col("sxx") - col("sx") * col("sx")) * col("sx")) / nD)
+              .as("intercept"))
+          .orderBy(col("region"))
+      },
+      """WITH m AS (
+        |  SELECT r_name AS region,
+        |    CAST((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+        |    SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT region, COUNT(*) AS n,
+        |    CAST(SUM(mi) AS DOUBLE) AS sx,
+        |    CAST(SUM(rev) AS DOUBLE) AS sy,
+        |    CAST(SUM(mi * rev) AS DOUBLE) AS sxy,
+        |    CAST(SUM(mi * mi) AS DOUBLE) AS sxx
+        |  FROM m GROUP BY 1)
+        |SELECT region, CAST(n AS BIGINT) AS n_months,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |  (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  (sy - (CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |        (CAST(n AS DOUBLE) * sxx - sx * sx) * sx) / CAST(n AS DOUBLE) AS intercept
+        |FROM s ORDER BY region""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Pairwise Pearson matrix over (quantity, discount, tax) in ONE
+    // pass: nine exact decimal moment sums in a single aggregation
+    // (small measures — the corr decimal→double lesson), then each
+    // pair's r as a fixed IEEE chain with correctly-rounded sqrt.
+    // The output is the flattened upper triangle.
+    "corr_matrix_lineitem" -> QueryDef(
+      (s, dir) => {
+        val q = col("l_quantity").cast(DecimalType(4, 0))
+        val d = col("l_discount").cast(DecimalType(3, 2))
+        val t = col("l_tax").cast(DecimalType(3, 2))
+        val nD = col("n").cast("double")
+        val m = Tables.lineitem(s, dir).agg(
+          count(lit(1)).as("n"),
+          sum(q).cast("double").as("sq"),
+          sum(d).cast("double").as("sd"),
+          sum(t).cast("double").as("st"),
+          sum(q * q).cast("double").as("sqq"),
+          sum(d * d).cast("double").as("sdd"),
+          sum(t * t).cast("double").as("stt"),
+          sum(q * d).cast("double").as("sqd"),
+          sum(q * t).cast("double").as("sqt"),
+          sum(d * t).cast("double").as("sdt"))
+        def r(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+          (nD * col(sxy) - col(sx) * col(sy)) /
+            (sqrt(nD * col(sxx) - col(sx) * col(sx)) *
+              sqrt(nD * col(syy) - col(sy) * col(sy)))
+        m.select(lit("quantity").as("var_x"), lit("discount").as("var_y"),
+            r("sqd", "sq", "sd", "sqq", "sdd").as("r"))
+          .unionAll(m.select(lit("quantity").as("var_x"), lit("tax").as("var_y"),
+            r("sqt", "sq", "st", "sqq", "stt").as("r")))
+          .unionAll(m.select(lit("discount").as("var_x"), lit("tax").as("var_y"),
+            r("sdt", "sd", "st", "sdd", "stt").as("r")))
+          .orderBy(col("var_x"), col("var_y"))
+      },
+      """WITH s AS (
+        |  SELECT COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sq,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sd,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(3,2))) AS DOUBLE) AS st,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_quantity AS DECIMAL(4,0))) AS DOUBLE) AS sqq,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sdd,
+        |    CAST(SUM(CAST(l_tax AS DECIMAL(3,2)) * CAST(l_tax AS DECIMAL(3,2))) AS DOUBLE) AS stt,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS sqd,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(4,0)) * CAST(l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sqt,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(3,2)) * CAST(l_tax AS DECIMAL(3,2))) AS DOUBLE) AS sdt
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'quantity' AS var_x, 'discount' AS var_y,
+        |    (CAST(n AS DOUBLE) * sqd - sq * sd) /
+        |    (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * sdd - sd * sd)) AS r
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'quantity', 'tax',
+        |    (CAST(n AS DOUBLE) * sqt - sq * st) /
+        |    (sqrt(CAST(n AS DOUBLE) * sqq - sq * sq) * sqrt(CAST(n AS DOUBLE) * stt - st * st))
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'discount', 'tax',
+        |    (CAST(n AS DOUBLE) * sdt - sd * st) /
+        |    (sqrt(CAST(n AS DOUBLE) * sdd - sd * sd) * sqrt(CAST(n AS DOUBLE) * stt - st * st))
+        |  FROM s) t
+        |ORDER BY var_x, var_y""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Median absolute deviation of quantity per flag — robust spread,
     // fully exact: the median comes off the (flag, qty) histogram via
     // the division-free 2·cum ≥ total crossing, the 3-row median table
