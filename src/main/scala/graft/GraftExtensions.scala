@@ -50,6 +50,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
     // year(d)-predicate sargability — see SargableTimeRewrite scaladoc
     ext.injectOptimizerRule(_ => graft.plans.SargableTimeRewrite)
+    // levenshtein(a,b)<=k gains a short-circuiting length prefilter
+    ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "simhash64"),
