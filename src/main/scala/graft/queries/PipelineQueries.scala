@@ -2140,6 +2140,33 @@ object PipelineQueries {
         |ORDER BY event_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Spark 4 VARIANT surface: parse the JSON payload ONCE into the
+    // binary variant encoding, then do typed path extraction — the
+    // parse-once/extract-many semi-structured shape (at scale the
+    // parse cost is paid at ingest, extractions read the binary
+    // encoding). Grouped rollup over the extracted field; DuckDB twin
+    // via its native JSON extraction; money through the decimal-sum
+    // rule.
+    "events_variant_agg" -> QueryDef(
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(
+            expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+            col("value"))
+          .select((col("k") - col("k") % 10).as("k_bucket"), col("value"))
+          .groupBy(col("k_bucket"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+              .cast("double").as("total_value"))
+          .orderBy(col("k_bucket")),
+      s"""SELECT k - k % 10 AS k_bucket,
+         |  COUNT(*) AS n,
+         |  ${decSumSql("value")} AS total_value
+         |FROM (SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k, value FROM events) t
+         |GROUP BY 1 ORDER BY k_bucket""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Ranking window: top-3 users by total value per event type
     // (dense ranking tier the reference expresses as ORDER BY+LIMIT).
     "events_top_users_per_type" -> QueryDef(
