@@ -188,6 +188,119 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** ColBERT-style late-interaction (MaxSim) score of two multi-vector
+  * columns (Khattab & Zaharia, SIGIR 2020, public literature). Each
+  * side is ONE flat float/double array interpreted as `slices`
+  * contiguous sub-vectors of equal length; the score is
+  * Σ_i max_j dot(query_i, doc_j) — every query sub-vector matches its
+  * best doc sub-vector independently, which is what makes late
+  * interaction stronger than single-vector cosine for long documents.
+  *
+  * Determinism contract (oracle-compatible): every element promotes
+  * float→double BEFORE any arithmetic; each sub-dot accumulates
+  * left-to-right ascending; the outer Σ adds slice maxima in ascending
+  * slice order — so DuckDB's `list_dot_product` over `DOUBLE[]` slices
+  * combined with `greatest(...)` and a left-associated `+` chain
+  * reproduces the exact same doubles.
+  *
+  * One expression node, S²·L multiplies per pair, no array
+  * materialization per slice — a `slice()`+VecDot Column formulation
+  * would copy 2·S² sub-arrays per row-pair.
+  */
+case class MaxSimScore(left: Expression, right: Expression, slices: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(slices > 0, "slices must be positive")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "maxsim_score"
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType | DoubleType, _), ArrayType(FloatType | DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"maxsim_score requires two array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val q = a.asInstanceOf[ArrayData]
+    val d = b.asInstanceOf[ArrayData]
+    val n = math.min(q.numElements(), d.numElements())
+    val len = n / slices
+    val qf = elemIsFloat(left)
+    val df = elemIsFloat(right)
+    var total = 0.0
+    var i = 0
+    while (i < slices) {
+      var best = java.lang.Double.NEGATIVE_INFINITY
+      var j = 0
+      while (j < slices) {
+        var acc = 0.0
+        var t = 0
+        while (t < len) {
+          val qi = i * len + t
+          val dj = j * len + t
+          val qv = if (qf) q.getFloat(qi).toDouble else q.getDouble(qi)
+          val dv = if (df) d.getFloat(dj).toDouble else d.getDouble(dj)
+          acc += qv * dv
+          t += 1
+        }
+        if (acc > best) best = acc
+        j += 1
+      }
+      total += best
+      i += 1
+    }
+    java.lang.Double.valueOf(total)
+  }
+
+  /** Same tight nested loop emitted into the generated stage (slices is
+    * a compile-time constant of the emitted Java).
+    */
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val len = ctx.freshName("len")
+      val total = ctx.freshName("total")
+      val best = ctx.freshName("best")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val t = ctx.freshName("t")
+      val getQ = if (elemIsFloat(left)) s"(double) $a.getFloat($i * $len + $t)"
+                 else s"$a.getDouble($i * $len + $t)"
+      val getD = if (elemIsFloat(right)) s"(double) $b.getFloat($j * $len + $t)"
+                 else s"$b.getDouble($j * $len + $t)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $len = $n / $slices;
+         |double $total = 0.0;
+         |for (int $i = 0; $i < $slices; $i++) {
+         |  double $best = java.lang.Double.NEGATIVE_INFINITY;
+         |  for (int $j = 0; $j < $slices; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $t = 0; $t < $len; $t++) {
+         |      $acc += $getQ * $getD;
+         |    }
+         |    if ($acc > $best) $best = $acc;
+         |  }
+         |  $total += $best;
+         |}
+         |${ev.value} = $total;
+         |""".stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSimScore =
+    copy(left = l, right = r)
+}
+
 /** SimHash straight from text: tokenize (lowercase, whitespace) and
   * vote in one pass — no intermediate token array. Same fingerprints
   * as `SimHash64(tokens(text))` for already-lowercase inputs.
@@ -1402,6 +1515,11 @@ object exprs {
   /** Double dot product of two float/double array columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Late-interaction MaxSim score of two flat multi-vector columns. */
+  def maxSimScore(query: Column, doc: Column, slices: Int): Column =
+    GraftShim.column(MaxSimScore(
+      GraftShim.expression(query), GraftShim.expression(doc), slices))
 
   /** #elements ≤ key in a sorted array column (binary search). */
   def searchSortedCount(sortedArr: Column, key: Column): Column =

@@ -1528,6 +1528,58 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Late-interaction (ColBERT MaxSim) retrieval: each 64-d embedding
+    // read as 4 packed 16-d sub-vectors; score = Σ_i max_j dot(q_i,d_j)
+    // — term-level matching single-vector cosine averages away. One
+    // codegen'd MaxSimScore node per pair (S²·L multiplies, no slice
+    // materialization), broadcast probes, bounded-heap top-k. The
+    // oracle replays the exact doubles: DuckDB list_dot_product over
+    // DOUBLE[] slices ≡ VecDot's ascending fold (verified bit-equal),
+    // greatest() ≡ the max, and the left-associated + chain ≡ the
+    // ascending slice sum; output carries ids+rank only.
+    "ann_maxsim_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.MaxSim.lateInteractionTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          slices = 4, k = 5)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), p AS (
+        |  SELECT vec_id, e FROM c WHERE vec_id < 10
+        |), pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    (greatest(list_dot_product(p.e[1:16], c.e[1:16]),
+        |              list_dot_product(p.e[1:16], c.e[17:32]),
+        |              list_dot_product(p.e[1:16], c.e[33:48]),
+        |              list_dot_product(p.e[1:16], c.e[49:64]))
+        |   + greatest(list_dot_product(p.e[17:32], c.e[1:16]),
+        |              list_dot_product(p.e[17:32], c.e[17:32]),
+        |              list_dot_product(p.e[17:32], c.e[33:48]),
+        |              list_dot_product(p.e[17:32], c.e[49:64]))
+        |   + greatest(list_dot_product(p.e[33:48], c.e[1:16]),
+        |              list_dot_product(p.e[33:48], c.e[17:32]),
+        |              list_dot_product(p.e[33:48], c.e[33:48]),
+        |              list_dot_product(p.e[33:48], c.e[49:64]))
+        |   + greatest(list_dot_product(p.e[49:64], c.e[1:16]),
+        |              list_dot_product(p.e[49:64], c.e[17:32]),
+        |              list_dot_product(p.e[49:64], c.e[33:48]),
+        |              list_dot_product(p.e[49:64], c.e[49:64]))) AS score
+        |  FROM c, p WHERE c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY score DESC, neighbor_id) AS INT) AS rank
+        |  FROM pairs
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Hard-negative mining for contrastive training: from each probe's
     // exact top-50, skip the top-5 (likely positives/near-dups) and
     // deterministically md5-sample 8 from the near-but-not-nearest

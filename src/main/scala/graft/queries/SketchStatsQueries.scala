@@ -542,6 +542,51 @@ object SketchStatsQueries {
       (s, dir) =>
         WordPiece.train(Tables.documents(s, dir), "text", numMerges = 6)
           .orderBy(col("step")),
-      wordpieceOracleSql(6))
+      wordpieceOracleSql(6)),
+
+    // ------------------------------------------------------------------
+    // AMS/tug-of-war F2 sketch (Alon–Matias–Szegedy, STOC 1996):
+    // estimate Σ f(t)² of the token stream — the self-join size, the
+    // quantity a join planner needs to price a token⋈token equi-join
+    // and a direct skew indicator. Nine independent ±1 md5 sign
+    // functions; each S_r = Σ_occurrences sign_r(t) accumulates
+    // map-side as nine longs per task (ONE skinny aggregation, state
+    // O(9) regardless of cardinality — this is what replaces the
+    // groupBy-count shuffle at 100 TB), estimate = median of S_r².
+    // The exact Σc² twin rides a separate aggregation (the sketch's
+    // accuracy gate); everything is integer, so the oracle replays
+    // the sketch bit-exactly.
+    "ams_f2_tokens" -> QueryDef(
+      (s, dir) => {
+        val reps = 9
+        val toks = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("t"))
+        val sums = (0 until reps).map { r =>
+          sum(when(
+            Md5Hash.lower63Col(concat(lit(s"ams$r:"), col("t"))) % 2 === 0,
+            1L).otherwise(-1L)).as(s"s$r")
+        }
+        val est = toks.agg(sums.head, sums.tail: _*)
+          .select(element_at(
+            sort_array(array((0 until reps).map(r =>
+              (col(s"s$r") * col(s"s$r")).cast("long")): _*)),
+            reps / 2 + 1).as("f2_estimate"))
+        val exact = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).cast("long").as("f2_exact"))
+        exact.crossJoin(est).select(col("f2_exact"), col("f2_estimate"))
+      },
+      s"""WITH tok AS (SELECT unnest($toksSql) AS t FROM documents),
+         |r AS (SELECT unnest(range(0, 9)) AS j),
+         |signs AS (
+         |  SELECT r.j,
+         |    CAST(SUM(CASE WHEN ${md5_63("'ams' || CAST(r.j AS VARCHAR) || ':' || tok.t")} % 2 = 0
+         |             THEN 1 ELSE -1 END) AS BIGINT) AS s
+         |  FROM tok CROSS JOIN r GROUP BY 1),
+         |est AS (SELECT CAST(s * s AS BIGINT) AS e FROM signs),
+         |med AS (SELECT e AS f2_estimate FROM est ORDER BY e LIMIT 1 OFFSET 4),
+         |exact AS (
+         |  SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact
+         |  FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t) g)
+         |SELECT exact.f2_exact, med.f2_estimate FROM exact, med""".stripMargin)
   )
 }

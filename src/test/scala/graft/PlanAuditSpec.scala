@@ -46,7 +46,9 @@ class PlanAuditSpec extends SparkSuite {
     "ks_two_sample_qty", // sample sizes (n_a, n_b) as a broadcast 1-row aggregate
     "kmv_jaccard_flags", // three 1-row sketch-stat aggregates composed by cross join
     "ann_rrf_fusion", // embeds bruteForceTopK's broadcast probe × corpus product (the exact retriever being fused)
-    "pretrain_data_e2e") // composes TemperatureSample + PrefixSum, each with a broadcast 1-row aggregate
+    "pretrain_data_e2e", // composes TemperatureSample + PrefixSum, each with a broadcast 1-row aggregate
+    "ann_maxsim_topk", // MaxSim late interaction: broadcast probe-set × corpus product IS the operator
+    "ams_f2_tokens") // two 1-row aggregates (exact twin × sketch median) composed by cross join
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
