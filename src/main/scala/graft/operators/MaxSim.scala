@@ -48,4 +48,35 @@ object MaxSim {
       .withColumnRenamed("topk_rank", "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("maxsim"))
   }
+
+  /** IVF-routed MaxSim: the corpus-scale pruning path. Corpus rows
+    * assign to their nearest centroid list map-side
+    * ([[graft.functions.CentroidIds]] on the FLAT vector — routing
+    * stays single-vector cheap), probes fan out to `nprobe` lists, and
+    * only the candidate equi-join on `list_id` pays the S² MaxSim
+    * kernel — the same routed-candidates shape as
+    * [[IvfIndex.searchWithCentroids]], with late interaction as the
+    * scoring stage instead of cosine. A (query, neighbor) pair meets on
+    * at most one list (corpus assignment is argmax-unique), so no
+    * pair dedup is needed.
+    */
+  def ivfLateInteractionTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      slices: Int, k: Int, cs: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    import graft.functions.exprs.centroidIds
+    val indexed = corpus.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
+      element_at(centroidIds(col(vecCol), cs, 1), 1).as("list_id"))
+    val fanned = probes.select(
+      col(idCol).as("query_id"), col(vecCol).as("vec_q"),
+      explode(centroidIds(col(vecCol), cs, nprobe)).as("list_id"))
+    val pairs = indexed.join(fanned, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("maxsim",
+        graft.functions.exprs.maxSimScore(col("vec_q"), col("vec_n"), slices))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("maxsim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("maxsim"))
+  }
 }

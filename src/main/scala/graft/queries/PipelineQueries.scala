@@ -552,6 +552,56 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.operators.MaxSim.ivfLateInteractionTopK]]:
+    * the [[ivfOracleSql]] routing CTE (corpus argmax list, probe
+    * nprobe fan-out) with the rescore stage swapped from cosine to the
+    * MaxSim greatest/+ chain over DOUBLE[] slices — the same
+    * bit-exact double recipe as ann_maxsim_topk's oracle.
+    */
+  private def ivfMaxSimOracleSql(
+      dim: Int, nlist: Int, nprobe: Int, seed: Long, k: Int, slices: Int): String = {
+    val cs = IvfIndex.seededCentroids(dim, nlist, seed)
+    val halfNorms = cs.map(c => c.map(x => x * x).sum / 2.0)
+    def scoreExpr(ci: Int): String =
+      "(" + (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE)*${cs(ci)(i)}").mkString(" + ") +
+        s") - ${halfNorms(ci)}"
+    val scoreList = (0 until nlist).map(scoreExpr).mkString(",\n      ")
+    val len = dim / slices
+    val ranges = (0 until slices).map(i => s"${i * len + 1}:${(i + 1) * len}")
+    val maxsim = ranges.map { q =>
+      "greatest(" + ranges.map(c => s"list_dot_product(eq[$q], en[$c])")
+        .mkString(", ") + ")"
+    }.mkString("\n     + ")
+    s"""WITH scored AS (
+       |  SELECT vec_id, embedding, cid, s,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+       |  FROM (
+       |    SELECT vec_id, embedding, unnest(range(0, $nlist)) AS cid,
+       |      unnest([
+       |      $scoreList]) AS s
+       |    FROM embeddings
+       |  )
+       |), pairs AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         CAST(c.embedding AS DOUBLE[]) AS en,
+       |         CAST(p.embedding AS DOUBLE[]) AS eq
+       |  FROM scored c JOIN scored p ON c.cid = p.cid
+       |  WHERE c.r = 1 AND p.r <= $nprobe AND p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |), rescored AS (
+       |  SELECT query_id, neighbor_id,
+       |    ($maxsim) AS score
+       |  FROM pairs
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored
+       |)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB twin of [[IvfIndex.topK]] — the TRAINED path, oracled end
     * to end: replays the deterministic hash-ordered sample and the
     * EXACT-INTEGER k-means (quantized grid, farthest-point init, Lloyd
@@ -1668,6 +1718,27 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       ivfOracleSql(dim = 64, nlist = 16, nprobe = 4, seed = 11L, k = 5)),
+
+    // ------------------------------------------------------------------
+    // IVF-routed MaxSim — late interaction behind the IVF router: the
+    // flat single-vector routes (CentroidIds map-side, probes fan to
+    // nprobe lists), and only the candidate equi-join pays the S²
+    // sub-dot MaxSim kernel. This is the 100 TB serving shape for
+    // multi-vector retrieval: candidate generation never touches the
+    // expensive scorer, and the scorer never sees more than the routed
+    // lists. Oracle = the IVF routing replay + the MaxSim double chain.
+    "ann_ivf_maxsim_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.MaxSim.ivfLateInteractionTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          slices = 4, k = 5,
+          cs = IvfIndex.seededCentroids(dim = 64, nlist = 16, seed = 11L),
+          nprobe = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      ivfMaxSimOracleSql(dim = 64, nlist = 16, nprobe = 4, seed = 11L, k = 5, slices = 4)),
 
     // ------------------------------------------------------------------
     // Product-quantization ADC top-k (Jégou et al. TPAMI 2011) — the

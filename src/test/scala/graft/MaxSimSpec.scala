@@ -78,6 +78,32 @@ class MaxSimSpec extends SparkSuite {
     assert(hit >= 45, s"top-1 planted-copy recall $hit/50")
   }
 
+  test("IVF-routed MaxSim: neighbors come only from routed lists; layout-invariant") {
+    import graft.functions.exprs.centroidIds
+    val cs = graft.operators.IvfIndex.seededCentroids(dim = 64, nlist = 16, seed = 11L)
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val probes = e.filter($"vec_id" < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      MaxSim.ivfLateInteractionTopK(c, probes, "vec_id", "embedding",
+        slices = 4, k = 5, cs = cs, nprobe = 4)
+        .select($"query_id", $"neighbor_id", $"rank")
+        .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3))
+    val got = run(e)
+    assert(got.nonEmpty)
+    assert(got.sameElements(run(e.repartition(5, $"vec_id"))))
+    // routing property: each neighbor's (single) list must be one of
+    // the query's nprobe routed lists
+    val corpusList = e.select($"vec_id",
+      element_at(centroidIds($"embedding", cs, 1), 1).as("l"))
+      .as[(Long, Long)].collect().toMap
+    val probeLists = probes.select($"vec_id",
+      centroidIds($"embedding", cs, 4).as("ls"))
+      .as[(Long, Seq[Long])].collect().toMap
+    got.foreach { case (q, n, _) =>
+      assert(probeLists(q).contains(corpusList(n)), s"($q,$n) not in routed lists")
+    }
+  }
+
   test("result is layout-invariant and self-excluding with dense ranks") {
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val probes = e.filter($"vec_id" < 10)
