@@ -2072,6 +2072,112 @@ object OlapQueries {
          |  CAST(count(*) AS BIGINT) AS n,
          |  CAST(MIN(x) AS BIGINT) AS x_min, CAST(MAX(x) AS BIGINT) AS x_max,
          |  CAST(MIN(y) AS BIGINT) AS y_min, CAST(MAX(y) AS BIGINT) AS y_max
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // RANGE-interval window frame (the VALUE-based frame Spark + DuckDB
+    // both support and nothing else in the repo exercised): per
+    // supplier, trailing 30-day shipped quantity. Pre-aggregate to the
+    // (supplier, day) grain FIRST — the window then slides over ≤
+    // days-per-supplier rows instead of raw lineitems, and the frame is
+    // RANGE over epoch-day so calendar gaps are handled by VALUE, not
+    // row count (a ROWS frame would silently include out-of-window
+    // days). Supplier filter sits on the partition key, so it prunes
+    // the scan without changing any frame's contents.
+    "supplier_trailing30_range" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.lineitem(s, dir)
+          .filter(col("l_suppkey") < 20)
+          .groupBy(
+            col("l_suppkey"),
+            datediff(col("l_shipdate"), to_date(lit("1970-01-01")))
+              .cast("long").as("ship_day"))
+          .agg(sum(col("l_quantity").cast("long")).as("day_qty"))
+        val w = Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+          .rangeBetween(-29, Window.currentRow)
+        daily
+          .withColumn("trail30_qty", sum(col("day_qty")).over(w))
+          .orderBy(col("l_suppkey"), col("ship_day"))
+      },
+      """WITH d AS (
+        |  SELECT l_suppkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', l_shipdate) AS BIGINT) AS ship_day,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS day_qty
+        |  FROM lineitem WHERE l_suppkey < 20 GROUP BY 1, 2)
+        |SELECT l_suppkey, ship_day, day_qty,
+        |  CAST(SUM(day_qty) OVER (PARTITION BY l_suppkey ORDER BY ship_day
+        |       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail30_qty
+        |FROM d ORDER BY l_suppkey, ship_day""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Mergeable equi-width histogram quantile sketch — the quantile
+    // member of the sketch family (CMS=frequency, KMV/HLL=distinct,
+    // AMS=F2, Space-Saving=top-k): per-status bin counts collapse
+    // map-side and MERGE across shards by addition, so a 100 TB
+    // quantile profile pays one O(bins) shuffle per group instead of
+    // sorting the values; the approx quantile is the first bin whose
+    // cumulative count crosses k = ceil(q·n), reported as the bin's
+    // upper bound in cents. Quantile targets are exact integer
+    // fractions ((num·n + den − 1) div den — no float q·n), so both
+    // engines derive identical k. The exact order statistic
+    // (row_number = k) rides as the accuracy twin, same pattern as the
+    // distinct sketches' exact passes.
+    "quantile_sketch_price" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cents = Tables.orders(s, dir).select(
+          col("o_orderstatus").as("status"),
+          (col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+        val qs = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+          .toDF("qlabel", "num", "den")
+        val n = cents.groupBy(col("status")).agg(count(lit(1)).as("n"))
+        val ks = n.crossJoin(broadcast(qs))
+          .withColumn("k", expr("(num * n + den - 1) div den"))
+        val cum = cents
+          .withColumn("bin", expr("cents div 131072"))
+          .groupBy(col("status"), col("bin")).agg(count(lit(1)).as("cnt"))
+          .withColumn("cum",
+            sum(col("cnt")).over(
+              Window.partitionBy(col("status")).orderBy(col("bin"))))
+        val approx = ks.join(cum, "status")
+          .filter(col("cum") >= col("k"))
+          .groupBy(col("status"), col("qlabel"), col("k"))
+          .agg(min(col("bin")).as("bin"))
+          .withColumn("approx_cents", (col("bin") + 1) * 131072 - 1)
+        val rn = cents.withColumn("rn",
+          row_number().over(
+            Window.partitionBy(col("status")).orderBy(col("cents"))))
+        approx.join(rn,
+            approx("status") === rn("status") && approx("k") === rn("rn"))
+          .select(approx("status"), col("qlabel"), col("approx_cents"),
+            col("cents").as("exact_cents"))
+          .orderBy(col("status"), col("qlabel"))
+      },
+      """WITH cents AS (
+        |  SELECT o_orderstatus AS status,
+        |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |q(qlabel, num, den) AS (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)),
+        |n AS (SELECT status, CAST(count(*) AS BIGINT) AS n FROM cents GROUP BY 1),
+        |ks AS (SELECT n.status, q.qlabel,
+        |         CAST((q.num * n.n + q.den - 1) // q.den AS BIGINT) AS k
+        |       FROM n CROSS JOIN q),
+        |cum AS (
+        |  SELECT status, bin, CAST(SUM(cnt) OVER (PARTITION BY status ORDER BY bin) AS BIGINT) AS cum
+        |  FROM (SELECT status, cents // 131072 AS bin, CAST(count(*) AS BIGINT) AS cnt
+        |        FROM cents GROUP BY 1, 2) h),
+        |approx AS (
+        |  SELECT ks.status, ks.qlabel, ks.k, MIN(cum.bin) AS bin
+        |  FROM ks JOIN cum ON cum.status = ks.status AND cum.cum >= ks.k
+        |  GROUP BY 1, 2, 3),
+        |rn AS (SELECT status, cents,
+        |         row_number() OVER (PARTITION BY status ORDER BY cents) AS rn
+        |       FROM cents)
+        |SELECT a.status, a.qlabel,
+        |  CAST((a.bin + 1) * 131072 - 1 AS BIGINT) AS approx_cents,
+        |  rn.cents AS exact_cents
+        |FROM approx a JOIN rn ON rn.status = a.status AND rn.rn = a.k
+        |ORDER BY a.status, a.qlabel""".stripMargin)
   )
 }
