@@ -531,6 +531,64 @@ object SketchStatsQueries {
         |ORDER BY v.dist, v.name_a, v.name_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Entity resolution END-TO-END: fuzzy_name_pairs' blocking+verify
+    // pairs (tightened to dist ≤ 4) fold into entity CLUSTERS via the
+    // pointer-jumping connected components operator (labels converge in
+    // O(log d) rounds over string keys — least() is lexicographic), and
+    // each cluster reports its canonical name (min member), member
+    // count, and total part mass. This is the merge step every dedup/ER
+    // pipeline needs after pair scoring; at 100 TB the pair graph is
+    // the small derived artifact (distinct-name grain), never the row
+    // grain. The oracle replays the closure with a recursive CTE
+    // (reachable-label transitive closure + MIN), which terminates
+    // because UNION dedups and the name graph is the tiny blocked one.
+    "er_resolved_entities" -> QueryDef(
+      (s, dir) => {
+        val names = Tables.part(s, dir)
+          .groupBy(col("p_name").as("name"))
+          .agg(count(lit(1)).as("n_parts"))
+        val idx = names.select(
+          col("name"), explode(split(col("name"), " ")).as("tok"))
+        val pairs = idx.as("a")
+          .join(idx.as("b"), col("a.tok") === col("b.tok") &&
+            col("a.name") < col("b.name"))
+          .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+          .distinct()
+          .filter(levenshtein(col("name_a"), col("name_b")) <= 4)
+        val labels = graft.operators.Dedup
+          .connectedComponents(pairs, "name_a", "name_b")
+        labels.join(names, labels("id") === names("name"))
+          .groupBy(col("component").as("canonical"))
+          .agg(
+            count(lit(1)).as("n_names"),
+            sum(col("n_parts")).as("total_parts"))
+          .filter(col("n_names") >= 2)
+          .orderBy(col("canonical"))
+      },
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1),
+        |idx AS (SELECT name, unnest(string_split(name, ' ')) AS tok FROM names),
+        |pairs AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM idx a JOIN idx b ON a.tok = b.tok AND a.name < b.name),
+        |fp AS (SELECT name_a, name_b FROM pairs
+        |       WHERE levenshtein(name_a, name_b) <= 4),
+        |edges AS (SELECT name_a AS u, name_b AS v FROM fp
+        |          UNION ALL SELECT name_b, name_a FROM fp),
+        |reach(u, label) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+        |  UNION
+        |  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v),
+        |comp AS (SELECT u AS name, MIN(label) AS canonical FROM reach GROUP BY 1)
+        |SELECT comp.canonical,
+        |  CAST(count(*) AS BIGINT) AS n_names,
+        |  CAST(SUM(names.n_parts) AS BIGINT) AS total_parts
+        |FROM comp JOIN names ON names.name = comp.name
+        |GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY comp.canonical""".stripMargin),
+
+    // ------------------------------------------------------------------
     // WordPiece merge induction (WordPiece.train): 6 rounds scored by
     // pair likelihood count(l,r)/(count(l)·count(r)) — the BERT
     // tokenizer's training rule, complementing bpe_merges' raw-count
