@@ -301,6 +301,124 @@ case class MaxSimScore(left: Expression, right: Expression, slices: Int)
     copy(left = l, right = r)
 }
 
+/** Integer quantization of a float/double vector: q_i = floor(x_i·scale)
+  * as long. floor and the double multiply are both IEEE-exact given the
+  * same inputs, so the codes replay in any engine (`floor(CAST(x AS
+  * DOUBLE) * scale)`), making every downstream integer computation
+  * bit-exact — the same grid trick as [[graft.operators.IvfIndex]].
+  */
+case class QuantizeVec(child: Expression, scale: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantize_vec"
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"quantize_vec requires array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val x = input.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = if (elemIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      out(i) = math.floor(v * scale).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): QuantizeVec =
+    copy(child = c)
+}
+
+/** Rademacher (±1) random projection of a QUANTIZED long vector
+  * (Achlioptas 2003, "Database-friendly random projections" — public
+  * literature): p_c = Σ_i signs(c)(i)·q_i. Input array<long>
+  * (see [[QuantizeVec]]), output array<long> of length `signs.size` —
+  * all integer, so projections and projected distances replay exactly
+  * in SQL with the same ±1 literals.
+  */
+case class SignedProject(child: Expression, signs: Seq[Seq[Int]])
+    extends UnaryExpression with CodegenFallback {
+  require(signs.nonEmpty && signs.forall(_.size == signs.head.size),
+    "signs must be a non-empty rectangular ±1 matrix")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "signed_project"
+
+  private lazy val mat: Array[Array[Int]] = signs.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"signed_project requires array<long>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val q = input.asInstanceOf[ArrayData]
+    val dim = math.min(q.numElements(), mat(0).length)
+    val out = new Array[Long](mat.length)
+    var c = 0
+    while (c < mat.length) {
+      val row = mat(c)
+      var acc = 0L
+      var i = 0
+      while (i < dim) {
+        acc += row(i) * q.getLong(i)
+        i += 1
+      }
+      out(c) = acc
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): SignedProject =
+    copy(child = c)
+}
+
+/** Σ (a_i − b_i)² over two long arrays — exact integer squared L2
+  * distance for quantized/projected vectors.
+  */
+case class LongVecDistSq(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "longvec_dist_sq"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"longvec_dist_sq requires two array<long>, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongVecDistSq =
+    copy(left = l, right = r)
+}
+
 /** SimHash straight from text: tokenize (lowercase, whitespace) and
   * vote in one pass — no intermediate token array. Same fingerprints
   * as `SimHash64(tokens(text))` for already-lowercase inputs.
@@ -1520,6 +1638,18 @@ object exprs {
   def maxSimScore(query: Column, doc: Column, slices: Int): Column =
     GraftShim.column(MaxSimScore(
       GraftShim.expression(query), GraftShim.expression(doc), slices))
+
+  /** floor(x·scale) integer codes of a float/double array column. */
+  def quantizeVec(vec: Column, scale: Int): Column =
+    GraftShim.column(QuantizeVec(GraftShim.expression(vec), scale))
+
+  /** ±1 Rademacher projection of a quantized long-array column. */
+  def signedProject(qvec: Column, signs: Seq[Seq[Int]]): Column =
+    GraftShim.column(SignedProject(GraftShim.expression(qvec), signs))
+
+  /** Exact integer squared L2 distance of two long-array columns. */
+  def longVecDistSq(a: Column, b: Column): Column =
+    GraftShim.column(LongVecDistSq(GraftShim.expression(a), GraftShim.expression(b)))
 
   /** #elements ≤ key in a sorted array column (binary search). */
   def searchSortedCount(sortedArr: Column, key: Column): Column =

@@ -336,6 +336,61 @@ object CurationQueries {
          |SELECT doc_id, chunk_idx, CAST(start_tok AS BIGINT) AS start_tok,
          |  CAST(len(toks[start_tok + 1 : start_tok + 64]) AS BIGINT) AS chunk_tokens,
          |  array_to_string(toks[start_tok + 1 : start_tok + 64], ' ') AS chunk_text
-         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Johnson–Lindenstrauss 64→16 reduction with a Rademacher ±1
+    // matrix (Achlioptas 2003) over the integer quantization grid:
+    // projection is map-only k·dim integer adds per row, distances are
+    // exact BIGINT on both the original and projected grids, and the
+    // per-pair distortion ppm = proj_d2·1e6 div (k·orig_d2) clusters
+    // around 1e6 exactly as the lemma promises. The oracle re-derives
+    // the quantized codes with floor(x·1024), applies the identical ±1
+    // literals, and replays both unrolled distance chains — integers
+    // end to end.
+    "embedding_jl_distortion" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.JlProject.distortionPairs(
+          emb.filter(col("vec_id") < 200), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding",
+          signs = graft.operators.JlProject.signMatrix(k = 16, dim = 64, seed = 33L))
+          .orderBy(col("query_id"), col("neighbor_id"))
+      },
+      jlOracleSql(k = 16, dim = 64, seed = 33L, nProbes = 10, nCorpus = 200))
   )
+
+  /** DuckDB twin of [[graft.operators.JlProject.distortionPairs]]:
+    * quantize with floor(x·1024), project with the same ±1 literal
+    * matrix (unrolled signed sums), unrolled integer distance chains.
+    */
+  private def jlOracleSql(k: Int, dim: Int, seed: Long, nProbes: Int, nCorpus: Int): String = {
+    val signs = graft.operators.JlProject.signMatrix(k, dim, seed)
+    val projList = (0 until k).map { c =>
+      "0" + (0 until dim).map(i =>
+        s"${if (signs(c)(i) > 0) "+" else "-"}qv[${i + 1}]").mkString
+    }.mkString(",\n      ")
+    val origD2 = (1 to dim)
+      .map(i => s"(a.qv[$i]-b.qv[$i])*(a.qv[$i]-b.qv[$i])").mkString(" + ")
+    val projD2 = (1 to k)
+      .map(i => s"(a.pv[$i]-b.pv[$i])*(a.pv[$i]-b.pv[$i])").mkString(" + ")
+    s"""WITH q AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |                   x -> CAST(floor(x * 1024) AS BIGINT)) AS qv
+       |  FROM embeddings WHERE vec_id < $nCorpus),
+       |p AS (
+       |  SELECT vec_id, qv, [
+       |      $projList] AS pv
+       |  FROM q),
+       |d AS (
+       |  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+       |    CAST($origD2 AS BIGINT) AS orig_d2,
+       |    CAST($projD2 AS BIGINT) AS proj_d2
+       |  FROM p a JOIN p b ON b.vec_id < $nProbes AND a.vec_id <> b.vec_id)
+       |SELECT query_id, neighbor_id, orig_d2, proj_d2,
+       |  (proj_d2 * 1000000) // ($k * orig_d2) AS ppm
+       |FROM d WHERE orig_d2 > 0
+       |ORDER BY query_id, neighbor_id""".stripMargin
+  }
 }
