@@ -94,7 +94,21 @@ object Explain {
     "fuzzy_name_pairs" ->
       "ER blocking: names shrink to their distinct grain FIRST, candidates are a token inverted-index equi-join (no cartesian name grid), levenshtein verifies in the projection.",
     "pagerank_supplier_customer" ->
-      "Iterative joins: degree-joined edge frame checkpointed once and scanned 5×; each round is one broadcast-rank equi-join + one destination agg — no per-round materialization at k=5.")
+      "Iterative joins: degree-joined edge frame checkpointed once and scanned 5×; each round is one broadcast-rank equi-join + one destination agg — no per-round materialization at k=5.",
+    "ann_maxsim_topk" ->
+      "Late interaction: ONE codegen'd MaxSimScore node per pair (no slice materialization) over the broadcast probe product; bounded-heap TopKPerGroup caps the exchange at k rows per (partition, query).",
+    "ann_ivf_maxsim_topk" ->
+      "MaxSim behind the IVF router: map-side CentroidIds list assignment, probes fan to nprobe lists, the S² kernel prices only the routed equi-join — the full corpus never meets the scorer.",
+    "ams_f2_tokens" ->
+      "AMS sketch: nine ±1 sign sums accumulate map-side as nine longs per task (O(9) state, cardinality-independent); the groupBy-count shuffle belongs to the exact twin only.",
+    "supplier_trailing30_range" ->
+      "VALUE-based RANGE frame: pre-aggregation to the (supplier, day) grain shrinks the window input; the supplier filter sits on the partition key and prunes the scan.",
+    "quantile_sketch_price" ->
+      "Histogram quantile sketch: O(bins) mergeable counts per group + a broadcast 3-row quantile-target frame; the full sort belongs to the exact order-statistic twin only.",
+    "er_resolved_entities" ->
+      "ER merge: blocked pairs at the distinct-name grain feed pointer-jumping CC (O(log d) rounds); the cluster rollup joins labels back at O(names), never the part row grain.",
+    "embedding_jl_distortion" ->
+      "JL projection: quantize+project are map-only integer kernels in the scan stage; pair distances are two O(dim) integer chains over the broadcast probe product.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")

@@ -1358,6 +1358,46 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Prefix-filtered set-similarity self-join (SSJoin/PPJoin,
+    // Chaudhuri'06 / Xiao'08): 4-gram shingle-set Jaccard ≥ 3/5 pairs
+    // WITHOUT the full inverted-index blow-up — only each doc's
+    // (1−α)|t|+1 RAREST elements (global df-asc order) are indexed for
+    // candidate generation; the prefix-filter theorem makes that
+    // lossless UNDER ANY global total order, so the Spark side may
+    // order 64-bit shingle HASHES while the oracle replays textual
+    // shingles — results agree because the verified output is
+    // order-independent (the dedup_ngram_jaccard hash≡text
+    // equivalence). The all-integer cross-multiplied Jaccard test
+    // (den·∩ ≥ num·∪) keeps both engines bit-identical, and the
+    // oracle is the NAIVE all-pairs join — passing the gate PROVES
+    // the pruning drops nothing.
+    "ppjoin_set_similarity" -> QueryDef(
+      (s, dir) =>
+        graft.operators.PpJoin.jaccardPairs(
+          perturbedDocs(s, dir).select(col("doc_id"),
+            graft.functions.exprs.ngramHashes(col("text"), 4).as("toks")),
+          "doc_id", "toks", num = 3, den = 5)
+          .orderBy(col("id_a"), col("id_b")),
+      s"""WITH corpus AS ($perturbedSql),
+         |dt AS (
+         |  SELECT doc_id AS doc, unnest(list_distinct(
+         |    list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' ')))) AS tok
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+         |  WHERE len(toks) >= 4),
+         |sizes AS (SELECT doc, CAST(count(*) AS BIGINT) AS sz FROM dt GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc AS id_a, b.doc AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc < b.doc
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.inter, sa.sz AS size_a, sb.sz AS size_b
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc = p.id_a
+         |JOIN sizes sb ON sb.doc = p.id_b
+         |WHERE 5 * p.inter >= 3 * (sa.sz + sb.sz - p.inter)
+         |ORDER BY p.id_a, p.id_b""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Cross-source near-dup matrix: which SOURCES leak into each other
     // — the diagnostic a mixture owner reads before weighting sources
     // (two crawls of the same site look like two sources until this
