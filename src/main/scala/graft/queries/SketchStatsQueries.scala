@@ -486,6 +486,54 @@ object SketchStatsQueries {
          |FROM d GROUP BY 1 ORDER BY source""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Per-source quantile NORMALIZATION of the hashed quality score —
+    // the calibration step before any cross-source threshold: raw
+    // classifier scores aren't comparable between sources (each source
+    // has its own score distribution), so each doc maps to its
+    // within-source rank percentile in exact integer ppm
+    // ((rk−1)·1e6 div (n−1)), and the global "top 10% of EVERY source"
+    // selection (ppm ≥ 900000) is fair by construction. One
+    // source-partitioned window over the doc grain; deterministic
+    // (score, doc_id) tie-break.
+    "quality_quantile_normalize" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(sum(
+            Md5Hash.lower63Col(concat(lit("w:"), col("t"))) % 17 - 8).as("score"))
+        val d = docs.select(col("doc_id"), col("source"))
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("score", coalesce(col("score"), lit(0L)))
+        d.withColumn("rk", row_number().over(
+            Window.partitionBy(col("source")).orderBy(col("score"), col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+          .withColumn("ppm",
+            when(col("n") > 1, expr("((rk - 1) * 1000000) div (n - 1)"))
+              .otherwise(lit(1000000L)))
+          .filter(col("ppm") >= 900000)
+          .select(col("source"), col("doc_id"), col("score"), col("ppm"))
+          .orderBy(col("source"), col("doc_id"))
+      },
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |w AS (SELECT doc_id, CAST(SUM(${md5_63("'w:' || t")} % 17 - 8) AS BIGINT) AS score FROM tk GROUP BY 1),
+         |d AS (SELECT d.doc_id, d.source, coalesce(w.score, 0) AS score
+         |      FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id),
+         |r AS (SELECT source, doc_id, score,
+         |        row_number() OVER (PARTITION BY source ORDER BY score, doc_id) AS rk,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM d),
+         |p AS (SELECT source, doc_id, score,
+         |        CASE WHEN n > 1
+         |             THEN CAST(((rk - 1) * 1000000) // (n - 1) AS BIGINT)
+         |             ELSE CAST(1000000 AS BIGINT) END AS ppm
+         |      FROM r)
+         |SELECT source, doc_id, score, ppm FROM p
+         |WHERE ppm >= 900000
+         |ORDER BY source, doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Fuzzy entity resolution on part names: the classic blocking +
     // verify shape. Names dedupe to their DISTINCT grain first (the
     // shrink-then-pair move — the name vocabulary is constant-size no
