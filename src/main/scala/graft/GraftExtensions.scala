@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{CleanText, LongArrayMatchCount, MinHashSig, NgramHashes, SimHash64, SimHashText, VecDot, WinnowFingerprint}
+import graft.functions.{CleanText, LongArrayMatchCount, LongVecDistSq, MaxSimScore, MinHashSig, NgramHashes, QuantizeVec, SimHash64, SimHashText, VecDot, WinnowFingerprint}
 
 /** SparkSessionExtensions registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT simhash_text(text) ...")` works —
@@ -31,6 +31,12 @@ object GraftExtensions {
       args => LongArrayMatchCount(args.head, args(1)), "built-in")
     r.createOrReplaceTempFunction("clean_text",
       args => CleanText(args.head), "built-in")
+    r.createOrReplaceTempFunction("maxsim_score",
+      args => MaxSimScore(args.head, args(1), litInt(args(2))), "built-in")
+    r.createOrReplaceTempFunction("quantize_vec",
+      args => QuantizeVec(args.head, litInt(args(1))), "built-in")
+    r.createOrReplaceTempFunction("longvec_dist_sq",
+      args => LongVecDistSq(args.head, args(1)), "built-in")
   }
 
   private[graft] def litInt(e: Expression): Int = e match {
@@ -84,5 +90,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("clean_text"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "clean_text"),
       (args: Seq[Expression]) => CleanText(args.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("maxsim_score"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "maxsim_score"),
+      (args: Seq[Expression]) => MaxSimScore(args.head, args(1), lit(args(2)))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("quantize_vec"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "quantize_vec"),
+      (args: Seq[Expression]) => QuantizeVec(args.head, lit(args(1)))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("longvec_dist_sq"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "longvec_dist_sq"),
+      (args: Seq[Expression]) => LongVecDistSq(args.head, args(1))))
   }
 }

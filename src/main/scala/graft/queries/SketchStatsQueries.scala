@@ -358,6 +358,40 @@ object SketchStatsQueries {
          |FROM w, t GROUP BY t.na, t.nb""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Total variation distance between the same two slices the KS test
+    // compares — the drift metric that weights EVERY bin's mass gap
+    // (KS sees only the worst CDF point; PSI needs logs, which the
+    // cross-engine parity law forbids — TVD is the information-metric
+    // sibling that stays in integers). TVD = Σ|ca/na − cb/nb|/2 with
+    // the exact numerator Σ|ca·nb − cb·na| carried as BIGINT and ONE
+    // final double division — bit-identical across engines. Same
+    // O(distinct-values) shape as KS: grouped counts, no per-row
+    // shuffle.
+    "drift_tvd_quantity" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("R", "N"))
+        val c = li.groupBy(col("l_quantity").cast("long").as("q"))
+          .agg(
+            sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("ca"),
+            sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("cb"))
+        val t = c.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+        c.crossJoin(broadcast(t))
+          .groupBy(col("n_a"), col("n_b"))
+          .agg(sum(abs(col("n_b") * col("ca") - col("n_a") * col("cb"))).as("tvd_num"))
+          .withColumn(
+            "tvd",
+            col("tvd_num").cast("double") / (lit(2L) * col("n_a") * col("n_b")).cast("double"))
+          .select(col("n_a"), col("n_b"), col("tvd_num"), col("tvd"))
+      },
+      s"""WITH $rankCountsSql,
+         |t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM c)
+         |SELECT t.na AS n_a, t.nb AS n_b,
+         |  CAST(SUM(abs(t.nb * c.ca - t.na * c.cb)) AS BIGINT) AS tvd_num,
+         |  CAST(SUM(abs(t.nb * c.ca - t.na * c.cb)) AS DOUBLE) / CAST(2 * t.na * t.nb AS DOUBLE) AS tvd
+         |FROM c, t GROUP BY t.na, t.nb""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Mann–Whitney U (Wilcoxon rank-sum) with midrank tie handling,
     // same two samples. Midranks are half-integers, so the query
     // carries 2·R_A: for a value with cumbefore items below and t tied,

@@ -19,6 +19,16 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT size(winnow_fingerprint('abcdefghijklmnop', 8, 4)) AS n").collect()(0).getInt(0) > 0)
     assert(spark.sql(
       "SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0) != 0L)
+    // maxsim with 2 slices of [1,0]/[0,1] vs itself: max dots = 1+1
+    assert(spark.sql(
+      "SELECT maxsim_score(array(1.0D, 0.0D), array(1.0D, 0.0D), 2) AS s")
+      .collect()(0).getDouble(0) == 1.0)
+    assert(spark.sql(
+      "SELECT quantize_vec(array(1.5D, -0.25D), 4) AS q").collect()(0)
+      .getSeq[Long](0) == Seq(6L, -1L))
+    assert(spark.sql(
+      "SELECT longvec_dist_sq(array(3L, 1L), array(1L, 4L)) AS d")
+      .collect()(0).getLong(0) == 13L)
   }
 
   test("upsert statement: reference ON CONFLICT DO NOTHING shape") {

@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSuite {
     "ann_maxsim_topk", // MaxSim late interaction: broadcast probe-set × corpus product IS the operator
     "ams_f2_tokens", // two 1-row aggregates (exact twin × sketch median) composed by cross join
     "quantile_sketch_price", // 3-row quantile-target literal × O(groups) count frame, broadcast
-    "embedding_jl_distortion") // broadcast probe-set × bounded corpus product is the distortion eval
+    "embedding_jl_distortion", // broadcast probe-set × bounded corpus product is the distortion eval
+    "drift_tvd_quantity") // sample sizes (n_a, n_b) as a broadcast 1-row aggregate (the KS shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
