@@ -339,6 +339,50 @@ object CurationQueries {
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Unicode hygiene: homoglyph detection/normalization — the
+    // contamination-evasion and spam vector where Cyrillic lookalikes
+    // (а е о) replace Latin letters so exact-dedup and benchmark
+    // n-gram filters miss the text. The fixture is ASCII, so docs are
+    // SALTED deterministically (doc_id % 4 → a/e/o swapped to their
+    // U+0430/0435/043E twins, the line_dedup salting pattern); the
+    // detector is two codepoint `translate` passes — count = len −
+    // len(strip), normalize = reverse map — both map-only scan-stage
+    // string kernels with identical Spark/DuckDB semantics.
+    "homoglyph_hygiene" -> QueryDef(
+      (s, dir) => {
+        val salted = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          when(col("doc_id") % 4 === 0,
+            translate(coalesce(col("text"), lit("")), "aeo", "аео"))
+            .otherwise(coalesce(col("text"), lit(""))).as("text"))
+        salted
+          .withColumn("n_homo",
+            (length(col("text")) -
+              length(translate(col("text"), "аео", ""))).cast("long"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("n_homo") > 0, 1L).otherwise(0L)).as("n_flagged"),
+            sum(col("n_homo")).as("total_homoglyphs"))
+          .orderBy(col("source"))
+      },
+      """WITH salted AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN translate(coalesce(text, ''), 'aeo', 'аео')
+        |         ELSE coalesce(text, '') END AS text
+        |  FROM documents),
+        |sc AS (
+        |  SELECT source,
+        |    CAST(length(text) - length(translate(text, 'аео', '')) AS BIGINT) AS n_homo
+        |  FROM salted)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_homo > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(n_homo) AS BIGINT) AS total_homoglyphs
+        |FROM sc GROUP BY 1 ORDER BY source""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Johnson–Lindenstrauss 64→16 reduction with a Rademacher ±1
     // matrix (Achlioptas 2003) over the integer quantization grid:
     // projection is map-only k·dim integer adds per row, distances are
