@@ -118,6 +118,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
+  /** Multi-probe LSH top-k (Lv, Josephson, Wang, Charikar & Li, VLDB
+    * 2007 — public literature): same tables/planes as [[lshTopK]], but
+    * each PROBE additionally checks the buckets reached by flipping
+    * one of the first `flips` plane bits — the buckets a near neighbor
+    * most likely fell into when a single hyperplane cut between the
+    * pair. Recall of T tables with f flips approaches T·(f+1)
+    * single-probe tables at the INDEX cost of T: the corpus is still
+    * bucketed once per table; only the (tiny) probe side fans out
+    * ×(f+1), and the candidate join stays an id-only equi-join. This
+    * is the knob that matters at 100 TB — index size scales with
+    * corpus × tables, probe fan-out is free.
+    */
+  def multiProbeLshTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, dim: Int, tables: Int = 6, planesPerTable: Int = 8,
+      flips: Int = 4, seed: Long = 42L): DataFrame = {
+    require(flips >= 0 && flips <= planesPerTable, s"flips $flips out of range")
+    def withBuckets(df: DataFrame, id: String): DataFrame =
+      df.select(col(idCol).as(id),
+        posexplode(bucketIds(col(vecCol), dim, tables, planesPerTable, seed)))
+        .withColumnRenamed("pos", "table_idx")
+        .withColumnRenamed("col", "bucket")
+    val corpusBuckets = withBuckets(corpus, "neighbor_id")
+    val probeBuckets = withBuckets(probes, "query_id")
+      .select(col("query_id"), col("table_idx"),
+        explode(array(
+          col("bucket") +:
+            (0 until flips).map(j => col("bucket").bitwiseXOR(lit(1L << j))): _*))
+          .as("bucket"))
+    val candidates = corpusBuckets
+      .join(probeBuckets, Seq("table_idx", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val cSide = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
+      l2Norm(col(vecCol)).as("norm_n"))
+    val pSide = probes.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"),
+      l2Norm(col(vecCol)).as("norm_q"))
+    val pairs = candidates
+      .join(cSide, "neighbor_id")
+      .join(broadcast(pSide), "query_id")
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold), LSH-bucketed candidate generation + exact verify.
     */

@@ -761,6 +761,63 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB twin of [[Similarity.multiProbeLshTopK]]: the
+    * [[lshOracleSql]] bucket replay with each table's match condition
+    * widened to the probe's base bucket plus its `flips` one-bit-XOR
+    * perturbations.
+    */
+  private def multiProbeLshOracleSql(
+      dim: Int, tables: Int, planesPerTable: Int, flips: Int,
+      seed: Long, k: Int): String = {
+    val rng = new scala.util.Random(seed)
+    val w = Array.fill(tables * planesPerTable * dim)(rng.nextGaussian())
+    def planeDot(vec: String, off: Int): String =
+      (0 until dim).map(i => s"CAST($vec[${i + 1}] AS DOUBLE)*${w(off + i)}").mkString(" + ")
+    def bucketExpr(t: Int): String =
+      (0 until planesPerTable).map { p =>
+        val off = (t * planesPerTable + p) * dim
+        s"(CASE WHEN ${planeDot("embedding", off)} >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString(" + ")
+    val bucketCols = (0 until tables).map(t => s"${bucketExpr(t)} AS b$t").mkString(",\n    ")
+    val orCond = (0 until tables).map { t =>
+      val probeSet = (s"p.b$t" +:
+        (0 until flips).map(j => s"xor(p.b$t, ${1L << j})")).mkString(", ")
+      s"c.b$t IN ($probeSet)"
+    }.mkString(" OR ")
+    val selfDot = (0 until dim)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*CAST(embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val pairDot = (0 until dim)
+      .map(i => s"CAST(e_n[${i + 1}] AS DOUBLE)*CAST(e_q[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    $bucketCols
+       |  FROM embeddings
+       |), nrm AS (
+       |  SELECT vec_id, sqrt($selfDot) AS n FROM embeddings
+       |), cand AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |         c.embedding AS e_n, p.embedding AS e_q
+       |  FROM b c JOIN b p
+       |    ON p.vec_id < 10 AND c.vec_id <> p.vec_id
+       |   AND ($orCond)
+       |), scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n) ELSE 0.0 END AS sim
+       |  FROM cand
+       |  JOIN nrm nn ON nn.vec_id = cand.neighbor_id
+       |  JOIN nrm nq ON nq.vec_id = cand.query_id
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -1723,6 +1780,26 @@ object PipelineQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       lshOracleSql(dim = 64, tables = 12, planesPerTable = 8, seed = 42L, k = 5)),
+
+    // ------------------------------------------------------------------
+    // Multi-probe LSH (Lv et al., VLDB 2007): HALF the tables of
+    // ann_lsh_topk (6 vs 12) with 4 one-bit-flip probes per table —
+    // probe-side fan-out buys the recall that extra tables would,
+    // without growing the corpus-side index (the term that scales
+    // with 100 TB). Buckets, flips, and the cosine rerank all replay
+    // in the oracle (xor on the inlined plane-bit buckets).
+    "ann_multiprobe_lsh_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.multiProbeLshTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, dim = 64, tables = 6, planesPerTable = 8, flips = 4)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      multiProbeLshOracleSql(
+        dim = 64, tables = 6, planesPerTable = 8, flips = 4,
+        seed = 42L, k = 5)),
 
     // ------------------------------------------------------------------
     // IVF ANN, TRAINED path — oracled end to end: training is an

@@ -112,6 +112,27 @@ class DedupSpec extends SparkSuite {
     assert(hit >= 45, s"top-1 planted-copy recall $hit/50")
   }
 
+  test("multi-probe LSH: flips recover the recall extra tables would buy") {
+    val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
+    val perturbed = e.select(
+      ($"vec_id" + 1000).as("vec_id"),
+      transform($"embedding", x => x * lit(0.9f) + lit(0.02f)).as("embedding"))
+    val corpus = e.unionAll(perturbed)
+    val probes = e.filter($"vec_id" < 50)
+    def recallOf(res: org.apache.spark.sql.DataFrame): Int = {
+      val s = res.select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (0L until 50L).count(i => s.contains((i, i + 1000)))
+    }
+    // same 6 tables: single-probe vs 4-flip multi-probe
+    val single = recallOf(Similarity.lshTopK(
+      corpus, probes, "vec_id", "embedding", 1, dim = 64, tables = 6))
+    val multi = recallOf(Similarity.multiProbeLshTopK(
+      corpus, probes, "vec_id", "embedding", 1, dim = 64,
+      tables = 6, planesPerTable = 8, flips = 4))
+    assert(multi >= single, s"multi-probe $multi < single-probe $single")
+    assert(multi >= 45, s"multi-probe top-1 planted-copy recall $multi/50")
+  }
+
   test("IVF ANN: planted near-copies found; recall vs brute force reasonable") {
     val e = Tables.embeddings(spark, dir).select($"vec_id", $"embedding")
     val perturbed = e.select(
