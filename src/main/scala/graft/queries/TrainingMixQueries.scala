@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -648,6 +649,86 @@ object TrainingMixQueries {
          |LEFT JOIN cnt tc ON tc.t = p.token
          |LEFT JOIN est ON est.token = p.token
          |GROUP BY 1, 2
-         |ORDER BY p.token""".stripMargin)
+         |ORDER BY p.token""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // T5/UL2-style span-corruption offsets (Raffel et al., JMLR 2020):
+    // the denoising objective needs, per document, a deterministic set
+    // of NON-OVERLAPPING mask spans. Strided draw guarantees
+    // disjointness by construction: slot i owns tokens
+    // [i·20, (i+1)·20) and places its 3-token span at
+    // i·20 + md5(doc,i) mod 17 — no rejection loop, no sequential
+    // scan, replayable by any engine. Map-only over the corpus scan;
+    // the explode is bounded by n_tokens/20 per doc.
+    "span_corruption_offsets" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+          .filter(col("n_tokens") >= 20)
+        docs
+          .select(col("doc_id"),
+            explode(sequence(lit(0L), expr("n_tokens div 20") - 1)).as("span_idx"))
+          .withColumn("span_start",
+            col("span_idx") * 20 +
+              Md5Hash.lower63Col(concat(
+                col("doc_id").cast("string"), lit(":"),
+                col("span_idx").cast("string"))) % 17)
+          .withColumn("span_len", lit(3L))
+          .orderBy(col("doc_id"), col("span_idx"))
+      },
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |d AS (SELECT doc_id, n_tokens FROM t WHERE n_tokens >= 20),
+         |sp AS (SELECT doc_id, unnest(range(0, n_tokens // 20)) AS span_idx FROM d)
+         |SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+         |  CAST(span_idx * 20 +
+         |       ${md5_63("CAST(doc_id AS VARCHAR) || ':' || CAST(span_idx AS VARCHAR)")} % 17
+         |       AS BIGINT) AS span_start,
+         |  CAST(3 AS BIGINT) AS span_len
+         |FROM sp ORDER BY doc_id, span_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Length-bucketed dynamic batching: group docs into 64-token
+    // length buckets, fill batches of 16 in deterministic id order,
+    // and report each batch's padding waste (n·max − Σ) — the batching
+    // strategy that replaces "pad everything to the global max". One
+    // window PER BUCKET (parallel across buckets, never a global
+    // sort), and the per-batch aggregates are mergeable counts. The
+    // waste column is the online monitoring signal that says when the
+    // bucket width is wrong.
+    "length_bucketed_batches" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(
+          col("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        docs
+          .withColumn("bucket", expr("n_tokens div 64"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("bucket")).orderBy(col("doc_id"))))
+          .withColumn("batch_id", expr("(rn - 1) div 16"))
+          .groupBy(col("bucket"), col("batch_id"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            max(col("n_tokens")).as("max_len"),
+            sum(col("n_tokens")).as("sum_len"))
+          .withColumn("padding_waste",
+            col("n_docs") * col("max_len") - col("sum_len"))
+          .orderBy(col("bucket"), col("batch_id"))
+      },
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |b AS (SELECT doc_id, n_tokens, n_tokens // 64 AS bucket FROM t),
+         |r AS (SELECT doc_id, n_tokens, bucket,
+         |        row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn
+         |      FROM b),
+         |g AS (SELECT bucket, (rn - 1) // 16 AS batch_id, n_tokens FROM r)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(batch_id AS BIGINT) AS batch_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_len,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
+         |  CAST(count(*) * max(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
+         |FROM g GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin)
   )
 }
