@@ -1455,6 +1455,64 @@ object PipelineQueries {
          |ORDER BY p.id_a, p.id_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Containment (asymmetric Jaccard) pairs — the excerpt/quote
+    // detector: C = |∩| / min(|a|,|b|) ≥ 9/10 flags a short doc whose
+    // shingles are almost all inside a longer one, which symmetric
+    // Jaccard structurally MISSES (a 30-token excerpt of a 150-token
+    // doc has J ≈ 0.2). Fixture salts first-30-token excerpts at
+    // id+200000; the planted (orig, excerpt) pairs are exactly what
+    // the query must recover. Same inverted-index + integer
+    // cross-multiply machinery as the Jaccard family (10·∩ ≥ 9·min) —
+    // at corpus scale the hot-shingle caps from ngramJaccardPairs
+    // apply unchanged (prefix filtering does NOT: its bound assumes
+    // the symmetric threshold).
+    "containment_excerpt_pairs" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val corpus = d.unionAll(d.select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ",
+            slice(graft.operators.TextOps.tokens(col("text")), 1, 30)).as("text")))
+        val dt = corpus
+          .select(col("doc_id"),
+            explode(graft.functions.exprs.ngramHashes(col("text"), 4)).as("tok"))
+        val sizes = dt.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        dt.as("a").join(dt.as("b"),
+            col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("size_a")), "id_a")
+          .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("size_b")), "id_b")
+          .filter(expr("10 * inter >= 9 * least(size_a, size_b)"))
+          .select(col("id_a"), col("id_b"), col("inter"),
+            col("size_a"), col("size_b"))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000 AS doc_id,
+         |         array_to_string(($toksSql)[1:30], ' ') AS text
+         |  FROM documents),
+         |dt AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |    list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' ')))) AS tok
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM base)
+         |  WHERE len(toks) >= 4),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM dt GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b, p.inter, sa.sz AS size_a, sb.sz AS size_b
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.id_a
+         |JOIN sizes sb ON sb.doc_id = p.id_b
+         |WHERE 10 * p.inter >= 9 * least(sa.sz, sb.sz)
+         |ORDER BY p.id_a, p.id_b""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Cross-source near-dup matrix: which SOURCES leak into each other
     // — the diagnostic a mixture owner reads before weighting sources
     // (two crawls of the same site look like two sources until this
