@@ -301,6 +301,88 @@ case class MaxSimScore(left: Expression, right: Expression, slices: Int)
     copy(left = l, right = r)
 }
 
+/** Content-defined chunking (LBFS/rsync family — Muthitacharoen,
+  * Chen & Mazières, SOSP 2001, public literature): cut a document
+  * wherever the w-char polynomial rolling hash H_p = Σ_j c_{p−j}·B^j
+  * mod M lands on 0 mod D — boundaries depend on local CONTENT, not
+  * absolute offsets, so an insertion near the start shifts only the
+  * chunk it touches and every later chunk re-aligns (fixed-size
+  * blocks lose all of them). This stateless form (no min/max chunk
+  * guards — production variants add them at the cost of sequential
+  * state) makes every cut decision a pure function of a w-char
+  * window: embarrassingly parallel AND replayable in SQL.
+  *
+  * Input: string (ASCII/codepoint domain — for binary payloads the
+  * same kernel would read bytes). Output: array<struct<h: string,
+  * len: int>> — md5 hex + length of each chunk, in order. Docs
+  * shorter than w yield one whole-doc chunk; empty docs yield none.
+  */
+case class CdcChunks(child: Expression, w: Int, b: Int, m: Long, d: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(w > 0 && b > 1 && m > 1 && d > 1, "bad CDC parameters")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("h", StringType, nullable = false),
+      StructField("len", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires string, got $other")
+  }
+
+  private lazy val pow: Array[Long] = {
+    val p = new Array[Long](w)
+    p(0) = 1L
+    var j = 1
+    while (j < w) { p(j) = p(j - 1) * b % m; j += 1 }
+    p
+  }
+
+  private def md5Hex(s: String): String = {
+    val dig = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    dig.foreach(x => sb.append(f"${x & 0xff}%02x"))
+    sb.toString
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+    var start = 0
+    // cut AFTER 1-based position p ∈ [w, n] when H_p % D == 0, where
+    // H_p sums the window ending at p: c_{p−j} · B^j, j = 0..w−1
+    var p = w
+    while (p <= n) {
+      var h = 0L
+      var j = 0
+      while (j < w) {
+        h = (h + s.charAt(p - 1 - j).toLong * pow(j)) % m
+        j += 1
+      }
+      if (h % d == 0) {
+        val chunk = s.substring(start, p)
+        if (chunk.nonEmpty)
+          out += InternalRow(UTF8String.fromString(md5Hex(chunk)), chunk.length)
+        start = p
+      }
+      p += 1
+    }
+    if (start < n) {
+      val chunk = s.substring(start)
+      out += InternalRow(UTF8String.fromString(md5Hex(chunk)), chunk.length)
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks =
+    copy(child = c)
+}
+
 /** Integer quantization of a float/double vector: q_i = floor(x_i·scale)
   * as long. floor and the double multiply are both IEEE-exact given the
   * same inputs, so the codes replay in any engine (`floor(CAST(x AS
@@ -1650,6 +1732,11 @@ object exprs {
   /** Exact integer squared L2 distance of two long-array columns. */
   def longVecDistSq(a: Column, b: Column): Column =
     GraftShim.column(LongVecDistSq(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Content-defined chunk (md5, len) structs of a string column. */
+  def cdcChunks(text: Column, w: Int = 16, b: Int = 31,
+      m: Long = 1000000007L, d: Int = 64): Column =
+    GraftShim.column(CdcChunks(GraftShim.expression(text), w, b, m, d))
 
   /** #elements ≤ key in a sorted array column (binary search). */
   def searchSortedCount(sortedArr: Column, key: Column): Column =

@@ -339,6 +339,39 @@ object CurationQueries {
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Content-defined chunk dedup (LBFS/rsync, SOSP 2001): cut points
+    // come from a w=16 rolling hash of the CONTENT, so the planted
+    // prefix-insertion copies (id+300000, "xq7 " prepended) re-align
+    // after the first boundary and share almost every later chunk —
+    // the case where fixed-size blocks lose everything. The CdcChunks
+    // kernel is stateless per position (no min/max guards), so cuts,
+    // chunk md5s, and the shared-chunk census replay in DuckDB via
+    // the unrolled polynomial window. Map-only kernel + one agg on
+    // chunk hashes; at 100 TB the chunk-hash census IS the dedup
+    // store sizing query.
+    "cdc_chunk_dedup" -> QueryDef(
+      (s, dir) => {
+        val d0 = Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+        val corpus = d0.unionAll(d0.select(
+          (col("doc_id") + 300000).as("doc_id"),
+          concat(lit("xq7 "), col("t")).as("t")))
+        corpus
+          .select(col("doc_id"), explode(exprs.cdcChunks(col("t"))).as("c"))
+          .select(col("doc_id"), col("c.h").as("h"), col("c.len").as("clen"))
+          .groupBy(col("h"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occ"),
+            max(col("clen")).cast("long").as("chunk_len"))
+          .filter(col("n_docs") >= 2)
+          .orderBy(col("n_docs").desc, col("n_occ").desc, col("h"))
+          .limit(200)
+          .select(col("h"), col("n_docs"), col("n_occ"), col("chunk_len"))
+      },
+      cdcOracleSql(w = 16, b = 31, m = 1000000007L, d = 64)),
+
+    // ------------------------------------------------------------------
     // Unicode hygiene: homoglyph detection/normalization — the
     // contamination-evasion and spam vector where Cyrillic lookalikes
     // (а е о) replace Latin letters so exact-dedup and benchmark
@@ -403,6 +436,51 @@ object CurationQueries {
       },
       jlOracleSql(k = 16, dim = 64, seed = 33L, nProbes = 10, nCorpus = 200))
   )
+
+  /** DuckDB twin of [[graft.functions.CdcChunks]] + the shared-chunk
+    * census: the w-char polynomial window unrolls to literal
+    * `ascii(t[p−j]) · (B^j mod M)` terms inside a list_filter over all
+    * positions, bounds assemble via prepend/append, and each chunk
+    * md5s the same substring the kernel hashed (pure-ASCII corpus ⇒
+    * codepoint indexing ≡ Java char indexing).
+    */
+  private def cdcOracleSql(w: Int, b: Int, m: Long, d: Int): String = {
+    val pow = Array.iterate(1L, w)(x => x * b % m)
+    val terms = (0 until w)
+      .map(j => s"CAST(ascii(t[p-$j:p-$j]) AS BIGINT) * ${pow(j)}")
+      .mkString(" +\n      ")
+    s"""WITH base AS (
+       |  SELECT doc_id, coalesce(text, '') AS t FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id, 'xq7 ' || coalesce(text, '') AS t
+       |  FROM documents),
+       |cuts AS (
+       |  SELECT doc_id, t, len(t) AS n,
+       |    list_filter(range($w, len(t) + 1), p ->
+       |      ((
+       |      $terms) % $m) % $d = 0) AS cs
+       |  FROM base),
+       |bounds AS (
+       |  SELECT doc_id, t, list_prepend(0, cs) AS lo, list_append(cs, n) AS hi
+       |  FROM cuts),
+       |segs AS (
+       |  SELECT doc_id, t,
+       |    unnest(list_transform(range(1, len(lo) + 1),
+       |      i -> {'s': lo[i], 'e': hi[i]})) AS seg
+       |  FROM bounds),
+       |chunks AS (
+       |  SELECT doc_id, md5(t[seg.s + 1 : seg.e]) AS h,
+       |         CAST(seg.e - seg.s AS BIGINT) AS clen
+       |  FROM segs WHERE seg.e > seg.s)
+       |SELECT h,
+       |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  CAST(MAX(clen) AS BIGINT) AS chunk_len
+       |FROM chunks GROUP BY 1
+       |HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY n_docs DESC, n_occ DESC, h
+       |LIMIT 200""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.operators.JlProject.distortionPairs]]:
     * quantize with floor(x·1024), project with the same ±1 literal
