@@ -613,6 +613,48 @@ object SketchStatsQueries {
         |ORDER BY v.dist, v.name_a, v.name_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Sorted-neighborhood ER blocking (Hernández & Stolfo, SIGMOD
+    // 1995): the OTHER classic blocking paradigm — order records by a
+    // domain key (reversed name: suffix grouping complements the
+    // token inverted index, which only links names SHARING a word)
+    // and compare each record to its w=3 successors. The scalable
+    // form: DenseId's range-partitioned rank (≡ row_number, no
+    // single-partition window) + a bounded offset-explode equi-join
+    // on rank — candidate volume is EXACTLY w·n by construction,
+    // immune to hot blocks. levenshtein ≤ 4 verifies.
+    "er_sorted_neighborhood" -> QueryDef(
+      (s, dir) => {
+        val names = Tables.part(s, dir)
+          .groupBy(col("p_name").as("name"))
+          .agg(count(lit(1)).as("n_parts"))
+        val ranked = graft.operators.DenseId.withDenseId(
+          names.withColumn("sk", reverse(col("name"))),
+          Seq(col("sk"), col("name")), "rk")
+          .select(col("name"), col("rk"))
+        val probes = ranked
+          .select(col("name").as("name_lo"), col("rk"),
+            explode(array((1 to 3).map(lit(_)): _*)).as("off"))
+          .withColumn("rk2", col("rk") + col("off"))
+        probes
+          .join(ranked.select(col("name").as("name_hi"), col("rk").as("rk2")), "rk2")
+          .withColumn("dist", levenshtein(col("name_lo"), col("name_hi")).cast("long"))
+          .filter(col("dist") <= 4)
+          .select(col("name_lo"), col("name_hi"), col("dist"))
+          .orderBy(col("name_lo"), col("name_hi"))
+      },
+      """WITH names AS (SELECT p_name AS name FROM part GROUP BY 1),
+        |r AS (SELECT name,
+        |        row_number() OVER (ORDER BY reverse(name), name) AS rk
+        |      FROM names),
+        |pairs AS (
+        |  SELECT a.name AS name_lo, b.name AS name_hi,
+        |         CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+        |  FROM r a JOIN r b ON b.rk BETWEEN a.rk + 1 AND a.rk + 3)
+        |SELECT name_lo, name_hi, dist FROM pairs
+        |WHERE dist <= 4
+        |ORDER BY name_lo, name_hi""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Entity resolution END-TO-END: fuzzy_name_pairs' blocking+verify
     // pairs (tightened to dist ≤ 4) fold into entity CLUSTERS via the
     // pointer-jumping connected components operator (labels converge in
