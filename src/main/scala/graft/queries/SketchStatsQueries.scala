@@ -776,6 +776,71 @@ object SketchStatsQueries {
          |  SELECT CAST(SUM(c * c) AS BIGINT) AS f2_exact
          |  FROM (SELECT CAST(count(*) AS BIGINT) AS c
          |        FROM (SELECT unnest($toksSql) AS t FROM documents) tt GROUP BY t) g)
-         |SELECT exact.f2_exact, med.f2_estimate FROM exact, med""".stripMargin)
+         |SELECT exact.f2_exact, med.f2_estimate FROM exact, med""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // AMS inner-product JOIN-SIZE estimate: |clicks ⋈ purchases| on
+    // user_id equals Σ_u f_c(u)·f_p(u), and the tug-of-war sketches
+    // estimate it — E[Sa_r·Sb_r] IS that inner product (AMS '96, the
+    // original motivation). The planner primitive: each slice is
+    // summarized by NINE LONGS (one skinny map-side agg per side, no
+    // key shuffle), the sketches compose by plain per-rep
+    // multiplication, and a 100 TB planner prices the join without
+    // touching either key set. Error is ~√(F2a·F2b/R) — meaningful
+    // when the slices share a key domain (the matched click/purchase
+    // slices here; sketching a relation whose keys mostly DON'T join
+    // drowns the signal in norm noise, which is itself the correct
+    // planner lesson). Exact join count rides as the accuracy twin.
+    "ams_join_size" -> QueryDef(
+      (s, dir) => {
+        val reps = 9
+        val evens = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+        def signSums(df: org.apache.spark.sql.DataFrame, key: String, pfx: String) = {
+          val digest = md5(concat(lit("ams:"), col(key).cast("string")))
+          df.agg(
+            sum(when(substring(digest, 1, 1).isin(evens: _*), 1L)
+              .otherwise(-1L)).as(s"${pfx}0"),
+            (1 until reps).map { r =>
+              sum(when(substring(digest, r + 1, 1).isin(evens: _*), 1L)
+                .otherwise(-1L)).as(s"$pfx$r")
+            }: _*)
+        }
+        val ev = Tables.events(s, dir)
+        val sa = signSums(ev.filter(col("event_type") === "click"), "user_id", "a")
+        val sb = signSums(ev.filter(col("event_type") === "purchase"), "user_id", "b")
+        val est = sa.crossJoin(sb)
+          .select(element_at(
+            sort_array(array((0 until reps).map(r =>
+              (col(s"a$r") * col(s"b$r")).cast("long")): _*)),
+            reps / 2 + 1).as("join_estimate"))
+        val exact = ev.filter(col("event_type") === "click").select(col("user_id"))
+          .join(ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("u2")), col("user_id") === col("u2"))
+          .agg(count(lit(1)).as("join_exact"))
+        exact.crossJoin(est).select(col("join_exact"), col("join_estimate"))
+      },
+      """WITH sa AS (
+        |  SELECT j, CAST(SUM(CASE WHEN substr(d, CAST(j AS INT) + 1, 1)
+        |                          IN ('0','2','4','6','8','a','c','e')
+        |                   THEN 1 ELSE -1 END) AS BIGINT) AS s
+        |  FROM (SELECT md5('ams:' || CAST(user_id AS VARCHAR)) AS d
+        |        FROM events WHERE event_type = 'click') e
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS j) r GROUP BY 1),
+        |sb AS (
+        |  SELECT j, CAST(SUM(CASE WHEN substr(d, CAST(j AS INT) + 1, 1)
+        |                          IN ('0','2','4','6','8','a','c','e')
+        |                   THEN 1 ELSE -1 END) AS BIGINT) AS s
+        |  FROM (SELECT md5('ams:' || CAST(user_id AS VARCHAR)) AS d
+        |        FROM events WHERE event_type = 'purchase') p
+        |  CROSS JOIN (SELECT unnest(range(0, 9)) AS j) r GROUP BY 1),
+        |est AS (SELECT CAST(sa.s * sb.s AS BIGINT) AS e
+        |        FROM sa JOIN sb ON sa.j = sb.j),
+        |med AS (SELECT e AS join_estimate FROM est ORDER BY e LIMIT 1 OFFSET 4),
+        |exact AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS join_exact
+        |  FROM (SELECT user_id FROM events WHERE event_type = 'click') c
+        |  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') p
+        |    ON c.user_id = p.user_id)
+        |SELECT exact.join_exact, med.join_estimate FROM exact, med""".stripMargin)
   )
 }

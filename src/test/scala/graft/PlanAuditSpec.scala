@@ -51,7 +51,8 @@ class PlanAuditSpec extends SparkSuite {
     "ams_f2_tokens", // two 1-row aggregates (exact twin × sketch median) composed by cross join
     "quantile_sketch_price", // 3-row quantile-target literal × O(groups) count frame, broadcast
     "embedding_jl_distortion", // broadcast probe-set × bounded corpus product is the distortion eval
-    "drift_tvd_quantity") // sample sizes (n_a, n_b) as a broadcast 1-row aggregate (the KS shape)
+    "drift_tvd_quantity", // sample sizes (n_a, n_b) as a broadcast 1-row aggregate (the KS shape)
+    "ams_join_size") // three 1-row aggregates (two sketches + exact twin) composed by cross join
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
