@@ -1278,6 +1278,93 @@ object PipelineQueries {
       }),
 
     // ------------------------------------------------------------------
+    // LangID quality eval: confusion matrix of detected language vs
+    // the corpus's ground-truth lang column — the accuracy monitoring
+    // every classifier in the curation path needs. One grouped count
+    // over the map-side LangIdExpr; the oracle replays the
+    // stopword-vote argmax (same CTE as text_langid) and the rollup.
+    "langid_confusion" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir).select(
+          col("lang"),
+          TextOps.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("lang_pred")),
+      {
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString("\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    $hits
+           |  FROM documents
+           |), s AS (SELECT doc_id, lang, *, $g AS g FROM t),
+           |p AS (SELECT lang,
+           |  CASE WHEN g = 0 THEN 'und'
+           |    $cases
+           |  END AS lang_pred
+           |FROM s)
+           |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+           |FROM p GROUP BY 1, 2
+           |ORDER BY lang, lang_pred""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Label-grounded retrieval eval: the embeddings fixture carries a
+    // ground-truth label; for each probe, the rank of the first
+    // same-label neighbor in the exact top-20 and the same-label count
+    // in the top-5 — first-hit-rank and precision@5 as pure integers
+    // (no MRR/nDCG doubles, whose log/sum forms the parity law
+    // forbids). Rides bruteForceTopK; labels re-attach by broadcast.
+    "ann_label_metrics" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val res = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 20)
+        val lbl = emb.select(col("vec_id"), col("label"))
+        res
+          .join(broadcast(lbl.select(
+            col("vec_id").as("query_id"), col("label"))), "query_id")
+          .join(broadcast(lbl.select(
+            col("vec_id").as("neighbor_id"), col("label").as("n_label"))),
+            "neighbor_id")
+          .groupBy(col("query_id"), col("label"))
+          .agg(
+            coalesce(
+              min(when(col("n_label") === col("label"), col("rank"))),
+              lit(-1)).cast("long").as("first_hit_rank"),
+            sum(when(col("n_label") === col("label") && col("rank") <= 5, 1L)
+              .otherwise(0L)).as("hits_at_5"))
+          .orderBy(col("query_id"))
+      },
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 20 AND c.vec_id <> p.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+        |  FROM pairs
+        |)
+        |SELECT r.query_id, eq.label AS label,
+        |  CAST(coalesce(MIN(CASE WHEN en.label = eq.label THEN r.rank END), -1)
+        |       AS BIGINT) AS first_hit_rank,
+        |  CAST(SUM(CASE WHEN en.label = eq.label AND r.rank <= 5 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS hits_at_5
+        |FROM ranked r
+        |JOIN embeddings eq ON eq.vec_id = r.query_id
+        |JOIN embeddings en ON en.vec_id = r.neighbor_id
+        |WHERE r.rank <= 20
+        |GROUP BY 1, 2 ORDER BY r.query_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Exact + normalized dedup over the perturbed corpus (originals
     // duplicate under normalization when whitespace-collapsed copies
     // collide; keeps the md5-groupBy path honest even with n_dups=1).
