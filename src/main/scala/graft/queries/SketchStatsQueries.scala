@@ -613,6 +613,62 @@ object SketchStatsQueries {
         |ORDER BY v.dist, v.name_a, v.name_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Poisson bootstrap (the distributed bootstrap — Chamandy et al.,
+    // Google 2012; Kleiner et al.'s BLB is the sibling): classic
+    // resampling draws n-with-replacement, which needs global
+    // coordination; the Poisson approximation gives each row an
+    // INDEPENDENT Pois(1) multiplicity per resample, so 16 bootstrap
+    // replicas of mean(o_totalprice) are one bounded ×16 explode +
+    // one map-side-combining agg. Multiplicities are deterministic:
+    // md5 ppm through the Pois(1) inverse-CDF thresholds
+    // (367879/735759/919699/981012/996340 — exact integer literals on
+    // both engines). Everything is integer until ONE division per
+    // replica; the replica spread IS the CI.
+    "bootstrap_mean_ci" -> QueryDef(
+      (s, dir) => {
+        val cents = Tables.orders(s, dir).select(
+          col("o_orderkey"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+            .cast("long").as("cents"))
+        val reps = cents.select(col("o_orderkey"), col("cents"),
+          explode(sequence(lit(0), lit(15))).as("b"))
+          .withColumn("u",
+            Md5Hash.lower63Col(concat(
+              lit("bs"), col("b").cast("string"), lit(":"),
+              col("o_orderkey").cast("string"))) % 1000000)
+          .withColumn("m",
+            when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+              .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+              .when(col("u") < 996340, 4L).otherwise(5L))
+        reps.groupBy(col("b").cast("long").as("b"))
+          .agg(
+            sum(col("m")).as("n_b"),
+            sum(col("m") * col("cents")).as("sum_cents"))
+          .withColumn("mean_cents",
+            col("sum_cents").cast("double") / col("n_b").cast("double"))
+          .orderBy(col("b"))
+      },
+      s"""WITH cents AS (
+         |  SELECT o_orderkey,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+         |  FROM orders),
+         |reps AS (
+         |  SELECT o_orderkey, cents, unnest(range(0, 16)) AS b FROM cents),
+         |m AS (
+         |  SELECT b, cents,
+         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |         WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |         WHEN u < 996340 THEN 4 ELSE 5 END AS m
+         |  FROM (SELECT b, cents,
+         |          ${md5_63("'bs' || CAST(b AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR)")} % 1000000 AS u
+         |        FROM reps) t)
+         |SELECT CAST(b AS BIGINT) AS b,
+         |  CAST(SUM(m) AS BIGINT) AS n_b,
+         |  CAST(SUM(m * cents) AS BIGINT) AS sum_cents,
+         |  CAST(SUM(m * cents) AS DOUBLE) / CAST(SUM(m) AS DOUBLE) AS mean_cents
+         |FROM m GROUP BY 1 ORDER BY b""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Sorted-neighborhood ER blocking (Hernández & Stolfo, SIGMOD
     // 1995): the OTHER classic blocking paradigm — order records by a
     // domain key (reversed name: suffix grouping complements the
