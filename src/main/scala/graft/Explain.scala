@@ -108,7 +108,21 @@ object Explain {
     "er_resolved_entities" ->
       "ER merge: blocked pairs at the distinct-name grain feed pointer-jumping CC (O(log d) rounds); the cluster rollup joins labels back at O(names), never the part row grain.",
     "embedding_jl_distortion" ->
-      "JL projection: quantize+project are map-only integer kernels in the scan stage; pair distances are two O(dim) integer chains over the broadcast probe product.")
+      "JL projection: quantize+project are map-only integer kernels in the scan stage; pair distances are two O(dim) integer chains over the broadcast probe product.",
+    "ppjoin_set_similarity" ->
+      "PPJoin: candidates come from a PREFIX×PREFIX equi-join (rarest (1−α)|t|+1 elements under df-asc order); the verify joins carry ids only — no all-pairs product anywhere.",
+    "cdc_chunk_dedup" ->
+      "Content-defined chunking: the CdcChunks kernel runs in the typed scan stage (map-only); the census is one agg on chunk hashes with a TakeOrderedAndProject top-200.",
+    "containment_excerpt_pairs" ->
+      "Containment: inverted-index equi-join on shingle hashes + two size joins; the asymmetric integer test lives in the filter, not a new plan shape.",
+    "ams_join_size" ->
+      "AMS join sizing: two O(9)-state map-side sketch aggs + the exact-twin equi-join; the sketches meet in a 1-row cross join — no key set ever shuffles for the estimate.",
+    "er_sorted_neighborhood" ->
+      "Sorted neighborhood: DenseId range-partitioned rank (no single-partition window) + a bounded ×w offset explode joined back on rank — candidate volume exactly w·n.",
+    "bootstrap_mean_ci" ->
+      "Poisson bootstrap: bounded ×16 explode, multiplicities from scan-stage md5 thresholds, one map-side-combining agg over 16 groups.",
+    "quality_quantile_normalize" ->
+      "Quantile calibration: one source-partitioned window over the doc grain; the top-decile cut is a filter on the rank ppm, no global sort.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
