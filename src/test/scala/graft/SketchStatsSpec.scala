@@ -191,4 +191,28 @@ class SketchStatsSpec extends SparkSuite {
     val t2 = WordPiece.train(docs.repartition(11), "text", 3).collect().toSeq
     assert(t1 == t2 && t1.size == 3)
   }
+
+  test("AMS sign sums merge by addition across any data split") {
+    // the property that lets per-shard sketches roll up with no rescan:
+    // S_r(A ∪ B) = S_r(A) + S_r(B) for multisets
+    import org.apache.spark.sql.functions._
+    val evens = Seq("0", "2", "4", "6", "8", "a", "c", "e")
+    def signSums(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val digest = md5(concat(lit("ams:"), col("t")))
+      val sums = (0 until 9).map { r =>
+        sum(when(substring(digest, r + 1, 1).isin(evens: _*), 1L)
+          .otherwise(-1L)).as(s"s$r")
+      }
+      val row = df.agg(sums.head, sums.tail: _*).head()
+      (0 until 9).map(row.getLong)
+    }
+    val toks = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.operators.TextOps.tokens($"text")).as("t"),
+        $"doc_id")
+    val whole = signSums(toks)
+    val a = signSums(toks.filter($"doc_id" % 2 === 0))
+    val b = signSums(toks.filter($"doc_id" % 2 =!= 0))
+    assert(whole == a.zip(b).map { case (x, y) => x + y })
+    assert(whole.exists(_ != 0L))
+  }
 }
