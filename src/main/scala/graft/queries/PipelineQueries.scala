@@ -1315,6 +1315,66 @@ object PipelineQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Cohen's kappa of detected vs true language — chance-corrected
+    // agreement, the metric that exposes a classifier that "agrees"
+    // only because one class dominates. Exactly rational: with
+    // n·Σdiag and Σ row_i·col_i as BIGINTs,
+    // κ = (n·Σdiag − Σrᵢcᵢ) / (n² − Σrᵢcᵢ) is ONE division of two
+    // exact integers — no per-cell floats to sum. Same grouped-count
+    // frame as the confusion matrix.
+    "cohens_kappa_langid" -> QueryDef(
+      (s, dir) => {
+        val pred = Tables.documents(s, dir).select(
+          col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        val cells = pred.groupBy(col("lang"), col("lang_pred"))
+          .agg(count(lit(1)).as("c"))
+        val n = cells.agg(sum(col("c")).as("n"))
+        val diag = cells.filter(col("lang") === col("lang_pred"))
+          .agg(sum(col("c")).as("agree"))
+        val rows = cells.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+        val cols = cells.groupBy(col("lang_pred")).agg(sum(col("c")).as("k"))
+        val pe = rows.join(cols, rows("lang") === cols("lang_pred"))
+          .agg(coalesce(sum(col("r") * col("k")), lit(0L)).as("rc"))
+        n.crossJoin(broadcast(diag)).crossJoin(broadcast(pe))
+          .select(
+            col("n"), col("agree"), col("rc"),
+            ((col("n") * col("agree") - col("rc")).cast("double") /
+              (col("n") * col("n") - col("rc")).cast("double")).as("kappa"))
+      },
+      {
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString("\n    ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    $hits
+           |  FROM documents
+           |), s AS (SELECT doc_id, lang, *, $g AS g FROM t),
+           |p AS (SELECT lang,
+           |  CASE WHEN g = 0 THEN 'und'
+           |    $cases
+           |  END AS lang_pred
+           |FROM s),
+           |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS c
+           |          FROM p GROUP BY 1, 2),
+           |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+           |diag AS (SELECT CAST(SUM(c) AS BIGINT) AS agree FROM cells
+           |         WHERE lang = lang_pred),
+           |r AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY 1),
+           |k AS (SELECT lang_pred, CAST(SUM(c) AS BIGINT) AS k FROM cells GROUP BY 1),
+           |pe AS (SELECT CAST(coalesce(SUM(r.r * k.k), 0) AS BIGINT) AS rc
+           |       FROM r JOIN k ON r.lang = k.lang_pred)
+           |SELECT n.n, diag.agree, pe.rc,
+           |  CAST(n.n * diag.agree - pe.rc AS DOUBLE) /
+           |  CAST(n.n * n.n - pe.rc AS DOUBLE) AS kappa
+           |FROM n, diag, pe""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Label-grounded retrieval eval: the embeddings fixture carries a
     // ground-truth label; for each probe, the rank of the first
     // same-label neighbor in the exact top-20 and the same-label count
