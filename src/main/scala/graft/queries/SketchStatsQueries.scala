@@ -481,6 +481,62 @@ object SketchStatsQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Personalized PageRank (random walk with restart — Haveliwala,
+    // WWW 2002): restart mass pinned to 3 seed suppliers turns the
+    // rank into graph PROXIMITY to those seeds — "customers most
+    // connected to this supplier group", the recommendation primitive.
+    // Same exact scaled-integer rounds as pagerank_supplier_customer
+    // (floor division everywhere, no double SUM), with the restart
+    // CASE on the seed membership; the oracle unrolls all 5 rounds.
+    "ppr_supplier_seeds" -> QueryDef(
+      (s, dir) => {
+        val e0 = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (col("l_suppkey") * 2).as("u"),
+            (col("o_custkey") * 2 + 1).as("v"))
+          .distinct()
+        val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+          .distinct()
+        val seeds = s.range(3).select((col("id") * 2).as("node"))
+        PageRank.runPersonalized(edges, seeds, rounds = 5)
+          .filter(col("node") % 2 === 1)
+          .select(
+            lit("customer").as("kind"),
+            expr("CAST(node div 2 AS BIGINT)").as("entity_id"),
+            col("rank"))
+          .orderBy(col("rank").desc, col("entity_id"))
+          .limit(20)
+      }, {
+        val rounds = (0 until 5).map { i =>
+          s""",
+             |r${i + 1} AS MATERIALIZED (
+             |  SELECT d.u AS node,
+             |    CAST(coalesce(a.damped, 0) +
+             |         CASE WHEN d.u IN (SELECT node FROM sd) THEN 150000 ELSE 0 END
+             |         AS BIGINT) AS rank
+             |  FROM dg d LEFT JOIN (
+             |    SELECT e.v, (85 * SUM(r.rank // e.deg)) // 100 AS damped
+             |    FROM ed e JOIN r$i r ON r.node = e.u GROUP BY e.v) a ON a.v = d.u)""".stripMargin
+        }.mkString
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+           |dg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+           |ed AS MATERIALIZED (SELECT e.u, e.v, d.deg FROM e JOIN dg d ON e.u = d.u),
+           |sd AS (SELECT * FROM (VALUES (0), (2), (4)) s(node)),
+           |r0 AS MATERIALIZED (
+           |  SELECT u AS node,
+           |    CAST(CASE WHEN u IN (SELECT node FROM sd) THEN 1000000 ELSE 0 END AS BIGINT) AS rank
+           |  FROM dg)$rounds
+           |SELECT 'customer' AS kind, CAST(node // 2 AS BIGINT) AS entity_id, rank
+           |FROM r5 WHERE node % 2 = 1
+           |ORDER BY rank DESC, entity_id LIMIT 20""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Hashed linear quality classifier — the fastText-shaped filter a
     // web-corpus curation pass runs at ingest: every token hashes to a
     // fixed integer weight in [−8, 8] (md5 % 17 − 8; no vocabulary
