@@ -669,6 +669,56 @@ object SketchStatsQueries {
         |ORDER BY v.dist, v.name_a, v.name_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Priority sampling for subset-sum estimation (Duffield, Lund &
+    // Thorup, JACM 2007): keep the k=50 highest-priority rows where
+    // priority = w·2²⁰ div u (u = deterministic md5 uniform in
+    // [1, 2²⁰]), τ = the (k+1)-th priority; then ANY subset's weight
+    // sum is estimated by Σ max(w_i, τ) over sampled members — one
+    // fixed sample answers every posthoc slice question, the property
+    // plain stratified samples lack. Everything is integer; the
+    // global top-(k+1) plans as TakeOrderedAndProject (bounded heap,
+    // no full sort), and the 51-row tail window is on 51 rows.
+    // Exact subset sum (status = 'F') rides as the accuracy twin.
+    "priority_sample_subsetsum" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.orders(s, dir).select(
+          col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+            .cast("long").as("w"))
+        val p = c
+          .withColumn("u",
+            Md5Hash.lower63Col(concat(lit("ps:"), col("k").cast("string"))) % 1048576 + 1)
+          .withColumn("pri", expr("(w * 1048576) div u"))
+          .drop("u")
+        val top = p.orderBy(col("pri").desc, col("k")).limit(51)
+          .withColumn("rn", row_number().over(
+            Window.orderBy(col("pri").desc, col("k"))))
+        val tau = top.filter(col("rn") === 51).select(col("pri").as("tau"))
+        val est = top.filter(col("rn") <= 50).crossJoin(broadcast(tau))
+          .agg(sum(when(col("st") === "F",
+            greatest(col("w"), col("tau"))).otherwise(0L)).as("est_f"))
+        val exact = c.filter(col("st") === "F")
+          .agg(sum(col("w")).as("exact_f"))
+        exact.crossJoin(est).crossJoin(broadcast(tau))
+          .select(col("exact_f"), col("est_f"), col("tau"))
+      },
+      s"""WITH c AS (
+         |  SELECT o_orderkey AS k, o_orderstatus AS st,
+         |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS w
+         |  FROM orders),
+         |p AS (SELECT k, st, w,
+         |        (w * 1048576) // (${md5_63("'ps:' || CAST(k AS VARCHAR)")} % 1048576 + 1) AS pri
+         |      FROM c),
+         |r AS (SELECT *, row_number() OVER (ORDER BY pri DESC, k) AS rn FROM p),
+         |tau AS (SELECT pri AS tau FROM r WHERE rn = 51),
+         |est AS (
+         |  SELECT CAST(SUM(CASE WHEN r.st = 'F' THEN greatest(r.w, tau.tau) ELSE 0 END)
+         |              AS BIGINT) AS est_f
+         |  FROM r, tau WHERE rn <= 50),
+         |ex AS (SELECT CAST(SUM(w) AS BIGINT) AS exact_f FROM c WHERE st = 'F')
+         |SELECT ex.exact_f, est.est_f, tau.tau FROM ex, est, tau""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Poisson bootstrap (the distributed bootstrap — Chamandy et al.,
     // Google 2012; Kleiner et al.'s BLB is the sibling): classic
     // resampling draws n-with-replacement, which needs global

@@ -54,7 +54,8 @@ class PlanAuditSpec extends SparkSuite {
     "drift_tvd_quantity", // sample sizes (n_a, n_b) as a broadcast 1-row aggregate (the KS shape)
     "ams_join_size", // three 1-row aggregates (two sketches + exact twin) composed by cross join
     "ann_label_metrics", // embeds bruteForceTopK's broadcast probe × corpus product (the eval's exact ranking)
-    "cohens_kappa_langid") // three 1-row aggregates (n, diag, pe) composed by cross join
+    "cohens_kappa_langid", // three 1-row aggregates (n, diag, pe) composed by cross join
+    "priority_sample_subsetsum") // 1-row tau + 1-row estimate/exact aggregates composed by cross join
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
