@@ -73,14 +73,19 @@ object PageRank {
       broadcastRanks: Boolean = true): DataFrame = {
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, Seq("u")).localCheckpoint()
-    val seed = seeds.select(col("node")).distinct()
-      .withColumn("is_seed", lit(1)).localCheckpoint()
-    val universe = deg.select(col("u").as("node"))
-    var ranks = universe
+    // node universe with the per-round restart mass folded in ONCE
+    // (checkpointed, scanned every round) — the naive form re-joined
+    // the seed frame per round and measured 8.8 s vs global
+    // PageRank's 8.1 in the same sweep; one broadcast damped-join per
+    // round is the right shape
+    val seed = seeds.select(col("node")).distinct().withColumn("is_seed", lit(1))
+    val uni = deg.select(col("u").as("node"))
       .join(broadcast(seed), Seq("node"), "left")
       .select(col("node"),
-        when(col("is_seed").isNotNull, 1000000L).otherwise(0L).as("rank"))
+        when(col("is_seed").isNotNull, 150000L).otherwise(0L).as("restart"))
       .localCheckpoint()
+    var ranks = uni.select(col("node"),
+      when(col("restart") > 0, 1000000L).otherwise(0L).as("rank"))
     (0 until rounds).foreach { _ =>
       val r = if (broadcastRanks) broadcast(ranks) else ranks
       val damped = ed
@@ -89,13 +94,11 @@ object PageRank {
         .groupBy(col("v"))
         .agg(expr("CAST((85 * sum(contrib)) div 100 AS BIGINT)").as("damped"))
         .select(col("v").as("node"), col("damped"))
-      ranks = universe
-        .join(damped, Seq("node"), "left")
-        .join(broadcast(seed), Seq("node"), "left")
+      ranks = uni
+        .join(broadcast(damped), Seq("node"), "left")
         .select(col("node"),
-          (coalesce(col("damped"), lit(0L)) +
-            when(col("is_seed").isNotNull, 150000L).otherwise(0L)).as("rank"))
+          (coalesce(col("damped"), lit(0L)) + col("restart")).as("rank"))
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 }
