@@ -192,6 +192,35 @@ class SketchStatsSpec extends SparkSuite {
     assert(t1 == t2 && t1.size == 3)
   }
 
+  test("personalized PageRank: seeds dominate, proximity decays, layout-invariant") {
+    import org.apache.spark.sql.functions._
+    // path graph 0—1—2—3—4—5 (symmetric edges), seed {0}
+    val e0 = (0L to 4L).map(i => (i, i + 1))
+    val edges = (e0 ++ e0.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(0L).toDF("node")
+    def run(ed: org.apache.spark.sql.DataFrame) =
+      graft.operators.PageRank.runPersonalized(ed, seeds, rounds = 5)
+        .as[(Long, Long)].collect().toMap
+    val r = run(edges)
+    assert(r.keySet == (0L to 5L).toSet)
+    // exact plain-Scala replay of the integer recursion
+    val adj = (e0 ++ e0.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.size.toLong).toMap
+    var ref = (0L to 5L).map(n => n -> (if (n == 0L) 1000000L else 0L)).toMap
+    (0 until 5).foreach { _ =>
+      ref = (0L to 5L).map { n =>
+        val contrib = adj.collect {
+          case (u, vs) if vs.contains(n) => ref(u) / deg(u)
+        }.sum
+        n -> ((if (n == 0L) 150000L else 0L) + 85L * contrib / 100L)
+      }.toMap
+    }
+    assert(r == ref, s"got $r want $ref")
+    // far node reachable but with less mass than the seed's neighbor
+    assert(r(5L) > 0L && r(5L) < r(1L))
+    assert(run(edges.repartition(7)) == r)
+  }
+
   test("AMS sign sums merge by addition across any data split") {
     // the property that lets per-shard sketches roll up with no rescan:
     // S_r(A ∪ B) = S_r(A) + S_r(B) for multisets
