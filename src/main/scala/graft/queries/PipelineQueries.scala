@@ -1660,6 +1660,86 @@ object PipelineQueries {
          |ORDER BY p.id_a, p.id_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // MinHash CONTAINMENT estimation eval — the O(k) scale path for
+    // the excerpt detector: exact containment needs the shared-shingle
+    // join; the sketch version derives it from 64-long signatures
+    // alone via I ≈ m·(|a|+|b|)/(k+m) (invert J = I/(|a|+|b|−I) at
+    // J ≈ m/k), so candidate verification touches k longs per pair
+    // instead of the shingle sets. Evaluated on the planted
+    // (orig, excerpt) pairs with both ppm values integer-derived —
+    // the oracle replays shingle sets, mod-prime signatures, match
+    // counts, and both formulas exactly.
+    "containment_minhash_eval" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.{exprs, md5exprs}
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val corpus = d.unionAll(d.select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat_ws(" ",
+            slice(graft.operators.TextOps.tokens(col("text")), 1, 30)).as("text")))
+        val feats = corpus
+          .select(col("doc_id"), md5exprs.md5NgramHashes(col("text"), 3).as("hs"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), size(col("hs")).cast("long").as("sz"),
+            col("hs"), md5exprs.minhashSigMod(col("hs"), 64, 7L).as("sig"))
+        val a = feats.filter(col("doc_id") < 200000).select(
+          col("doc_id").as("id_a"), col("sz").as("sa"),
+          col("hs").as("hs_a"), col("sig").as("sig_a"))
+        val b = feats.filter(col("doc_id") >= 200000).select(
+          (col("doc_id") - 200000).as("id_a"), col("sz").as("sb"),
+          col("hs").as("hs_b"), col("sig").as("sig_b"))
+        a.join(b, "id_a")
+          .select(col("id_a").as("doc_id"), col("sa"), col("sb"),
+            size(array_intersect(col("hs_a"), col("hs_b"))).cast("long").as("inter"),
+            exprs.longArrayMatchCount(col("sig_a"), col("sig_b")).cast("long").as("m"))
+          .withColumn("exact_ppm",
+            expr("(inter * 1000000) div least(sa, sb)"))
+          .withColumn("est_ppm",
+            expr("(m * (sa + sb) * 1000000) div (least(sa, sb) * (64 + m))"))
+          .orderBy(col("doc_id"))
+      }, {
+        val (as, bs) = graft.functions.ModPrime.coeffs(7L, 64)
+        val famRows = (0 until 64)
+          .map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(",\n    ")
+        val p = graft.functions.ModPrime.P
+        s"""WITH base AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 200000 AS doc_id,
+           |         array_to_string(($toksSql)[1:30], ' ') AS text
+           |  FROM documents),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM base),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(range(1, len(toks) - 1),
+           |      i -> ${md5_63("array_to_string(toks[i:i+2], ' ')")})) AS hs
+           |  FROM tk WHERE len(toks) >= 3),
+           |shx AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+           |fam AS (SELECT * FROM (VALUES
+           |    $famRows) f(i, a, b)),
+           |mins AS (
+           |  SELECT doc_id, f.i,
+           |    (min((f.a::HUGEINT * (h % $p) + f.b) % $p))::BIGINT AS mh
+           |  FROM shx, fam f GROUP BY doc_id, f.i),
+           |sig AS (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+           |pr AS (
+           |  SELECT a.doc_id AS doc_id,
+           |    CAST(len(a.hs) AS BIGINT) AS sa, CAST(len(b.hs) AS BIGINT) AS sb,
+           |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS inter,
+           |    CAST(len(list_filter(range(1, 65),
+           |      i -> sga.sig[i] = sgb.sig[i])) AS BIGINT) AS m
+           |  FROM sh a
+           |  JOIN sh b ON b.doc_id = a.doc_id + 200000
+           |  JOIN sig sga ON sga.doc_id = a.doc_id
+           |  JOIN sig sgb ON sgb.doc_id = b.doc_id
+           |  WHERE a.doc_id < 200000)
+           |SELECT doc_id, sa, sb, inter, m,
+           |  (inter * 1000000) // least(sa, sb) AS exact_ppm,
+           |  (m * (sa + sb) * 1000000) // (least(sa, sb) * (64 + m)) AS est_ppm
+           |FROM pr ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Cross-source near-dup matrix: which SOURCES leak into each other
     // — the diagnostic a mixture owner reads before weighting sources
     // (two crawls of the same site look like two sources until this
