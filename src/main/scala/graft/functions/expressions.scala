@@ -230,6 +230,7 @@ case class MaxSimScore(left: Expression, right: Expression, slices: Int)
     val d = b.asInstanceOf[ArrayData]
     val n = math.min(q.numElements(), d.numElements())
     val len = n / slices
+    if (len == 0) return java.lang.Double.valueOf(0.0)
     val qf = elemIsFloat(left)
     val df = elemIsFloat(right)
     var total = 0.0
@@ -281,6 +282,7 @@ case class MaxSimScore(left: Expression, right: Expression, slices: Int)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |int $len = $n / $slices;
          |double $total = 0.0;
+         |if ($len > 0)
          |for (int $i = 0; $i < $slices; $i++) {
          |  double $best = java.lang.Double.NEGATIVE_INFINITY;
          |  for (int $j = 0; $j < $slices; $j++) {

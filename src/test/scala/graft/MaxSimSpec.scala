@@ -48,6 +48,14 @@ class MaxSimSpec extends SparkSuite {
     }
   }
 
+  test("degenerate inputs: arrays shorter than the slice count score 0.0") {
+    val got = spark.range(1).select(
+      exprs.maxSimScore(
+        typedLit(Seq(1.0f, 2.0f)), typedLit(Seq(3.0f, 4.0f)), 4).as("s"))
+      .as[Double].head()
+    assert(got == 0.0)
+  }
+
   test("MaxSim of a vector against itself dominates the diagonal pairing") {
     // score(v, v) = Σ_i max_j dot(v_i, v_j) ≥ Σ_i dot(v_i, v_i) when the
     // diagonal sum uses the SAME slice-wise fold (a whole-array vecDot
