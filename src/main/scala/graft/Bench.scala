@@ -78,6 +78,13 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_latest.json"),
       (line + "\n").getBytes("UTF-8"))
+    // Short totals line LAST: the driver's BENCH_r*.json keeps only a
+    // ~2000-char output tail, which truncates the START of the full
+    // per-query line (where "value" lives) — this summary keeps every
+    // round's total, count, and error list recoverable from the tail
+    // alone (r6 ADVICE item 8).
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -228,7 +228,14 @@ case class MaxSimScore(left: Expression, right: Expression, slices: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val q = a.asInstanceOf[ArrayData]
     val d = b.asInstanceOf[ArrayData]
-    val n = math.min(q.numElements(), d.numElements())
+    // Equal-length contract: both sides must carry the same number of
+    // elements (same slice length) — a mismatch would silently read the
+    // longer side's sub-vectors across their true slice boundaries, so
+    // it fails loudly instead.
+    if (q.numElements() != d.numElements())
+      throw new IllegalArgumentException(
+        s"maxsim_score: multi-vector length mismatch (${q.numElements()} vs ${d.numElements()})")
+    val n = q.numElements()
     val len = n / slices
     if (len == 0) return java.lang.Double.valueOf(0.0)
     val qf = elemIsFloat(left)
@@ -279,7 +286,11 @@ case class MaxSimScore(left: Expression, right: Expression, slices: Int)
       val getD = if (elemIsFloat(right)) s"(double) $b.getFloat($j * $len + $t)"
                  else s"$b.getDouble($j * $len + $t)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements())
+         |  throw new IllegalArgumentException(
+         |    "maxsim_score: multi-vector length mismatch (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |int $n = $a.numElements();
          |int $len = $n / $slices;
          |double $total = 0.0;
          |if ($len > 0)
@@ -357,20 +368,31 @@ case class CdcChunks(child: Expression, w: Int, b: Int, m: Long, d: Int)
     val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     var start = 0
     // cut AFTER 1-based position p ∈ [w, n] when H_p % D == 0, where
-    // H_p sums the window ending at p: c_{p−j} · B^j, j = 0..w−1
+    // H_p sums the window ending at p: c_{p−j} · B^j, j = 0..w−1.
+    // H_w is computed once; every later position rolls in O(1):
+    // H_{p+1} = (B·(H_p − c_{p−w+1}·B^{w−1}) + c_{p+1}) mod M — the
+    // same residues as the windowed sum (mod arithmetic is exact), so
+    // cut positions are bit-identical to the O(n·w) recompute.
     var p = w
-    while (p <= n) {
-      var h = 0L
+    var h = 0L
+    if (p <= n) {
       var j = 0
       while (j < w) {
         h = (h + s.charAt(p - 1 - j).toLong * pow(j)) % m
         j += 1
       }
+    }
+    while (p <= n) {
       if (h % d == 0) {
         val chunk = s.substring(start, p)
         if (chunk.nonEmpty)
           out += InternalRow(UTF8String.fromString(md5Hex(chunk)), chunk.length)
         start = p
+      }
+      if (p < n) {
+        val drop = s.charAt(p - w).toLong * pow(w - 1) % m
+        h = ((h - drop) % m + m) % m
+        h = (h * b + s.charAt(p).toLong) % m
       }
       p += 1
     }
@@ -448,7 +470,13 @@ case class SignedProject(child: Expression, signs: Seq[Seq[Int]])
 
   override def nullSafeEval(input: Any): Any = {
     val q = input.asInstanceOf[ArrayData]
-    val dim = math.min(q.numElements(), mat(0).length)
+    // Dimensional contract: the input vector and the sign rows must
+    // agree — silent truncation would project a prefix and produce
+    // plausible-but-wrong distances, so a mismatch fails loudly.
+    if (q.numElements() != mat(0).length)
+      throw new IllegalArgumentException(
+        s"signed_project: vector dim ${q.numElements()} != sign-matrix dim ${mat(0).length}")
+    val dim = mat(0).length
     val out = new Array[Long](mat.length)
     var c = 0
     while (c < mat.length) {

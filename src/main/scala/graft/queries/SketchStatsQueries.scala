@@ -499,7 +499,10 @@ object SketchStatsQueries {
           .distinct()
         val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
           .distinct()
-        val seeds = s.range(3).select((col("id") * 2).as("node"))
+        // suppkeys are 1-based, so seed from suppliers 1..3 (nodes
+        // 2,4,6) — range(3)*2 would include node 0, which no supplier
+        // maps to, leaving it inert (r6 ADVICE)
+        val seeds = s.range(1, 4).select((col("id") * 2).as("node"))
         PageRank.runPersonalized(edges, seeds, rounds = 5)
           .filter(col("node") % 2 === 1)
           .select(
@@ -526,7 +529,7 @@ object SketchStatsQueries {
            |e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
            |dg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY 1),
            |ed AS MATERIALIZED (SELECT e.u, e.v, d.deg FROM e JOIN dg d ON e.u = d.u),
-           |sd AS (SELECT * FROM (VALUES (0), (2), (4)) s(node)),
+           |sd AS (SELECT * FROM (VALUES (2), (4), (6)) s(node)),
            |r0 AS MATERIALIZED (
            |  SELECT u AS node,
            |    CAST(CASE WHEN u IN (SELECT node FROM sd) THEN 1000000 ELSE 0 END AS BIGINT) AS rank

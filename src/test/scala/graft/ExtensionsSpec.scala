@@ -19,7 +19,8 @@ class ExtensionsSpec extends SparkSuite {
       "SELECT size(winnow_fingerprint('abcdefghijklmnop', 8, 4)) AS n").collect()(0).getInt(0) > 0)
     assert(spark.sql(
       "SELECT simhash64(array('a','b')) AS fp").collect()(0).getLong(0) != 0L)
-    // maxsim with 2 slices of [1,0]/[0,1] vs itself: max dots = 1+1
+    // maxsim of [1.0, 0.0] vs itself with slices=2: the 1-element
+    // sub-vectors are [1] and [0], so max(1,0) + max(0,0) = 1.0
     assert(spark.sql(
       "SELECT maxsim_score(array(1.0D, 0.0D), array(1.0D, 0.0D), 2) AS s")
       .collect()(0).getDouble(0) == 1.0)
