@@ -1438,6 +1438,189 @@ object SpaceEncode {
   }
 }
 
+/** HTML/markup text extraction — the step every web-corpus curation
+  * pipeline runs BEFORE [[CleanText]] ever sees a document: strip
+  * script and style blocks wholesale, strip remaining tags, decode the
+  * named entities, collapse whitespace. Semantics are DEFINED as the
+  * composed chain (which the DuckDB oracle states verbatim):
+  *
+  *   1. `regexp_replace(x, '(?s)<script[^>]*>.*?</script>', ' ', 'g')`
+  *   2. `regexp_replace(…, '(?s)<style[^>]*>.*?</style>',  ' ', 'g')`
+  *   3. `regexp_replace(…, '<[^>]*>', ' ', 'g')`
+  *   4. `replace` chain: `&lt;`→`<`, `&gt;`→`>`, `&quot;`→`"`,
+  *      `&#39;`→`'`, `&nbsp;`→` `, then `&amp;`→`&` LAST (so the
+  *      double-escape `&amp;lt;` decodes to the literal `&lt;`, never
+  *      to `<`)
+  *   5. whitespace collapse + trim ([[CleanText]] semantics)
+  *
+  * but runs as FOUR linear byte scans with zero regex machinery — the
+  * measured regexp-dominates lesson ([[CleanText]], [[SpaceEncode]]).
+  * Scans 1–3 replicate the leftmost-match/continue-after-replacement
+  * contract exactly: an unclosed `<script>`/`<style>` (no later close
+  * tag) does NOT match, so its text survives to the tag-strip pass; a
+  * `<` with no later `>` stays literal text; `[^>]*` stops at the
+  * FIRST `>`, so a `>` inside a quoted attribute ends the tag there
+  * (regex-faithful, documented). Scan 4 decodes entities and collapses
+  * in one fused pass — sound because no decode output can assemble a
+  * new entity pattern (decodes emit `< > " '` and space; only `&amp;`
+  * emits `&`, it is ordered last, and the scan continues after each
+  * replacement exactly like the sequential `replace` chain). Tag names
+  * match case-sensitively in lowercase, as the chain states. Safe on
+  * multi-byte UTF-8: every matched byte is ASCII.
+  */
+case class HtmlExtract(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "html_extract"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"html_extract requires string, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) UTF8String.EMPTY_UTF8
+    else HtmlExtract.extract(v.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val childGen = child.genCode(ctx)
+    val ut = "org.apache.spark.unsafe.types.UTF8String"
+    ev.copy(
+      code = childGen.code +
+        code"""
+           |$ut ${ev.value} = ${childGen.isNull} ? $ut.EMPTY_UTF8 :
+           |  graft.functions.HtmlExtract$$.MODULE$$.extract(${childGen.value});
+           |""".stripMargin,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HtmlExtract =
+    copy(child = newChild)
+}
+
+object HtmlExtract {
+
+  @inline private def startsWith(in: Array[Byte], n: Int, i: Int, pat: Array[Byte]): Boolean = {
+    if (i + pat.length > n) return false
+    var j = 0
+    while (j < pat.length) {
+      if (in(i + j) != pat(j)) return false
+      j += 1
+    }
+    true
+  }
+
+  private def indexOf(in: Array[Byte], n: Int, from: Int, pat: Array[Byte]): Int = {
+    var i = from
+    val last = n - pat.length
+    while (i <= last) {
+      if (startsWith(in, n, i, pat)) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** `regexp_replace(x, '(?s)<NAME[^>]*>.*?</NAME>', ' ', 'g')` as one
+    * byte scan: at each `<NAME`, the open tag ends at the first later
+    * `>` and the block at the first `</NAME>` after it; either missing
+    * → no match, the `<` is emitted and scanning resumes at the next
+    * byte (exactly the regex's try-next-position rule).
+    */
+  private def stripBlock(in: Array[Byte], n: Int, openPat: Array[Byte], closePat: Array[Byte]): (Array[Byte], Int) = {
+    val out = new Array[Byte](n)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      var matched = false
+      if (in(i) == '<' && startsWith(in, n, i, openPat)) {
+        var k = i + openPat.length
+        while (k < n && in(k) != '>') k += 1
+        if (k < n) {
+          val m = indexOf(in, n, k + 1, closePat)
+          if (m >= 0) {
+            out(o) = ' '; o += 1
+            i = m + closePat.length
+            matched = true
+          }
+        }
+      }
+      if (!matched) { out(o) = in(i); o += 1; i += 1 }
+    }
+    (out, o)
+  }
+
+  private val scriptOpen = "<script".getBytes
+  private val scriptClose = "</script>".getBytes
+  private val styleOpen = "<style".getBytes
+  private val styleClose = "</style>".getBytes
+  // entity table, ordered: &amp; LAST (the sequential-chain rule); at
+  // any position at most one pattern matches (distinct byte after '&')
+  private val entities: Array[(Array[Byte], Byte)] = Array(
+    ("&lt;".getBytes, '<'.toByte),
+    ("&gt;".getBytes, '>'.toByte),
+    ("&quot;".getBytes, '"'.toByte),
+    ("&#39;".getBytes, '\''.toByte),
+    ("&nbsp;".getBytes, ' '.toByte),
+    ("&amp;".getBytes, '&'.toByte))
+
+  def extract(raw: UTF8String): UTF8String = {
+    val n0 = raw.numBytes()
+    if (n0 == 0) return UTF8String.EMPTY_UTF8
+    val (b1, n1) = stripBlock(raw.getBytes, n0, scriptOpen, scriptClose)
+    val (b2, n2) = stripBlock(b1, n1, styleOpen, styleClose)
+    // tag strip: '<[^>]*>' → ' '; '<' with no later '>' stays literal
+    val b3 = new Array[Byte](n2)
+    var o3 = 0
+    var i = 0
+    while (i < n2) {
+      var matched = false
+      if (b2(i) == '<') {
+        var k = i + 1
+        while (k < n2 && b2(k) != '>') k += 1
+        if (k < n2) { b3(o3) = ' '; o3 += 1; i = k + 1; matched = true }
+      }
+      if (!matched) { b3(o3) = b2(i); o3 += 1; i += 1 }
+    }
+    // fused entity decode + whitespace collapse + trim
+    val out = new Array[Byte](o3)
+    var o = 0
+    var pendingSpace = false
+    @inline def emit(b: Byte): Unit = {
+      if ((b >= 9 && b <= 13 && b != 11) || b == 32) pendingSpace = o > 0
+      else {
+        if (pendingSpace) { out(o) = ' '; o += 1; pendingSpace = false }
+        out(o) = b
+        o += 1
+      }
+    }
+    i = 0
+    while (i < o3) {
+      var decoded = false
+      if (b3(i) == '&') {
+        var e = 0
+        while (!decoded && e < entities.length) {
+          val (pat, rep) = entities(e)
+          if (startsWith(b3, o3, i, pat)) {
+            emit(rep)
+            i += pat.length
+            decoded = true
+          }
+          e += 1
+        }
+      }
+      if (!decoded) { emit(b3(i)); i += 1 }
+    }
+    if (o == 0) UTF8String.EMPTY_UTF8 else UTF8String.fromBytes(out, 0, o)
+  }
+}
+
 /** One-pass token-repetition profile of a text column — the
   * Gopher-style repetition quality signals (Rae et al. 2021, public:
   * "Scaling Language Models: ... Gopher"; repetition filters drop docs
@@ -1729,6 +1912,10 @@ object exprs {
   /** One-pass F1 cleaning kernel over a string column. */
   def cleanText(c: Column): Column =
     GraftShim.column(CleanText(GraftShim.expression(c)))
+
+  /** HTML tag/script/style strip + entity decode + ws collapse. */
+  def htmlExtract(c: Column): Column =
+    GraftShim.column(HtmlExtract(GraftShim.expression(c)))
 
   /** One-pass BPE double-space encoding kernel. */
   def spaceEncode(c: Column): Column =

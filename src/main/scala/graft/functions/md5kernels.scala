@@ -153,6 +153,58 @@ case class Md5NgramHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Positional variant of [[Md5NgramHashes]]: hash of the n-gram STARTING
+  * at each token index, in order, duplicates kept — element k (0-based)
+  * covers tokens k..k+n−1, so `posexplode` recovers span start offsets.
+  * The span-excision operator ([[graft.operators.SpanDedup]]) needs the
+  * position to map a duplicated span back onto the tokens it covers;
+  * the distinct/sorted form can't say WHERE a span occurred. DuckDB
+  * twin: `md5(array_to_string(toks[i:i+n-1], ' '))` per i, no
+  * list_distinct.
+  */
+case class Md5NgramHashesPos(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n > 0, "n must be positive")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_ngram_hashes_pos"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_ngram_hashes_pos requires string, got $other")
+  }
+
+  import NgramHashes.isWs
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toLowerCase.toString
+    val toks = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      while (i < len && isWs(s.charAt(i))) i += 1
+      val start = i
+      while (i < len && !isWs(s.charAt(i))) i += 1
+      if (i > start) toks += s.substring(start, i)
+    }
+    val t = toks.length
+    if (t < n) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](t - n + 1)
+    var g = 0
+    while (g <= t - n) {
+      val sb = new java.lang.StringBuilder(toks(g))
+      var j = g + 1
+      while (j < g + n) { sb.append(' ').append(toks(j)); j += 1 }
+      out(g) = Md5Hash.lower63(sb.toString)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Md5NgramHashesPos =
+    copy(child = newChild)
+}
+
 /** MD5/mod-prime twin of [[MinHashSig]]: member i of the signature is
   * min over shingle hashes h of (a_i·(h mod p) + b_i) mod p, with the
   * coefficient family drawn from [[ModPrime.coeffs]](seed). Exact
@@ -308,6 +360,10 @@ object md5exprs {
   /** Distinct md5-lower63 hashes of word n-grams (space-joined). */
   def md5NgramHashes(text: Column, n: Int): Column =
     GraftShim.column(Md5NgramHashes(GraftShim.expression(text), n))
+
+  /** Positional md5-lower63 word n-gram hashes (in order, with dups). */
+  def md5NgramHashesPos(text: Column, n: Int): Column =
+    GraftShim.column(Md5NgramHashesPos(GraftShim.expression(text), n))
 
   /** Mod-prime MinHash signature of an md5 shingle-hash array. */
   def minhashSigMod(shingleHashes: Column, numHashes: Int, seed: Long): Column =

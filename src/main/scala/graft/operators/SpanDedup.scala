@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.md5exprs
+
+/** Substring-REMOVAL dedup (Lee et al. 2022, "Deduplicating Training
+  * Data Makes Language Models Better" — the ExactSubstr pipeline):
+  * where document-grain dedup drops whole near-duplicate documents and
+  * line-grain dedup ([[LineDedup]]) drops boilerplate LINES, this
+  * operator EXCISES duplicated token spans from the MIDDLE of
+  * otherwise-unique documents — the quoted paragraph, the syndicated
+  * press-release body, the license header — and reassembles the
+  * retained tokens in original order.
+  *
+  * Mechanics: every n-token span is hashed positionally
+  * ([[graft.functions.Md5NgramHashesPos]] — element k covers tokens
+  * k..k+n−1); a span is "duplicated" when its hash occurs in more than
+  * `maxDocs` distinct documents; every token covered by at least one
+  * duplicated span is dropped (the drop-all-copies policy — simplest
+  * deterministic variant; Lee et al. §4.1 discuss keep-one vs drop-all
+  * and find downstream loss differences negligible). Overlapping hits
+  * merge naturally: coverage is the UNION of hit intervals, exactly an
+  * interval-merge without materializing intervals.
+  *
+  * 100 TB shape: the span census and the probe are ONE keyed shuffle
+  * each on the 63-bit span hash (the blacklist is corpus-proportional
+  * on a duplicate-heavy crawl, so it is an equi-join, NOT a broadcast
+  * — unlike LineDedup's tiny boilerplate blacklist); hits carry
+  * (doc_id, start) ids only; coverage expansion is a bounded ×n
+  * explode of hits; reassembly is the single doc_id-grain shuffle of
+  * the token stream (LineDedup's ordered-reassembly pattern at token
+  * grain). The skinny span frame feeds both the blacklist aggregate
+  * and the probe, both keyed on span_hash, so it is localCheckpoint'ed
+  * once (the measured broadcast-blacklist rule, CLAUDE.md).
+  */
+object SpanDedup {
+
+  /** Returns one row per input document: `idCol`, `n_tokens`,
+    * `n_dropped`, `clean_text` (surviving tokens in original order,
+    * single-space joined, lowercase token-canonical — the same token
+    * domain the span hashes are computed over; empty string when
+    * nothing survives or the document had no tokens).
+    */
+  def exciseCommonSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocs: Long): DataFrame = {
+    require(n > 0, "span length must be positive")
+    val text = coalesce(col(textCol), lit(""))
+    // skinny positional span census: (doc, start0, span_hash) — ids and
+    // offsets only, feeds blacklist agg + probe join (both keyed on
+    // span_hash)
+    val spans = docs
+      .select(
+        col(idCol),
+        posexplode(md5exprs.md5NgramHashesPos(text, n))
+          .as(Seq("start0", "span_hash")))
+      .localCheckpoint()
+    val blacklist = spans
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") > maxDocs)
+      .select(col("span_hash"))
+    // duplicated-span start offsets per doc, expanded to covered token
+    // positions (union of [start, start+n−1] intervals via distinct)
+    val covered = spans
+      .join(blacklist, Seq("span_hash"))
+      .select(
+        col(idCol),
+        explode(sequence(col("start0"), col("start0") + lit(n - 1))).as("pos0"))
+      .distinct()
+      .withColumn("covered", lit(true))
+    // token stream at (doc, pos) grain; posexplode_outer keeps
+    // zero-token documents (null token → counts 0, clean_text '')
+    val tokens = docs
+      .select(
+        col(idCol),
+        posexplode_outer(TextOps.tokens(col(textCol))).as(Seq("pos0", "token")))
+    tokens
+      .join(covered, Seq(idCol, "pos0"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("token")).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("covered").isNull && col("token").isNotNull,
+                struct(col("pos0"), col("token"))))),
+            kept => kept.getField("token")),
+          " ").as("clean_text"))
+  }
+}

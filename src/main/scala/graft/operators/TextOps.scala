@@ -184,6 +184,52 @@ object TextOps {
     * all standard partial+final hash aggs; n_docs joins as a
     * broadcast 1-row relation (J9 shape), never a driver collect.
     */
+  /** Okapi BM25 score per (doc, token) (Robertson & Walker, SIGIR 1994;
+    * the k1/b formulation of Robertson et al., TREC-3) — the lexical
+    * ranking function hybrid retrieval stacks run next to dense ANN:
+    *
+    *   bm25 = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * with the RATIONAL idf n_docs/doc_freq (same deliberate departure
+    * from `ln` as [[tfidf]]: every step stays a correctly-rounded
+    * IEEE-754 +,−,×,÷ on integer-valued inputs, evaluated in the fixed
+    * textual order `idf · ((tf·(k1+1)) / (tf + k1·(1−b + (b·dl)/avgdl)))`
+    * with avgdl = total_len/n_docs — so scores replay bit-exactly in
+    * any engine that spells the same expression; `ln` is not correctly
+    * rounded in common libms and would poison the oracle).
+    *
+    * Same shuffle shape as [[tfidf]]: (doc, token) tf counts, doc
+    * lengths derived from tf (never a second tokenize pass), token
+    * doc-freqs; n_docs and total_len join as broadcast 1-row relations
+    * (J9 shape). A downstream filter on `token` prunes the tf and
+    * doc_freq aggregates through their group keys, so probing a fixed
+    * term set never pays the full-vocabulary aggregation.
+    */
+  def bm25(
+      df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75, minDf: Int = 1): DataFrame = {
+    val tok = df.select(
+      col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("doc_len"))
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= minDf)
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val totalLen = dl.agg(sum(col("doc_len")).as("total_len"))
+    val tfd = col("tf").cast("double")
+    val avgdl = col("total_len").cast("double") / col("n_docs")
+    val idf = col("n_docs").cast("double") / col("doc_freq")
+    tf.join(dl, "doc_id")
+      .join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(totalLen))
+      .withColumn("bm25",
+        idf * ((tfd * (lit(k1) + lit(1.0))) /
+          (tfd + lit(k1) * (lit(1.0) - lit(b) +
+            (lit(b) * col("doc_len").cast("double")) / avgdl))))
+      .select(col("doc_id"), col("token"), col("tf"), col("bm25"))
+  }
+
   def tfidf(
       df: DataFrame, idCol: String, textCol: String, minDf: Int = 1): DataFrame = {
     val tok = df.select(

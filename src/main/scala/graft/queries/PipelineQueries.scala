@@ -1194,6 +1194,119 @@ object PipelineQueries {
          |ORDER BY tf.doc_id, tf.token""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Okapi BM25 top-10 for the 3-term probe query {data, query,
+    // spark} (TextOps.bm25): per-term scores pivot into fixed columns
+    // and total in fixed textual order (s_data + s_query + s_spark —
+    // never a SUM over doubles), so the ranking hash-matches DuckDB.
+    // The term filter prunes the tf/doc_freq aggregates through their
+    // group keys; avgdl and n_docs ride broadcast 1-row relations.
+    "bm25_topk" -> QueryDef(
+      (s, dir) => {
+        val probe = Seq("data", "query", "spark")
+        val scored = TextOps.bm25(Tables.documents(s, dir), "doc_id", "text")
+          .filter(col("token").isin(probe: _*))
+        scored.groupBy(col("doc_id"))
+          .agg(
+            coalesce(max(when(col("token") === "data", col("bm25"))), lit(0.0)).as("s_data"),
+            coalesce(max(when(col("token") === "query", col("bm25"))), lit(0.0)).as("s_query"),
+            coalesce(max(when(col("token") === "spark", col("bm25"))), lit(0.0)).as("s_spark"))
+          .withColumn("score", col("s_data") + col("s_query") + col("s_spark"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+         |  FROM tf GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |  FROM tf WHERE token IN ('data', 'query', 'spark') GROUP BY 1
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |tl AS (SELECT CAST(SUM(doc_len) AS BIGINT) AS total_len FROM dl),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    (CAST(n.n_docs AS DOUBLE) / dfq.doc_freq) *
+         |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |       (0.75 * CAST(dl.doc_len AS DOUBLE)) /
+         |       (CAST(tl.total_len AS DOUBLE) / n.n_docs)))) AS bm25
+         |  FROM tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.token = dfq.token
+         |  CROSS JOIN n CROSS JOIN tl
+         |  WHERE tf.token IN ('data', 'query', 'spark')
+         |), p AS (
+         |  SELECT doc_id,
+         |    coalesce(max(CASE WHEN token = 'data' THEN bm25 END), 0.0) AS s_data,
+         |    coalesce(max(CASE WHEN token = 'query' THEN bm25 END), 0.0) AS s_query,
+         |    coalesce(max(CASE WHEN token = 'spark' THEN bm25 END), 0.0) AS s_spark
+         |  FROM sc GROUP BY 1)
+         |SELECT doc_id, s_data, s_query, s_spark,
+         |  s_data + s_query + s_spark AS score
+         |FROM p ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // HTML/markup text extraction (HtmlExtract kernel) — the step a
+    // web-corpus pipeline runs before CleanText: the corpus is salted
+    // into full HTML pages (title/style/script blocks, entities incl.
+    // the &amp;lt; double-escape, a '>'-in-attribute tag, an unclosed
+    // trailing '<') and the kernel's four byte scans must reproduce
+    // the stated regexp/replace chain byte-exactly — the oracle IS
+    // that chain in DuckDB (RE2), and ExpressionEdgeSpec pins the
+    // kernel to the same chain under Java regex. Map-only, no shuffle:
+    // scan-speed at 100 TB.
+    "html_extract_text" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>Doc "), id, lit("</title>"),
+          lit("<style type=\"text/css\">body { color: #333; }</style></head><body>"),
+          lit("<h1>doc &quot;"), id, lit("&quot; &amp;lt; test</h1>"),
+          lit("<script type=\"text/javascript\">var x = 1 &lt; 2; if (a > b) { alert(\"hi\"); }</script>"),
+          lit("<p class=\"body\">"), coalesce(col("text"), lit("")), lit("</p>"),
+          when(col("doc_id") % 3 === 0,
+            lit("<div>extra &amp; stuff &#39;quoted&#39; <a href=\"#>anchor\">link</a></div>"))
+            .otherwise(lit("")),
+          lit("</body></html>"),
+          when(col("doc_id") % 5 === 0, lit(" trailing <unclosed")).otherwise(lit("")))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.functions.exprs.htmlExtract(html).as("extracted"))
+          .withColumn("n_chars_out", length(col("extracted")))
+          .orderBy(col("doc_id"))
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |    '<style type="text/css">body { color: #333; }</style></head><body>' ||
+        |    '<h1>doc &quot;' || doc_id || '&quot; &amp;lt; test</h1>' ||
+        |    '<script type="text/javascript">var x = 1 &lt; 2; if (a > b) { alert("hi"); }</script>' ||
+        |    '<p class="body">' || coalesce(text, '') || '</p>' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN '<div>extra &amp; stuff &#39;quoted&#39; <a href="#>anchor">link</a></div>'
+        |         ELSE '' END ||
+        |    '</body></html>' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ' trailing <unclosed' ELSE '' END AS html
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[\t\n\f\r ]+', ' ', 'g')) AS extracted
+        |  FROM h)
+        |SELECT doc_id, extracted, CAST(length(extracted) AS INT) AS n_chars_out
+        |FROM x ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Class-balanced sampling: deterministic md5-order cap per source
     // stratum — reproducible across engines and partitionings.
     "stratified_sample_docs" -> QueryDef(
@@ -1906,6 +2019,48 @@ object PipelineQueries {
          |FROM sp GROUP BY span_hash HAVING COUNT(*) >= 2
          |ORDER BY n_docs DESC, span_hash
          |LIMIT 200""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Substring-REMOVAL dedup (Lee et al. 2022 ExactSubstr shape,
+    // SpanDedup operator): where dedup_common_spans only CENSUSES
+    // repeated 8-token spans, this excises them — every token covered
+    // by a span occurring in ≥2 docs is dropped and the survivors
+    // reassemble in original order (token-canonical text). The
+    // perturbed corpus guarantees real mid-document duplicates: each
+    // doc's spans recur in its first-token-dropped twin at a shifted
+    // offset, so excision fires away from document boundaries. Census
+    // and probe are one span_hash-keyed shuffle each (ids+offsets
+    // only); reassembly is the single doc_id shuffle.
+    "dedup_span_excise" -> QueryDef(
+      (s, dir) =>
+        SpanDedup.exciseCommonSpans(
+          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L)
+          .orderBy(col("doc_id")),
+      s"""WITH corpus AS ($perturbedSql),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start0,
+         |    ${md5_63("array_to_string(toks[i:i+7], ' ')")} AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+         |bl AS (
+         |  SELECT span_hash FROM sp
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.start0 + u.j AS pos0
+         |  FROM sp s JOIN bl USING (span_hash), unnest(range(0, 8)) u(j)),
+         |tok AS (
+         |  SELECT t.doc_id, u.pos0, u.token
+         |  FROM tk t LEFT JOIN (
+         |    SELECT doc_id, i - 1 AS pos0, toks[i] AS token
+         |    FROM tk, unnest(range(1, len(toks) + 1)) r(i)) u USING (doc_id))
+         |SELECT t.doc_id,
+         |  CAST(count(t.token) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c.pos0 IS NOT NULL) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(t.token, ' ' ORDER BY t.pos0)
+         |    FILTER (WHERE c.pos0 IS NULL AND t.token IS NOT NULL), '') AS clean_text
+         |FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos0 = t.pos0
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
     // SimHash near-dup pairs — md5-based 63-bit fingerprints; the

@@ -202,6 +202,61 @@ class ExpressionEdgeSpec extends SparkSuite {
       s"kernel ${r.getString(0).replace(" ", "_")} != regex ${r.getString(1).replace(" ", "_")}"))
   }
 
+  private def htmlComposed(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+        "&nbsp;" -> " ", "&amp;" -> "&")
+        .foldLeft(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(coalesce(t, lit("")),
+                "(?s)<script[^>]*>.*?</script>", " "),
+              "(?s)<style[^>]*>.*?</style>", " "),
+            "<[^>]*>", " ")) { case (acc, (p, r)) => replace(acc, lit(p), lit(r)) },
+      "[\\t\\n\\f\\r ]+", " "))
+
+  test("htmlExtract: byte-identical to the composed regex/replace chain incl. edges") {
+    val cases = Seq(
+      null, "", "plain text no markup", "<p>hello</p>",
+      "<script>if (a > b) { x = \"<p>\"; }</script>ok",
+      "<script type=\"text/javascript\">var x = 1 &lt; 2;</script>after",
+      "<script>var x = 1; unclosed rest stays",      // no close → tag-strip path
+      "<style>body { color: red; }</style>visible",
+      "<style media=\"all\">s</style><script>j</script>mix",
+      "<div><span>nested</span></div>",
+      "&amp;lt; stays literal",                        // double escape
+      "&lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b &amp; done",
+      "<a href=\"#>anchor\">link</a>",               // '>' inside attribute
+      "< lone", "lone < at end", "a < b > c", "trailing <unclosed",
+      "<script>a</script><script>b</script>c",        // adjacent blocks
+      "<SCRIPT>X</SCRIPT> upper is not a block",      // case-sensitive contract
+      "héllo <b>wörld</b> 中文",   // multi-byte safety
+      "  \t lead <br/> trail \n ")
+      .toDF("t")
+    val rows = cases.select(
+      exprs.htmlExtract(coalesce($"t", lit(""))).as("k"),
+      htmlComposed($"t").as("r")).collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel [${r.getString(0)}] != chain [${r.getString(1)}]"))
+  }
+
+  test("htmlExtract fuzz: equals composed chain on 300 seeded fragment strings") {
+    val frags = Array(
+      "<script>", "</script>", "<script type=\"a>b\">", "<style>", "</style>",
+      "<p>", "</p>", "<div class=\"x\">", "<br/>", "<", ">", "&lt;", "&gt;",
+      "&amp;", "&amp;lt;", "&quot;", "&#39;", "&nbsp;", "&bogus;", "&", ";",
+      "word", "two words", " ", "\t", "\n", "café")
+    val rnd = new scala.util.Random(1234)
+    val cases = (0 until 300).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => frags(rnd.nextInt(frags.length))).mkString
+    }.toDF("t")
+    val n = cases.select(
+      exprs.htmlExtract(coalesce($"t", lit(""))).as("k"),
+      htmlComposed($"t").as("r"))
+      .filter($"k" =!= $"r").count()
+    assert(n == 0L)
+  }
+
   test("spaceEncode: corpus-wide equality with the regex form") {
     val n = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(

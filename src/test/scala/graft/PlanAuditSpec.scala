@@ -55,7 +55,8 @@ class PlanAuditSpec extends SparkSuite {
     "ams_join_size", // three 1-row aggregates (two sketches + exact twin) composed by cross join
     "ann_label_metrics", // embeds bruteForceTopK's broadcast probe × corpus product (the eval's exact ranking)
     "cohens_kappa_langid", // three 1-row aggregates (n, diag, pe) composed by cross join
-    "priority_sample_subsetsum") // 1-row tau + 1-row estimate/exact aggregates composed by cross join
+    "priority_sample_subsetsum", // 1-row tau + 1-row estimate/exact aggregates composed by cross join
+    "bm25_topk") // n_docs + total_len as broadcast 1-row aggregates (J9 shape, TextOps.bm25)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpanDedup
+
+/** [[SpanDedup.exciseCommonSpans]] against planted mid-document
+  * duplicates: two docs share an 8-token run buried inside otherwise
+  * unique text, so a correct ExactSubstr-style excision removes exactly
+  * the shared tokens from BOTH docs and reassembles the unique
+  * remainder in original order.
+  */
+class SpanDedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  // shared 8-token span, distinct 9-token contexts around it
+  private val shared = "alpha beta gamma delta epsilon zeta eta theta"
+
+  private lazy val docs = Seq(
+    (0L, s"doc zero opening words here $shared doc zero closing words"),
+    (1L, s"totally different lead in text $shared and a different tail"),
+    (2L, "this document shares nothing with the others at all"),
+    (3L, "")).toDF("doc_id", "text")
+
+  private lazy val out =
+    SpanDedup.exciseCommonSpans(docs, "doc_id", "text", n = 8, maxDocs = 1L)
+      .orderBy("doc_id").collect()
+
+  test("shared span excised from both carriers, unique text retained in order") {
+    val d0 = out(0)
+    assert(d0.getAs[Long]("n_tokens") == 17L)
+    assert(d0.getAs[Long]("n_dropped") == 8L)
+    assert(d0.getAs[String]("clean_text") ==
+      "doc zero opening words here doc zero closing words")
+    val d1 = out(1)
+    assert(d1.getAs[Long]("n_dropped") == 8L)
+    assert(d1.getAs[String]("clean_text") ==
+      "totally different lead in text and a different tail")
+  }
+
+  test("doc without duplicated spans is untouched; empty doc survives with zeros") {
+    val d2 = out(2)
+    assert(d2.getAs[Long]("n_dropped") == 0L)
+    assert(d2.getAs[String]("clean_text") ==
+      "this document shares nothing with the others at all")
+    val d3 = out(3)
+    assert(d3.getAs[Long]("n_tokens") == 0L)
+    assert(d3.getAs[Long]("n_dropped") == 0L)
+    assert(d3.getAs[String]("clean_text") == "")
+  }
+
+  test("overlapping duplicated spans merge: identical docs lose everything") {
+    val twins = Seq(
+      (0L, "one two three four five six seven eight nine ten"),
+      (1L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val r = SpanDedup.exciseCommonSpans(twins, "doc_id", "text", n = 8, maxDocs = 1L)
+      .orderBy("doc_id").collect()
+    // every 8-token span (starts 0..2) is shared → coverage is the
+    // union 0..9, the whole doc
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_tokens") == 10L)
+      assert(row.getAs[Long]("n_dropped") == 10L)
+      assert(row.getAs[String]("clean_text") == "")
+    }
+  }
+
+  test("within-doc repetition alone does not trip the cross-doc threshold") {
+    val rep = Seq(
+      (0L, s"$shared $shared"),
+      (1L, "unrelated words that never repeat anywhere else ever truly")).toDF("doc_id", "text")
+    val r = SpanDedup.exciseCommonSpans(rep, "doc_id", "text", n = 8, maxDocs = 1L)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_dropped") == 0L)
+    assert(r(0).getAs[String]("clean_text") == s"$shared $shared")
+  }
+}
