@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{HllRegisters, KmvSketch, Md5Hash}
-import graft.operators.{PageRank, TextOps, WordPiece}
+import graft.operators.{PageRank, TextOps, UnigramLm, WordPiece}
 
 /** Cardinality sketches, rank statistics, and tokenizer-adjacent
   * operators, oracle-verified. The sketches (KMV bottom-k,
@@ -82,6 +82,68 @@ object SketchStatsQueries {
     }
     val union = (0 until k).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
     s"WITH $head,\n${rounds.mkString(",\n")}\nSELECT * FROM ($union) ORDER BY step"
+  }
+
+  /** Unigram-LM oracle: replays `rounds` hard-EM segment→prune rounds.
+    * Each round's E-step is the maximal-munch walk as a RECURSIVE CTE
+    * (pos := pos + step(word, pos), the proven plain-equi-join
+    * recursion shape); everything both engines compare is exact BIGINT
+    * counts until the one final cnt/total division. Non-recursive CTEs
+    * are MATERIALIZED (used{r} is referenced three times per round —
+    * the wordpiece inlining lesson).
+    */
+  private def unigramOracleSql(rounds: Int): String = {
+    val head =
+      s"""tok AS MATERIALIZED (SELECT unnest($toksSql) AS word FROM documents),
+         |words AS MATERIALIZED (
+         |  SELECT word, CAST(count(*) AS BIGINT) AS freq
+         |  FROM tok WHERE len(word) <= 20 GROUP BY 1),
+         |pl AS (SELECT CAST(i AS INT) AS p FROM range(1, 21) t(i)),
+         |ll AS (SELECT CAST(i AS INT) AS l FROM range(1, 7) t(i)),
+         |cand AS MATERIALIZED (
+         |  SELECT w.word, w.freq, pl.p AS pos, ll.l, substr(w.word, pl.p, ll.l) AS piece
+         |  FROM words w JOIN pl ON pl.p <= len(w.word)
+         |               JOIN ll ON pl.p + ll.l <= len(w.word) + 1),
+         |seedcnt AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM cand GROUP BY 1),
+         |chars AS MATERIALIZED (SELECT piece FROM seedcnt WHERE len(piece) = 1),
+         |vocab0 AS MATERIALIZED (
+         |  SELECT piece FROM seedcnt WHERE len(piece) = 1 OR cnt >= 8)""".stripMargin
+    val rds = (1 to rounds).map { r =>
+      s"""steps$r AS MATERIALIZED (
+         |  SELECT c.word, c.pos, CAST(max(c.l) AS INT) AS step
+         |  FROM cand c JOIN vocab${r - 1} v ON v.piece = c.piece
+         |  GROUP BY 1, 2),
+         |walk$r AS (
+         |  SELECT word, 1 AS pos FROM words
+         |  UNION ALL
+         |  SELECT w.word, w.pos + s.step FROM walk$r w
+         |  JOIN steps$r s ON s.word = w.word AND s.pos = w.pos),
+         |used$r AS MATERIALIZED (
+         |  SELECT substr(k.word, k.pos, s.step) AS piece,
+         |         CAST(sum(w.freq) AS BIGINT) AS cnt
+         |  FROM walk$r k
+         |  JOIN steps$r s ON s.word = k.word AND s.pos = k.pos
+         |  JOIN words w ON w.word = k.word
+         |  GROUP BY 1),
+         |m$r AS (SELECT count(*) // 4 AS k FROM used$r WHERE len(piece) >= 2),
+         |bot$r AS MATERIALIZED (
+         |  SELECT piece FROM (
+         |    SELECT piece, row_number() OVER (ORDER BY cnt, piece) AS rn
+         |    FROM used$r WHERE len(piece) >= 2) x, m$r WHERE x.rn <= m$r.k),
+         |vocab$r AS MATERIALIZED (
+         |  SELECT DISTINCT piece FROM (
+         |    SELECT u.piece FROM used$r u ANTI JOIN bot$r b ON u.piece = b.piece
+         |    UNION ALL SELECT piece FROM chars) t)""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |$head,
+       |${rds.mkString(",\n")},
+       |surv AS (SELECT u.piece, u.cnt FROM used$rounds u JOIN vocab$rounds v USING (piece)),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt FROM surv)
+       |SELECT piece, cnt, CAST(cnt AS DOUBLE) / CAST(total_cnt AS DOUBLE) AS prob
+       |FROM surv, tot
+       |ORDER BY cnt DESC, piece LIMIT 200""".stripMargin
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -890,6 +952,25 @@ object SketchStatsQueries {
         WordPiece.train(Tables.documents(s, dir), "text", numMerges = 6)
           .orderBy(col("step")),
       wordpieceOracleSql(6)),
+
+    // ------------------------------------------------------------------
+    // Unigram-LM vocabulary induction (UnigramLm.train — Kudo 2018,
+    // SentencePiece): completes the tokenizer-training triad. Where BPE
+    // and WordPiece GROW a vocabulary by merges, unigram-LM seeds all
+    // frequent substrings and SHRINKS it by alternating re-segmentation
+    // (deterministic hard-EM: maximal-munch, integer-only) with
+    // bottom-k pruning on exact usage counts. The oracle replays both
+    // EM rounds — each E-step walk is a recursive CTE
+    // (pos := pos + step) — and the only float is the final fixed-order
+    // cnt/total division.
+    "unigram_lm_vocab" -> QueryDef(
+      (s, dir) =>
+        UnigramLm.train(Tables.documents(s, dir), "text",
+            maxPieceLen = 6, minCount = 8, rounds = 2,
+            pruneDenom = 4, maxWordLen = 20)
+          .orderBy(col("cnt").desc, col("piece"))
+          .limit(200),
+      unigramOracleSql(2)),
 
     // ------------------------------------------------------------------
     // AMS/tug-of-war F2 sketch (Alon–Matias–Szegedy, STOC 1996):
