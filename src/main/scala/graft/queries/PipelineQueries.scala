@@ -1250,6 +1250,61 @@ object PipelineQueries {
          |FROM p ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
 
     // ------------------------------------------------------------------
+    // N-gram LM perplexity filter (NgramLm.bigramBits — the CCNet
+    // shape): bigram model trained on the doc_id%5=0 reference slice;
+    // held-out docs score in whole BITS per transition via bit-length
+    // (exact integers — real log-prob sums are banned: engine-order-
+    // dependent double addition). Unseen transitions cost bitlen(N).
+    // keep = mean_bits < 5.0, the configured head cutoff (CCNet fits
+    // cutoffs once on a sample, then applies them map-only). Model
+    // tables are vocab-bounded; scoring is one bigram-keyed join +
+    // one doc-grain agg.
+    "ngram_perplexity_filter" -> QueryDef(
+      (s, dir) =>
+        NgramLm.bigramBits(
+            Tables.documents(s, dir), "doc_id", "text",
+            isTrain = col("doc_id") % 5 === 0)
+          .withColumn("keep",
+            when(col("n_bigrams") === 0, lit(false))
+              .otherwise(col("mean_bits") < 5.0))
+          .orderBy(col("doc_id")),
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |big AS (
+         |  SELECT tk.doc_id, toks[CAST(j AS INT)] AS w1, toks[CAST(j AS INT) + 1] AS w2
+         |  FROM tk, unnest(range(1, len(toks))) t(j)),
+         |c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM big WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM big WHERE doc_id % 5 = 0),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN c12.c12 IS NULL THEN length(bin(n.nn))
+         |         ELSE length(bin(c1.c1)) - length(bin(c12.c12)) END AS bits,
+         |    CASE WHEN c12.c12 IS NULL THEN 1 ELSE 0 END AS unseen
+         |  FROM big b
+         |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+         |  LEFT JOIN c1 ON b.w1 = c1.w1
+         |  CROSS JOIN n
+         |  WHERE b.doc_id % 5 <> 0),
+         |grp AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(unseen) AS BIGINT) AS n_unseen,
+         |    CAST(sum(bits) AS BIGINT) AS total_bits
+         |  FROM sc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(g.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(g.n_unseen, 0) AS n_unseen,
+         |  coalesce(g.total_bits, 0) AS total_bits,
+         |  CASE WHEN coalesce(g.n_bigrams, 0) = 0 THEN 0.0
+         |       ELSE CAST(g.total_bits AS DOUBLE) / CAST(g.n_bigrams AS DOUBLE) END AS mean_bits,
+         |  CASE WHEN coalesce(g.n_bigrams, 0) = 0 THEN false
+         |       ELSE CAST(g.total_bits AS DOUBLE) / CAST(g.n_bigrams AS DOUBLE) < 5.0 END AS keep
+         |FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
+         |WHERE d.doc_id % 5 <> 0
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // HTML/markup text extraction (HtmlExtract kernel) — the step a
     // web-corpus pipeline runs before CleanText: the corpus is salted
     // into full HTML pages (title/style/script blocks, entities incl.
