@@ -1621,6 +1621,175 @@ object HtmlExtract {
   }
 }
 
+/** URL canonicalization — the key function web-corpus dedup and
+  * host-grain governance hang off (every crawl pipeline dedups by
+  * canonical URL before it ever looks at content). Semantics are
+  * DEFINED as the composed SQL chain (which the DuckDB oracle and the
+  * ExpressionEdgeSpec reference state verbatim):
+  *
+  *   1. fragment strip: everything from the first `#` drops
+  *   2. no `://` present → `lower(...)` of the remainder and stop
+  *   3. scheme = `lower(` up to the first `://` `)`
+  *   4. hostport = the run up to the first `/` or `?` after `://`,
+  *      lowercased; default port strip: `:80` when scheme = http,
+  *      `:443` when scheme = https
+  *   5. path = up to the first `?` (empty path renders as `/`,
+  *      case PRESERVED — paths are case-sensitive per RFC 3986)
+  *   6. query = after the first `?`: split on `&`, drop empty params,
+  *      `utm_*`-prefixed params, and params whose key (up to the first
+  *      `=`) is `fbclid`/`gclid`/`ref`; sort survivors bytewise
+  *      ascending; rejoin with `&` (omit `?` when none survive)
+  *
+  * executed as ONE byte scan + a bounded slice sort. Lowercasing is
+  * ASCII `A-Z` only — URLs are ASCII per RFC 3986 (IRIs out of scope);
+  * the chain's `lower()` agrees on that domain and the spec fuzzes
+  * ASCII. Null in → null out.
+  */
+case class UrlCanon(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_canon"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"url_canon requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UrlCanon.canon(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.UrlCanon$$.MODULE$$.canon($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): UrlCanon =
+    copy(child = newChild)
+}
+
+object UrlCanon {
+
+  @inline private def lowerAscii(b: Byte): Byte =
+    if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+
+  private val dropKeys: Array[Array[Byte]] =
+    Array("fbclid".getBytes, "gclid".getBytes, "ref".getBytes)
+  private val utm = "utm_".getBytes
+  private[functions] val httpBytes = "http".getBytes
+  private[functions] val httpsBytes = "https".getBytes
+
+  @inline private def sliceEq(in: Array[Byte], s: Int, e: Int, pat: Array[Byte]): Boolean = {
+    if (e - s != pat.length) return false
+    var j = 0
+    while (j < pat.length) { if (in(s + j) != pat(j)) return false; j += 1 }
+    true
+  }
+
+  @inline private def sliceStarts(in: Array[Byte], s: Int, e: Int, pat: Array[Byte]): Boolean = {
+    if (e - s < pat.length) return false
+    var j = 0
+    while (j < pat.length) { if (in(s + j) != pat(j)) return false; j += 1 }
+    true
+  }
+
+  def canon(raw: UTF8String): UTF8String = {
+    val in = raw.getBytes
+    // 1. fragment strip
+    var n = 0
+    while (n < in.length && in(n) != '#') n += 1
+    // 2. first "://"
+    var sep = -1
+    var i = 0
+    while (sep < 0 && i + 2 < n) {
+      if (in(i) == ':' && in(i + 1) == '/' && in(i + 2) == '/') sep = i else i += 1
+    }
+    if (sep < 0) {
+      val out = new Array[Byte](n)
+      i = 0
+      while (i < n) { out(i) = lowerAscii(in(i)); i += 1 }
+      return UTF8String.fromBytes(out)
+    }
+    val rest = sep + 3
+    // 4. hostport run
+    var he = rest
+    while (he < n && in(he) != '/' && in(he) != '?') he += 1
+    // scheme lowered for the default-port test
+    val scheme = new Array[Byte](sep)
+    i = 0
+    while (i < sep) { scheme(i) = lowerAscii(in(i)); i += 1 }
+    val isHttp = sliceEq(scheme, 0, sep, UrlCanon.httpBytes)
+    val isHttps = sliceEq(scheme, 0, sep, UrlCanon.httpsBytes)
+    val host = new Array[Byte](he - rest)
+    i = 0
+    while (i < host.length) { host(i) = lowerAscii(in(rest + i)); i += 1 }
+    val hostLen =
+      if (isHttp && host.length >= 3 && host(host.length - 3) == ':' &&
+        host(host.length - 2) == '8' && host(host.length - 1) == '0') host.length - 3
+      else if (isHttps && host.length >= 4 && host(host.length - 4) == ':' &&
+        host(host.length - 3) == '4' && host(host.length - 2) == '4' &&
+        host(host.length - 1) == '3') host.length - 4
+      else host.length
+    // 5. path up to first '?'
+    var qs = he
+    while (qs < n && in(qs) != '?') qs += 1
+    val pathStart = he
+    val pathEnd = qs
+    // 6. query params
+    val params = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    if (qs < n) {
+      var ps = qs + 1
+      var p = ps
+      while (p <= n) {
+        if (p == n || in(p) == '&') {
+          if (p > ps) {
+            var keyEnd = ps
+            while (keyEnd < p && in(keyEnd) != '=') keyEnd += 1
+            val isUtm = sliceStarts(in, ps, p, utm)
+            var isDrop = isUtm
+            var d = 0
+            while (!isDrop && d < dropKeys.length) {
+              if (sliceEq(in, ps, keyEnd, dropKeys(d))) isDrop = true
+              d += 1
+            }
+            if (!isDrop) params += ((ps, p))
+          }
+          ps = p + 1
+        }
+        p += 1
+      }
+    }
+    val sorted = params.sortWith { case ((s1, e1), (s2, e2)) =>
+      var j = 0
+      val l1 = e1 - s1
+      val l2 = e2 - s2
+      val m = math.min(l1, l2)
+      var cmp = 0
+      while (cmp == 0 && j < m) {
+        cmp = (in(s1 + j) & 0xff) - (in(s2 + j) & 0xff)
+        j += 1
+      }
+      if (cmp != 0) cmp < 0 else l1 < l2
+    }
+    // assemble
+    val qLen = sorted.map { case (s, e) => e - s + 1 }.sum // incl. '&'/'?' separators
+    val pathLen = if (pathEnd > pathStart) pathEnd - pathStart else 1
+    val out = new Array[Byte](sep + 3 + hostLen + pathLen + qLen)
+    var o = 0
+    System.arraycopy(scheme, 0, out, o, sep); o += sep
+    out(o) = ':'; out(o + 1) = '/'; out(o + 2) = '/'; o += 3
+    System.arraycopy(host, 0, out, o, hostLen); o += hostLen
+    if (pathEnd > pathStart) {
+      System.arraycopy(in, pathStart, out, o, pathEnd - pathStart); o += pathEnd - pathStart
+    } else { out(o) = '/'; o += 1 }
+    var first = true
+    sorted.foreach { case (s, e) =>
+      out(o) = if (first) '?' else '&'; o += 1; first = false
+      System.arraycopy(in, s, out, o, e - s); o += e - s
+    }
+    UTF8String.fromBytes(out)
+  }
+}
+
 /** One-pass token-repetition profile of a text column — the
   * Gopher-style repetition quality signals (Rae et al. 2021, public:
   * "Scaling Language Models: ... Gopher"; repetition filters drop docs
@@ -1916,6 +2085,11 @@ object exprs {
   /** HTML tag/script/style strip + entity decode + ws collapse. */
   def htmlExtract(c: Column): Column =
     GraftShim.column(HtmlExtract(GraftShim.expression(c)))
+
+  /** URL canonicalization (fragment/default-port/tracking-param strip,
+    * case fold, query-param sort). */
+  def urlCanon(c: Column): Column =
+    GraftShim.column(UrlCanon(GraftShim.expression(c)))
 
   /** One-pass BPE double-space encoding kernel. */
   def spaceEncode(c: Column): Column =

@@ -1250,6 +1250,105 @@ object PipelineQueries {
          |FROM p ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
 
     // ------------------------------------------------------------------
+    // URL canonicalization + host-grain governance (UrlCanon kernel):
+    // web-corpus hygiene — orders synthesize 4 URL variants per key
+    // (case/default-port, tracking params in shuffled order, fragment)
+    // that must collapse under canonicalization; dedup keeps the
+    // min-id copy per canonical URL, and each host's share is capped
+    // at 25 canonical docs in deterministic md5 order (the
+    // class-balanced sampling pattern). The oracle restates the
+    // kernel's DEFINING split/sort chain in DuckDB. Canonicalization
+    // is map-only; dedup is one canon_url-keyed agg; the cap is a
+    // per-host window over the already-deduped (host-bounded) frame.
+    "url_canonical_dedup" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.exprs
+        val host0 = element_at(
+          array(lit("shop.example.com"), lit("blog.example.com"), lit("docs.example.com")),
+          (col("o_orderkey") % 3 + 1).cast("int"))
+        val item = (col("o_orderkey") % 100).cast("string")
+        val v = col("o_orderkey") % 4
+        val url =
+          when(v === 0, concat(lit("http://"), host0, lit("/item/"), item))
+            .when(v === 1, concat(lit("HTTP://"), upper(host0), lit(":80/item/"), item))
+            .when(v === 2, concat(lit("http://"), host0, lit("/item/"), item,
+              lit("?b=2&a=1&utm_source=mail&fbclid=xyz")))
+            .otherwise(concat(lit("http://"), host0, lit("/item/"), item,
+              lit("?a=1&b=2#frag")))
+        val ded = Tables.orders(s, dir)
+          .select(col("o_orderkey").as("id"), exprs.urlCanon(url).as("canon_url"))
+          .groupBy(col("canon_url"))
+          .agg(count(lit(1)).as("n_variants"), min(col("id")).as("keeper_id"))
+          .withColumn("host", regexp_extract(col("canon_url"), "://([^/?]*)", 1))
+        val w = Window.partitionBy(col("host"))
+          .orderBy(md5(col("canon_url")), col("canon_url"))
+        ded.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 25)
+          .select(col("host"), col("rk"), col("canon_url"),
+            col("keeper_id"), col("n_variants"))
+          .orderBy(col("host"), col("rk"))
+      },
+      """WITH u0 AS (
+        |  SELECT o_orderkey AS id,
+        |    CASE WHEN o_orderkey % 4 = 0
+        |           THEN 'http://' || h || '/item/' || CAST(o_orderkey % 100 AS VARCHAR)
+        |         WHEN o_orderkey % 4 = 1
+        |           THEN 'HTTP://' || upper(h) || ':80/item/' || CAST(o_orderkey % 100 AS VARCHAR)
+        |         WHEN o_orderkey % 4 = 2
+        |           THEN 'http://' || h || '/item/' || CAST(o_orderkey % 100 AS VARCHAR)
+        |                || '?b=2&a=1&utm_source=mail&fbclid=xyz'
+        |         ELSE 'http://' || h || '/item/' || CAST(o_orderkey % 100 AS VARCHAR)
+        |                || '?a=1&b=2#frag' END AS url
+        |  FROM (SELECT o_orderkey,
+        |          CASE o_orderkey % 3 WHEN 0 THEN 'shop.example.com'
+        |               WHEN 1 THEN 'blog.example.com'
+        |               ELSE 'docs.example.com' END AS h
+        |        FROM orders) t),
+        |a AS (SELECT id, split_part(url, '#', 1) AS nf FROM u0),
+        |b AS (SELECT id, nf, strpos(nf, '://') AS sp FROM a),
+        |c AS (SELECT id, nf, sp,
+        |        lower(substr(nf, 1, CAST(sp AS INT) - 1)) AS scheme,
+        |        CASE WHEN sp = 0 THEN '' ELSE substr(nf, CAST(sp AS INT) + 3) END AS rest
+        |      FROM b),
+        |d AS (SELECT id, nf, sp, scheme, rest,
+        |        regexp_extract(rest, '^[^/?]*', 0) AS hp FROM c),
+        |e AS (SELECT id, nf, sp, scheme, lower(hp) AS hl,
+        |        substr(rest, CAST(len(hp) AS INT) + 1) AS pathq FROM d),
+        |f AS (SELECT id, nf, sp, scheme,
+        |        CASE WHEN scheme = 'http' AND ends_with(hl, ':80')
+        |               THEN substr(hl, 1, CAST(len(hl) AS INT) - 3)
+        |             WHEN scheme = 'https' AND ends_with(hl, ':443')
+        |               THEN substr(hl, 1, CAST(len(hl) AS INT) - 4)
+        |             ELSE hl END AS host0,
+        |        split_part(pathq, '?', 1) AS path,
+        |        CASE WHEN strpos(pathq, '?') = 0 THEN ''
+        |             ELSE substr(pathq, CAST(strpos(pathq, '?') AS INT) + 1) END AS q
+        |      FROM e),
+        |g AS (SELECT id, nf, sp, scheme, host0, path,
+        |        coalesce(array_to_string(list_sort(list_filter(string_split(q, '&'), p ->
+        |          len(p) > 0 AND NOT starts_with(p, 'utm_')
+        |          AND split_part(p, '=', 1) NOT IN ('fbclid', 'gclid', 'ref'))), '&'), '') AS q2
+        |      FROM f),
+        |canon AS (
+        |  SELECT id, CASE WHEN sp = 0 THEN lower(nf) ELSE
+        |    scheme || '://' || host0 ||
+        |    (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |    (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END) END AS canon_url
+        |  FROM g),
+        |ded AS (
+        |  SELECT canon_url, CAST(count(*) AS BIGINT) AS n_variants,
+        |         CAST(min(id) AS BIGINT) AS keeper_id
+        |  FROM canon GROUP BY 1),
+        |hh AS (SELECT canon_url, n_variants, keeper_id,
+        |         regexp_extract(canon_url, '://([^/?]*)', 1) AS host FROM ded),
+        |rk AS (SELECT host, canon_url, keeper_id, n_variants,
+        |         row_number() OVER (PARTITION BY host ORDER BY md5(canon_url), canon_url) AS rk
+        |       FROM hh)
+        |SELECT host, CAST(rk AS INT) AS rk, canon_url, keeper_id, n_variants
+        |FROM rk WHERE rk <= 25
+        |ORDER BY host, rk""".stripMargin),
+
+    // ------------------------------------------------------------------
     // N-gram LM perplexity filter (NgramLm.bigramBits — the CCNet
     // shape): bigram model trained on the doc_id%5=0 reference slice;
     // held-out docs score in whole BITS per transition via bit-length

@@ -257,6 +257,118 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(n == 0L)
   }
 
+  test("urlCanon: byte-identical to the composed split/sort chain incl. edges") {
+    val cases = Seq(
+      "HTTP://Shop.Example.COM:80/Item/7?utm_source=x&b=2&a=1#frag",
+      "https://example.com:443/", "https://example.com:8443/x",
+      "http://example.com", "ftp://Files.Example.com:80/x",
+      "no-scheme-plain TEXT", "http://example.com?b=1&a=2",
+      "http://example.com/p?fbclid=1&ref=x&refer=y&z",
+      "http://example.com/p?a=1&a=1&A=2",
+      "http://example.com/Path/UPPER?x=1",
+      "", "#onlyfrag", "http://#frag", "a://b?c",
+      "http://e.com/p?a=1?b=2", "http://e.com/p?a=1&",
+      "http://e.com:80x/y", "HTTPS://E.COM:443?Z=1&gclid=g",
+      "http://e.com/p?utm_=1&utm=2&UTM_S=3", // utm_ prefix case-sensitive; bare 'utm' kept
+      "http://e.com/??a", "http://:80/x")
+      .toDF("u")
+    cases.createOrReplaceTempView("urlcases")
+    val chain = spark.sql(
+      """SELECT u, canon FROM (
+        |  SELECT u, nf, sp, scheme, host, path,
+        |    array_join(array_sort(filter(split(q, '&'), p ->
+        |      length(p) > 0 AND NOT startswith(p, 'utm_')
+        |      AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref'))), '&') AS q2,
+        |    CASE WHEN sp = 0 THEN lower(nf) ELSE
+        |      concat(scheme, '://', host,
+        |        CASE WHEN path = '' THEN '/' ELSE path END,
+        |        CASE WHEN array_join(array_sort(filter(split(q, '&'), p ->
+        |            length(p) > 0 AND NOT startswith(p, 'utm_')
+        |            AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref'))), '&') = ''
+        |          THEN '' ELSE concat('?', array_join(array_sort(filter(split(q, '&'), p ->
+        |            length(p) > 0 AND NOT startswith(p, 'utm_')
+        |            AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref'))), '&')) END)
+        |    END AS canon
+        |  FROM (
+        |    SELECT u, nf, sp, scheme, hl, pathq,
+        |      CASE WHEN scheme = 'http' AND endswith(hl, ':80')
+        |             THEN substring(hl, 1, length(hl) - 3)
+        |           WHEN scheme = 'https' AND endswith(hl, ':443')
+        |             THEN substring(hl, 1, length(hl) - 4)
+        |           ELSE hl END AS host,
+        |      split_part(pathq, '?', 1) AS path,
+        |      CASE WHEN instr(pathq, '?') = 0 THEN ''
+        |           ELSE substring(pathq, instr(pathq, '?') + 1) END AS q
+        |    FROM (
+        |      SELECT u, nf, sp,
+        |        lower(substring(nf, 1, sp - 1)) AS scheme,
+        |        lower(regexp_extract(rest, '^[^/?]*', 0)) AS hl,
+        |        substring(rest, length(regexp_extract(rest, '^[^/?]*', 0)) + 1) AS pathq
+        |      FROM (
+        |        SELECT u, nf, instr(nf, '://') AS sp,
+        |          CASE WHEN instr(nf, '://') = 0 THEN ''
+        |               ELSE substring(nf, instr(nf, '://') + 3) END AS rest
+        |        FROM (SELECT u, split_part(u, '#', 1) AS nf FROM urlcases))))) t""".stripMargin)
+    val rows = chain
+      .select(exprs.urlCanon($"u").as("k"), $"canon".as("r"), $"u")
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"kernel [${r.getString(0)}] != chain [${r.getString(1)}] for [${r.getString(2)}]"))
+  }
+
+  test("urlCanon fuzz: equals composed chain on 300 seeded url-ish strings; null in null out") {
+    val frags = Array(
+      "http://", "HTTPS://", "ftp://", "Example.COM", "e.com", ":80", ":443",
+      ":8080", "/path", "/P/Q", "?", "a=1", "b=2", "&", "#frag", "#", "utm_x=1",
+      "fbclid=z", "ref=r", "z", "=v", "??", "://", "", "x")
+    val rnd = new scala.util.Random(4321)
+    val cases = (0 until 300).map { _ =>
+      (0 until (1 + rnd.nextInt(10))).map(_ => frags(rnd.nextInt(frags.length))).mkString
+    }.toDF("u")
+    cases.createOrReplaceTempView("urlcases")
+    val chain = spark.sql(
+      """SELECT u,
+        |  CASE WHEN sp = 0 THEN lower(nf) ELSE
+        |    concat(scheme, '://', host,
+        |      CASE WHEN path = '' THEN '/' ELSE path END,
+        |      CASE WHEN q2 = '' THEN '' ELSE concat('?', q2) END)
+        |  END AS canon
+        |FROM (
+        |  SELECT u, nf, sp, scheme, host, path,
+        |    array_join(array_sort(filter(split(q, '&'), p ->
+        |      length(p) > 0 AND NOT startswith(p, 'utm_')
+        |      AND NOT split_part(p, '=', 1) IN ('fbclid', 'gclid', 'ref'))), '&') AS q2
+        |  FROM (
+        |    SELECT u, nf, sp, scheme, hl, pathq,
+        |      CASE WHEN scheme = 'http' AND endswith(hl, ':80')
+        |             THEN substring(hl, 1, length(hl) - 3)
+        |           WHEN scheme = 'https' AND endswith(hl, ':443')
+        |             THEN substring(hl, 1, length(hl) - 4)
+        |           ELSE hl END AS host,
+        |      split_part(pathq, '?', 1) AS path,
+        |      CASE WHEN instr(pathq, '?') = 0 THEN ''
+        |           ELSE substring(pathq, instr(pathq, '?') + 1) END AS q
+        |    FROM (
+        |      SELECT u, nf, sp,
+        |        lower(substring(nf, 1, sp - 1)) AS scheme,
+        |        lower(regexp_extract(rest, '^[^/?]*', 0)) AS hl,
+        |        substring(rest, length(regexp_extract(rest, '^[^/?]*', 0)) + 1) AS pathq
+        |      FROM (
+        |        SELECT u, nf, instr(nf, '://') AS sp,
+        |          CASE WHEN instr(nf, '://') = 0 THEN ''
+        |               ELSE substring(nf, instr(nf, '://') + 3) END AS rest
+        |        FROM (SELECT u, split_part(u, '#', 1) AS nf FROM urlcases))))) t""".stripMargin)
+    val bad = chain
+      .select($"u", exprs.urlCanon($"u").as("k"), $"canon".as("r"))
+      .filter($"k" =!= $"r").limit(5).collect()
+    assert(bad.isEmpty, bad.map(r =>
+      s"u=[${r.getString(0)}] kernel=[${r.getString(1)}] chain=[${r.getString(2)}]")
+      .mkString("\n"))
+    val nulls = Seq[Option[String]](None).map(_.orNull).toDF("u")
+      .select(exprs.urlCanon($"u").as("k")).collect()
+    assert(nulls.head.isNullAt(0))
+  }
+
   test("spaceEncode: corpus-wide equality with the regex form") {
     val n = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(
