@@ -2652,6 +2652,127 @@ object PipelineQueries {
       }),
 
     // ------------------------------------------------------------------
+    // HYBRID lexical+dense retrieval (the production RAG stack): BM25
+    // over documents (TextOps.bm25, 3 fixed terms per probe, scores
+    // pivoted per-term and totalled in fixed textual order) fused by
+    // integer RRF with the exact dense cosine top-20 over embeddings
+    // (doc_id and vec_id share the id domain). Fusion, windows, and
+    // top-5 all run on skinny (probe, id, rank) frames — text and
+    // vectors never meet; this is ann_rrf_fusion's machinery with the
+    // lexical leg the verdict asked BM25 to provide.
+    "hybrid_bm25_dense_rrf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val terms = Seq(
+          (0L, 1, "data"), (0L, 2, "query"), (0L, 3, "spark"),
+          (1L, 1, "join"), (1L, 2, "merge"), (1L, 3, "sort"),
+          (2L, 1, "window"), (2L, 2, "order"), (2L, 3, "line"))
+          .toDF("probe_id", "pos", "token")
+        val allTerms = Seq("data", "query", "spark", "join", "merge",
+          "sort", "window", "order", "line")
+        val lex = TextOps.bm25(Tables.documents(s, dir), "doc_id", "text")
+          .filter(col("token").isin(allTerms: _*))
+          .join(broadcast(terms), Seq("token"))
+          .groupBy(col("probe_id"), col("doc_id"))
+          .agg(
+            coalesce(max(when(col("pos") === 1, col("bm25"))), lit(0.0)).as("s1"),
+            coalesce(max(when(col("pos") === 2, col("bm25"))), lit(0.0)).as("s2"),
+            coalesce(max(when(col("pos") === 3, col("bm25"))), lit(0.0)).as("s3"))
+          .withColumn("score", col("s1") + col("s2") + col("s3"))
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("score").desc, col("doc_id"))
+        val lex20 = lex
+          .withColumn("r_lex", row_number().over(wl).cast("int"))
+          .filter(col("r_lex") <= 20)
+          .select(col("probe_id"), col("doc_id").as("id"), col("r_lex"))
+        val emb = Tables.embeddings(s, dir)
+        val dense20 = Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 20)
+          .select(col("query_id").as("probe_id"), col("neighbor_id").as("id"),
+            col("rank").as("r_dense"))
+        val fused = lex20
+          .join(dense20, Seq("probe_id", "id"), "full_outer")
+          .withColumn("rrf_score",
+            expr("CAST(coalesce(1000000000 div (60 + r_lex), 0) + coalesce(1000000000 div (60 + r_dense), 0) AS BIGINT)"))
+        val wf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("probe_id"))
+          .orderBy(col("rrf_score").desc, col("id"))
+        fused
+          .withColumn("fused_rank", row_number().over(wf).cast("int"))
+          .filter(col("fused_rank") <= 5)
+          .select(col("probe_id"), col("id"), col("rrf_score"), col("fused_rank"))
+          .orderBy(col("probe_id"), col("fused_rank"))
+      },
+      s"""WITH terms(probe_id, pos, token) AS (VALUES
+         |  (CAST(0 AS BIGINT), 1, 'data'), (0, 2, 'query'), (0, 3, 'spark'),
+         |  (1, 1, 'join'), (1, 2, 'merge'), (1, 3, 'sort'),
+         |  (2, 1, 'window'), (2, 2, 'order'), (2, 3, 'line')),
+         |tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS token FROM documents
+         |), tf AS (
+         |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM tok GROUP BY 1, 2
+         |), dl AS (
+         |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+         |  FROM tf GROUP BY 1
+         |), dfq AS (
+         |  SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |  FROM tf WHERE token IN (SELECT token FROM terms) GROUP BY 1
+         |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |tl AS (SELECT CAST(SUM(doc_len) AS BIGINT) AS total_len FROM dl),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    (CAST(n.n_docs AS DOUBLE) / dfq.doc_freq) *
+         |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |       (0.75 * CAST(dl.doc_len AS DOUBLE)) /
+         |       (CAST(tl.total_len AS DOUBLE) / n.n_docs)))) AS bm25
+         |  FROM tf
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.token = dfq.token
+         |  CROSS JOIN n CROSS JOIN tl
+         |  WHERE tf.token IN (SELECT token FROM terms)
+         |), pv AS (
+         |  SELECT t.probe_id, sc.doc_id,
+         |    coalesce(max(CASE WHEN t.pos = 1 THEN bm25 END), 0.0) AS s1,
+         |    coalesce(max(CASE WHEN t.pos = 2 THEN bm25 END), 0.0) AS s2,
+         |    coalesce(max(CASE WHEN t.pos = 3 THEN bm25 END), 0.0) AS s3
+         |  FROM sc JOIN terms t USING (token) GROUP BY 1, 2
+         |), lex20 AS (
+         |  SELECT probe_id, id, r_lex FROM (
+         |    SELECT probe_id, doc_id AS id,
+         |      CAST(row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY s1 + s2 + s3 DESC, doc_id) AS INT) AS r_lex
+         |    FROM pv) t WHERE r_lex <= 20
+         |), exactp AS (
+         |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+         |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+         |  FROM embeddings c, embeddings p
+         |  WHERE p.vec_id < 3 AND c.vec_id <> p.vec_id
+         |), dense20 AS (
+         |  SELECT probe_id, id, r_dense FROM (
+         |    SELECT probe_id, id,
+         |      CAST(row_number() OVER (PARTITION BY probe_id
+         |        ORDER BY sim DESC, id) AS INT) AS r_dense
+         |    FROM exactp) t WHERE r_dense <= 20
+         |), fused AS (
+         |  SELECT coalesce(l.probe_id, d.probe_id) AS probe_id,
+         |         coalesce(l.id, d.id) AS id,
+         |         CAST(coalesce(1000000000 // (60 + l.r_lex), 0)
+         |            + coalesce(1000000000 // (60 + d.r_dense), 0) AS BIGINT) AS rrf_score
+         |  FROM lex20 l FULL JOIN dense20 d
+         |    ON l.probe_id = d.probe_id AND l.id = d.id
+         |), ranked AS (
+         |  SELECT probe_id, id, rrf_score,
+         |    CAST(row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY rrf_score DESC, id) AS INT) AS fused_rank
+         |  FROM fused)
+         |SELECT probe_id, id, rrf_score, fused_rank
+         |FROM ranked WHERE fused_rank <= 5
+         |ORDER BY probe_id, fused_rank""".stripMargin),
+
+    // ------------------------------------------------------------------
     // SemDeDup-style candidate buckets (Abbas et al. 2023's idea —
     // cluster embeddings, dedup within clusters): vectors sharing
     // their first two TRAINED PQ codes (the k-means-adapted coarse

@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSuite {
     "ann_label_metrics", // embeds bruteForceTopK's broadcast probe × corpus product (the eval's exact ranking)
     "cohens_kappa_langid", // three 1-row aggregates (n, diag, pe) composed by cross join
     "priority_sample_subsetsum", // 1-row tau + 1-row estimate/exact aggregates composed by cross join
-    "bm25_topk") // n_docs + total_len as broadcast 1-row aggregates (J9 shape, TextOps.bm25)
+    "bm25_topk", // n_docs + total_len as broadcast 1-row aggregates (J9 shape, TextOps.bm25)
+    "hybrid_bm25_dense_rrf", // bm25's 1-row aggregates + bruteForceTopK's broadcast probe × corpus (the exact dense leg)
+    "ngram_perplexity_filter", // total reference-bigram count N as a broadcast 1-row aggregate
+    "unigram_lm_vocab") // survivor-total count as a broadcast 1-row aggregate (the final prob division)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
