@@ -42,10 +42,18 @@ object SpanDedup {
     * single-space joined, lowercase token-canonical — the same token
     * domain the span hashes are computed over; empty string when
     * nothing survives or the document had no tokens).
+    *
+    * `keepFirst = false` is the drop-all-copies policy; `true` is the
+    * keep-one policy (Lee et al. §4.1 discuss both): per duplicated
+    * span, the occurrence with the minimum (doc, start) is the KEEPER
+    * and stays — a min-struct aggregate per span_hash (the J3
+    * attribute-recovery shape) plus an anti-join, both still keyed on
+    * span_hash, so the scale shape is unchanged. A keeper's tokens can
+    * still drop if another span's non-keeper occurrence covers them.
     */
   def exciseCommonSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocs: Long): DataFrame = {
+      n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame = {
     require(n > 0, "span length must be positive")
     val text = coalesce(col(textCol), lit(""))
     // skinny positional span census: (doc, start0, span_hash) — ids and
@@ -64,8 +72,19 @@ object SpanDedup {
       .select(col("span_hash"))
     // duplicated-span start offsets per doc, expanded to covered token
     // positions (union of [start, start+n−1] intervals via distinct)
-    val covered = spans
-      .join(blacklist, Seq("span_hash"))
+    val hits = spans.join(blacklist, Seq("span_hash"))
+    val dropping =
+      if (!keepFirst) hits
+      else {
+        val keeper = hits
+          .groupBy(col("span_hash"))
+          .agg(min(struct(col(idCol), col("start0"))).as("k"))
+          .select(col("span_hash"),
+            col("k").getField(idCol).as(idCol),
+            col("k").getField("start0").as("start0"))
+        hits.join(keeper, Seq("span_hash", idCol, "start0"), "left_anti")
+      }
+    val covered = dropping
       .select(
         col(idCol),
         explode(sequence(col("start0"), col("start0") + lit(n - 1))).as("pos0"))

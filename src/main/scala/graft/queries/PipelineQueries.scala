@@ -1349,6 +1349,109 @@ object PipelineQueries {
         |ORDER BY host, rk""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Web-ingestion END-TO-END: the chain a crawl actually runs, in
+    // one oracle — salted HTML pages → HtmlExtract (tag/script/style
+    // strip + entities) → PII redaction → quality score + language ID
+    // → keep gate (quality ≥ 0.5 ∧ en). Every stage is the
+    // already-verified operator; the composition is the test. All
+    // map-only until the final sort — scan-speed at 100 TB.
+    "web_ingest_e2e" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.exprs
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>Doc "), id, lit("</title>"),
+          lit("<style>body { color: #333; }</style></head><body><p>"),
+          coalesce(col("text"), lit("")), lit("</p>"),
+          when(col("doc_id") % 4 === 0,
+            lit("<div>Contact: curator@example.com or 10.0.0.1 or +1 555-123-4567</div>"))
+            .otherwise(lit("")),
+          lit("<script>var x = 1;</script></body></html>"))
+        val red = TextOps.redactPii(exprs.htmlExtract(html))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            TextOps.tokenCount(red).as("n_tokens"),
+            TextOps.langId(red).as("lang_pred"),
+            TextOps.qualityScore(red).as("quality"))
+          .withColumn("keep",
+            col("quality") >= 0.5 && col("lang_pred") === "en")
+          .orderBy(col("doc_id"))
+      }, {
+        val sw = TextOps.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = $g THEN '$l'").mkString("\n      ")
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+           |    '<style>body { color: #333; }</style></head><body><p>' ||
+           |    coalesce(text, '') || '</p>' ||
+           |    CASE WHEN doc_id % 4 = 0
+           |         THEN '<div>Contact: curator@example.com or 10.0.0.1 or +1 555-123-4567</div>'
+           |         ELSE '' END ||
+           |    '<script>var x = 1;</script></body></html>' AS html
+           |  FROM documents),
+           |x AS (
+           |  SELECT doc_id,
+           |    trim(regexp_replace(
+           |      replace(replace(replace(replace(replace(replace(
+           |        regexp_replace(
+           |          regexp_replace(
+           |            regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+           |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+           |          '<[^>]*>', ' ', 'g'),
+           |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           |      '[\t\n\f\r ]+', ' ', 'g')) AS ext
+           |  FROM h),
+           |red AS (
+           |  SELECT doc_id,
+           |    regexp_replace(
+           |      regexp_replace(
+           |        regexp_replace(ext,
+           |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           |        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+           |      '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS red
+           |  FROM x),
+           |t AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(red), '\\s+'), t -> len(t) > 0) AS toks,
+           |    len(regexp_replace(red, '\\s+', '', 'g')) AS n_chars_nosp,
+           |    red AS txt
+           |  FROM red),
+           |m AS (
+           |  SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+           |    $hits,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / len(toks)
+           |         ELSE 0.0 END AS swr,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(n_chars_nosp AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl,
+           |    CASE WHEN len(txt) > 0
+           |         THEN CAST(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(txt)
+           |         ELSE 0.0 END AS pr
+           |  FROM t),
+           |sc AS (
+           |  SELECT doc_id, n_tokens,
+           |    CASE WHEN $g = 0 THEN 'und'
+           |      $cases
+           |    END AS lang_pred,
+           |    round(
+           |      (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.4
+           |      + least(swr * 4.0, 1.0) * 0.3
+           |      + greatest(0.0, 1.0 - pr * 4.0) * 0.3, 6) AS quality
+           |  FROM m)
+           |SELECT doc_id, n_tokens, lang_pred, quality,
+           |  quality >= 0.5 AND lang_pred = 'en' AS keep
+           |FROM sc
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // N-gram LM perplexity filter (NgramLm.bigramBits — the CCNet
     // shape): bigram model trained on the doc_id%5=0 reference slice;
     // held-out docs score in whole BITS per transition via bit-length
@@ -2202,6 +2305,51 @@ object PipelineQueries {
          |cov AS (
          |  SELECT DISTINCT s.doc_id, s.start0 + u.j AS pos0
          |  FROM sp s JOIN bl USING (span_hash), unnest(range(0, 8)) u(j)),
+         |tok AS (
+         |  SELECT t.doc_id, u.pos0, u.token
+         |  FROM tk t LEFT JOIN (
+         |    SELECT doc_id, i - 1 AS pos0, toks[i] AS token
+         |    FROM tk, unnest(range(1, len(toks) + 1)) r(i)) u USING (doc_id))
+         |SELECT t.doc_id,
+         |  CAST(count(t.token) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c.pos0 IS NOT NULL) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(t.token, ' ' ORDER BY t.pos0)
+         |    FILTER (WHERE c.pos0 IS NULL AND t.token IS NOT NULL), '') AS clean_text
+         |FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos0 = t.pos0
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Span excision, KEEP-ONE policy (Lee et al. §4.1's other
+    // variant): per duplicated span the minimum-(doc, start)
+    // occurrence survives; every other occurrence's tokens drop. On
+    // the perturbed corpus the original docs (low ids) keep their
+    // spans and the +100000 twins lose them — asymmetric where
+    // dedup_span_excise is symmetric. Keeper selection is a
+    // min-struct agg + anti-join, both still span_hash-keyed.
+    "dedup_span_keepfirst" -> QueryDef(
+      (s, dir) =>
+        SpanDedup.exciseCommonSpans(
+          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L,
+          keepFirst = true)
+          .orderBy(col("doc_id")),
+      s"""WITH corpus AS ($perturbedSql),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start0,
+         |    ${md5_63("array_to_string(toks[i:i+7], ' ')")} AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+         |bl AS (
+         |  SELECT span_hash FROM sp
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         |hitk AS (
+         |  SELECT s.doc_id, s.start0,
+         |    row_number() OVER (PARTITION BY s.span_hash
+         |      ORDER BY s.doc_id, s.start0) AS rn
+         |  FROM sp s JOIN bl USING (span_hash)),
+         |cov AS (
+         |  SELECT DISTINCT h.doc_id, h.start0 + u.j AS pos0
+         |  FROM hitk h, unnest(range(0, 8)) u(j) WHERE h.rn > 1),
          |tok AS (
          |  SELECT t.doc_id, u.pos0, u.token
          |  FROM tk t LEFT JOIN (

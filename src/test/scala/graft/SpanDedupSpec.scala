@@ -64,6 +64,34 @@ class SpanDedupSpec extends SparkSuite {
     }
   }
 
+  test("keep-one policy: min-(doc,start) occurrence survives, twins lose theirs") {
+    val twins = Seq(
+      (0L, "one two three four five six seven eight nine ten"),
+      (1L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val r = SpanDedup.exciseCommonSpans(twins, "doc_id", "text", n = 8, maxDocs = 1L,
+        keepFirst = true)
+      .orderBy("doc_id").collect()
+    // doc 0 holds every span's keeper occurrence → untouched;
+    // doc 1's occurrences are all non-keepers → fully excised
+    assert(r(0).getAs[Long]("n_dropped") == 0L)
+    assert(r(0).getAs[String]("clean_text") ==
+      "one two three four five six seven eight nine ten")
+    assert(r(1).getAs[Long]("n_dropped") == 10L)
+    assert(r(1).getAs[String]("clean_text") == "")
+  }
+
+  test("keep-one policy: planted mid-doc duplicate stays in the first carrier only") {
+    val r = SpanDedup.exciseCommonSpans(docs, "doc_id", "text", n = 8, maxDocs = 1L,
+        keepFirst = true)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_dropped") == 0L)
+    assert(r(0).getAs[String]("clean_text") ==
+      s"doc zero opening words here $shared doc zero closing words")
+    assert(r(1).getAs[Long]("n_dropped") == 8L)
+    assert(r(1).getAs[String]("clean_text") ==
+      "totally different lead in text and a different tail")
+  }
+
   test("within-doc repetition alone does not trip the cross-doc threshold") {
     val rep = Seq(
       (0L, s"$shared $shared"),
