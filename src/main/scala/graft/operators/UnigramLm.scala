@@ -38,6 +38,49 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
+  /** Serving-side segmentation: maximal-munch each distinct word
+    * against a FIXED piece inventory (the inference rule [[train]]'s
+    * E-step uses). Unlike training, the vocabulary need not cover
+    * every character — an unmatched position falls back to the single
+    * character as its own piece (the `<unk>`-pass-through convention),
+    * so segmentation is total on any input. Returns (word,
+    * pieces array<string>). One broadcast-vocab join + one word-keyed
+    * aggregation + a map-side walk; word-grain, so the corpus joins
+    * against the result instead of re-segmenting per occurrence.
+    */
+  def segmentWords(
+      words: DataFrame, vocab: DataFrame, maxPieceLen: Int = 6): DataFrame = {
+    val cand = words
+      .select(
+        col("word"),
+        explode(expr(
+          s"""flatten(transform(sequence(1, length(word)), p ->
+             |  transform(sequence(1, least($maxPieceLen, length(word) - p + 1)), l ->
+             |    named_struct('pos', p, 'piece', substring(word, p, l)))))""".stripMargin)).as("c"))
+      .select(col("word"), col("c.pos").as("pos"), col("c.piece").as("piece"))
+    val steps = cand
+      .join(broadcast(vocab), Seq("piece"))
+      .groupBy(col("word"), col("pos"))
+      .agg(max(length(col("piece"))).as("step"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("pos"), col("step")))).as("m"))
+    words
+      .join(steps, Seq("word"), "left")
+      .withColumn("st", expr(
+        "transform(sequence(1, length(word)), i -> coalesce(element_at(m, i), 1))"))
+      .withColumn("starts", expr(
+        """aggregate(sequence(1, length(word)),
+          |  named_struct('nxt', 1, 'acc', cast(array() as array<int>)),
+          |  (a, i) -> IF(i = a.nxt,
+          |    named_struct('nxt', a.nxt + element_at(st, i),
+          |                 'acc', concat(a.acc, array(i))),
+          |    a),
+          |  a -> a.acc)""".stripMargin))
+      .withColumn("pieces", expr(
+        "transform(starts, s -> substring(word, s, element_at(st, s)))"))
+      .select(col("word"), col("pieces"))
+  }
+
   /** Train by iterative segment-and-prune. Returns the surviving
     * vocabulary after `rounds` rounds: (piece, cnt = frequency-weighted
     * usage count under the final E-step segmentation, prob = cnt/total

@@ -28,6 +28,15 @@ object SketchStatsQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 
+  /** Fixed serving inventory for `unigram_segment_fixed` — multi-char
+    * pieces only; characters outside it pass through as single-char
+    * pieces (the <unk> convention), so coverage is total by design.
+    */
+  private val unigramServingVocab: Seq[String] = Seq(
+    "scan", "sort", "order", "win", "dow", "col", "umn", "join", "mer",
+    "ge", "group", "line", "val", "ue", "key", "part", "agg", "row",
+    "ing", "er", "es", "on", "an", "ti", "st", "re", "th", "qu")
+
   /** Shared grouped-count CTE for the two rank statistics: per distinct
     * quantity value, counts in sample A (returnflag R) and B (N).
     */
@@ -971,6 +980,73 @@ object SketchStatsQueries {
           .orderBy(col("cnt").desc, col("piece"))
           .limit(200),
       unigramOracleSql(2)),
+
+    // ------------------------------------------------------------------
+    // Unigram-LM SERVING segmentation with a fixed piece inventory
+    // (UnigramLm.segmentWords — the bpe_segment_fixed analog):
+    // maximal-munch every distinct word once, unknown characters pass
+    // through as their own pieces, and the corpus re-joins the
+    // word-grain segmentation by token position. Per-doc fingerprint
+    // = md5 of the ' | '-fenced piece stream, byte-exact vs the
+    // recursive-CTE walk in DuckDB.
+    "unigram_segment_fixed" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val vocab = unigramServingVocab.toDF("piece")
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+        val seg = UnigramLm.segmentWords(
+          toks.select(col("word")).distinct(), vocab, maxPieceLen = 6)
+        toks.join(seg, Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(size(col("pieces"))).as("n_pieces"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("pos"),
+                  array_join(col("pieces"), " ").as("enc")))),
+                x => x.getField("enc")),
+              " | ")).as("seg_md5"))
+          .orderBy(col("doc_id"))
+      }, {
+        val vs = unigramServingVocab.map(p => s"('$p')").mkString(", ")
+        s"""WITH RECURSIVE
+           |vocab(piece) AS (VALUES $vs),
+           |tk AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+           |tok AS MATERIALIZED (
+           |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS word
+           |  FROM tk, unnest(range(1, len(toks) + 1)) t(i)),
+           |words AS MATERIALIZED (SELECT DISTINCT word FROM tok),
+           |pl AS (SELECT CAST(i AS INT) AS p FROM range(1, 64) t(i)),
+           |ll AS (SELECT CAST(i AS INT) AS l FROM range(1, 7) t(i)),
+           |cand AS MATERIALIZED (
+           |  SELECT w.word, pl.p AS pos, ll.l, substr(w.word, pl.p, ll.l) AS piece
+           |  FROM words w JOIN pl ON pl.p <= len(w.word)
+           |               JOIN ll ON pl.p + ll.l <= len(w.word) + 1),
+           |steps AS MATERIALIZED (
+           |  SELECT c.word, c.pos, CAST(max(c.l) AS INT) AS step
+           |  FROM cand c JOIN vocab v ON v.piece = c.piece GROUP BY 1, 2),
+           |walk AS (
+           |  SELECT word, CAST(len(word) AS INT) AS wl, 1 AS pos
+           |  FROM words WHERE len(word) >= 1
+           |  UNION ALL
+           |  SELECT w.word, w.wl, w.pos + coalesce(s.step, 1)
+           |  FROM walk w LEFT JOIN steps s ON s.word = w.word AND s.pos = w.pos
+           |  WHERE w.pos <= w.wl),
+           |pieces AS MATERIALIZED (
+           |  SELECT w.word, w.pos, substr(w.word, w.pos, coalesce(s.step, 1)) AS piece
+           |  FROM walk w LEFT JOIN steps s ON s.word = w.word AND s.pos = w.pos
+           |  WHERE w.pos <= w.wl),
+           |enc AS MATERIALIZED (
+           |  SELECT word, string_agg(piece, ' ' ORDER BY pos) AS enc,
+           |         CAST(count(*) AS BIGINT) AS np
+           |  FROM pieces GROUP BY 1)
+           |SELECT t.doc_id, CAST(sum(e.np) AS BIGINT) AS n_pieces,
+           |  md5(string_agg(e.enc, ' | ' ORDER BY t.pos)) AS seg_md5
+           |FROM tok t JOIN enc e USING (word)
+           |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // AMS/tug-of-war F2 sketch (Alon–Matias–Szegedy, STOC 1996):

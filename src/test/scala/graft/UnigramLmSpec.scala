@@ -59,6 +59,20 @@ class UnigramLmSpec extends SparkSuite {
     assert(!out.contains("aa"))
   }
 
+  test("segmentWords: maximal munch with unknown-char pass-through") {
+    import org.apache.spark.sql.functions.col
+    val vocab = Seq("ab", "bc", "abc").toDF("piece")
+    val words = Seq("abcd", "zq", "xabc", "abc").toDF("word")
+    val out = UnigramLm.segmentWords(words, vocab, maxPieceLen = 6)
+      .orderBy(col("word")).collect()
+      .map(r => r.getAs[String]("word") -> r.getSeq[String](1).toList)
+      .toMap
+    assert(out("abcd") == List("abc", "d")) // longest match, then unk 'd'
+    assert(out("zq") == List("z", "q"))     // fully unknown word
+    assert(out("xabc") == List("x", "abc")) // unk prefix then munch
+    assert(out("abc") == List("abc"))
+  }
+
   test("coverage invariant: counts reconstruct every token's length") {
     // whatever the segmentation, Σ cnt·len(piece) over survivors must
     // equal the total character mass of the training tokens
