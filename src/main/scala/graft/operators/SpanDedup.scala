@@ -54,6 +54,40 @@ object SpanDedup {
   def exciseCommonSpans(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame = {
+    val covered =
+      coveredPositions(docs, idCol, textCol, n, maxDocs, keepFirst)
+        .withColumn("covered", lit(true))
+    // token stream at (doc, pos) grain; posexplode_outer keeps
+    // zero-token documents (null token → counts 0, clean_text '')
+    val tokens = docs
+      .select(
+        col(idCol),
+        posexplode_outer(TextOps.tokens(col(textCol))).as(Seq("pos0", "token")))
+    tokens
+      .join(covered, Seq(idCol, "pos0"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("token")).as("n_tokens"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("covered").isNull && col("token").isNotNull,
+                struct(col("pos0"), col("token"))))),
+            kept => kept.getField("token")),
+          " ").as("clean_text"))
+  }
+
+  /** The coverage set the excision policies share: one row per
+    * (document, 0-based token position) whose token a policy would
+    * drop — the union of duplicated-span hit intervals (minus each
+    * span's keeper occurrence under `keepFirst`). Exposed for
+    * diagnostics ([[exciseCommonSpans]]'s engine and the
+    * `dedup_span_runlengths` histogram read the same frame).
+    */
+  def coveredPositions(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame = {
     require(n > 0, "span length must be positive")
     val text = coalesce(col(textCol), lit(""))
     // skinny positional span census: (doc, start0, span_hash) — ids and
@@ -84,30 +118,10 @@ object SpanDedup {
             col("k").getField("start0").as("start0"))
         hits.join(keeper, Seq("span_hash", idCol, "start0"), "left_anti")
       }
-    val covered = dropping
+    dropping
       .select(
         col(idCol),
         explode(sequence(col("start0"), col("start0") + lit(n - 1))).as("pos0"))
       .distinct()
-      .withColumn("covered", lit(true))
-    // token stream at (doc, pos) grain; posexplode_outer keeps
-    // zero-token documents (null token → counts 0, clean_text '')
-    val tokens = docs
-      .select(
-        col(idCol),
-        posexplode_outer(TextOps.tokens(col(textCol))).as(Seq("pos0", "token")))
-    tokens
-      .join(covered, Seq(idCol, "pos0"), "left")
-      .groupBy(col(idCol))
-      .agg(
-        count(col("token")).as("n_tokens"),
-        sum(when(col("covered"), 1L).otherwise(0L)).as("n_dropped"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(col("covered").isNull && col("token").isNotNull,
-                struct(col("pos0"), col("token"))))),
-            kept => kept.getField("token")),
-          " ").as("clean_text"))
   }
 }

@@ -2320,6 +2320,52 @@ object PipelineQueries {
          |ORDER BY t.doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Repeated-span RUN-LENGTH histogram (the length statistics Lee
+    // et al. report for ExactSubstr): covered positions group into
+    // maximal runs via gaps-and-islands (pos0 − row_number per doc —
+    // consecutive positions share the group key), then a corpus-wide
+    // histogram of run lengths. Diagnoses WHAT the excision would cut:
+    // long runs = syndicated bodies, short runs = idiom collisions.
+    // Reads the same coveredPositions frame the excision policies use.
+    "dedup_span_runlengths" -> QueryDef(
+      (s, dir) => {
+        val cov = SpanDedup.coveredPositions(
+          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L)
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
+        cov
+          .withColumn("grp", col("pos0") - row_number().over(w))
+          .groupBy(col("doc_id"), col("grp"))
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy(col("run_len"))
+          .agg(
+            count(lit(1)).as("n_runs"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy(col("run_len"))
+      },
+      s"""WITH corpus AS ($perturbedSql),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start0,
+         |    ${md5_63("array_to_string(toks[i:i+7], ' ')")} AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+         |bl AS (
+         |  SELECT span_hash FROM sp
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.start0 + u.j AS pos0
+         |  FROM sp s JOIN bl USING (span_hash), unnest(range(0, 8)) u(j)),
+         |runs AS (
+         |  SELECT doc_id,
+         |    pos0 - row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS grp
+         |  FROM cov),
+         |rl AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+         |  FROM runs GROUP BY doc_id, grp)
+         |SELECT run_len, CAST(count(*) AS BIGINT) AS n_runs,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM rl GROUP BY 1 ORDER BY run_len""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Span excision, KEEP-ONE policy (Lee et al. §4.1's other
     // variant): per duplicated span the minimum-(doc, start)
     // occurrence survives; every other occurrence's tokens drop. On
