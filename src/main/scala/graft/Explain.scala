@@ -122,7 +122,23 @@ object Explain {
     "bootstrap_mean_ci" ->
       "Poisson bootstrap: bounded ×16 explode, multiplicities from scan-stage md5 thresholds, one map-side-combining agg over 16 groups.",
     "quality_quantile_normalize" ->
-      "Quantile calibration: one source-partitioned window over the doc grain; the top-decile cut is a filter on the rank ppm, no global sort.")
+      "Quantile calibration: one source-partitioned window over the doc grain; the top-decile cut is a filter on the rank ppm, no global sort.",
+    "dedup_span_excise" ->
+      "ExactSubstr excision: positional span kernel map-side; the checkpointed census feeds blacklist agg + probe equi-join carrying ids+offsets only; coverage is a bounded ×n explode; the doc reassembly agg is the only corpus exchange.",
+    "unigram_lm_vocab" ->
+      "Unigram-LM hard-EM: static candidate frame checkpointed once; each round is one broadcast-vocab join + two word-keyed aggs + a map-side array-fold walk; the prune is TakeOrdered over the vocab-sized count frame.",
+    "bm25_topk" ->
+      "BM25: the probe-term filter prunes the tf/df aggregates through their group keys; n_docs and total_len ride broadcast 1-row relations; scoring is a scan-stage projection — no full-vocabulary work for a fixed query.",
+    "html_extract_text" ->
+      "HtmlExtract: the four-scan byte kernel runs in the scan-stage projection — map-only, zero regex machinery; the final orderBy is the only exchange.",
+    "url_canonical_dedup" ->
+      "UrlCanon map-side; keep-first dedup is ONE canon_url-keyed agg; the host cap is a per-host window over the already-deduped frame — governance without touching content.",
+    "ngram_perplexity_filter" ->
+      "CCNet gate: vocab-bounded bigram model tables; scoring is one bigram-keyed equi-join + one doc-grain agg; the reference mass N broadcasts as a 1-row relation.",
+    "web_ingest_e2e" ->
+      "Web ingest: HtmlExtract → PII redaction → quality/langid kernels compose into one scan-stage projection — the whole crawl chain is map-only until the final orderBy.",
+    "hybrid_bm25_dense_rrf" ->
+      "Hybrid retrieval: fusion joins carry (probe, id, rank) frames only — text and vectors never meet; the lexical leg prunes through group keys, the dense leg broadcasts the probe set.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
