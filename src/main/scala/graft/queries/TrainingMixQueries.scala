@@ -77,6 +77,121 @@ object TrainingMixQueries {
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
+    // SFT chat-data preparation — the step between a raw dialog dump
+    // and a fine-tuning run: group turns into conversations (4 turns
+    // per conv, alternating user/assistant by synthetic role), render
+    // each to the training template ('### Role:\n<msg>' blocks fenced
+    // by blank lines), count tokens, and gate on structural
+    // completeness (full 4-turn conv, every assistant turn nonempty —
+    // the empty-response filter every SFT pipeline runs). Rendering
+    // and token counts are map-side; the conv-grain agg is the only
+    // shuffle; render_md5 pins the template byte-exactly (chr(10)
+    // newlines on the DuckDB side — SQL literals don't interpret \n).
+    "sft_chat_render" -> QueryDef(
+      (s, dir) => {
+        val turns = Tables.documents(s, dir)
+          .select(
+            expr("doc_id div 4").as("conv_id"),
+            (col("doc_id") % 4).cast("int").as("turn_idx"),
+            coalesce(col("text"), lit("")).as("msg"))
+          .withColumn("role_disp",
+            when(col("turn_idx") % 2 === 0, "User").otherwise("Assistant"))
+          .withColumn("turn_text",
+            concat(lit("### "), col("role_disp"), lit(":\n"), col("msg")))
+          .withColumn("n_tok", TextOps.tokenCount(col("msg")))
+        turns
+          .groupBy(col("conv_id"))
+          .agg(
+            count(lit(1)).as("n_turns"),
+            sum(col("n_tok").cast("long")).as("total_tokens"),
+            sum(when(col("turn_idx") % 2 === 1 && col("n_tok") > 0, 1L)
+              .otherwise(0L)).as("n_assistant_ok"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(struct(col("turn_idx"), col("turn_text")))),
+                x => x.getField("turn_text")),
+              "\n\n")).as("render_md5"))
+          .withColumn("keep",
+            col("n_turns") === 4 && col("n_assistant_ok") === 2)
+          .select(col("conv_id"), col("n_turns"), col("total_tokens"),
+            col("n_assistant_ok"), col("keep"), col("render_md5"))
+          .orderBy(col("conv_id"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id // 4 AS conv_id, CAST(doc_id % 4 AS INT) AS turn_idx,
+        |         coalesce(text, '') AS msg
+        |  FROM documents),
+        |r AS (
+        |  SELECT conv_id, turn_idx,
+        |    '### ' || (CASE WHEN turn_idx % 2 = 0 THEN 'User' ELSE 'Assistant' END)
+        |      || ':' || chr(10) || msg AS turn_text,
+        |    len(list_filter(string_split_regex(lower(msg), '\s+'),
+        |        x -> len(x) > 0)) AS n_tok
+        |  FROM t)
+        |SELECT CAST(conv_id AS BIGINT) AS conv_id,
+        |  CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(count(*) FILTER (WHERE turn_idx % 2 = 1 AND n_tok > 0) AS BIGINT)
+        |    AS n_assistant_ok,
+        |  count(*) = 4
+        |    AND count(*) FILTER (WHERE turn_idx % 2 = 1 AND n_tok > 0) = 2 AS keep,
+        |  md5(string_agg(turn_text, chr(10) || chr(10) ORDER BY turn_idx)) AS render_md5
+        |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // SFT LOSS-MASK layout: train-on-assistant-only means the packed
+    // token stream of each conversation needs (start, end) intervals
+    // over the assistant turns — the mask every SFT trainer consumes.
+    // Turn offsets are an exclusive prefix sum WITHIN the conversation
+    // (conv-grain partitioned window — conversation length bounds the
+    // partition, corpus size doesn't); spans serialize canonically as
+    // 'start-end' joined in turn order. Exact integers end to end.
+    "sft_loss_mask_offsets" -> QueryDef(
+      (s, dir) => {
+        val turns = Tables.documents(s, dir)
+          .select(
+            expr("doc_id div 4").as("conv_id"),
+            (col("doc_id") % 4).cast("int").as("turn_idx"),
+            TextOps.tokenCount(coalesce(col("text"), lit(""))).cast("long").as("n_tok"))
+        val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        turns
+          .withColumn("off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .groupBy(col("conv_id"))
+          .agg(
+            sum(col("n_tok")).as("total_tokens"),
+            sum(when(col("turn_idx") % 2 === 1, col("n_tok")).otherwise(0L))
+              .as("n_mask_tokens"),
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("turn_idx") % 2 === 1,
+                    struct(col("turn_idx"),
+                      concat(col("off").cast("string"), lit("-"),
+                        (col("off") + col("n_tok")).cast("string")).as("span"))))),
+                x => x.getField("span")),
+              ",").as("mask_spans"))
+          .orderBy(col("conv_id"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id // 4 AS conv_id, CAST(doc_id % 4 AS INT) AS turn_idx,
+        |    CAST(len(list_filter(string_split_regex(lower(coalesce(text, '')), '\s+'),
+        |        x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (
+        |  SELECT conv_id, turn_idx, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY conv_id ORDER BY turn_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t)
+        |SELECT CAST(conv_id AS BIGINT) AS conv_id,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN turn_idx % 2 = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS n_mask_tokens,
+        |  coalesce(string_agg(off || '-' || (off + n_tok), ',' ORDER BY turn_idx)
+        |    FILTER (WHERE turn_idx % 2 = 1), '') AS mask_spans
+        |FROM o GROUP BY conv_id ORDER BY conv_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Count-targeted mixture selection: exactly 15 docs from each head
     // source, 5 from each tail source, picked as the budget-lowest
     // md5(doc_id) per source — deterministic, append-stable, and
