@@ -139,6 +139,84 @@ object TrainingMixQueries {
         |FROM r GROUP BY conv_id ORDER BY conv_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Preference-pair construction (DPO/RLHF data prep): 5 candidate
+    // responses per prompt (doc_id div 5), scored by the quality
+    // kernel; chosen = best (score desc, doc_id desc tiebreak),
+    // rejected = worst (score asc, doc_id asc) via two row_number
+    // windows over the prompt grain; margin = one fixed-order
+    // subtraction, usable = margin > 0 (degenerate all-equal prompts
+    // gate out). Scoring is map-side; the windows partition by prompt
+    // (bounded candidate count), never globally.
+    "preference_pairs" -> QueryDef(
+      (s, dir) => {
+        val scored = Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            expr("doc_id div 5").as("prompt_id"),
+            TextOps.qualityScore(col("text")).as("q"))
+        val wBest = Window.partitionBy(col("prompt_id"))
+          .orderBy(col("q").desc, col("doc_id").desc)
+        val wWorst = Window.partitionBy(col("prompt_id"))
+          .orderBy(col("q").asc, col("doc_id").asc)
+        val chosen = scored
+          .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+          .select(col("prompt_id"), col("doc_id").as("chosen_id"),
+            col("q").as("q_chosen"))
+        val rejected = scored
+          .withColumn("rn", row_number().over(wWorst)).filter(col("rn") === 1)
+          .select(col("prompt_id"), col("doc_id").as("rejected_id"),
+            col("q").as("q_rejected"))
+        chosen.join(rejected, Seq("prompt_id"))
+          .withColumn("margin", col("q_chosen") - col("q_rejected"))
+          .withColumn("usable", col("margin") > 0.0)
+          .select(col("prompt_id"), col("chosen_id"), col("rejected_id"),
+            col("q_chosen"), col("q_rejected"), col("margin"), col("usable"))
+          .orderBy(col("prompt_id"))
+      }, {
+        val sw = TextOps.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, doc_id // 5 AS prompt_id,
+           |    $toksSql AS toks,
+           |    len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS n_chars_nosp,
+           |    coalesce(text, '') AS txt
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, prompt_id,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks)
+           |         ELSE 0.0 END AS swr,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(n_chars_nosp AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl,
+           |    CASE WHEN len(txt) > 0
+           |         THEN CAST(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(txt)
+           |         ELSE 0.0 END AS pr
+           |  FROM t),
+           |sc AS (
+           |  SELECT doc_id, prompt_id,
+           |    round(
+           |      (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.4
+           |      + least(swr * 4.0, 1.0) * 0.3
+           |      + greatest(0.0, 1.0 - pr * 4.0) * 0.3, 6) AS q
+           |  FROM m),
+           |ch AS (
+           |  SELECT prompt_id, doc_id AS chosen_id, q AS q_chosen FROM (
+           |    SELECT prompt_id, doc_id, q,
+           |      row_number() OVER (PARTITION BY prompt_id ORDER BY q DESC, doc_id DESC) AS rn
+           |    FROM sc) x WHERE rn = 1),
+           |rj AS (
+           |  SELECT prompt_id, doc_id AS rejected_id, q AS q_rejected FROM (
+           |    SELECT prompt_id, doc_id, q,
+           |      row_number() OVER (PARTITION BY prompt_id ORDER BY q ASC, doc_id ASC) AS rn
+           |    FROM sc) x WHERE rn = 1)
+           |SELECT CAST(ch.prompt_id AS BIGINT) AS prompt_id, ch.chosen_id,
+           |  rj.rejected_id, ch.q_chosen, rj.q_rejected,
+           |  ch.q_chosen - rj.q_rejected AS margin,
+           |  ch.q_chosen - rj.q_rejected > 0.0 AS usable
+           |FROM ch JOIN rj USING (prompt_id)
+           |ORDER BY prompt_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // SFT LOSS-MASK layout: train-on-assistant-only means the packed
     // token stream of each conversation needs (start, end) intervals
     // over the assistant turns — the mask every SFT trainer consumes.
