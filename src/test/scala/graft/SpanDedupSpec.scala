@@ -92,6 +92,14 @@ class SpanDedupSpec extends SparkSuite {
       "totally different lead in text and a different tail")
   }
 
+  test("coveredPositions groups into the planted run exactly") {
+    // the shared 8-token span covers positions 5..12 in doc 0 and
+    // 5..12 in doc 1 — one maximal run of length 8 each
+    val cov = SpanDedup.coveredPositions(docs, "doc_id", "text", n = 8, maxDocs = 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(cov.toSet == (for (d <- 0 to 1; p <- 5 to 12) yield (d.toLong, p)).toSet)
+  }
+
   test("within-doc repetition alone does not trip the cross-doc threshold") {
     val rep = Seq(
       (0L, s"$shared $shared"),
