@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.Expression
 
-import graft.functions.{CleanText, LongArrayMatchCount, LongVecDistSq, MaxSimScore, MinHashSig, NgramHashes, QuantizeVec, SimHash64, SimHashText, VecDot, WinnowFingerprint}
+import graft.functions.{CleanText, HtmlExtract, LongArrayMatchCount, LongVecDistSq, MaxSimScore, MinHashSig, NgramHashes, QuantizeVec, SimHash64, SimHashText, UrlCanon, VecDot, WinnowFingerprint}
 
 /** SparkSessionExtensions registering graft's custom expressions as SQL
   * functions, so `spark.sql("SELECT simhash_text(text) ...")` works —
@@ -102,5 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       org.apache.spark.sql.catalyst.FunctionIdentifier("longvec_dist_sq"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "longvec_dist_sq"),
       (args: Seq[Expression]) => LongVecDistSq(args.head, args(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("html_extract"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "html_extract"),
+      (args: Seq[Expression]) => HtmlExtract(args.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_canon"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "url_canon"),
+      (args: Seq[Expression]) => UrlCanon(args.head)))
   }
 }

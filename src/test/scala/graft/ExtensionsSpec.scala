@@ -30,6 +30,12 @@ class ExtensionsSpec extends SparkSuite {
     assert(spark.sql(
       "SELECT longvec_dist_sq(array(3L, 1L), array(1L, 4L)) AS d")
       .collect()(0).getLong(0) == 13L)
+    assert(spark.sql(
+      "SELECT html_extract('<p>hi &amp; bye</p><script>x</script>') AS t")
+      .collect()(0).getString(0) == "hi & bye")
+    assert(spark.sql(
+      "SELECT url_canon('HTTP://A.COM:80/x?b=2&utm_s=1&a=1#f') AS u")
+      .collect()(0).getString(0) == "http://a.com/x?a=1&b=2")
   }
 
   test("upsert statement: reference ON CONFLICT DO NOTHING shape") {
