@@ -2967,6 +2967,72 @@ object PipelineQueries {
          |ORDER BY probe_id, fused_rank""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Cluster-balanced mixture (topic balancing): route every
+    // embedding to its trained-PQ-prefix cluster (the SemDeDup coarse
+    // signature — k-means-adapted, so buckets track the data) and cap
+    // each cluster's contribution at 20 docs in deterministic md5
+    // order — the semantic analog of per-source class balancing, what
+    // keeps one dominant topic from swamping a mixture. Codes are
+    // map-side; the cap is a per-cluster window over id+bucket rows
+    // (vectors never shuffle); cluster sizes ride a bucket-keyed agg.
+    "cluster_balanced_mixture" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val cbs = PqIndex.trainCodebooks(
+          emb, "vec_id", "embedding", m = 4, ksub = 4,
+          sampleSize = 1000, iters = 2, seed = 21L)
+        val assigned = emb
+          .select(col("vec_id"),
+            graft.functions.exprs.pqCodes(col("embedding"), cbs).as("c"))
+          .select(col("vec_id"),
+            (element_at(col("c"), 1) + element_at(col("c"), 2) * 4)
+              .cast("long").as("cid"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cid"))
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        val sizes = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_members"))
+        assigned
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 20)
+          .join(sizes, Seq("cid"))
+          .select(col("cid"), col("rk"), col("vec_id"), col("n_members"))
+          .orderBy(col("cid"), col("rk"))
+      },
+      "WITH " + pqTrainedCbCtes(
+        dim = 64, m = 4, ksub = 4, sampleSize = 1000, iters = 2, seed = 21L) + ",\n" +
+        s"""wqe AS (
+           |  SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
+           |  FROM embeddings),
+           |dists AS (
+           |  SELECT q.vec_id, c.m, c.j,
+           |    CAST(list_sum(list_transform(
+           |      list_zip(q.w[c.m*16+1 : c.m*16+16], c.cw),
+           |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+           |  FROM wqe q CROSS JOIN cb c
+           |  WHERE c.m < 2),
+           |codes AS (
+           |  SELECT vec_id, m, j AS code FROM (
+           |    SELECT vec_id, m, j,
+           |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+           |    FROM dists) WHERE r = 1),
+           |a AS (
+           |  SELECT vec_id,
+           |    CAST(SUM(code * CASE WHEN m = 0 THEN 1 ELSE 4 END) AS BIGINT) AS cid
+           |  FROM codes GROUP BY vec_id),
+           |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM a GROUP BY 1),
+           |rk AS (
+           |  SELECT cid, vec_id,
+           |    row_number() OVER (PARTITION BY cid
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+           |  FROM a)
+           |SELECT r.cid, CAST(r.rk AS INT) AS rk, r.vec_id, s.n_members
+           |FROM rk r JOIN sz s USING (cid)
+           |WHERE r.rk <= 20
+           |ORDER BY cid, rk""".stripMargin),
+
+    // ------------------------------------------------------------------
     // SemDeDup-style candidate buckets (Abbas et al. 2023's idea —
     // cluster embeddings, dedup within clusters): vectors sharing
     // their first two TRAINED PQ codes (the k-means-adapted coarse
