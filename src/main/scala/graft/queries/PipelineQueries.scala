@@ -1349,6 +1349,50 @@ object PipelineQueries {
         |ORDER BY host, rk""".stripMargin),
 
     // ------------------------------------------------------------------
+    // RAG chunking with overlap — the retrieval-indexing prep every
+    // RAG stack runs: sliding 64-token windows at stride 16 (48-token
+    // overlap) per document, each chunk fingerprinted for downstream
+    // embedding/dedup. Entirely map-side (explode of a bounded start
+    // sequence + array slices); chunk count is ⌈len/stride⌉ per doc,
+    // so output scales linearly with token mass — the only exchange
+    // is the final sort.
+    "rag_chunk_overlap" -> QueryDef(
+      (s, dir) => {
+        val window = 64
+        val stride = 16
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"), col("toks"),
+            explode(expr(s"sequence(0, size(toks) - 1, $stride)")).as("start_tok"))
+          .select(
+            col("doc_id"),
+            expr(s"CAST(start_tok div $stride AS INT)").as("chunk_idx"),
+            col("start_tok").cast("int"),
+            expr(s"slice(toks, start_tok + 1, $window)").as("chunk"))
+          .select(
+            col("doc_id"), col("chunk_idx"), col("start_tok"),
+            size(col("chunk")).as("n_tokens"),
+            md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+          .orderBy(col("doc_id"), col("chunk_idx"))
+      },
+      s"""WITH tk AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |st AS (
+         |  SELECT doc_id, toks, CAST(i AS INT) AS start_tok
+         |  FROM tk, unnest(range(0, len(toks), 16)) t(i)
+         |  WHERE len(toks) > 0),
+         |ch AS (
+         |  SELECT doc_id, CAST(start_tok // 16 AS INT) AS chunk_idx, start_tok,
+         |    toks[start_tok + 1 : start_tok + 64] AS chunk
+         |  FROM st)
+         |SELECT doc_id, chunk_idx, start_tok,
+         |  CAST(len(chunk) AS INT) AS n_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch
+         |ORDER BY doc_id, chunk_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Web-ingestion END-TO-END: the chain a crawl actually runs, in
     // one oracle — salted HTML pages → HtmlExtract (tag/script/style
     // strip + entities) → PII redaction → quality score + language ID
