@@ -1976,6 +1976,81 @@ object PipelineQueries {
          |ORDER BY id_a, id_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Train/test SPLIT LEAKAGE check — eval hygiene beyond exact-gram
+    // decontamination (text_contamination): a tenth of the perturbed
+    // twins form the held-out set, and their near-duplicate originals
+    // sit in train, so a correct checker must flag them. Cross-split
+    // near-dup pairs come from the same inverted-index Jaccard join
+    // dedup_ngram_jaccard verifies; every test doc reports (left join
+    // keeps the clean ones), leaked = any train neighbor at J ≥ 0.5.
+    // max over doubles is order-insensitive — safe under the
+    // no-float-SUM rule.
+    "split_leakage_check" -> QueryDef(
+      (s, dir) => {
+        def isTest(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+          (c % 10 === 0) && (c >= 100000L)
+        val pairs = Dedup.ngramJaccardPairs(
+          perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5)
+        val cross = pairs
+          .filter(isTest(col("id_a")) =!= isTest(col("id_b")))
+          .select(
+            when(isTest(col("id_a")), col("id_a")).otherwise(col("id_b"))
+              .as("test_id"),
+            col("jaccard"))
+        val leaks = cross.groupBy(col("test_id"))
+          .agg(count(lit(1)).as("n_leaks"), max(col("jaccard")).as("max_jaccard"))
+        perturbedDocs(s, dir)
+          .filter(isTest(col("doc_id")))
+          .select(col("doc_id").as("test_id"))
+          .join(leaks, Seq("test_id"), "left")
+          .select(
+            col("test_id"),
+            coalesce(col("n_leaks"), lit(0L)).as("n_leaks"),
+            coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"),
+            (coalesce(col("n_leaks"), lit(0L)) > 0).as("leaked"))
+          .orderBy(col("test_id"))
+      },
+      s"""WITH corpus AS ($perturbedSql),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+         |  WHERE len(toks) >= 4
+         |),
+         |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+         |pairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |jp AS (
+         |  SELECT id_a, id_b,
+         |    CAST(shared AS DOUBLE) / (n_a + n_b - shared) AS jaccard
+         |  FROM pairs
+         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+         |),
+         |cross_split AS (
+         |  SELECT CASE WHEN id_a % 10 = 0 AND id_a >= 100000 THEN id_a ELSE id_b END AS test_id,
+         |         jaccard
+         |  FROM jp
+         |  WHERE (id_a % 10 = 0 AND id_a >= 100000)
+         |     <> (id_b % 10 = 0 AND id_b >= 100000)
+         |),
+         |lk AS (
+         |  SELECT test_id, CAST(count(*) AS BIGINT) AS n_leaks,
+         |         max(jaccard) AS max_jaccard
+         |  FROM cross_split GROUP BY 1)
+         |SELECT c.doc_id AS test_id,
+         |  coalesce(lk.n_leaks, 0) AS n_leaks,
+         |  coalesce(lk.max_jaccard, 0.0) AS max_jaccard,
+         |  coalesce(lk.n_leaks, 0) > 0 AS leaked
+         |FROM corpus c LEFT JOIN lk ON lk.test_id = c.doc_id
+         |WHERE c.doc_id % 10 = 0 AND c.doc_id >= 100000
+         |ORDER BY test_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Prefix-filtered set-similarity self-join (SSJoin/PPJoin,
     // Chaudhuri'06 / Xiao'08): 4-gram shingle-set Jaccard ≥ 3/5 pairs
     // WITHOUT the full inverted-index blow-up — only each doc's
