@@ -37,6 +37,45 @@ object SketchStatsQueries {
     "ge", "group", "line", "val", "ue", "key", "part", "agg", "row",
     "ing", "er", "es", "on", "an", "ti", "st", "re", "th", "qu")
 
+  /** The DuckDB serving-segmentation CTE chain (fixed vocab → per-word
+    * maximal-munch walk → per-word encoding) shared by
+    * `unigram_segment_fixed` and `tokenizer_fertility_compare`.
+    * Callers prepend `WITH RECURSIVE` and append their own SELECT.
+    */
+  private def unigramServingCtes: String = {
+    val vs = unigramServingVocab.map(p => s"('$p')").mkString(", ")
+    s"""vocab(piece) AS (VALUES $vs),
+       |tk AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS word
+       |  FROM tk, unnest(range(1, len(toks) + 1)) t(i)),
+       |words AS MATERIALIZED (SELECT DISTINCT word FROM tok),
+       |pl AS (SELECT CAST(i AS INT) AS p FROM range(1, 64) t(i)),
+       |ll AS (SELECT CAST(i AS INT) AS l FROM range(1, 7) t(i)),
+       |cand AS MATERIALIZED (
+       |  SELECT w.word, pl.p AS pos, ll.l, substr(w.word, pl.p, ll.l) AS piece
+       |  FROM words w JOIN pl ON pl.p <= len(w.word)
+       |               JOIN ll ON pl.p + ll.l <= len(w.word) + 1),
+       |steps AS MATERIALIZED (
+       |  SELECT c.word, c.pos, CAST(max(c.l) AS INT) AS step
+       |  FROM cand c JOIN vocab v ON v.piece = c.piece GROUP BY 1, 2),
+       |walk AS (
+       |  SELECT word, CAST(len(word) AS INT) AS wl, 1 AS pos
+       |  FROM words WHERE len(word) >= 1
+       |  UNION ALL
+       |  SELECT w.word, w.wl, w.pos + coalesce(s.step, 1)
+       |  FROM walk w LEFT JOIN steps s ON s.word = w.word AND s.pos = w.pos
+       |  WHERE w.pos <= w.wl),
+       |pieces AS MATERIALIZED (
+       |  SELECT w.word, w.pos, substr(w.word, w.pos, coalesce(s.step, 1)) AS piece
+       |  FROM walk w LEFT JOIN steps s ON s.word = w.word AND s.pos = w.pos
+       |  WHERE w.pos <= w.wl),
+       |enc AS MATERIALIZED (
+       |  SELECT word, string_agg(piece, ' ' ORDER BY pos) AS enc,
+       |         CAST(count(*) AS BIGINT) AS np
+       |  FROM pieces GROUP BY 1)""".stripMargin
+  }
+
   /** Shared grouped-count CTE for the two rank statistics: per distinct
     * quantity value, counts in sample A (returnflag R) and B (N).
     */
@@ -1009,44 +1048,69 @@ object SketchStatsQueries {
                 x => x.getField("enc")),
               " | ")).as("seg_md5"))
           .orderBy(col("doc_id"))
-      }, {
-        val vs = unigramServingVocab.map(p => s"('$p')").mkString(", ")
-        s"""WITH RECURSIVE
-           |vocab(piece) AS (VALUES $vs),
-           |tk AS MATERIALIZED (SELECT doc_id, $toksSql AS toks FROM documents),
-           |tok AS MATERIALIZED (
-           |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS word
-           |  FROM tk, unnest(range(1, len(toks) + 1)) t(i)),
-           |words AS MATERIALIZED (SELECT DISTINCT word FROM tok),
-           |pl AS (SELECT CAST(i AS INT) AS p FROM range(1, 64) t(i)),
-           |ll AS (SELECT CAST(i AS INT) AS l FROM range(1, 7) t(i)),
-           |cand AS MATERIALIZED (
-           |  SELECT w.word, pl.p AS pos, ll.l, substr(w.word, pl.p, ll.l) AS piece
-           |  FROM words w JOIN pl ON pl.p <= len(w.word)
-           |               JOIN ll ON pl.p + ll.l <= len(w.word) + 1),
-           |steps AS MATERIALIZED (
-           |  SELECT c.word, c.pos, CAST(max(c.l) AS INT) AS step
-           |  FROM cand c JOIN vocab v ON v.piece = c.piece GROUP BY 1, 2),
-           |walk AS (
-           |  SELECT word, CAST(len(word) AS INT) AS wl, 1 AS pos
-           |  FROM words WHERE len(word) >= 1
-           |  UNION ALL
-           |  SELECT w.word, w.wl, w.pos + coalesce(s.step, 1)
-           |  FROM walk w LEFT JOIN steps s ON s.word = w.word AND s.pos = w.pos
-           |  WHERE w.pos <= w.wl),
-           |pieces AS MATERIALIZED (
-           |  SELECT w.word, w.pos, substr(w.word, w.pos, coalesce(s.step, 1)) AS piece
-           |  FROM walk w LEFT JOIN steps s ON s.word = w.word AND s.pos = w.pos
-           |  WHERE w.pos <= w.wl),
-           |enc AS MATERIALIZED (
-           |  SELECT word, string_agg(piece, ' ' ORDER BY pos) AS enc,
-           |         CAST(count(*) AS BIGINT) AS np
-           |  FROM pieces GROUP BY 1)
-           |SELECT t.doc_id, CAST(sum(e.np) AS BIGINT) AS n_pieces,
-           |  md5(string_agg(e.enc, ' | ' ORDER BY t.pos)) AS seg_md5
-           |FROM tok t JOIN enc e USING (word)
-           |GROUP BY 1 ORDER BY t.doc_id""".stripMargin
-      }),
+      },
+      s"""WITH RECURSIVE
+         |$unigramServingCtes
+         |SELECT t.doc_id, CAST(sum(e.np) AS BIGINT) AS n_pieces,
+         |  md5(string_agg(e.enc, ' | ' ORDER BY t.pos)) AS seg_md5
+         |FROM tok t JOIN enc e USING (word)
+         |GROUP BY 1 ORDER BY t.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility COMPARISON — the eval a tokenizer choice
+    // hangs off: chars-per-piece for whitespace, GPT-2-shaped BPE-ish
+    // pre-tokenization, and the fixed-inventory unigram serving
+    // segmentation, over the same corpus in one row. Counts are exact
+    // BIGINTs; the three ratios are single fixed-order divisions; the
+    // unigram leg replays the recursive serving walk.
+    "tokenizer_fertility_compare" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val base = docs
+          .select(
+            TextOps.tokenCount(col("text")).cast("long").as("ws"),
+            TextOps.bpeIshTokenCount(col("text")).cast("long").as("bp"),
+            length(regexp_replace(coalesce(col("text"), lit("")),
+              "[\\t\\n\\f\\r ]+", "")).cast("long").as("chars"))
+          .agg(
+            sum(col("chars")).as("n_chars"),
+            sum(col("ws")).as("n_ws_tokens"),
+            sum(col("bp")).as("n_bpeish_tokens"))
+        val vocab = unigramServingVocab.toDF("piece")
+        val toks = docs.select(
+          posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "word")))
+        val uni = toks
+          .join(UnigramLm.segmentWords(
+            toks.select(col("word")).distinct(), vocab, maxPieceLen = 6),
+            Seq("word"))
+          .agg(sum(size(col("pieces")).cast("long")).as("n_unigram_pieces"))
+        base.crossJoin(broadcast(uni))
+          .withColumn("chars_per_ws",
+            col("n_chars").cast("double") / col("n_ws_tokens").cast("double"))
+          .withColumn("chars_per_bpeish",
+            col("n_chars").cast("double") / col("n_bpeish_tokens").cast("double"))
+          .withColumn("chars_per_unigram",
+            col("n_chars").cast("double") / col("n_unigram_pieces").cast("double"))
+      },
+      s"""WITH RECURSIVE
+         |$unigramServingCtes,
+         |base AS (
+         |  SELECT
+         |    CAST(sum(len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g'))) AS BIGINT) AS n_chars,
+         |    CAST(sum(len($toksSql)) AS BIGINT) AS n_ws_tokens,
+         |    CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+         |      '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS n_bpeish_tokens
+         |  FROM documents),
+         |uni AS (
+         |  SELECT CAST(sum(e.np) AS BIGINT) AS n_unigram_pieces
+         |  FROM tok t JOIN enc e USING (word))
+         |SELECT base.n_chars, base.n_ws_tokens, base.n_bpeish_tokens,
+         |  uni.n_unigram_pieces,
+         |  CAST(base.n_chars AS DOUBLE) / CAST(base.n_ws_tokens AS DOUBLE) AS chars_per_ws,
+         |  CAST(base.n_chars AS DOUBLE) / CAST(base.n_bpeish_tokens AS DOUBLE) AS chars_per_bpeish,
+         |  CAST(base.n_chars AS DOUBLE) / CAST(uni.n_unigram_pieces AS DOUBLE) AS chars_per_unigram
+         |FROM base, uni""".stripMargin),
 
     // ------------------------------------------------------------------
     // AMS/tug-of-war F2 sketch (Alon–Matias–Szegedy, STOC 1996):
