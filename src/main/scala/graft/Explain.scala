@@ -138,7 +138,17 @@ object Explain {
     "web_ingest_e2e" ->
       "Web ingest: HtmlExtract → PII redaction → quality/langid kernels compose into one scan-stage projection — the whole crawl chain is map-only until the final orderBy.",
     "hybrid_bm25_dense_rrf" ->
-      "Hybrid retrieval: fusion joins carry (probe, id, rank) frames only — text and vectors never meet; the lexical leg prunes through group keys, the dense leg broadcasts the probe set.")
+      "Hybrid retrieval: fusion joins carry (probe, id, rank) frames only — text and vectors never meet; the lexical leg prunes through group keys, the dense leg broadcasts the probe set.",
+    "sft_loss_mask_offsets" ->
+      "SFT mask layout: the exclusive prefix sum windows WITHIN each conversation (partition size = turn count, never corpus-grain); rendering and token counts stay in the scan stage.",
+    "cluster_balanced_mixture" ->
+      "Topic balancing: trained-PQ codes map-side; the cap is a per-cluster window over id+cluster rows; vectors never shuffle.",
+    "rag_chunk_overlap" ->
+      "RAG chunking: bounded start-sequence explode + array slices in the scan stage — map-only, linear in token mass; the final sort is the only exchange.",
+    "split_leakage_check" ->
+      "Eval hygiene rides the existing inverted-index Jaccard join restricted to cross-split pairs — no new plan shape; held-out docs report via a left join on ids only.",
+    "preference_pairs" ->
+      "DPO prep: quality kernel in the scan stage; chosen/rejected via two prompt-partitioned row_number windows (bounded candidates per partition) joined on the prompt key.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
