@@ -2397,6 +2397,77 @@ object PipelineQueries {
          |LIMIT 200""".stripMargin),
 
     // ------------------------------------------------------------------
+    // HTML BLOCK extraction — the per-block face of html_extract_text
+    // (paragraph-grain text is what line/span dedup and chunking
+    // consume on web corpora): after script/style strip, block-level
+    // tags (p/div/h1-h3/li/br) become newlines, each piece runs the
+    // HtmlExtract kernel, empties drop, and survivors renumber per
+    // doc. Map-only until the bounded per-doc window.
+    "html_extract_blocks" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        val html = concat(
+          lit("<html><head><title>T</title><style>b{}</style></head><body>"),
+          lit("<h1>Doc "), id, lit("</h1>"),
+          lit("<script>var x = \"<p>not a block</p>\";</script>"),
+          lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+          lit("<div>footer &amp; legal</div><br>tail note</body></html>"))
+        val noScript = regexp_replace(
+          regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+          "(?s)<style[^>]*>.*?</style>", " ")
+        val blocksRaw = split(
+          regexp_replace(noScript, "</?(p|div|h1|h2|h3|li|br)[^>]*>", "\n"), "\n")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(blocksRaw).as(Seq("pos", "piece")))
+          .select(col("doc_id"), col("pos"),
+            graft.functions.exprs.htmlExtract(col("piece")).as("block_text"))
+          .filter(length(col("block_text")) > 0)
+          .withColumn("block_idx", row_number().over(w).cast("int"))
+          .select(col("doc_id"), col("block_idx"), col("block_text"))
+          .orderBy(col("doc_id"), col("block_idx"))
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style>b{}</style></head><body>' ||
+        |    '<h1>Doc ' || doc_id || '</h1>' ||
+        |    '<script>var x = "<p>not a block</p>";</script>' ||
+        |    '<p>' || coalesce(text, '') || '</p>' ||
+        |    '<div>footer &amp; legal</div><br>tail note</body></html>' AS html
+        |  FROM documents),
+        |ns AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS a
+        |  FROM h),
+        |sp AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(a, '</?(p|div|h1|h2|h3|li|br)[^>]*>', chr(10), 'g'),
+        |      chr(10)) AS pieces
+        |  FROM ns),
+        |pc AS (
+        |  SELECT s.doc_id, CAST(i AS INT) AS pos, s.pieces[CAST(i AS INT)] AS piece
+        |  FROM sp s, unnest(range(1, len(pieces) + 1)) t(i)),
+        |x AS (
+        |  SELECT doc_id, pos,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(piece, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[\t\n\f\r ]+', ' ', 'g')) AS block_text
+        |  FROM pc)
+        |SELECT doc_id, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS INT) AS block_idx,
+        |  block_text
+        |FROM x WHERE len(block_text) > 0
+        |ORDER BY doc_id, block_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Substring-REMOVAL dedup (Lee et al. 2022 ExactSubstr shape,
     // SpanDedup operator): where dedup_common_spans only CENSUSES
     // repeated 8-token spans, this excises them — every token covered
