@@ -43,6 +43,32 @@ object PipelineQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 
+  /** Salted-HTML → nonempty (doc_id, pos, block_text) rows — the
+    * Spark side of `html_extract_blocks`, shared with the boilerplate
+    * composition. `pos` is the raw split position (renumber/order as
+    * needed downstream). SQL twin: the h/ns/sp/pc/x CTE chain in the
+    * `html_extract_blocks` oracle.
+    */
+  private def htmlBlocks(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<html><head><title>T</title><style>b{}</style></head><body>"),
+      lit("<h1>Doc "), id, lit("</h1>"),
+      lit("<script>var x = \"<p>not a block</p>\";</script>"),
+      lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      lit("<div>footer &amp; legal</div><br>tail note</body></html>"))
+    val noScript = regexp_replace(
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
+      "(?s)<style[^>]*>.*?</style>", " ")
+    val blocksRaw = split(
+      regexp_replace(noScript, "</?(p|div|h1|h2|h3|li|br)[^>]*>", "\n"), "\n")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(blocksRaw).as(Seq("pos", "piece")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.exprs.htmlExtract(col("piece")).as("block_text"))
+      .filter(length(col("block_text")) > 0)
+  }
+
   /** Cluster-label ARTIFACT, built once per (session, corpus) — the
     * dedup pipeline's warehouse contract, same shape as
     * [[MefStarQueries]]' star cache: the component listing,
@@ -2405,25 +2431,9 @@ object PipelineQueries {
     // doc. Map-only until the bounded per-doc window.
     "html_extract_blocks" -> QueryDef(
       (s, dir) => {
-        val id = col("doc_id").cast("string")
-        val html = concat(
-          lit("<html><head><title>T</title><style>b{}</style></head><body>"),
-          lit("<h1>Doc "), id, lit("</h1>"),
-          lit("<script>var x = \"<p>not a block</p>\";</script>"),
-          lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
-          lit("<div>footer &amp; legal</div><br>tail note</body></html>"))
-        val noScript = regexp_replace(
-          regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " "),
-          "(?s)<style[^>]*>.*?</style>", " ")
-        val blocksRaw = split(
-          regexp_replace(noScript, "</?(p|div|h1|h2|h3|li|br)[^>]*>", "\n"), "\n")
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("pos"))
-        Tables.documents(s, dir)
-          .select(col("doc_id"), posexplode(blocksRaw).as(Seq("pos", "piece")))
-          .select(col("doc_id"), col("pos"),
-            graft.functions.exprs.htmlExtract(col("piece")).as("block_text"))
-          .filter(length(col("block_text")) > 0)
+        htmlBlocks(s, dir)
           .withColumn("block_idx", row_number().over(w).cast("int"))
           .select(col("doc_id"), col("block_idx"), col("block_text"))
           .orderBy(col("doc_id"), col("block_idx"))
@@ -2466,6 +2476,83 @@ object PipelineQueries {
         |  block_text
         |FROM x WHERE len(block_text) > 0
         |ORDER BY doc_id, block_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Web BOILERPLATE removal — the composition the block extractor
+    // exists for: blocks repeated across > 3 documents (the salted
+    // title/footer/tail on every page) are boilerplate and drop;
+    // unique content blocks reassemble in page order. The blacklist
+    // is tiny (distinct boilerplate strings) → broadcast anti-join,
+    // the LineDedup shape at block grain; page_md5 pins reassembly
+    // byte-exactly.
+    "web_boilerplate_removal" -> QueryDef(
+      (s, dir) => {
+        val blocks = htmlBlocks(s, dir).localCheckpoint()
+        val blacklist = blocks
+          .groupBy(col("block_text"))
+          .agg(countDistinct(col("doc_id")).as("nd"))
+          .filter(col("nd") > 3)
+          .select(col("block_text"))
+        blocks
+          .join(broadcast(blacklist.withColumn("bp", lit(true))),
+            Seq("block_text"), "left")
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_blocks"),
+            sum(when(col("bp"), 1L).otherwise(0L)).as("n_dropped"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("bp").isNull, struct(col("pos"), col("block_text"))))),
+                x => x.getField("block_text")),
+              "\n")).as("page_md5"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>T</title><style>b{}</style></head><body>' ||
+        |    '<h1>Doc ' || doc_id || '</h1>' ||
+        |    '<script>var x = "<p>not a block</p>";</script>' ||
+        |    '<p>' || coalesce(text, '') || '</p>' ||
+        |    '<div>footer &amp; legal</div><br>tail note</body></html>' AS html
+        |  FROM documents),
+        |ns AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |      '(?s)<style[^>]*>.*?</style>', ' ', 'g') AS a
+        |  FROM h),
+        |sp AS (
+        |  SELECT doc_id,
+        |    string_split(regexp_replace(a, '</?(p|div|h1|h2|h3|li|br)[^>]*>', chr(10), 'g'),
+        |      chr(10)) AS pieces
+        |  FROM ns),
+        |pc AS (
+        |  SELECT s.doc_id, CAST(i AS INT) AS pos, s.pieces[CAST(i AS INT)] AS piece
+        |  FROM sp s, unnest(range(1, len(pieces) + 1)) t(i)),
+        |x AS (
+        |  SELECT doc_id, pos,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(piece, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[\t\n\f\r ]+', ' ', 'g')) AS block_text
+        |  FROM pc),
+        |bk AS (SELECT doc_id, pos, block_text FROM x WHERE len(block_text) > 0),
+        |bl AS (
+        |  SELECT block_text FROM bk
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 3)
+        |SELECT b.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(count(*) FILTER (WHERE bl.block_text IS NOT NULL) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(string_agg(b.block_text, chr(10) ORDER BY b.pos)
+        |    FILTER (WHERE bl.block_text IS NULL), '')) AS page_md5
+        |FROM bk b LEFT JOIN bl ON bl.block_text = b.block_text
+        |GROUP BY 1 ORDER BY b.doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
     // Substring-REMOVAL dedup (Lee et al. 2022 ExactSubstr shape,
