@@ -2478,6 +2478,79 @@ object PipelineQueries {
         |ORDER BY doc_id, block_idx""".stripMargin),
 
     // ------------------------------------------------------------------
+    // HTML TABLE extraction — structured data out of markup (the
+    // web-corpus op behind every "tables from the crawl" dataset):
+    // orders salt into per-page <table> markup (5 data rows + header,
+    // entities in the header cell), rows come out via the lazy
+    // <tr>(.*?)</tr> group (identical semantics in Java regex and
+    // RE2), cells via <t[dh]>, and each row's cells join with '|'
+    // through the HtmlExtract kernel for entity decode + trim.
+    // Map-only after the bounded page-assembly agg.
+    "html_table_extract" -> QueryDef(
+      (s, dir) => {
+        val pg = Tables.orders(s, dir)
+          .filter(col("o_orderkey") < 2000)
+          .select(expr("o_orderkey div 5").as("page_id"),
+            col("o_orderkey").as("k"), col("o_orderstatus").as("st"))
+          .groupBy(col("page_id"))
+          .agg(concat(
+            lit("<table><tr><th>key &amp; id</th><th>status</th></tr>"),
+            concat_ws("", transform(
+              array_sort(collect_list(struct(col("k"),
+                concat(lit("<tr><td>"), col("k").cast("string"),
+                  lit("</td><td>"), col("st"), lit("</td></tr>")).as("h")))),
+              x => x.getField("h"))),
+            lit("</table>")).as("html"))
+        pg
+          .select(col("page_id"),
+            posexplode(expr("regexp_extract_all(html, '<tr>(.*?)</tr>', 1)"))
+              .as(Seq("r0", "row_html")))
+          .select(col("page_id"), (col("r0") + 1).cast("int").as("row_idx"),
+            expr("regexp_extract_all(row_html, '<t[dh][^>]*>(.*?)</t[dh]>', 1)")
+              .as("cells"))
+          .select(col("page_id"), col("row_idx"),
+            size(col("cells")).as("n_cells"),
+            graft.functions.exprs.htmlExtract(array_join(col("cells"), "|"))
+              .as("row_text"))
+          .orderBy(col("page_id"), col("row_idx"))
+      },
+      """WITH src AS (
+        |  SELECT o_orderkey AS k, o_orderstatus AS st
+        |  FROM orders WHERE o_orderkey < 2000),
+        |pg AS (
+        |  SELECT k // 5 AS page_id,
+        |    '<table><tr><th>key &amp; id</th><th>status</th></tr>' ||
+        |    string_agg('<tr><td>' || k || '</td><td>' || st || '</td></tr>', ''
+        |      ORDER BY k) || '</table>' AS html
+        |  FROM src GROUP BY 1),
+        |rw AS (
+        |  SELECT page_id, regexp_extract_all(html, '<tr>(.*?)</tr>', 1) AS rows_
+        |  FROM pg),
+        |tr AS (
+        |  SELECT r.page_id, CAST(i AS INT) AS row_idx,
+        |    r.rows_[CAST(i AS INT)] AS row_html
+        |  FROM rw r, unnest(range(1, len(rows_) + 1)) t(i)),
+        |cl AS (
+        |  SELECT page_id, row_idx,
+        |    regexp_extract_all(row_html, '<t[dh][^>]*>(.*?)</t[dh]>', 1) AS cells
+        |  FROM tr),
+        |x AS (
+        |  SELECT page_id, row_idx, CAST(len(cells) AS INT) AS n_cells,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(array_to_string(cells, '|'),
+        |              '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '[\t\n\f\r ]+', ' ', 'g')) AS row_text
+        |  FROM cl)
+        |SELECT page_id, row_idx, n_cells, row_text
+        |FROM x ORDER BY page_id, row_idx""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Web BOILERPLATE removal — the composition the block extractor
     // exists for: blocks repeated across > 3 documents (the salted
     // title/footer/tail on every page) are boilerplate and drop;
