@@ -1419,6 +1419,74 @@ object PipelineQueries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Chunk-grain QUALITY ROLLUP — how long documents are actually
+    // gated (a 100-page doc with one spam chunk shouldn't pass on its
+    // average): score every sliding chunk with the quality kernel,
+    // roll min/max back to the document (min/max over doubles are
+    // order-insensitive — safe where SUM is banned), keep docs whose
+    // WORST chunk clears the 0.75 floor (~the 70th percentile, a real split). Composes rag_chunk_overlap's
+    // layout with text_quality's scoring; chunking and scoring are
+    // map-side, the doc rollup is the only shuffle.
+    "chunk_quality_rollup" -> QueryDef(
+      (s, dir) => {
+        val window = 64
+        val stride = 16
+        Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+          .select(col("doc_id"),
+            explode(expr(s"sequence(0, size(toks) - 1, $stride)")).as("start_tok"),
+            col("toks"))
+          .select(col("doc_id"),
+            TextOps.qualityScore(
+              array_join(expr(s"slice(toks, start_tok + 1, $window)"), " "))
+              .as("q"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            min(col("q")).as("min_q"),
+            max(col("q")).as("max_q"))
+          .withColumn("keep", col("min_q") >= 0.75)
+          .orderBy(col("doc_id"))
+      }, {
+        val sw = TextOps.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH tk AS (
+           |  SELECT doc_id, $toksSql AS toks FROM documents),
+           |ch AS (
+           |  SELECT doc_id,
+           |    array_to_string(toks[CAST(i AS INT) + 1 : CAST(i AS INT) + 64], ' ') AS txt
+           |  FROM tk, unnest(range(0, len(toks), 16)) t(i)
+           |  WHERE len(toks) > 0),
+           |m AS (
+           |  SELECT doc_id,
+           |    list_filter(string_split_regex(lower(txt), '\\s+'), x -> len(x) > 0) AS ctoks,
+           |    len(regexp_replace(txt, '\\s+', '', 'g')) AS n_chars_nosp,
+           |    txt
+           |  FROM ch),
+           |r AS (
+           |  SELECT doc_id,
+           |    CASE WHEN len(ctoks) > 0
+           |         THEN CAST(len(list_filter(ctoks, x -> list_contains($sw, x))) AS DOUBLE) / len(ctoks)
+           |         ELSE 0.0 END AS swr,
+           |    CASE WHEN len(ctoks) > 0
+           |         THEN CAST(n_chars_nosp AS DOUBLE) / len(ctoks) ELSE 0.0 END AS mtl,
+           |    CASE WHEN len(txt) > 0
+           |         THEN CAST(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(txt)
+           |         ELSE 0.0 END AS pr
+           |  FROM m),
+           |sc AS (
+           |  SELECT doc_id,
+           |    round(
+           |      (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.4
+           |      + least(swr * 4.0, 1.0) * 0.3
+           |      + greatest(0.0, 1.0 - pr * 4.0) * 0.3, 6) AS q
+           |  FROM r)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           |  min(q) AS min_q, max(q) AS max_q, min(q) >= 0.75 AS keep
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Web-ingestion END-TO-END: the chain a crawl actually runs, in
     // one oracle — salted HTML pages → HtmlExtract (tag/script/style
     // strip + entities) → PII redaction → quality score + language ID
