@@ -53,10 +53,53 @@ object SpanDedup {
     */
   def exciseCommonSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame = {
-    val covered =
-      coveredPositions(docs, idCol, textCol, n, maxDocs, keepFirst)
-        .withColumn("covered", lit(true))
+      n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame =
+    reassemble(docs, idCol, textCol,
+      coveredPositions(docs, idCol, textCol, n, maxDocs, keepFirst))
+
+  /** INTRA-document span de-looping — the cleanup generated/synthetic
+    * text needs (decoder loops repeat the same run over and over
+    * inside ONE document; `text_repetition` only profiles it, this
+    * removes it): within each document, every occurrence of an
+    * n-token span AFTER its first drops, and survivors reassemble in
+    * order. No cross-doc state at all: one (doc, span_hash)-keyed
+    * aggregation finds each span's first occurrence, the same-keyed
+    * join marks later ones — both partition by document, so the
+    * operator scales with the doc stream like a map-side pass.
+    */
+  def exciseIntraDocRepeats(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 0, "span length must be positive")
+    val text = coalesce(col(textCol), lit(""))
+    val spans = docs
+      .select(
+        col(idCol),
+        posexplode(md5exprs.md5NgramHashesPos(text, n))
+          .as(Seq("start0", "span_hash")))
+      .localCheckpoint() // feeds the min agg AND the probe join
+    val firsts = spans
+      .groupBy(col(idCol), col("span_hash"))
+      .agg(min(col("start0")).as("min0"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select(col(idCol), col("span_hash"), col("min0"))
+    val covered = spans
+      .join(firsts, Seq(idCol, "span_hash"))
+      .filter(col("start0") > col("min0"))
+      .select(
+        col(idCol),
+        explode(sequence(col("start0"), col("start0") + lit(n - 1))).as("pos0"))
+      .distinct()
+    reassemble(docs, idCol, textCol, covered)
+  }
+
+  /** Ordered byte-exact reassembly of the tokens NOT in `covered`
+    * (one row per (idCol, pos0) to drop) — the LineDedup pattern at
+    * token grain, shared by every excision policy.
+    */
+  private def reassemble(
+      docs: DataFrame, idCol: String, textCol: String,
+      covered0: DataFrame): DataFrame = {
+    val covered = covered0.withColumn("covered", lit(true))
     // token stream at (doc, pos) grain; posexplode_outer keeps
     // zero-token documents (null token → counts 0, clean_text '')
     val tokens = docs

@@ -2784,6 +2784,52 @@ object PipelineQueries {
          |FROM rl GROUP BY 1 ORDER BY run_len""".stripMargin),
 
     // ------------------------------------------------------------------
+    // INTRA-doc span de-looping (SpanDedup.exciseIntraDocRepeats):
+    // decoder loops repeat runs inside ONE document; this drops every
+    // occurrence after the first and reassembles. Fixture doubles
+    // each doc (text ∥ text — the degenerate loop), so a correct scrub
+    // must excise nearly the whole second copy (the 7 junction-
+    // straddling spans are genuinely unique and stay). Everything
+    // partitions by doc — no cross-doc state.
+    "dedup_intra_doc_spans" -> QueryDef(
+      (s, dir) =>
+        SpanDedup.exciseIntraDocRepeats(
+          Tables.documents(s, dir)
+            .select(col("doc_id"),
+              concat_ws(" ", col("text"), col("text")).as("text")),
+          "doc_id", "text", n = 8)
+          .orderBy(col("doc_id")),
+      s"""WITH corpus AS (
+         |  SELECT doc_id,
+         |    coalesce(text, '') || ' ' || coalesce(text, '') AS text
+         |  FROM documents),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start0,
+         |    ${md5_63("array_to_string(toks[i:i+7], ' ')")} AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+         |fs AS (
+         |  SELECT doc_id, span_hash, min(start0) AS min0
+         |  FROM sp GROUP BY 1, 2 HAVING count(*) > 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.start0 + u.j AS pos0
+         |  FROM sp s JOIN fs USING (doc_id, span_hash), unnest(range(0, 8)) u(j)
+         |  WHERE s.start0 > fs.min0),
+         |tok AS (
+         |  SELECT t.doc_id, u.pos0, u.token
+         |  FROM tk t LEFT JOIN (
+         |    SELECT doc_id, i - 1 AS pos0, toks[i] AS token
+         |    FROM tk, unnest(range(1, len(toks) + 1)) r(i)) u USING (doc_id))
+         |SELECT t.doc_id,
+         |  CAST(count(t.token) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c.pos0 IS NOT NULL) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(t.token, ' ' ORDER BY t.pos0)
+         |    FILTER (WHERE c.pos0 IS NULL AND t.token IS NOT NULL), '') AS clean_text
+         |FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos0 = t.pos0
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Span excision, KEEP-ONE policy (Lee et al. §4.1's other
     // variant): per duplicated span the minimum-(doc, start)
     // occurrence survives; every other occurrence's tokens drop. On

@@ -92,6 +92,27 @@ class SpanDedupSpec extends SparkSuite {
       "totally different lead in text and a different tail")
   }
 
+  test("intra-doc de-looping: doubled doc keeps exactly its first copy") {
+    val base = "one two three four five six seven eight"
+    val looped = Seq((0L, s"$base $base")).toDF("doc_id", "text")
+    val r = SpanDedup.exciseIntraDocRepeats(looped, "doc_id", "text", n = 8)
+      .collect().head
+    // the repeated 8-token span covers 8..15; the 7 junction-straddling
+    // spans are rotations that occur once each and stay
+    assert(r.getAs[Long]("n_tokens") == 16L)
+    assert(r.getAs[Long]("n_dropped") == 8L)
+    assert(r.getAs[String]("clean_text") == base)
+  }
+
+  test("intra-doc de-looping at n=2: overlapping repeats collapse to the first run") {
+    val rep = Seq((0L, "a b a b a b")).toDF("doc_id", "text")
+    val r = SpanDedup.exciseIntraDocRepeats(rep, "doc_id", "text", n = 2)
+      .collect().head
+    // (a b)@0 keeps; every later occurrence of (a b)/(b a) covers 1..5
+    assert(r.getAs[String]("clean_text") == "a b")
+    assert(r.getAs[Long]("n_dropped") == 4L)
+  }
+
   test("coveredPositions groups into the planted run exactly") {
     // the shared 8-token span covers positions 5..12 in doc 0 and
     // 5..12 in doc 1 — one maximal run of length 8 each
