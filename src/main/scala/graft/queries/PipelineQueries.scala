@@ -1419,6 +1419,91 @@ object PipelineQueries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ------------------------------------------------------------------
+    // WEAK-SUPERVISION labeling (the Snorkel shape — Ratner et al.,
+    // VLDB 2018): four programmatic label functions vote keep(+1)/
+    // drop(−1)/abstain(0) per document — quality-score bands, a
+    // length-window rule, a stopword-presence rule, and language ID —
+    // and the integer vote sum decides. This is how curation rules
+    // become labels without hand-annotation; every LF is a map-side
+    // kernel, the votes are exact ints, and the decision is
+    // sign(sum). No shuffle at all until the final sort.
+    "weak_label_votes" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextOps.qualityScore(col("text")).as("q"),
+            TextOps.tokenCount(col("text")).as("nt"),
+            TextOps.stopwordRatio(col("text"), TextOps.englishStopwords).as("swr"),
+            TextOps.langId(col("text")).as("lp"))
+        d.select(
+          col("doc_id"),
+          when(col("q") >= 0.75, 1).when(col("q") < 0.4, -1).otherwise(0).as("v_quality"),
+          when(col("nt").between(30, 200), 1).otherwise(-1).as("v_length"),
+          when(col("swr") >= 0.1, 1).when(col("swr") === 0.0, -1).otherwise(0).as("v_stopword"),
+          when(col("lp") === "en", 1).when(col("lp") === "und", 0).otherwise(-1).as("v_lang"))
+          .withColumn("vote_sum",
+            col("v_quality") + col("v_length") + col("v_stopword") + col("v_lang"))
+          .withColumn("n_votes",
+            (col("v_quality") =!= 0).cast("int") + (col("v_length") =!= 0).cast("int") +
+              (col("v_stopword") =!= 0).cast("int") + (col("v_lang") =!= 0).cast("int"))
+          .withColumn("decision",
+            when(col("vote_sum") > 0, "keep")
+              .when(col("vote_sum") < 0, "drop").otherwise("abstain"))
+          .orderBy(col("doc_id"))
+      }, {
+        val sw = TextOps.englishStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter(toks, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = $g THEN '$l'").mkString("\n      ")
+        s"""WITH t AS (
+           |  SELECT doc_id, $toksSql AS toks,
+           |    len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS n_chars_nosp,
+           |    coalesce(text, '') AS txt
+           |  FROM documents),
+           |m AS (
+           |  SELECT doc_id, CAST(len(toks) AS INT) AS nt,
+           |    $hits,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(len(list_filter(toks, x -> list_contains($sw, x))) AS DOUBLE) / len(toks)
+           |         ELSE 0.0 END AS swr,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(n_chars_nosp AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl,
+           |    CASE WHEN len(txt) > 0
+           |         THEN CAST(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(txt)
+           |         ELSE 0.0 END AS pr
+           |  FROM t),
+           |sc AS (
+           |  SELECT doc_id, nt, swr,
+           |    round(
+           |      (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.4
+           |      + least(swr * 4.0, 1.0) * 0.3
+           |      + greatest(0.0, 1.0 - pr * 4.0) * 0.3, 6) AS q,
+           |    CASE WHEN $g = 0 THEN 'und'
+           |      $cases
+           |    END AS lp
+           |  FROM m),
+           |v AS (
+           |  SELECT doc_id,
+           |    CASE WHEN q >= 0.75 THEN 1 WHEN q < 0.4 THEN -1 ELSE 0 END AS v_quality,
+           |    CASE WHEN nt BETWEEN 30 AND 200 THEN 1 ELSE -1 END AS v_length,
+           |    CASE WHEN swr >= 0.1 THEN 1 WHEN swr = 0.0 THEN -1 ELSE 0 END AS v_stopword,
+           |    CASE WHEN lp = 'en' THEN 1 WHEN lp = 'und' THEN 0 ELSE -1 END AS v_lang
+           |  FROM sc)
+           |SELECT doc_id, v_quality, v_length, v_stopword, v_lang,
+           |  v_quality + v_length + v_stopword + v_lang AS vote_sum,
+           |  CAST(v_quality <> 0 AS INT) + CAST(v_length <> 0 AS INT)
+           |    + CAST(v_stopword <> 0 AS INT) + CAST(v_lang <> 0 AS INT) AS n_votes,
+           |  CASE WHEN v_quality + v_length + v_stopword + v_lang > 0 THEN 'keep'
+           |       WHEN v_quality + v_length + v_stopword + v_lang < 0 THEN 'drop'
+           |       ELSE 'abstain' END AS decision
+           |FROM v ORDER BY doc_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Chunk-grain QUALITY ROLLUP — how long documents are actually
     // gated (a 100-page doc with one spam chunk shouldn't pass on its
     // average): score every sliding chunk with the quality kernel,
