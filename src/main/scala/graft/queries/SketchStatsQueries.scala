@@ -689,6 +689,35 @@ object SketchStatsQueries {
          |FROM d GROUP BY 1 ORDER BY source""".stripMargin),
 
     // ------------------------------------------------------------------
+    // ACTIVE-LEARNING uncertainty sampling: the 50 documents the
+    // hashed classifier is least sure about (smallest |score| margin
+    // from the accept boundary at 0) are where a human label buys the
+    // most — the annotation-targeting step of every label-efficient
+    // curation loop. Margin is exact-integer |score|; selection is a
+    // TakeOrderedAndProject, never a global sort.
+    "uncertainty_sample_docs" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val scored = docs
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("t"))
+          .groupBy(col("doc_id"))
+          .agg(sum(
+            Md5Hash.lower63Col(concat(lit("w:"), col("t"))) % 17 - 8).as("score"))
+        docs.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .withColumn("score", coalesce(col("score"), lit(0L)))
+          .withColumn("margin", abs(col("score")))
+          .orderBy(col("margin"), col("doc_id"))
+          .limit(50)
+      },
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |w AS (SELECT doc_id, CAST(SUM(${md5_63("'w:' || t")} % 17 - 8) AS BIGINT) AS score FROM tk GROUP BY 1),
+         |d AS (SELECT d.doc_id, coalesce(w.score, 0) AS score
+         |      FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id)
+         |SELECT doc_id, score, CAST(abs(score) AS BIGINT) AS margin
+         |FROM d ORDER BY margin, doc_id LIMIT 50""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Per-source quantile NORMALIZATION of the hashed quality score —
     // the calibration step before any cross-source threshold: raw
     // classifier scores aren't comparable between sources (each source
