@@ -1419,6 +1419,58 @@ object PipelineQueries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ------------------------------------------------------------------
+    // TOKEN-ID ENCODING — the last mile before tensors: a dense
+    // frequency-ranked vocabulary (top 1000 by count, deterministic
+    // (cnt desc, token) order) maps every token to its integer id,
+    // OOV to 0, and each document becomes its id sequence (pinned
+    // byte-exactly via ids_md5). The vocabulary is a bounded model
+    // artifact (broadcast join); encoding is one token-keyed join +
+    // the doc-grain reassembly agg.
+    "token_id_encode" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+        val vocab = toks
+          .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("t")).limit(1000)
+          .withColumn("tid", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("cnt").desc, col("t"))).cast("int"))
+          .select(col("t"), col("tid"))
+        toks
+          .join(broadcast(vocab), Seq("t"), "left")
+          .select(col("doc_id"), col("pos"),
+            coalesce(col("tid"), lit(0)).as("tid"))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_tokens"),
+            sum(when(col("tid") === 0, 1L).otherwise(0L)).as("n_oov"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(
+                  struct(col("pos"), col("tid").cast("string").as("s")))),
+                x => x.getField("s")),
+              " ")).as("ids_md5"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tok AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos, toks[CAST(i AS INT)] AS t
+         |  FROM tk, unnest(range(1, len(toks) + 1)) x(i)),
+         |vc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY 1),
+         |vocab AS (
+         |  SELECT t, CAST(row_number() OVER (ORDER BY cnt DESC, t) AS INT) AS tid
+         |  FROM vc ORDER BY cnt DESC, t LIMIT 1000),
+         |enc AS (
+         |  SELECT tok.doc_id, tok.pos, coalesce(v.tid, 0) AS tid
+         |  FROM tok LEFT JOIN vocab v ON v.t = tok.t)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+         |  md5(string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos)) AS ids_md5
+         |FROM enc GROUP BY 1 ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // WEAK-SUPERVISION labeling (the Snorkel shape — Ratner et al.,
     // VLDB 2018): four programmatic label functions vote keep(+1)/
     // drop(−1)/abstain(0) per document — quality-score bands, a
