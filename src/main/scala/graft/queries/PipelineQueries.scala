@@ -1419,6 +1419,64 @@ object PipelineQueries {
          |ORDER BY doc_id, chunk_idx""".stripMargin),
 
     // ------------------------------------------------------------------
+    // CURRICULUM difficulty shards: order held-out docs easy→hard by
+    // the bigram-LM bits score and cut 8 exact NTILE shards — the
+    // schedule a curriculum-learning run consumes. Ranking rides
+    // ExactNtile (range-partition rank + broadcast 1-row total, no
+    // single-partition window), so the global order scales; min/max
+    // per shard are order-insensitive doubles.
+    "curriculum_difficulty_shards" -> QueryDef(
+      (s, dir) => {
+        val scored = NgramLm.bigramBits(
+          Tables.documents(s, dir), "doc_id", "text",
+          isTrain = col("doc_id") % 5 === 0)
+        ExactNtile.withNtile(
+          scored.select(col("doc_id"), col("mean_bits")),
+          Seq(col("mean_bits"), col("doc_id")), 8, "shard")
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("mean_bits")).as("min_bits"),
+            max(col("mean_bits")).as("max_bits"))
+          .orderBy(col("shard"))
+      },
+      s"""WITH tk AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |big AS (
+         |  SELECT tk.doc_id, toks[CAST(j AS INT)] AS w1, toks[CAST(j AS INT) + 1] AS w2
+         |  FROM tk, unnest(range(1, len(toks))) t(j)),
+         |c12 AS (
+         |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+         |  FROM big WHERE doc_id % 5 = 0 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c12 GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM big WHERE doc_id % 5 = 0),
+         |sc AS (
+         |  SELECT b.doc_id,
+         |    CASE WHEN c12.c12 IS NULL THEN length(bin(n.nn))
+         |         ELSE length(bin(c1.c1)) - length(bin(c12.c12)) END AS bits
+         |  FROM big b
+         |  LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+         |  LEFT JOIN c1 ON b.w1 = c1.w1
+         |  CROSS JOIN n
+         |  WHERE b.doc_id % 5 <> 0),
+         |grp AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |    CAST(sum(bits) AS BIGINT) AS total_bits
+         |  FROM sc GROUP BY 1),
+         |fin AS (
+         |  SELECT d.doc_id,
+         |    CASE WHEN coalesce(g.n_bigrams, 0) = 0 THEN 0.0
+         |         ELSE CAST(g.total_bits AS DOUBLE) / CAST(g.n_bigrams AS DOUBLE) END AS mean_bits
+         |  FROM documents d LEFT JOIN grp g ON d.doc_id = g.doc_id
+         |  WHERE d.doc_id % 5 <> 0),
+         |sh AS (
+         |  SELECT doc_id, mean_bits,
+         |    CAST(ntile(8) OVER (ORDER BY mean_bits, doc_id) AS INT) AS shard
+         |  FROM fin)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(mean_bits) AS min_bits, max(mean_bits) AS max_bits
+         |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin),
+
+    // ------------------------------------------------------------------
     // TOKEN-ID ENCODING — the last mile before tensors: a dense
     // frequency-ranked vocabulary (top 1000 by count, deterministic
     // (cnt desc, token) order) maps every token to its integer id,
