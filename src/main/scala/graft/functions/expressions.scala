@@ -597,7 +597,7 @@ object NgramHashes {
     * explicit `[\t\n\f\r ]` character classes in Column-level
     * regexes — pins the RE2 set.
     */
-  private[functions] def isWs(c: Char): Boolean =
+  def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 }
 
