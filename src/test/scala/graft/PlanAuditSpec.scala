@@ -60,7 +60,8 @@ class PlanAuditSpec extends SparkSuite {
     "hybrid_bm25_dense_rrf", // bm25's 1-row aggregates + bruteForceTopK's broadcast probe × corpus (the exact dense leg)
     "ngram_perplexity_filter", // total reference-bigram count N as a broadcast 1-row aggregate
     "unigram_lm_vocab", // survivor-total count as a broadcast 1-row aggregate (the final prob division)
-    "tokenizer_fertility_compare") // three corpus totals meet in broadcast 1-row cross joins
+    "tokenizer_fertility_compare", // three corpus totals meet in broadcast 1-row cross joins
+    "curriculum_difficulty_shards") // ExactNtile's broadcast 1-row total (the customer_deciles shape) + NgramLm's broadcast N
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
