@@ -2075,6 +2075,125 @@ case class DeflateStats(child: Expression)
     copy(child = newChild)
 }
 
+/** Aho–Corasick multi-pattern occurrence counter (Aho & Corasick,
+  * CACM 1975 — public literature): for each literal pattern, the
+  * number of positions of the input where an occurrence ENDS — all
+  * occurrences, overlapping included ("a a" occurs twice in "a a a"),
+  * suffix patterns included ("value" inside "hash value" counts for
+  * both, via the automaton's output links). This is the
+  * blocklist-filter shape of web-corpus ingest (spam phrases,
+  * boilerplate markers, unsafe-content lexicons): one shared automaton
+  * over the WHOLE lexicon instead of |patterns| regex passes.
+  *
+  * The full goto/fail automaton (dense ASCII transition table; BFS
+  * precomputed delta, so matching never walks fail chains) is built
+  * once per expression instance from the literal pattern list — the
+  * lexicon is part of the PLAN, like PqCodes' codebooks — and shipped
+  * inside the serialized expression. Matching is one O(len) scan per
+  * row with NO shuffle, no per-row automaton build, no regex engine:
+  * map-only at 100 TB, and the lexicon can grow to 10⁵ phrases
+  * without adding passes (the scan cost is independent of |patterns|;
+  * only the output-chain hits cost extra, and those are the answer).
+  *
+  * Input: string; output: array<long> of per-pattern counts aligned
+  * with `patterns` order (null input → null). Non-ASCII characters
+  * can't appear in any pattern (asserted) and reset to the root via
+  * the dense table's 0 column.
+  */
+case class MultiPatternCount(child: Expression, patterns: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(patterns.nonEmpty, "patterns must be non-empty")
+  require(patterns.forall(p => p.nonEmpty && p.forall(_ < 128)),
+    "patterns must be non-empty ASCII literals")
+  require(patterns.distinct == patterns, "patterns must be distinct")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_pattern_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"multi_pattern_count requires string, got $other")
+  }
+
+  @transient private lazy val ac = MultiPatternCount.Automaton.build(patterns)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val counts = new Array[Long](patterns.length)
+    val a = ac
+    var state = 0
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      state = if (c < 128) a.delta(state * 128 + c) else 0
+      var o = if (a.out(state) >= 0) state else a.olink(state)
+      while (o > 0) { counts(a.out(o)) += 1L; o = a.olink(o) }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternCount =
+    copy(child = newChild)
+}
+
+object MultiPatternCount {
+  /** Precomputed full automaton: `delta` is the dense states×128
+    * transition table (fail links already folded in by the BFS), `out`
+    * the pattern id ending exactly at a state (−1 if none; patterns
+    * are distinct so at most one), `olink` the nearest proper-suffix
+    * state that ends a pattern (0 = none).
+    */
+  final case class Automaton(delta: Array[Int], out: Array[Int], olink: Array[Int])
+
+  object Automaton {
+    def build(patterns: Seq[String]): Automaton = {
+      val maxStates = 1 + patterns.map(_.length).sum
+      val goto = Array.fill(maxStates * 128)(-1)
+      val out = Array.fill(maxStates)(-1)
+      var nStates = 1
+      patterns.zipWithIndex.foreach { case (p, pid) =>
+        var s = 0
+        var i = 0
+        while (i < p.length) {
+          val c = p.charAt(i)
+          if (goto(s * 128 + c) < 0) { goto(s * 128 + c) = nStates; nStates += 1 }
+          s = goto(s * 128 + c)
+          i += 1
+        }
+        out(s) = pid
+      }
+      val delta = new Array[Int](nStates * 128)
+      val fail = new Array[Int](nStates)
+      val olink = new Array[Int](nStates)
+      val queue = new java.util.ArrayDeque[Integer]()
+      var c = 0
+      while (c < 128) {
+        val t = goto(c)
+        if (t >= 0) { delta(c) = t; queue.add(t) } else delta(c) = 0
+        c += 1
+      }
+      while (!queue.isEmpty) {
+        val s = queue.poll().intValue()
+        olink(s) = if (out(fail(s)) >= 0) fail(s) else olink(fail(s))
+        var ch = 0
+        while (ch < 128) {
+          val t = goto(s * 128 + ch)
+          if (t >= 0) {
+            fail(t) = delta(fail(s) * 128 + ch)
+            delta(s * 128 + ch) = t
+            queue.add(t)
+          } else delta(s * 128 + ch) = delta(fail(s) * 128 + ch)
+          ch += 1
+        }
+      }
+      Automaton(delta, java.util.Arrays.copyOf(out, nStates), olink)
+    }
+  }
+}
+
 object exprs {
   import org.apache.spark.sql.GraftShim
 
@@ -2200,6 +2319,10 @@ object exprs {
   /** (raw_bytes, deflate_bytes) compression-ratio quality signal. */
   def deflateStats(text: Column): Column =
     GraftShim.column(DeflateStats(GraftShim.expression(text)))
+
+  /** Per-pattern occurrence counts (Aho–Corasick, one shared scan). */
+  def multiPatternCount(text: Column, patterns: Seq[String]): Column =
+    GraftShim.column(MultiPatternCount(GraftShim.expression(text), patterns))
 
   /** Random-hyperplane LSH bucket ids (one per table) of a vector. */
   def hyperplaneBuckets(

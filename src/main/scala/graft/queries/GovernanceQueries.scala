@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.exprs
+import graft.operators.TextOps
+
+/** Corpus-governance operators, oracle-verified: lexicon-scale
+  * blocklist matching (one shared Aho–Corasick scan instead of
+  * |patterns| regex passes), the Gopher document-quality rule set
+  * (Rae et al. 2021, public literature), k-anonymity suppression of a
+  * quasi-identifier release, and differentially-private noisy counts
+  * via the binomial mechanism (Dwork et al. 2006 shape, with
+  * hash-seeded deterministic noise so both engines replay the draw).
+  * These are the policy/safety steps a training-data pipeline runs
+  * between curation and release — all map-side or one-aggregation
+  * shapes that scale with the scan.
+  */
+object GovernanceQueries {
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+
+  /** Blocklist lexicon for the documents fixture — includes a
+    * self-overlapping pattern ("a a" occurs twice in "a a a"), a
+    * pattern that is a proper suffix of another ("value" inside
+    * "hash value" — exercises the automaton's output links), and
+    * multi-word phrases.
+    */
+  private val blockPatterns: Seq[String] = Seq(
+    "a a", "fast fast", "hash value", "merge batch",
+    "row scan", "spark", "table part", "value")
+
+  private val stopList: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "that", "with", "for")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // Multi-pattern blocklist census via ONE Aho–Corasick automaton
+    // scan per document (MultiPatternCount kernel): per pattern, how
+    // many documents hit it and how many total occurrences exist —
+    // overlapping occurrences and suffix-of-another-pattern hits
+    // included, which per-pattern LIKE/regex passes either miss or pay
+    // |patterns| scans for. The automaton ships inside the plan
+    // (lexicon = literals), matching is map-only; the DuckDB twin
+    // replays occurrences with an exhaustive per-position substring
+    // scan, proving the automaton exact.
+    "blocklist_ahocorasick" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val hits = Tables.documents(s, dir)
+          .select(posexplode(
+            exprs.multiPatternCount(col("text"), blockPatterns)))
+          .toDF("pid", "n")
+          .filter(col("n") > 0)
+          .groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_hits"))
+        val pats = blockPatterns.zipWithIndex
+          .map { case (p, i) => (i, p) }.toDF("pid", "pattern")
+        pats.join(hits, Seq("pid"), "left")
+          .select(
+            col("pattern"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .orderBy(col("pattern"))
+      }, {
+        val values = blockPatterns.zipWithIndex
+          .map { case (p, i) => s"($i, '$p')" }.mkString(", ")
+        s"""WITH pats(pid, pattern) AS (VALUES $values),
+           |pos AS (
+           |  SELECT d.doc_id, p.pid
+           |  FROM documents d, pats p,
+           |    LATERAL (SELECT unnest(range(1, len(coalesce(d.text, '')) - len(p.pattern) + 2)) AS i) g
+           |  WHERE substr(coalesce(d.text, ''), g.i, len(p.pattern)) = p.pattern),
+           |agg AS (SELECT pid, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |               CAST(count(*) AS BIGINT) AS n_hits
+           |        FROM pos GROUP BY 1)
+           |SELECT p.pattern,
+           |  CAST(coalesce(a.n_docs, 0) AS BIGINT) AS n_docs,
+           |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits
+           |FROM pats p LEFT JOIN agg a ON p.pid = a.pid
+           |ORDER BY p.pattern""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Gopher quality rules (Rae et al. 2021 §A1.1, adapted to the
+    // fixture's scale): word-count bounds, mean-word-length bounds,
+    // alphabetic-word fraction, stopword presence, symbol-to-word
+    // ratio. Every rule is exact-integer — ratio thresholds compare by
+    // CROSS-MULTIPLICATION (3·words ≤ chars, 5·alpha ≥ 4·words,
+    // 10·symbols ≤ words), so no division ever happens and the verdict
+    // is bit-exact by construction. Map-only per document.
+    "gopher_quality_rules" -> QueryDef(
+      (s, dir) => {
+        val toks = TextOps.tokens(col("text"))
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            size(toks).cast("long").as("n_words"),
+            length(regexp_replace(coalesce(col("text"), lit("")),
+              lit("[\\t\\n\\f\\r ]"), lit(""))).cast("long").as("n_word_chars"),
+            size(filter(toks, t => t.rlike("[a-z]")))
+              .cast("long").as("n_alpha_words"),
+            size(filter(toks, t => t.isin(stopList: _*)))
+              .cast("long").as("n_stop"),
+            regexp_count(coalesce(col("text"), lit("")),
+              lit("(\\.\\.\\.|#)")).cast("long").as("n_sym"))
+          .withColumn("passes",
+            col("n_words").between(20, 1000) &&
+              lit(3) * col("n_words") <= col("n_word_chars") &&
+              col("n_word_chars") <= lit(10) * col("n_words") &&
+              lit(5) * col("n_alpha_words") >= lit(4) * col("n_words") &&
+              col("n_stop") >= 2 &&
+              lit(10) * col("n_sym") <= col("n_words"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks,
+         |    CAST(len(regexp_replace(coalesce(text, ''), '[\\t\\n\\f\\r ]', '', 'g')) AS BIGINT) AS n_word_chars,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''), '(\\.\\.\\.|#)')) AS BIGINT) AS n_sym
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    n_word_chars,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+         |    CAST(len(list_filter(toks, x -> x IN (${stopList.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stop,
+         |    n_sym
+         |  FROM t)
+         |SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop, n_sym,
+         |  (n_words BETWEEN 20 AND 1000
+         |   AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+         |   AND 5 * n_alpha_words >= 4 * n_words
+         |   AND n_stop >= 2
+         |   AND 10 * n_sym <= n_words) AS passes
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // k-anonymity suppression (Sweeney 2002, public literature) of the
+    // customer quasi-identifier release (nation, market segment,
+    // balance sign): any equivalence class smaller than k=8 is
+    // suppressed into a single '*' residual row, so no released row
+    // describes fewer than 8 people. One aggregation at the
+    // quasi-identifier grain + a broadcast-free split — the governance
+    // gate run before publishing any demographic rollup of a corpus.
+    "k_anonymity_suppress" -> QueryDef(
+      (s, dir) => {
+        val g = Tables.customer(s, dir)
+          .groupBy(
+            col("c_nationkey").cast("string").as("nation"),
+            col("c_mktsegment").as("segment"),
+            when(col("c_acctbal") < 0, "neg").otherwise("nonneg")
+              .as("bal_class"))
+          .agg(count(lit(1)).as("n"))
+        val kept = g.filter(col("n") >= 8)
+        val suppressed = g.filter(col("n") < 8)
+          .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+          .select(lit("*").as("nation"), lit("*").as("segment"),
+            lit("*").as("bal_class"), col("n"))
+        kept.unionByName(suppressed)
+          .orderBy(col("nation"), col("segment"), col("bal_class"))
+      },
+      """WITH g AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS nation, c_mktsegment AS segment,
+        |    CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'nonneg' END AS bal_class,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT nation, segment, bal_class, n FROM g WHERE n >= 8
+        |UNION ALL
+        |SELECT '*', '*', '*', CAST(coalesce(SUM(n), 0) AS BIGINT) FROM g WHERE n < 8
+        |ORDER BY nation, segment, bal_class""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Differentially-private noisy counts via the BINOMIAL mechanism:
+    // noise = popcount(120 hash bits) − 60 ~ Binomial(120,½) centered —
+    // the integer-valued DP mechanism (Dwork-Kenthapadi-McSherry-
+    // Mironov-Naor 2006 shape), with the draw seeded from md5 of the
+    // group key so both engines replay it bit-exactly (the engine's
+    // standard derandomized-sampling trick, cf. temperature sampling).
+    // The per-group noise is computed AT the group grain (20 rows) —
+    // map-side aggregation plus 20 hash evaluations, nothing
+    // data-proportional.
+    "dp_noisy_counts" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"))
+          .withColumn("h", md5(concat(lit("dp:"), col("source"))))
+          .withColumn("noise",
+            (bit_count(conv(substring(col("h"), 1, 15), 16, 10).cast("long")) +
+              bit_count(conv(substring(col("h"), 17, 15), 16, 10).cast("long")) -
+              60).cast("long"))
+          .select(col("source"), col("n_docs"), col("noise"),
+            (col("n_docs") + col("noise")).as("noisy_n"))
+          .orderBy(col("source")),
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |n AS (SELECT source, n_docs,
+        |  CAST(bit_count(('0x' || substr(md5('dp:' || source), 1, 15))::UBIGINT)
+        |     + bit_count(('0x' || substr(md5('dp:' || source), 17, 15))::UBIGINT)
+        |     - 60 AS BIGINT) AS noise
+        |  FROM g)
+        |SELECT source, n_docs, noise, CAST(n_docs + noise AS BIGINT) AS noisy_n
+        |FROM n ORDER BY source""".stripMargin)
+  )
+}

@@ -1,0 +1,167 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs
+import graft.operators.{GraphOps, Perceptron}
+
+/** Unit evidence for the round-8 governance/graph/learning operators:
+  * the Aho–Corasick kernel against a brute-force position scan, the
+  * k-core peel and BFS on hand graphs with known answers, and the
+  * batch perceptron's convergence on a separable concept.
+  */
+class GraphLearnSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ AC kernel
+
+  private def bruteCount(text: String, pat: String): Long =
+    (0 to text.length - pat.length)
+      .count(i => text.regionMatches(i, pat, 0, pat.length)).toLong
+
+  test("multiPatternCount: overlapping occurrences are all counted") {
+    val out = Seq("a a a a").toDF("t")
+      .select(exprs.multiPatternCount($"t", Seq("a a")).as("c"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(3L), "'a a' occurs at offsets 0,2,4")
+  }
+
+  test("multiPatternCount: suffix patterns count via output links") {
+    val out = Seq("the hash value of a value").toDF("t")
+      .select(exprs.multiPatternCount($"t", Seq("hash value", "value", "val"))
+        .as("c"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(1L, 2L, 2L))
+  }
+
+  test("multiPatternCount: empty text, null, pattern at both ends") {
+    val rows = Seq(null, "", "ab", "abab", "xxabxx")
+      .toDF("t")
+      .select(exprs.multiPatternCount($"t", Seq("ab", "xx")).as("c"))
+      .collect()
+    assert(rows(0).isNullAt(0), "null in, null out")
+    assert(rows(1).getSeq[Long](0) == Seq(0L, 0L))
+    assert(rows(2).getSeq[Long](0) == Seq(1L, 0L))
+    assert(rows(3).getSeq[Long](0) == Seq(2L, 0L))
+    assert(rows(4).getSeq[Long](0) == Seq(1L, 2L))
+  }
+
+  test("multiPatternCount: non-ASCII input chars reset to root, never crash") {
+    val out = Seq("abéab 世ab").toDF("t")
+      .select(exprs.multiPatternCount($"t", Seq("ab", "b a")).as("c"))
+      .head().getSeq[Long](0)
+    assert(out == Seq(3L, 0L), "é/世 break any in-flight match")
+  }
+
+  test("multiPatternCount matches brute-force scan on fixture docs") {
+    val pats = Seq("a a", "value", "hash value", "spark", "t")
+    val rows = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(60)
+      .select(col("text"), exprs.multiPatternCount(col("text"), pats).as("c"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      val counts = r.getSeq[Long](1)
+      pats.zipWithIndex.foreach { case (p, i) =>
+        assert(counts(i) == bruteCount(text, p), s"pattern '$p' on '$text'")
+      }
+    }
+  }
+
+  test("multiPatternCount rejects bad pattern lists") {
+    intercept[IllegalArgumentException] {
+      functions.MultiPatternCount(null, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      functions.MultiPatternCount(null, Seq("a", "a"))
+    }
+    intercept[IllegalArgumentException] {
+      functions.MultiPatternCount(null, Seq("café"))
+    }
+  }
+
+  // ------------------------------------------------------------ k-core
+
+  test("kcoreTruncated peels a tail off a triangle and cascades") {
+    // triangle 1-2-3 plus a path 3-4-5: 2-core = the triangle, but
+    // only after TWO peel rounds (5 falls first, then 4).
+    val und = Seq((1, 2), (2, 3), (1, 3), (3, 4), (4, 5))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val r1 = GraphOps.kcoreTruncated(edges, k = 2, rounds = 1)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r1.keySet == Set(1, 2, 3, 4), "one round only drops node 5")
+    val r2 = GraphOps.kcoreTruncated(edges, k = 2, rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1 -> 2L, 2 -> 2L, 3 -> 2L), "second round drops 4")
+    val r3 = GraphOps.kcoreTruncated(edges, k = 2, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(r3 == r2, "converged: extra rounds are no-ops")
+  }
+
+  test("kcoreTruncated: whole graph below k empties out") {
+    val und = Seq((1, 2), (2, 3))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    assert(GraphOps.kcoreTruncated(edges, k = 3, rounds = 2).count() == 0L)
+  }
+
+  // ------------------------------------------------------------ BFS
+
+  test("bfsHops: path graph hop levels, bounded by rounds") {
+    val und = Seq((1, 2), (2, 3), (3, 4), (4, 5))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(1).toDF("node")
+    val hops = GraphOps.bfsHops(edges, seeds, rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(hops == Map(1 -> 0, 2 -> 1, 3 -> 2), "nodes 4,5 beyond 2 rounds")
+  }
+
+  test("bfsHops: multiple seeds take the min hop; cycles don't revisit") {
+    val und = Seq((1, 2), (2, 3), (3, 1), (3, 4))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val seeds = Seq(1, 4).toDF("node")
+    val hops = GraphOps.bfsHops(edges, seeds, rounds = 3)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(hops == Map(1 -> 0, 4 -> 0, 2 -> 1, 3 -> 1))
+  }
+
+  // ------------------------------------------------------------ perceptron
+
+  test("perceptron learns a separable 2-D concept exactly") {
+    // y = sign(x0 - x1): four points, integer grid.
+    val pts = Seq(
+      (1L, Seq((0, 5L), (1, 1L)), 1L),
+      (2L, Seq((0, 4L), (1, 0L)), 1L),
+      (3L, Seq((0, 1L), (1, 5L)), -1L),
+      (4L, Seq((0, 0L), (1, 4L)), -1L))
+    val fl = pts.flatMap { case (id, fs, y) =>
+        fs.map { case (d, x) => (id, d, x, y) }
+      }.toDF("id", "dim", "x", "y")
+    val (hist, stats) = Perceptron.train(fl, dims = 2, rounds = 4)
+    assert(stats.head.nMisPos + stats.head.nMisNeg == 4L,
+      "zero model misclassifies everything")
+    val w = hist.last
+    pts.foreach { case (_, fs, y) =>
+      val margin = fs.map { case (d, x) => w(d) * x }.sum
+      assert(y * margin > 0, s"final weights separate: $y vs $margin")
+    }
+    assert(stats.last.nMisPos + stats.last.nMisNeg == 0L,
+      "converged before the last round")
+  }
+
+  test("perceptron teacher concept converges on the embeddings fixture") {
+    val feats = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"),
+        posexplode(exprs.quantizeVec(col("embedding"), 1000)))
+      .toDF("id", "dim", "x")
+    val labels = feats.groupBy(col("id"))
+      .agg(sum(when(col("dim") % 2 === 0, col("x")).otherwise(-col("x")))
+        .as("m0"))
+      .select(col("id").as("lid"), when(col("m0") > 0, 1L).otherwise(-1L).as("y"))
+    val fl = feats.join(labels, col("id") === col("lid")).drop("lid")
+      .localCheckpoint()
+    val (_, stats) = Perceptron.train(fl, dims = 64, rounds = 5)
+    val curve = stats.map(st => st.nMisPos + st.nMisNeg)
+    assert(curve.head == 500L, "round 1 sees the zero model")
+    assert(curve.last < 50L, s"teacher concept is learned: $curve")
+  }
+}
