@@ -2194,6 +2194,50 @@ object MultiPatternCount {
   }
 }
 
+/** Luhn checksum validation (ISO/IEC 7812, public standard) of a digit
+  * string — the verification step that turns "13-19 digit run" PII
+  * candidates into actual payment-card detections (a plain digit-run
+  * regex over numeric-heavy corpora is almost all false positives;
+  * the checksum kills ~90% of them). Pure per-value integer
+  * arithmetic: doubling every second digit from the right, subtracting
+  * 9 on overflow, valid iff the sum is ≡ 0 (mod 10) — replayed
+  * bit-exactly by a SQL list_transform. Returns false for empty or
+  * non-digit input, null for null.
+  */
+case class LuhnCheck(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "luhn_check"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"luhn_check requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val len = s.length
+    if (len == 0) return false
+    var sum = 0
+    var i = len - 1
+    var second = false
+    while (i >= 0) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      var d = c - '0'
+      if (second) { d *= 2; if (d > 9) d -= 9 }
+      sum += d
+      second = !second
+      i -= 1
+    }
+    sum % 10 == 0
+  }
+
+  override protected def withNewChildInternal(c: Expression): LuhnCheck =
+    copy(child = c)
+}
+
 object exprs {
   import org.apache.spark.sql.GraftShim
 
@@ -2319,6 +2363,10 @@ object exprs {
   /** (raw_bytes, deflate_bytes) compression-ratio quality signal. */
   def deflateStats(text: Column): Column =
     GraftShim.column(DeflateStats(GraftShim.expression(text)))
+
+  /** Luhn checksum validity of a digit-string column. */
+  def luhnCheck(digits: Column): Column =
+    GraftShim.column(LuhnCheck(GraftShim.expression(digits)))
 
   /** Per-pattern occurrence counts (Aho–Corasick, one shared scan). */
   def multiPatternCount(text: Column, patterns: Seq[String]): Column =

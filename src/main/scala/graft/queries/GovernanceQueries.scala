@@ -173,6 +173,59 @@ object GovernanceQueries {
         |ORDER BY nation, segment, bal_class""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Payment-card PII detection with Luhn VERIFICATION (LuhnCheck
+    // kernel): 13-19 digit runs are only candidates — the ISO 7812
+    // checksum separates real card numbers from arbitrary numerics,
+    // killing the false-positive flood a bare digit-run regex
+    // produces. The fixture has no digits, so the corpus is salted
+    // with deterministic doc_id-derived numbers (a known-valid card,
+    // a known-invalid run, and a doc_id-dependent run whose validity
+    // the checksum actually has to decide) — the line_dedup salting
+    // recipe, identical on both engines. Map-only per document.
+    "pii_luhn_filter" -> QueryDef(
+      (s, dir) => {
+        val salted = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat(coalesce(col("text"), lit("")),
+            when(col("doc_id") % 4 === 0, lit(" 4532015112830366"))
+              .when(col("doc_id") % 4 === 1, lit(" 1234567890123456"))
+              .when(col("doc_id") % 4 === 2,
+                concat(lit(" 99"), lpad(col("doc_id").cast("string"), 14, "0")))
+              .otherwise(lit(""))).as("text"))
+        salted
+          .select(col("doc_id"),
+            regexp_extract_all(col("text"), lit("[0-9]{13,19}"), lit(0))
+              .as("cands"))
+          .select(col("doc_id"),
+            size(col("cands")).cast("long").as("n_candidates"),
+            size(filter(col("cands"), c => exprs.luhnCheck(c)))
+              .cast("long").as("n_valid"))
+          .withColumn("has_pii", col("n_valid") > 0)
+          .orderBy(col("doc_id"))
+      },
+      """WITH salted AS (
+        |  SELECT doc_id, coalesce(text, '') ||
+        |    CASE WHEN doc_id % 4 = 0 THEN ' 4532015112830366'
+        |         WHEN doc_id % 4 = 1 THEN ' 1234567890123456'
+        |         WHEN doc_id % 4 = 2 THEN ' 99' || lpad(CAST(doc_id AS VARCHAR), 14, '0')
+        |         ELSE '' END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, regexp_extract_all(text, '[0-9]{13,19}') AS cands FROM salted),
+        |v AS (
+        |  SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |    CAST(len(list_filter(cands, c ->
+        |      list_sum(list_transform(range(1, len(c) + 1), i ->
+        |        CASE WHEN (len(c) - i) % 2 = 1
+        |             THEN CASE WHEN 2 * CAST(c[i] AS INT) > 9
+        |                       THEN 2 * CAST(c[i] AS INT) - 9
+        |                       ELSE 2 * CAST(c[i] AS INT) END
+        |             ELSE CAST(c[i] AS INT) END)) % 10 = 0)) AS BIGINT) AS n_valid
+        |  FROM c)
+        |SELECT doc_id, n_candidates, n_valid, n_valid > 0 AS has_pii
+        |FROM v ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Differentially-private noisy counts via the BINOMIAL mechanism:
     // noise = popcount(120 hash bits) − 60 ~ Binomial(120,½) centered —
     // the integer-valued DP mechanism (Dwork-Kenthapadi-McSherry-

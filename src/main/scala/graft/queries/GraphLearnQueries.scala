@@ -222,6 +222,154 @@ object GraphLearnQueries {
            |SELECT CAST(round AS INT) AS round, n_mis_pos, n_mis_neg,
            |  CAST(n_mis_pos + n_mis_neg AS BIGINT) AS n_mis
            |FROM ($rows) ORDER BY round""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // HITS hubs & authorities (Kleinberg 1999) on the supplier→customer
+    // bipartite graph — the link-analysis complement to
+    // pagerank_supplier_customer: hub(s) = Σ auth(c) over supplied
+    // customers, auth(c) = Σ hub(s) over suppliers, 2 rounds,
+    // max-normalized to a 0..1000 integer grid each half-step (pure
+    // integer arithmetic, so the oracle replays every round exactly;
+    // `div` truncation == DuckDB `//` on non-negatives). Each
+    // half-round is ONE equi-join on the checkpointed edge frame plus
+    // ONE agg; the score frame rides a broadcast hint like PageRank
+    // (same escape hatch documented there for graphs whose score
+    // frame outgrows broadcast).
+    "hits_hubs_authorities" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
+          .distinct()
+          .localCheckpoint()
+        var h = e.select(col("s")).distinct().withColumn("h", lit(1000L))
+        var a: org.apache.spark.sql.DataFrame = null
+        for (_ <- 1 to 2) {
+          val ar = e.join(broadcast(h), "s")
+            .groupBy(col("c")).agg(sum(col("h")).as("ar"))
+          a = ar.crossJoin(broadcast(ar.agg(max(col("ar")).as("m"))))
+            .select(col("c"), expr("ar * 1000 div m").as("a"))
+          val hr = e.join(broadcast(a), "c")
+            .groupBy(col("s")).agg(sum(col("a")).as("hr"))
+          h = hr.crossJoin(broadcast(hr.agg(max(col("hr")).as("m"))))
+            .select(col("s"), expr("hr * 1000 div m").as("h"))
+        }
+        a.select(lit("customer").as("kind"), col("c").as("node"),
+            col("a").as("score"))
+          .unionByName(h.select(lit("supplier").as("kind"),
+            col("s").as("node"), col("h").as("score")))
+          .orderBy(col("kind"), col("node"))
+      }, {
+        def round(r: Int) =
+          s""",
+             |a${r}r AS (SELECT c, CAST(SUM(h) AS BIGINT) AS ar FROM he JOIN h${r - 1} USING (s) GROUP BY 1),
+             |a${r}m AS (SELECT max(ar) AS m FROM a${r}r),
+             |a$r AS (SELECT c, CAST(ar * 1000 // m AS BIGINT) AS a FROM a${r}r CROSS JOIN a${r}m),
+             |h${r}r AS (SELECT s, CAST(SUM(a) AS BIGINT) AS hr FROM he JOIN a$r USING (c) GROUP BY 1),
+             |h${r}m AS (SELECT max(hr) AS m FROM h${r}r),
+             |h$r AS (SELECT s, CAST(hr * 1000 // m AS BIGINT) AS h FROM h${r}r CROSS JOIN h${r}m)""".stripMargin
+        s"""WITH he AS MATERIALIZED (
+           |  SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |h0 AS (SELECT DISTINCT s, CAST(1000 AS BIGINT) AS h FROM he)${round(1)}${round(2)}
+           |SELECT 'customer' AS kind, c AS node, a AS score FROM a2
+           |UNION ALL SELECT 'supplier' AS kind, s AS node, h AS score FROM h2
+           |ORDER BY kind, node""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Multinomial Naive Bayes text classifier (train + score in one
+    // plan): token counts per class on the doc_id%5≠0 slice, Laplace
+    // smoothing over the training vocabulary, held-out docs scored by
+    // the probability PRODUCT folded in token order — multiplication
+    // is IEEE-deterministic, and both engines fold left-to-right over
+    // the identical position-sorted factor list seeded with the class
+    // prior, so the tiny doubles hash-match bit-exactly (the
+    // fixed-order rule; never log-sum). The model (vocab×classes
+    // counts) is broadcast — the classic NB deployment shape: training
+    // is one corpus-keyed agg, scoring is map-side.
+    "naive_bayes_lang" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+          graft.operators.TextOps.tokens(col("text")).as("toks"))
+        val train = d.filter(col("doc_id") % 5 =!= 0)
+        val test = d.filter(col("doc_id") % 5 === 0)
+        val ttok = train.select(col("lang"), explode(col("toks")).as("term"))
+        val cnt = ttok.groupBy(col("lang"), col("term"))
+          .agg(count(lit(1)).as("c"))
+        val tot = ttok.groupBy(col("lang")).agg(count(lit(1)).as("t"))
+        val vocab = ttok.agg(countDistinct(col("term")).as("v"))
+        val prior = train.groupBy(col("lang")).agg(count(lit(1)).as("nc"))
+        val n = train.agg(count(lit(1)).as("nn"))
+        val tk = test
+          .select(col("doc_id"), col("lang").as("lang_true"),
+            posexplode(col("toks")).as(Seq("pos0", "term")))
+          .select(col("doc_id"), col("lang_true"),
+            (col("pos0") + 1).as("pos"), col("term"))
+        val scored = tk
+          .crossJoin(broadcast(prior.select(col("lang"))))
+          .crossJoin(broadcast(vocab))
+          .join(broadcast(tot), "lang")
+          .join(broadcast(cnt), Seq("lang", "term"), "left")
+          .select(col("doc_id"), col("lang_true"), col("lang"), col("pos"),
+            ((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+              (col("t") + col("v")).cast("double")).as("pr"))
+        val folded = scored
+          .groupBy(col("doc_id"), col("lang_true"), col("lang"))
+          .agg(sort_array(collect_list(struct(col("pos"), col("pr"))))
+            .as("ps"))
+          .join(broadcast(prior), "lang")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            aggregate(transform(col("ps"), x => x.getField("pr")),
+              col("nc").cast("double") / col("nn").cast("double"),
+              (acc, x) => acc * x))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("lang").desc)
+        folded
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("lang_true"),
+            col("lang").as("lang_pred"), col("score"),
+            (col("lang") === col("lang_true")).as("correct"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH d AS (SELECT doc_id, lang, $nbToksSql AS toks FROM documents),
+         |train AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+         |test AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+         |ttok AS (SELECT lang, unnest(toks) AS term FROM train),
+         |cnt AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS t FROM ttok GROUP BY 1),
+         |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM ttok),
+         |prior AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM train GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM train),
+         |tk AS (SELECT doc_id, lang AS lang_true, i AS pos, toks[i] AS term
+         |       FROM test, unnest(range(1, len(toks) + 1)) r(i)),
+         |scored AS (
+         |  SELECT tk.doc_id, tk.lang_true, p.lang, tk.pos,
+         |    CAST(coalesce(cnt.c, 0) + 1 AS DOUBLE) / CAST(tot.t + vocab.v AS DOUBLE) AS pr
+         |  FROM tk CROSS JOIN prior p CROSS JOIN vocab
+         |  JOIN tot ON tot.lang = p.lang
+         |  LEFT JOIN cnt ON cnt.lang = p.lang AND cnt.term = tk.term),
+         |folded AS (
+         |  SELECT s.doc_id, s.lang_true, s.lang,
+         |    list_reduce(list_prepend(CAST(pr2.nc AS DOUBLE) / CAST(n.nn AS DOUBLE),
+         |      list(s.pr ORDER BY s.pos)), (a, b) -> a * b) AS score
+         |  FROM scored s JOIN prior pr2 ON pr2.lang = s.lang CROSS JOIN n
+         |  GROUP BY s.doc_id, s.lang_true, s.lang, pr2.nc, n.nn),
+         |ranked AS (
+         |  SELECT doc_id, lang_true, lang AS lang_pred, score,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) AS rk
+         |  FROM folded)
+         |SELECT doc_id, lang_true, lang_pred, score,
+         |  lang_pred = lang_true AS correct
+         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin)
   )
+
+  /** DuckDB twin of TextOps.tokens (a def: `defs` above initializes
+    * first — a val here would still be null at that point). */
+  private def nbToksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 }

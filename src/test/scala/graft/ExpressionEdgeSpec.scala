@@ -369,6 +369,31 @@ class ExpressionEdgeSpec extends SparkSuite {
     assert(nulls.head.isNullAt(0))
   }
 
+  test("luhnCheck: known-valid cards, known-invalid runs, edge cases") {
+    // Valid numbers are the standard public test-card values (Luhn
+    // checksum holds); invalid ones flip one digit.
+    val cases = Seq(
+      ("4532015112830366", true),
+      ("79927398713", true),      // classic Luhn example
+      ("4111111111111111", true),
+      ("1234567890123456", false),
+      ("79927398710", false),
+      ("4532015112830367", false),
+      ("0", true),                // single zero: sum 0 % 10 == 0
+      ("7", false),
+      ("", false),
+      ("4532a15112830366", false) // non-digit → false
+    )
+    val rows = cases.map(_._1).toDF("d")
+      .select($"d", exprs.luhnCheck($"d").as("v")).collect()
+    rows.zip(cases).foreach { case (r, (digits, expected)) =>
+      assert(r.getBoolean(1) == expected, s"luhn($digits)")
+    }
+    val nulls = Seq[Option[String]](None).map(_.orNull).toDF("d")
+      .select(exprs.luhnCheck($"d")).collect()
+    assert(nulls.head.isNullAt(0), "null in, null out")
+  }
+
   test("spaceEncode: corpus-wide equality with the regex form") {
     val n = Tables.documents(spark, "/root/testdata/sf0.001")
       .select(

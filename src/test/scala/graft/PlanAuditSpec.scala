@@ -61,7 +61,10 @@ class PlanAuditSpec extends SparkSuite {
     "ngram_perplexity_filter", // total reference-bigram count N as a broadcast 1-row aggregate
     "unigram_lm_vocab", // survivor-total count as a broadcast 1-row aggregate (the final prob division)
     "tokenizer_fertility_compare", // three corpus totals meet in broadcast 1-row cross joins
-    "curriculum_difficulty_shards") // ExactNtile's broadcast 1-row total (the customer_deciles shape) + NgramLm's broadcast N
+    "curriculum_difficulty_shards", // ExactNtile's broadcast 1-row total (the customer_deciles shape) + NgramLm's broadcast N
+    "zone_map_pruning", // 6-row predicate workload × zone-map/scan frames, broadcast — the audit IS preds × shards
+    "naive_bayes_lang", // class-prior (|classes| rows) + vocab-size 1-row model frames broadcast onto test tokens
+    "hits_hubs_authorities") // per-half-round 1-row max-normalizer aggregates composed by cross join (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
