@@ -225,6 +225,55 @@ object GraphLearnQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Item-item collaborative filtering (Sarwar et al. 2001; the
+    // Amazon-style recommender): co-occurrence counts over order
+    // baskets, cosine similarity c/(√n_i·√n_j) — sqrt is correctly
+    // rounded and the expression order is identical on both engines,
+    // so the doubles hash-match — and top-3 neighbors per item through
+    // the native bounded-heap TopKPerGroup exec. Candidate generation
+    // is the within-basket self-join keyed on the ORDER (never
+    // item×item): pair volume is Σ basket_size², bounded by basket
+    // width, and the item-count frames join broadcast like any dim.
+    "cf_item_neighbors" -> QueryDef(
+      (s, dir) => {
+        val bi = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+          .distinct()
+        val ni = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+        val co = bi.as("a")
+          .join(bi.as("b"), col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+          .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+          .agg(count(lit(1)).as("c"))
+        val bo = co.unionByName(
+          co.select(col("j").as("i"), col("i").as("j"), col("c")))
+        val sc = bo
+          .join(broadcast(ni.select(col("i"), col("n").as("nx"))), "i")
+          .join(broadcast(ni.select(col("i").as("j"), col("n").as("ny"))), "j")
+          .select(col("i"), col("j"), col("c"),
+            (col("c").cast("double") /
+              (sqrt(col("nx").cast("double")) * sqrt(col("ny").cast("double"))))
+              .as("cos"))
+        graft.plans.TopKPerGroup(sc, groupCols = Seq("i"),
+            orderSpecs = Seq(("cos", true), ("j", false)), k = 3)
+          .select(col("i").as("item"), col("j").as("nbr"),
+            col("c").as("n_co"), col("cos"), col("topk_rank"))
+          .orderBy(col("item"), col("topk_rank"))
+      },
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem),
+        |ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY 1),
+        |co AS (SELECT a.i AS i, b.i AS j, CAST(count(*) AS BIGINT) AS c
+        |       FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i GROUP BY 1, 2),
+        |bo AS (SELECT i, j, c FROM co UNION ALL SELECT j AS i, i AS j, c FROM co),
+        |sc AS (SELECT b.i, b.j, b.c,
+        |  CAST(b.c AS DOUBLE) / (sqrt(CAST(x.n AS DOUBLE)) * sqrt(CAST(y.n AS DOUBLE))) AS cos
+        |  FROM bo b JOIN ni x ON x.i = b.i JOIN ni y ON y.i = b.j),
+        |rk AS (SELECT i, j, c, cos,
+        |  CAST(row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS INT) AS topk_rank
+        |  FROM sc)
+        |SELECT i AS item, j AS nbr, c AS n_co, cos, topk_rank
+        |FROM rk WHERE topk_rank <= 3 ORDER BY item, topk_rank""".stripMargin),
+
+    // ------------------------------------------------------------------
     // HITS hubs & authorities (Kleinberg 1999) on the supplier→customer
     // bipartite graph — the link-analysis complement to
     // pagerank_supplier_customer: hub(s) = Σ auth(c) over supplied

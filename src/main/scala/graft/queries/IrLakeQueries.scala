@@ -4,6 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Md5Hash
 
 /** Lakehouse/IR infrastructure operators, oracle-verified: marketing
   * attribution over the event stream (the last-touch carry-forward
@@ -170,6 +171,64 @@ object IrLakeQueries {
         |  a.n_rows_scanned, CAST(coalesce(tr.n_rows_match, 0) AS BIGINT) AS n_rows_match
         |FROM audit a LEFT JOIN tr ON a.pid = tr.pid
         |ORDER BY a.pid""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Grid-bucketed 2D spatial radius join: points bucket into
+    // r-sized cells, each left point probes its 3×3 cell neighborhood
+    // via an EQUI-join on (cell_x, cell_y) — the distributed spatial-
+    // join shape (a 2D band join; cf. events_range_join for 1D) that
+    // replaces the quadratic distance cross join with a keyed shuffle.
+    // Coordinates are deterministic md5-derived integers (the fixture
+    // has no geo columns); the audited output is candidate vs verified
+    // counts PER CELL OFFSET, and the oracle computes the same
+    // numbers from the naive formulation — any candidate the grid
+    // misses or invents shifts a count, so the equivalence proves the
+    // pruning lossless (the PPJoin gate shape).
+    "spatial_grid_join" -> QueryDef(
+      (s, dir) => {
+        def pts(df: org.apache.spark.sql.DataFrame, key: String, tag: String) =
+          df.select(col(key).as("k"),
+            (Md5Hash.lower63Col(concat(lit(tag + "x:"), col(key).cast("string")))
+              % 100000).as("x"),
+            (Md5Hash.lower63Col(concat(lit(tag + "y:"), col(key).cast("string")))
+              % 100000).as("y"))
+        val cp = pts(Tables.customer(s, dir), "c_custkey", "c")
+        val sp = pts(Tables.supplier(s, dir), "s_suppkey", "s")
+          .select(col("k").as("sk"), col("x").as("ux"), col("y").as("uy"),
+            expr("x div 2000").as("gx"), expr("y div 2000").as("gy"))
+        cp.withColumn("dx", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("dy", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .select(col("k"), col("x"), col("y"), col("dx"), col("dy"),
+            (expr("x div 2000") + col("dx")).as("px"),
+            (expr("y div 2000") + col("dy")).as("py"))
+          .join(sp, col("px") === col("gx") && col("py") === col("gy"))
+          .groupBy(col("dx"), col("dy"))
+          .agg(count(lit(1)).as("n_candidates"),
+            sum((abs(col("x") - col("ux")) <= 2000 &&
+              abs(col("y") - col("uy")) <= 2000).cast("long")).as("n_matches"))
+          .orderBy(col("dx"), col("dy"))
+      }, {
+        def md5(x: String) =
+          s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
+        s"""WITH cp AS (SELECT c_custkey AS ck,
+           |    ${md5("'cx:' || CAST(c_custkey AS VARCHAR)")} % 100000 AS x,
+           |    ${md5("'cy:' || CAST(c_custkey AS VARCHAR)")} % 100000 AS y
+           |  FROM customer),
+           |spp AS (SELECT s_suppkey AS sk,
+           |    ${md5("'sx:' || CAST(s_suppkey AS VARCHAR)")} % 100000 AS x,
+           |    ${md5("'sy:' || CAST(s_suppkey AS VARCHAR)")} % 100000 AS y
+           |  FROM supplier),
+           |pairs AS (
+           |  SELECT c.ck, s.sk,
+           |    s.x // 2000 - c.x // 2000 AS dx, s.y // 2000 - c.y // 2000 AS dy,
+           |    abs(c.x - s.x) <= 2000 AND abs(c.y - s.y) <= 2000 AS hit
+           |  FROM cp c JOIN spp s
+           |    ON s.x // 2000 BETWEEN c.x // 2000 - 1 AND c.x // 2000 + 1
+           |   AND s.y // 2000 BETWEEN c.y // 2000 - 1 AND c.y // 2000 + 1)
+           |SELECT dx, dy, CAST(count(*) AS BIGINT) AS n_candidates,
+           |  CAST(count(*) FILTER (WHERE hit) AS BIGINT) AS n_matches
+           |FROM pairs GROUP BY 1, 2 ORDER BY dx, dy""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // Phrase + proximity search over a POSITIONAL inverted index —

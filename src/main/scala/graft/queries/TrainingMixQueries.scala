@@ -922,6 +922,69 @@ object TrainingMixQueries {
          |  CAST(max(n_tokens) AS BIGINT) AS max_len,
          |  CAST(SUM(n_tokens) AS BIGINT) AS sum_len,
          |  CAST(count(*) * max(n_tokens) - SUM(n_tokens) AS BIGINT) AS padding_waste
-         |FROM g GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin)
+         |FROM g GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // GREEDY MAX-COVERAGE data selection (the submodular
+    // facility-location shape of Nagalapatti et al. / coreset
+    // selection): 5 rounds, each picking the source whose documents
+    // cover the most still-uncovered bigrams (tie-break source ASC) —
+    // the 1−1/e-approximate answer to "which corpora buy the most
+    // vocabulary diversity?". The bigram universe per source is one
+    // distinct agg; each round is ONE anti-join + agg with a 1-row
+    // argmax collected to the driver (the BPE round recipe — bounded
+    // driver participation), and the covered set is localCheckpoint'd
+    // per round (the deep-lineage rule: round r+1 must not re-derive
+    // rounds 1..r).
+    "submodular_source_select" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val bg = Tables.documents(s, dir)
+          .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+          // sequence(0, -2) would step BACKWARDS in Spark — keep docs
+          // with ≥ 2 tokens (shorter docs contribute no bigrams on
+          // either engine, so the filter is oracle-neutral)
+          .filter(size(col("toks")) >= 2)
+          .select(col("source"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+            .as("term"))
+          .distinct()
+          .localCheckpoint()
+        var covered = s.emptyDataset[String].toDF("term")
+        val picks = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+        for (r <- 1 to 5) {
+          val gains = bg.join(covered, Seq("term"), "left_anti")
+            .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+          val top = gains.orderBy(col("gain").desc, col("source")).limit(1)
+            .collect()(0)
+          val (src, gain) = (top.getString(0), top.getLong(1))
+          covered = covered
+            .unionByName(bg.filter(col("source") === src).select(col("term")))
+            .distinct()
+            .localCheckpoint()
+          picks += ((r, src, gain, covered.count()))
+        }
+        picks.toSeq.toDF("round", "source", "gain", "covered")
+          .orderBy(col("round"))
+      }, {
+        val rounds = (1 to 5).map { r =>
+          s""",
+             |g$r AS (SELECT b.source, CAST(count(*) AS BIGINT) AS gain
+             |  FROM bg b LEFT JOIN cov${r - 1} c ON b.term = c.term
+             |  WHERE c.term IS NULL GROUP BY 1),
+             |p$r AS (SELECT source, gain FROM g$r ORDER BY gain DESC, source LIMIT 1),
+             |cov$r AS (SELECT term FROM cov${r - 1} UNION
+             |  SELECT b.term FROM bg b JOIN p$r p ON b.source = p.source)""".stripMargin
+        }.mkString
+        val out = (1 to 5).map { r =>
+          s"SELECT $r AS round, source, gain, (SELECT CAST(count(*) AS BIGINT) FROM cov$r) AS covered FROM p$r"
+        }.mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT source, $toksSql AS toks FROM documents),
+           |bg AS MATERIALIZED (SELECT DISTINCT source, toks[i] || ' ' || toks[i + 1] AS term
+           |      FROM d, unnest(range(1, len(toks))) r(i)),
+           |cov0(term) AS (SELECT NULL WHERE FALSE)$rounds
+           |SELECT CAST(round AS INT) AS round, source, gain, covered
+           |FROM ($out) ORDER BY round""".stripMargin
+      })
   )
 }
