@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.exprs
+import graft.functions.{exprs, Md5Hash}
 import graft.operators.{GraphOps, Perceptron}
 
 /** Degree-conditioned graph analytics (truncated k-core peel, bounded
@@ -222,6 +222,63 @@ object GraphLearnQueries {
            |SELECT CAST(round AS INT) AS round, n_mis_pos, n_mis_neg,
            |  CAST(n_mis_pos + n_mis_neg AS BIGINT) AS n_mis
            |FROM ($rows) ORDER BY round""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // DeepWalk context-pair generation (Perozzi et al. 2014): one
+    // 3-step walk per node over the supplier↔customer graph, the
+    // "random" neighbor chosen by md5(walk,step) mod degree against a
+    // dense per-node neighbor index (row_number over sorted
+    // neighbors) — fully deterministic, so the oracle replays every
+    // step. Emitted (walk, step, node) rows are the (center, context)
+    // training pairs a skip-gram embedder consumes. Each step is ONE
+    // equi-join on the checkpointed neighbor index keyed by current
+    // node — the distributed random-walk shape; walks never sit on
+    // the driver.
+    "deepwalk_pairs" -> QueryDef(
+      (s, dir) => {
+        val e = edgesFrame(s, dir)
+        val nbr = e.select(col("u"), col("v"),
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("u")).orderBy(col("v"))) - 1)
+              .cast("long").as("idx"))
+          .localCheckpoint()
+        val deg = nbr.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .localCheckpoint()
+        var cur = deg.select(col("u").as("walk"), col("u").as("cur"))
+        val steps = (1 to 3).map { r =>
+          cur = cur
+            .join(deg, col("u") === col("cur")).drop("u")
+            .withColumn("pick",
+              Md5Hash.lower63Col(concat(lit("w:"), col("walk").cast("string"),
+                lit(":"), lit(r).cast("string"))) % col("d"))
+            .join(nbr,
+              col("u") === col("cur") && col("idx") === col("pick"))
+            .select(col("walk"), col("v").as("cur"))
+          cur.select(col("walk"), lit(r).cast("int").as("step"),
+            col("cur").as("node"))
+        }
+        steps.reduce(_ unionByName _).orderBy(col("walk"), col("step"))
+      }, {
+        def md5(x: String) =
+          s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
+        val rounds = (1 to 3).map { r =>
+          s""",
+             |w$r AS (SELECT w.walk, nbr.v AS cur
+             |  FROM w${r - 1} w
+             |  JOIN deg ON deg.u = w.cur
+             |  JOIN nbr ON nbr.u = w.cur
+             |   AND nbr.idx = ${md5(s"'w:' || CAST(w.walk AS VARCHAR) || ':' || $r")} % deg.d)""".stripMargin
+        }.mkString
+        s"""WITH $edgesSql,
+           |nbr AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS idx FROM e),
+           |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+           |w0 AS (SELECT u AS walk, u AS cur FROM deg)$rounds
+           |SELECT walk, step, node FROM (
+           |  SELECT walk, 1 AS step, cur AS node FROM w1
+           |  UNION ALL SELECT walk, 2, cur FROM w2
+           |  UNION ALL SELECT walk, 3, cur FROM w3)
+           |ORDER BY walk, step""".stripMargin
       }),
 
     // ------------------------------------------------------------------

@@ -173,6 +173,73 @@ object IrLakeQueries {
         |ORDER BY a.pid""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Query-likelihood retrieval with Dirichlet smoothing (Ponte &
+    // Croft 1998 / Zhai & Lafferty 2001) — the second classic lexical
+    // ranker beside bm25_topk: score(d) = Π_q (tf + μ·cf/T)/(len+μ),
+    // μ=100. Same determinism recipe as naive_bayes_lang: each factor
+    // is one fixed-form expression, folded left-to-right over the
+    // term-sorted factor list, so the doubles hash-match. Collection
+    // stats (cf, T) are 1-row/vocab-row broadcast frames; scoring is
+    // map-side over the per-doc length frame; final top-10 is a
+    // TakeOrderedAndProject, never a global sort.
+    "query_likelihood_topk" -> QueryDef(
+      (s, dir) => {
+        val tk = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+        val lens = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+        val q = Seq("hash", "join", "filter")
+        val cf = tk.filter(col("term").isin(q: _*))
+          .groupBy(col("term")).agg(count(lit(1)).as("cf"))
+        val tt = tk.agg(count(lit(1)).as("total"))
+        val tf = tk.filter(col("term").isin(q: _*))
+          .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        import s.implicits._
+        val fac = lens
+          .crossJoin(broadcast(q.toDF("term")))
+          .crossJoin(broadcast(tt))
+          .join(broadcast(cf), "term")
+          .join(tf, Seq("doc_id", "term"), "left")
+          .select(col("doc_id"), col("term"),
+            ((coalesce(col("tf"), lit(0L)).cast("double") +
+              lit(100) * (col("cf").cast("double") / col("total").cast("double"))) /
+              (col("len") + 100).cast("double")).as("p"))
+        fac.groupBy(col("doc_id"))
+          .agg(sort_array(collect_list(struct(col("term"), col("p")))).as("ps"))
+          .select(col("doc_id"),
+            aggregate(transform(col("ps"), x => x.getField("p")),
+              lit(1.0), (acc, x) => acc * x).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      },
+      s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |tk AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM tk GROUP BY 1),
+         |cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tk GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
+         |q(term) AS (VALUES ('hash'), ('join'), ('filter')),
+         |tf AS (SELECT tk.doc_id, tk.term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk JOIN q ON q.term = tk.term GROUP BY 1, 2),
+         |fac AS (
+         |  SELECT l.doc_id, q.term,
+         |    (CAST(coalesce(tf.tf, 0) AS DOUBLE) +
+         |     100 * (CAST(cf.cf AS DOUBLE) / CAST(tt.total AS DOUBLE))) /
+         |    CAST(l.len + 100 AS DOUBLE) AS p
+         |  FROM lens l CROSS JOIN q CROSS JOIN tt
+         |  JOIN cf ON cf.term = q.term
+         |  LEFT JOIN tf ON tf.doc_id = l.doc_id AND tf.term = q.term),
+         |sc AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(1 AS DOUBLE), list(p ORDER BY term)), (a, b) -> a * b) AS score
+         |  FROM fac GROUP BY doc_id)
+         |SELECT doc_id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Grid-bucketed 2D spatial radius join: points bucket into
     // r-sized cells, each left point probes its 3×3 cell neighborhood
     // via an EQUI-join on (cell_x, cell_y) — the distributed spatial-

@@ -925,6 +925,69 @@ object TrainingMixQueries {
          |FROM g GROUP BY 1, 2 ORDER BY bucket, batch_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // word2vec NEGATIVE-SAMPLING table (Mikolov et al. 2013): the
+    // unigram^(3/4) distribution built WITHOUT pow — c^0.75 =
+    // sqrt(c·sqrt(c)), nested correctly-rounded sqrts — quantized to
+    // an integer grid (floor×1000) so the cumulative table is an
+    // EXACT integer prefix sum (running sums over doubles are banned:
+    // DuckDB's segment-tree window would order the additions
+    // differently). 20 deterministic md5 draws land in [hi−wq, hi)
+    // ranges; output is the full table with per-term draw counts, so
+    // the hash pins both the table and the sampler. At vocab scale
+    // the draw→range lookup is SearchSortedCount against broadcast
+    // pivots (the abc_classification lesson); the range join here is
+    // draws×vocab, both bounded.
+    "word2vec_neg_table" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("c"))
+        val cum = c
+          .withColumn("wq",
+            floor(sqrt(col("c").cast("double") * sqrt(col("c").cast("double")))
+              * 1000).cast("long"))
+          .withColumn("hi",
+            sum(col("wq")).over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("term"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .localCheckpoint()
+        val tot = cum.agg(max(col("hi")).as("t"))
+        import s.implicits._
+        val draws = (0 until 20).toDF("draw_idx")
+          .crossJoin(broadcast(tot))
+          .select(col("draw_idx"),
+            (Md5Hash.lower63Col(
+              concat(lit("neg:"), col("draw_idx").cast("string"))) % col("t"))
+              .as("h"))
+        val nd = broadcast(draws).as("d")
+          .join(cum.as("c"),
+            col("d.h") >= col("c.hi") - col("c.wq") && col("d.h") < col("c.hi"))
+          .groupBy(col("c.term").as("dterm"))
+          .agg(count(lit(1)).as("n_draws"))
+        cum.join(nd, col("term") === col("dterm"), "left")
+          .select(col("term"), col("c"), col("wq"), col("hi"),
+            coalesce(col("n_draws"), lit(0L)).as("n_draws"))
+          .orderBy(col("term"))
+      },
+      s"""WITH tk AS (SELECT unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+         |cum AS (SELECT term, c,
+         |  CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) * 1000) AS BIGINT) AS wq,
+         |  CAST(SUM(CAST(floor(sqrt(CAST(c AS DOUBLE) * sqrt(CAST(c AS DOUBLE))) * 1000) AS BIGINT))
+         |    OVER (ORDER BY term ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS hi
+         |  FROM c),
+         |tot AS (SELECT max(hi) AS t FROM cum),
+         |draws AS (SELECT i AS draw_idx, ${md5_63("'neg:' || CAST(i AS VARCHAR)")} % tot.t AS h
+         |          FROM unnest(range(0, 20)) r(i) CROSS JOIN tot),
+         |nd AS (SELECT c.term, CAST(count(*) AS BIGINT) AS n_draws
+         |       FROM draws d JOIN cum c ON d.h >= c.hi - c.wq AND d.h < c.hi
+         |       GROUP BY 1)
+         |SELECT cum.term, cum.c, cum.wq, cum.hi,
+         |  CAST(coalesce(nd.n_draws, 0) AS BIGINT) AS n_draws
+         |FROM cum LEFT JOIN nd ON cum.term = nd.term
+         |ORDER BY cum.term""".stripMargin),
+
+    // ------------------------------------------------------------------
     // GREEDY MAX-COVERAGE data selection (the submodular
     // facility-location shape of Nagalapatti et al. / coreset
     // selection): 5 rounds, each picking the source whose documents
@@ -952,17 +1015,26 @@ object TrainingMixQueries {
           .localCheckpoint()
         var covered = s.emptyDataset[String].toDF("term")
         val picks = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-        for (r <- 1 to 5) {
+        var r = 1
+        var exhausted = false
+        // stops early once every bigram is covered — the oracle's
+        // p{r} CTE is likewise empty past that round (seen at sf0.1:
+        // 20 sources cover the universe in 4 picks)
+        while (r <= 5 && !exhausted) {
           val gains = bg.join(covered, Seq("term"), "left_anti")
             .groupBy(col("source")).agg(count(lit(1)).as("gain"))
           val top = gains.orderBy(col("gain").desc, col("source")).limit(1)
-            .collect()(0)
-          val (src, gain) = (top.getString(0), top.getLong(1))
-          covered = covered
-            .unionByName(bg.filter(col("source") === src).select(col("term")))
-            .distinct()
-            .localCheckpoint()
-          picks += ((r, src, gain, covered.count()))
+            .collect()
+          if (top.isEmpty) exhausted = true
+          else {
+            val (src, gain) = (top(0).getString(0), top(0).getLong(1))
+            covered = covered
+              .unionByName(bg.filter(col("source") === src).select(col("term")))
+              .distinct()
+              .localCheckpoint()
+            picks += ((r, src, gain, covered.count()))
+            r += 1
+          }
         }
         picks.toSeq.toDF("round", "source", "gain", "covered")
           .orderBy(col("round"))

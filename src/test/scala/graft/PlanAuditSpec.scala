@@ -64,7 +64,9 @@ class PlanAuditSpec extends SparkSuite {
     "curriculum_difficulty_shards", // ExactNtile's broadcast 1-row total (the customer_deciles shape) + NgramLm's broadcast N
     "zone_map_pruning", // 6-row predicate workload × zone-map/scan frames, broadcast — the audit IS preds × shards
     "naive_bayes_lang", // class-prior (|classes| rows) + vocab-size 1-row model frames broadcast onto test tokens
-    "hits_hubs_authorities") // per-half-round 1-row max-normalizer aggregates composed by cross join (J9 shape)
+    "hits_hubs_authorities", // per-half-round 1-row max-normalizer aggregates composed by cross join (J9 shape)
+    "query_likelihood_topk", // 3-term query literal × doc-length frame + 1-row collection total, broadcast
+    "word2vec_neg_table") // 20 broadcast draws range-probe the cumulative table (SearchSorted at vocab scale, documented)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
