@@ -385,6 +385,50 @@ object GraphLearnQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Degree assortativity (Newman 2002): Pearson correlation of the
+    // endpoint degrees over all directed edge slots of the supplier↔
+    // customer graph. A bipartite hub-to-leaf graph is strongly
+    // DISassortative — the structural fingerprint used to spot bot/spam
+    // topology shifts. All five sufficient statistics are exact BIGINT
+    // sums of bounded degree products (one edge-frame join against the
+    // broadcast-size degree frame + one agg); only the final Pearson
+    // finish touches doubles, in one fixed IEEE order.
+    "degree_assortativity" -> QueryDef(
+      (s, dir) => {
+        val e = edgesFrame(s, dir)
+        val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val de = e
+          .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
+          .join(deg.select(col("u").as("v"), col("d").as("y")), Seq("v"))
+        val st = de.agg(
+          count(lit(1)).as("m"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        st.select(col("m"), col("sx"), col("sxy"),
+          ((col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+            .as("assortativity"))
+      },
+      s"""WITH $edgesSql,
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         |de AS (
+         |  SELECT du.d AS x, dv.d AS y
+         |  FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+         |s AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS m,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM de)
+         |SELECT m, sx, sxy,
+         |  CAST(m * sxy - sx * sy AS DOUBLE) /
+         |    (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(m * syy - sy * sy AS DOUBLE))) AS assortativity
+         |FROM s""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Multinomial Naive Bayes text classifier (train + score in one
     // plan): token counts per class on the doc_id%5≠0 slice, Laplace
     // smoothing over the training vocabulary, held-out docs scored by

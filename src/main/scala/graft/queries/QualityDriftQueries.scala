@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{exprs, Money}
+import graft.operators.TextOps
+
+/** Data-quality auditing and drift-detection operators: Welch's t-test
+  * (unequal-variance mean comparison), CUSUM change detection over a
+  * daily series, functional-dependency profiling, Bloom semi-join
+  * reduction, corpus n-gram diversity, and readability scoring.
+  *
+  * Determinism: every double is derived from exact integer/decimal
+  * aggregates through +,-,×,÷,sqrt in IDENTICAL textual order on both
+  * engines (CLAUDE.md invariants); CUSUM stays in pure BIGINT via the
+  * prefix-sum-minus-running-extremum identity, so no recursion and no
+  * doubles at all.
+  */
+object QualityDriftQueries {
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // Welch's unequal-variance t-test between l_quantity of returnflag
+    // 'A' vs 'R' — the A/B-test primitive (treatment vs control means)
+    // every experimentation pipeline needs. Sums are exact decimals
+    // (Money.decSum; x and x² both bounded far under 2^53), then mean /
+    // variance / t / Welch–Satterthwaite df are derived in one fixed
+    // IEEE order. One map-side-combined agg over the fact table — the
+    // whole test is a 2-row reduction regardless of scale.
+    "welch_t_qty" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .filter(col("l_returnflag").isin("A", "R"))
+          .groupBy(col("l_returnflag").as("flag"))
+          .agg(
+            count(lit(1)).as("n"),
+            Money.decSum(col("l_quantity"), 2).as("sx"),
+            Money.decSum(col("l_quantity") * col("l_quantity"), 4).as("sxx"))
+        val m = li.select(
+          col("flag"), col("n"),
+          (col("sx") / col("n").cast("double")).as("mean"),
+          ((col("sxx") - col("sx") * (col("sx") / col("n").cast("double"))) /
+            (col("n") - 1).cast("double")).as("var"))
+        val ab = m.agg(
+          max(when(col("flag") === "A", col("n"))).as("n1"),
+          max(when(col("flag") === "R", col("n"))).as("n2"),
+          max(when(col("flag") === "A", col("mean"))).as("mean1"),
+          max(when(col("flag") === "R", col("mean"))).as("mean2"),
+          max(when(col("flag") === "A", col("var"))).as("var1"),
+          max(when(col("flag") === "R", col("var"))).as("var2"))
+        val se1 = col("var1") / col("n1").cast("double")
+        val se2 = col("var2") / col("n2").cast("double")
+        ab.select(
+          col("n1"), col("n2"), col("mean1"), col("mean2"),
+          col("var1"), col("var2"),
+          ((col("mean1") - col("mean2")) / sqrt(se1 + se2)).as("t_stat"),
+          (((se1 + se2) * (se1 + se2)) /
+            (se1 * se1 / (col("n1") - 1).cast("double") +
+              se2 * se2 / (col("n2") - 1).cast("double"))).as("df"))
+      },
+      """WITH s AS (
+        |  SELECT l_returnflag AS flag,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
+        |m AS (
+        |  SELECT flag, n, sx / CAST(n AS DOUBLE) AS mean,
+        |    (sxx - sx * (sx / CAST(n AS DOUBLE))) / CAST(n - 1 AS DOUBLE) AS var
+        |  FROM s),
+        |ab AS (
+        |  SELECT
+        |    max(CASE WHEN flag = 'A' THEN n END) AS n1,
+        |    max(CASE WHEN flag = 'R' THEN n END) AS n2,
+        |    max(CASE WHEN flag = 'A' THEN mean END) AS mean1,
+        |    max(CASE WHEN flag = 'R' THEN mean END) AS mean2,
+        |    max(CASE WHEN flag = 'A' THEN var END) AS var1,
+        |    max(CASE WHEN flag = 'R' THEN var END) AS var2
+        |  FROM m)
+        |SELECT n1, n2, mean1, mean2, var1, var2,
+        |  (mean1 - mean2) / sqrt(var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) AS t_stat,
+        |  ((var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE)) * (var1 / CAST(n1 AS DOUBLE) + var2 / CAST(n2 AS DOUBLE))) /
+        |    ((var1 / CAST(n1 AS DOUBLE)) * (var1 / CAST(n1 AS DOUBLE)) / CAST(n1 - 1 AS DOUBLE) +
+        |     (var2 / CAST(n2 AS DOUBLE)) * (var2 / CAST(n2 AS DOUBLE)) / CAST(n2 - 1 AS DOUBLE)) AS df
+        |FROM ab""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // CUSUM drift detection over the daily order count (Page 1954):
+    // upward drift S⁺_t = P_t − min_{j≤t} P_j and downward drift
+    // S⁻_t = max_{j≤t} P_j − P_t, where P is the prefix sum of the
+    // integer deviations n_days·n_t − n_total (count scaled by day
+    // count so the target "mean" needs no division — everything stays
+    // exact BIGINT). The max(0, prev + x) recursion is deliberately
+    // restated as prefix-sum minus running extremum — a pure window
+    // form, no recursion, no doubles. The day-grain frame is tiny at
+    // any scale (the fact-table agg is the only big shuffle), so the
+    // unpartitioned ordered window is a non-issue.
+    "cusum_drift_orders" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("n_orders"))
+        val tot = d.agg(
+          count(lit(1)).as("n_days"), sum(col("n_orders")).as("n_total"))
+        val dev = d.crossJoin(broadcast(tot))
+          .select(col("day"), col("n_orders"),
+            (col("n_days") * col("n_orders") - col("n_total")).as("dev"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dev
+          .withColumn("pre", sum(col("dev")).over(w))
+          .select(col("day"), col("n_orders"),
+            (col("pre") - min(col("pre")).over(w)).as("cusum_up"),
+            (max(col("pre")).over(w) - col("pre")).as("cusum_down"))
+          .orderBy(col("day"))
+      },
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |               CAST(SUM(n_orders) AS BIGINT) AS n_total FROM d),
+        |dev AS (
+        |  SELECT d.day, d.n_orders,
+        |    CAST(tot.n_days * d.n_orders - tot.n_total AS BIGINT) AS dev
+        |  FROM d CROSS JOIN tot),
+        |p AS (
+        |  SELECT day, n_orders,
+        |    CAST(SUM(dev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS pre
+        |  FROM dev)
+        |SELECT day, n_orders,
+        |  CAST(pre - min(pre) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cusum_up,
+        |  CAST(max(pre) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pre AS BIGINT) AS cusum_down
+        |FROM p ORDER BY day""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Functional-dependency profiling (the TANE/metanome primitive of
+    // data-quality tooling): for candidate FDs X→Y, count LHS groups
+    // whose RHS is not unique. Each candidate is one distinct-agg over
+    // its table — embarrassingly parallel, no cross-candidate state —
+    // and the result is 5 audit rows. o_orderkey→o_custkey is the
+    // planted PK control (must hold); the others quantify real
+    // violations.
+    "fd_profile_violations" -> QueryDef(
+      (s, dir) => {
+        def audit(df: DataFrame, lhs: String, rhs: String, label: String) =
+          df.groupBy(col(lhs)).agg(countDistinct(col(rhs)).as("n_rhs"))
+            .agg(
+              count(lit(1)).as("n_lhs"),
+              count(when(col("n_rhs") > 1, lit(1))).as("n_violating"),
+              max(col("n_rhs")).as("max_rhs"))
+            .select(lit(label).as("fd"), col("n_lhs"), col("n_violating"),
+              col("max_rhs"))
+        val rows = Seq(
+          audit(Tables.orders(s, dir), "o_orderkey", "o_custkey",
+            "orders: o_orderkey -> o_custkey"),
+          audit(Tables.lineitem(s, dir), "l_orderkey", "l_suppkey",
+            "lineitem: l_orderkey -> l_suppkey"),
+          audit(Tables.part(s, dir), "p_brand", "p_type",
+            "part: p_brand -> p_type"),
+          audit(Tables.customer(s, dir), "c_nationkey", "c_mktsegment",
+            "customer: c_nationkey -> c_mktsegment"),
+          audit(Tables.part(s, dir), "p_name", "p_brand",
+            "part: p_name -> p_brand"))
+        rows.reduce(_ unionByName _)
+          .withColumn("holds", col("n_violating") === 0)
+          .orderBy(col("fd"))
+      },
+      """WITH c1 AS (
+        |  SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+        |    CAST(count(*) AS BIGINT) AS n_lhs,
+        |    CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT) AS n_violating,
+        |    CAST(max(n_rhs) AS BIGINT) AS max_rhs
+        |  FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS n_rhs FROM orders GROUP BY 1)),
+        |c2 AS (
+        |  SELECT 'lineitem: l_orderkey -> l_suppkey' AS fd,
+        |    CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT), CAST(max(n_rhs) AS BIGINT)
+        |  FROM (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_rhs FROM lineitem GROUP BY 1)),
+        |c3 AS (
+        |  SELECT 'part: p_brand -> p_type' AS fd,
+        |    CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT), CAST(max(n_rhs) AS BIGINT)
+        |  FROM (SELECT p_brand, count(DISTINCT p_type) AS n_rhs FROM part GROUP BY 1)),
+        |c4 AS (
+        |  SELECT 'customer: c_nationkey -> c_mktsegment' AS fd,
+        |    CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT), CAST(max(n_rhs) AS BIGINT)
+        |  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS n_rhs FROM customer GROUP BY 1)),
+        |c5 AS (
+        |  SELECT 'part: p_name -> p_brand' AS fd,
+        |    CAST(count(*) AS BIGINT), CAST(count(*) FILTER (WHERE n_rhs > 1) AS BIGINT), CAST(max(n_rhs) AS BIGINT)
+        |  FROM (SELECT p_name, count(DISTINCT p_brand) AS n_rhs FROM part GROUP BY 1)),
+        |u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+        |      UNION ALL SELECT * FROM c4 UNION ALL SELECT * FROM c5)
+        |SELECT fd, n_lhs, n_violating, max_rhs, n_violating = 0 AS holds
+        |FROM u ORDER BY fd""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Bloom semi-join reduction (the sideways-information-passing /
+    // runtime-filter pattern): build a Bloom filter over the BUILDING-
+    // segment customer keys, prune the orders scan MAP-SIDE with the
+    // native BloomMightContainLong probe, then finish with the exact
+    // broadcast join — false positives are eliminated by the join, so
+    // the result is bit-identical to the plain semi-join the oracle
+    // runs. At 100 TB this is the shape that avoids shuffling the
+    // unreduced fact table: the filter rides the broadcast, the probe
+    // is a projection-level boolean, and only surviving rows reach the
+    // join.
+    "bloom_semijoin_reduction" -> QueryDef(
+      (s, dir) => {
+        val keys = Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"))
+        val bloom = keys.stat.bloomFilter("c_custkey", 20000L, 0.01)
+        val bytes = locally {
+          val bos = new java.io.ByteArrayOutputStream()
+          bloom.writeTo(bos)
+          bos.toByteArray
+        }
+        Tables.orders(s, dir)
+          .filter(exprs.bloomMightContainLong(col("o_custkey"), bytes))
+          .join(broadcast(keys.withColumnRenamed("c_custkey", "o_custkey")),
+            Seq("o_custkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            Money.decSum(col("o_totalprice"), 2).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      """WITH keys AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |sj AS (SELECT o.* FROM orders o WHERE o.o_custkey IN (SELECT c_custkey FROM keys))
+        |SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+        |FROM sj GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Distinct-n diversity (Li et al. 2016's distinct-1/distinct-n
+    // corpus metric): per source, distinct/total ratios for unigrams
+    // and trigrams — the standard self-repetition screen for generated
+    // or template-heavy text. Trigrams come from two window leads over
+    // the position-exploded token frame (one shuffle, keyed by doc);
+    // the ratios are single divisions over exact counts.
+    "distinct_ngram_diversity" -> QueryDef(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val tri = t
+          .withColumn("t1", lead(col("tok"), 1).over(w))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .filter(col("t2").isNotNull)
+          .select(col("source"),
+            concat_ws(" ", col("tok"), col("t1"), col("t2")).as("gram"))
+        val m1 = t.groupBy(col("source")).agg(
+          count(lit(1)).as("total_tokens"),
+          countDistinct(col("tok")).as("distinct_tokens"))
+        val m3 = tri.groupBy(col("source")).agg(
+          count(lit(1)).as("total_3grams"),
+          countDistinct(col("gram")).as("distinct_3grams"))
+        m1.join(m3, Seq("source"))
+          .select(col("source"), col("total_tokens"), col("distinct_tokens"),
+            col("total_3grams"), col("distinct_3grams"),
+            (col("distinct_tokens").cast("double") /
+              col("total_tokens").cast("double")).as("distinct1_ratio"),
+            (col("distinct_3grams").cast("double") /
+              col("total_3grams").cast("double")).as("distinct3_ratio"))
+          .orderBy(col("source"))
+      },
+      s"""WITH d AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |t AS (SELECT doc_id, source, i AS pos, toks[i] AS tok
+         |      FROM d, unnest(range(1, len(toks) + 1)) r(i)),
+         |tri AS (
+         |  SELECT a.source, a.tok || ' ' || b.tok || ' ' || c.tok AS gram
+         |  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |           JOIN t c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+         |m3 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_3grams,
+         |              CAST(count(DISTINCT gram) AS BIGINT) AS distinct_3grams
+         |       FROM tri GROUP BY 1),
+         |m1 AS (SELECT source, CAST(count(*) AS BIGINT) AS total_tokens,
+         |              CAST(count(DISTINCT tok) AS BIGINT) AS distinct_tokens
+         |       FROM t GROUP BY 1)
+         |SELECT m1.source, m1.total_tokens, m1.distinct_tokens,
+         |  m3.total_3grams, m3.distinct_3grams,
+         |  CAST(m1.distinct_tokens AS DOUBLE) / CAST(m1.total_tokens AS DOUBLE) AS distinct1_ratio,
+         |  CAST(m3.distinct_3grams AS DOUBLE) / CAST(m3.total_3grams AS DOUBLE) AS distinct3_ratio
+         |FROM m1 JOIN m3 ON m1.source = m3.source
+         |ORDER BY m1.source""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Flesch reading-ease histogram per source (vowel-group syllable
+    // heuristic): words from the shared tokenizer, sentences and
+    // syllable groups from regexp_count — all integer counts, then ONE
+    // fixed-order double formula per doc and an integer bucket
+    // (floor(score/10)). Group-by-bucket keeps the output a bounded
+    // histogram instead of per-doc doubles — the aggregate-don't-emit
+    // rule for large corpora. Everything is map-side until the final
+    // tiny histogram agg.
+    "readability_flesch_buckets" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).cast("long").as("w"),
+          regexp_count(coalesce(col("text"), lit("")), lit("[.!?]+"))
+            .cast("long").as("sen0"),
+          regexp_count(lower(coalesce(col("text"), lit(""))), lit("[aeiouy]+"))
+            .cast("long").as("syl"))
+        val f = d.filter(col("w") > 0)
+          .select(col("source"), col("w"),
+            when(col("sen0") < 1, lit(1L)).otherwise(col("sen0")).as("sen"),
+            col("syl"))
+        f.select(col("source"),
+            (lit(206.835) -
+              lit(1.015) * (col("w").cast("double") / col("sen").cast("double")) -
+              lit(84.6) * (col("syl").cast("double") / col("w").cast("double")))
+              .as("score"))
+          .select(col("source"),
+            floor(col("score") / 10.0).cast("long").as("bucket"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("source"), col("bucket"))
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksSql) AS BIGINT) AS w,
+         |    CAST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')) AS BIGINT) AS sen0,
+         |    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS BIGINT) AS syl
+         |  FROM documents),
+         |f AS (
+         |  SELECT source, w, CASE WHEN sen0 < 1 THEN 1 ELSE sen0 END AS sen, syl
+         |  FROM d WHERE w > 0),
+         |sc AS (
+         |  SELECT source,
+         |    206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(sen AS DOUBLE))
+         |            - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)) AS score
+         |  FROM f)
+         |SELECT source, CAST(floor(score / 10.0) AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM sc GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin)
+  )
+
+  /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */
+  private def toksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+}

@@ -66,7 +66,8 @@ class PlanAuditSpec extends SparkSuite {
     "naive_bayes_lang", // class-prior (|classes| rows) + vocab-size 1-row model frames broadcast onto test tokens
     "hits_hubs_authorities", // per-half-round 1-row max-normalizer aggregates composed by cross join (J9 shape)
     "query_likelihood_topk", // 3-term query literal × doc-length frame + 1-row collection total, broadcast
-    "word2vec_neg_table") // 20 broadcast draws range-probe the cumulative table (SearchSorted at vocab scale, documented)
+    "word2vec_neg_table", // 20 broadcast draws range-probe the cumulative table (SearchSorted at vocab scale, documented)
+    "cusum_drift_orders") // day-count/total 1-row aggregate broadcast onto the day-grain frame (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
