@@ -148,7 +148,21 @@ object Explain {
     "split_leakage_check" ->
       "Eval hygiene rides the existing inverted-index Jaccard join restricted to cross-split pairs — no new plan shape; held-out docs report via a left join on ids only.",
     "preference_pairs" ->
-      "DPO prep: quality kernel in the scan stage; chosen/rejected via two prompt-partitioned row_number windows (bounded candidates per partition) joined on the prompt key.")
+      "DPO prep: quality kernel in the scan stage; chosen/rejected via two prompt-partitioned row_number windows (bounded candidates per partition) joined on the prompt key.",
+    "bloom_semijoin_reduction" ->
+      "Runtime-filter pattern: BloomMightContainLong is a projection-level boolean in the orders SCAN stage (map-side prune), the exact broadcast join only sees survivors — the fact table never shuffles unreduced.",
+    "skyline_price_qty" ->
+      "Sort-based 2-D skyline: per-price struct-max collapses the grain first; the frontier test is ONE running-max window over the bounded price domain — no dominance self-join.",
+    "link_prediction_jaccard" ->
+      "Co-occurrence candidates via the order-keyed equi-join (Σ|order|² budget, never |parts|²); degrees join back on the pair keys; TakeOrderedAndProject caps the output.",
+    "bitext_mutual_pairs" ->
+      "Mutual top-1: the scored pair frame materializes once (ids+sim only); both argmaxes are map-side-combinable struct-max aggs — no window over the pair frame, no second product.",
+    "merkle_table_digest" ->
+      "Row hashing is a scan-stage projection; each tree level is one bounded agg (leaf count = the parallelism unit); sorted-concat determinism via sort_array inside the agg.",
+    "prf_query_expansion" ->
+      "Both BM25 passes prune tf through the (broadcast) term join BEFORE scoring; the checkpointed tf frame serves three consumers; per-doc totals fold over term-sorted lists — no fixed-column pivot needed for data-dependent terms.",
+    "gini_stump_quantity" ->
+      "CART stump: the value histogram is the only fact-table agg; cumulative windows run over the bounded distinct-value domain; purity is a scan-stage expression over the broadcast totals.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")

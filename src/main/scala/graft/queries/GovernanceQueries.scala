@@ -256,6 +256,43 @@ object GovernanceQueries {
         |     - 60 AS BIGINT) AS noise
         |  FROM g)
         |SELECT source, n_docs, noise, CAST(n_docs + noise AS BIGINT) AS noisy_n
-        |FROM n ORDER BY source""".stripMargin)
+        |FROM n ORDER BY source""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // l-diversity audit (Machanavajjhala et al. 2007 — the k-anonymity
+    // companion): for each quasi-identifier group (nation, segment),
+    // how many DISTINCT sensitive values (order priority) appear — a
+    // group that is k-anonymous but sees a single priority still leaks.
+    // Pre-aggregating to the (QI, custkey, sensitive) grain first keeps
+    // the two distinct-counts off the raw join (the Expand-blow-up
+    // lesson operates on a bounded-domain frame instead).
+    "l_diversity_audit" -> QueryDef(
+      (s, dir) => {
+        val j = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").as("nation"),
+            col("c_mktsegment").as("segment"),
+            col("c_custkey"), col("o_orderpriority").as("sensitive"))
+          .agg(count(lit(1)).as("cnt"))
+        j.groupBy(col("nation"), col("segment"))
+          .agg(
+            sum(col("cnt")).as("n_rows"),
+            countDistinct(col("c_custkey")).as("n_customers"),
+            countDistinct(col("sensitive")).as("l_distinct"))
+          .withColumn("l3_ok", col("l_distinct") >= 3)
+          .orderBy(col("nation"), col("segment"))
+      },
+      """WITH j AS (
+        |  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+        |         o.o_orderpriority AS sensitive, c.c_custkey
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+        |g AS (
+        |  SELECT nation, segment,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_customers,
+        |    CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct
+        |  FROM j GROUP BY 1, 2)
+        |SELECT nation, segment, n_rows, n_customers, l_distinct, l_distinct >= 3 AS l3_ok
+        |FROM g ORDER BY nation, segment""".stripMargin)
   )
 }

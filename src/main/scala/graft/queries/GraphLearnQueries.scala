@@ -515,7 +515,108 @@ object GraphLearnQueries {
          |  FROM folded)
          |SELECT doc_id, lang_true, lang_pred, score,
          |  lang_pred = lang_true AS correct
-         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin)
+         |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Link prediction by neighborhood overlap (Liben-Nowell & Kleinberg
+    // 2003): on the part co-purchase graph (parts sharing an order),
+    // score candidate pairs by common-neighbor count and Jaccard
+    // cn/(d1+d2−cn) — exact integers into ONE division. Candidates
+    // come from the order-keyed self-join (only pairs that actually
+    // co-occur — never all-pairs), so the shuffle is bounded by
+    // Σ_order |parts|², the classic co-occurrence budget.
+    "link_prediction_jaccard" -> QueryDef(
+      (s, dir) => {
+        val po = Tables.lineitem(s, dir)
+          .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
+          .distinct()
+        val deg = po.groupBy(col("p")).agg(count(lit(1)).as("d"))
+        val co = po.select(col("p").as("p1"), col("o"))
+          .join(po.select(col("p").as("p2"), col("o")), Seq("o"))
+          .filter(col("p1") < col("p2"))
+          .groupBy(col("p1"), col("p2"))
+          .agg(count(lit(1)).as("cn"))
+        co.join(deg.select(col("p").as("p1"), col("d").as("d1")), Seq("p1"))
+          .join(deg.select(col("p").as("p2"), col("d").as("d2")), Seq("p2"))
+          .select(col("p1"), col("p2"), col("cn"), col("d1"), col("d2"),
+            (col("cn").cast("double") /
+              (col("d1") + col("d2") - col("cn")).cast("double")).as("jaccard"))
+          .orderBy(col("jaccard").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      """WITH po AS (SELECT DISTINCT l_partkey AS p, l_orderkey AS o FROM lineitem),
+        |deg AS (SELECT p, CAST(count(*) AS BIGINT) AS d FROM po GROUP BY 1),
+        |co AS (
+        |  SELECT a.p AS p1, b.p AS p2, CAST(count(*) AS BIGINT) AS cn
+        |  FROM po a JOIN po b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT co.p1, co.p2, co.cn, d1.d AS d1, d2.d AS d2,
+        |    CAST(co.cn AS DOUBLE) / CAST(d1.d + d2.d - co.cn AS DOUBLE) AS jaccard
+        |  FROM co JOIN deg d1 ON d1.p = co.p1 JOIN deg d2 ON d2.p = co.p2)
+        |SELECT p1, p2, cn, d1, d2, jaccard
+        |FROM sc ORDER BY jaccard DESC, p1, p2 LIMIT 20""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // CART decision-stump split finding (Breiman et al. 1984): best
+    // threshold on l_quantity predicting returnflag='R', scored by
+    // weighted Gini purity. The value histogram (bounded integer
+    // domain) is the only fact-table agg; the cumulative window runs
+    // over distinct values, and the purity Σ_side (pos²+neg²)/n_side is
+    // one fixed-order double expression per candidate — exact integer
+    // counts everywhere else, so the argmax ranking replays exactly.
+    "gini_stump_quantity" -> QueryDef(
+      (s, dir) => {
+        val h = Tables.lineitem(s, dir)
+          .select(col("l_quantity").cast("long").as("x"),
+            when(col("l_returnflag") === "R", lit(1L)).otherwise(lit(0L))
+              .as("y"))
+          .groupBy(col("x"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+        val tot = h.agg(sum(col("n")).as("nt"), sum(col("pos")).as("post"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("x"))
+        val cum = h
+          .withColumn("nl", sum(col("n")).over(w))
+          .withColumn("posl", sum(col("pos")).over(w))
+          .select(col("x"), col("nl"), col("posl"))
+        val nr = col("nt") - col("nl")
+        val posr = col("post") - col("posl")
+        cum.crossJoin(broadcast(tot))
+          .filter(col("nl") > 0 && (col("nt") - col("nl")) > 0)
+          .select(col("x").as("threshold"),
+            col("nl").as("n_left"), col("posl").as("pos_left"),
+            nr.as("n_right"), posr.as("pos_right"),
+            (((col("posl") * col("posl") +
+              (col("nl") - col("posl")) * (col("nl") - col("posl")))
+              .cast("double") / col("nl").cast("double")) +
+              ((posr * posr + (nr - posr) * (nr - posr)).cast("double") /
+                nr.cast("double"))).as("purity"))
+          .orderBy(col("purity").desc, col("threshold"))
+          .limit(5)
+      },
+      """WITH pts AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem),
+        |h AS (SELECT x, CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        |      FROM pts GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(pos) AS BIGINT) AS post FROM h),
+        |cum AS (
+        |  SELECT x,
+        |    CAST(SUM(n) OVER (ORDER BY x) AS BIGINT) AS nl,
+        |    CAST(SUM(pos) OVER (ORDER BY x) AS BIGINT) AS posl
+        |  FROM h),
+        |sp AS (
+        |  SELECT c.x AS threshold, c.nl, c.posl,
+        |    tot.nt - c.nl AS nr, tot.post - c.posl AS posr,
+        |    (CAST(c.posl * c.posl + (c.nl - c.posl) * (c.nl - c.posl) AS DOUBLE) / CAST(c.nl AS DOUBLE)) +
+        |    (CAST((tot.post - c.posl) * (tot.post - c.posl) +
+        |          ((tot.nt - c.nl) - (tot.post - c.posl)) * ((tot.nt - c.nl) - (tot.post - c.posl)) AS DOUBLE) /
+        |     CAST(tot.nt - c.nl AS DOUBLE)) AS purity
+        |  FROM cum c CROSS JOIN tot
+        |  WHERE c.nl > 0 AND tot.nt - c.nl > 0)
+        |SELECT threshold, nl AS n_left, posl AS pos_left, nr AS n_right, posr AS pos_right, purity
+        |FROM sp ORDER BY purity DESC, threshold LIMIT 5""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def: `defs` above initializes

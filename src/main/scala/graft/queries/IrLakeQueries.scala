@@ -380,6 +380,112 @@ object IrLakeQueries {
          |  CAST(min(doc_id) AS BIGINT) AS min_doc,
          |  CAST(max(doc_id) AS BIGINT) AS max_doc,
          |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5
-         |FROM td GROUP BY term ORDER BY term""".stripMargin)
+         |FROM td GROUP BY term ORDER BY term""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Pseudo-relevance feedback (RM3-lite, Lavrenko & Croft 2001 shape):
+    // BM25 for the seed query {data, query} → top-3 feedback docs →
+    // top-5 expansion terms by exact feedback term-frequency (integer
+    // ranking, alphabetic terms only, seed excluded) → rescore the
+    // corpus with the expanded term set. The expansion set is
+    // data-dependent, so per-doc totals use the term-sorted fold
+    // (sort_array + aggregate ≡ DuckDB list ORDER BY + list_reduce, the
+    // query_likelihood recipe) instead of the fixed-column pivot.
+    // Collection stats ride broadcast 1-row frames; both scoring passes
+    // prune tf through the term join before any double math.
+    "prf_query_expansion" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val seed = Seq("data", "query")
+        val tk = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.operators.TextOps.tokens(col("text"))).as("token"))
+        val tf = tk.groupBy(col("doc_id"), col("token"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // reused by both scoring passes + expansion
+        val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("doc_len"))
+        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        val tl = dl.agg(sum(col("doc_len")).as("total_len"))
+        def bm25Pass(termDf: org.apache.spark.sql.DataFrame) = {
+          val dfq = tf.join(broadcast(termDf), "token")
+            .groupBy(col("token")).agg(count(lit(1)).as("doc_freq"))
+          val sc = tf.join(broadcast(dfq), "token")
+            .join(dl, "doc_id")
+            .crossJoin(broadcast(n)).crossJoin(broadcast(tl))
+            .select(col("doc_id"), col("token"),
+              ((col("n_docs").cast("double") / col("doc_freq")) *
+                ((col("tf").cast("double") * lit(1.2 + 1.0)) /
+                  (col("tf").cast("double") + lit(1.2) * (lit(1.0 - 0.75) +
+                    (lit(0.75) * col("doc_len").cast("double")) /
+                      (col("total_len").cast("double") / col("n_docs"))))))
+                .as("s"))
+          sc.groupBy(col("doc_id"))
+            .agg(sort_array(collect_list(struct(col("token"), col("s")))).as("ps"))
+            .select(col("doc_id"),
+              aggregate(transform(col("ps"), x => x.getField("s")),
+                lit(0.0), (a, x) => a + x).as("score"))
+        }
+        val fb = bm25Pass(seed.toDF("token"))
+          .orderBy(col("score").desc, col("doc_id")).limit(3)
+          .select(col("doc_id"))
+        val exp = tf.join(broadcast(fb), "doc_id")
+          .filter(!col("token").isin(seed: _*) && col("token").rlike("^[a-z]+$"))
+          .groupBy(col("token")).agg(sum(col("tf")).as("fb_tf"))
+          .orderBy(col("fb_tf").desc, col("token")).limit(5)
+          .select(col("token"))
+        bm25Pass(exp)
+          .orderBy(col("score").desc, col("doc_id")).limit(10)
+          .withColumn("rk",
+            row_number().over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      },
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |tl AS (SELECT CAST(SUM(doc_len) AS BIGINT) AS total_len FROM dl),
+         |seed(token) AS (VALUES ('data'), ('query')),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+         |        FROM tf WHERE token IN (SELECT token FROM seed) GROUP BY 1),
+         |sc0 AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    (CAST(n.n_docs AS DOUBLE) / dfq.doc_freq) *
+         |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |       (0.75 * CAST(dl.doc_len AS DOUBLE)) /
+         |       (CAST(tl.total_len AS DOUBLE) / n.n_docs)))) AS s
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.token = dfq.token
+         |  CROSS JOIN n CROSS JOIN tl),
+         |r0 AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY token)), (a, b) -> a + b) AS score
+         |  FROM sc0 GROUP BY doc_id),
+         |fb AS (SELECT doc_id FROM r0 ORDER BY score DESC, doc_id LIMIT 3),
+         |exp AS (
+         |  SELECT tf.token, CAST(SUM(tf.tf) AS BIGINT) AS fb_tf
+         |  FROM tf JOIN fb ON tf.doc_id = fb.doc_id
+         |  WHERE tf.token NOT IN (SELECT token FROM seed)
+         |    AND regexp_matches(tf.token, '^[a-z]+$$')
+         |  GROUP BY 1 ORDER BY fb_tf DESC, token LIMIT 5),
+         |dfe AS (SELECT tf.token, CAST(count(*) AS BIGINT) AS doc_freq
+         |        FROM tf JOIN exp ON tf.token = exp.token GROUP BY 1),
+         |sc1 AS (
+         |  SELECT tf.doc_id, tf.token,
+         |    (CAST(n.n_docs AS DOUBLE) / dfe.doc_freq) *
+         |    ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+         |     (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 +
+         |       (0.75 * CAST(dl.doc_len AS DOUBLE)) /
+         |       (CAST(tl.total_len AS DOUBLE) / n.n_docs)))) AS s
+         |  FROM tf JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfe ON tf.token = dfe.token
+         |  CROSS JOIN n CROSS JOIN tl),
+         |r1 AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s ORDER BY token)), (a, b) -> a + b) AS score
+         |  FROM sc1 GROUP BY doc_id)
+         |SELECT doc_id, score,
+         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
+         |FROM r1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
   )
 }

@@ -2178,6 +2178,97 @@ object OlapQueries {
         |  CAST((a.bin + 1) * 131072 - 1 AS BIGINT) AS approx_cents,
         |  rn.cents AS exact_cents
         |FROM approx a JOIN rn ON rn.status = a.status AND rn.rn = a.k
-        |ORDER BY a.status, a.qlabel""".stripMargin)
+        |ORDER BY a.status, a.qlabel""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // 2-D skyline (Börzsönyi et al. 2001): the "cheap and popular"
+    // Pareto frontier of parts — no other part is both no-more-
+    // expensive and no-less-sold. Spark-first shape: collapse to the
+    // (price, qty) grain, keep the per-price max quantity (struct-max),
+    // then ONE ordered pass with a strictly-preceding running max —
+    // O(n log n) sort instead of the oracle's quadratic NOT EXISTS
+    // dominance check (provably equivalent for a 2-D skyline). The
+    // window runs over the distinct-price grain, a bounded domain, not
+    // over the fact table.
+    "skyline_price_qty" -> QueryDef(
+      (s, dir) => {
+        val pts = Tables.part(s, dir)
+          .join(Tables.lineitem(s, dir),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_partkey"),
+            col("p_retailprice").cast("decimal(12,2)").as("price"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty_sold"))
+          .groupBy(col("price"), col("qty_sold"))
+          .agg(count(lit(1)).as("n_parts"))
+        val perPrice = pts.groupBy(col("price"))
+          .agg(max(struct(col("qty_sold"), col("n_parts"))).as("m"))
+          .select(col("price"), col("m.qty_sold").as("qty_sold"),
+            col("m.n_parts").as("n_parts"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("price"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        perPrice.withColumn("best_cheaper", max(col("qty_sold")).over(w))
+          .filter(col("best_cheaper").isNull ||
+            col("qty_sold") > col("best_cheaper"))
+          // decimal→double is exact here (unscaled price ≪ 2^53)
+          .select(col("price").cast("double").as("price"),
+            col("qty_sold"), col("n_parts"))
+          .orderBy(col("price"))
+      },
+      """WITH pts AS (
+        |  SELECT CAST(p.p_retailprice AS DECIMAL(12,2)) AS price,
+        |         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty_sold
+        |  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |  GROUP BY p.p_partkey, p.p_retailprice),
+        |g AS (SELECT price, qty_sold, CAST(count(*) AS BIGINT) AS n_parts
+        |      FROM pts GROUP BY 1, 2)
+        |SELECT CAST(price AS DOUBLE) AS price, qty_sold, n_parts
+        |FROM g p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM g o
+        |  WHERE o.price <= p.price AND o.qty_sold >= p.qty_sold
+        |    AND (o.price < p.price OR o.qty_sold > p.qty_sold))
+        |ORDER BY price""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Bitmap-index profile: each customer's 1998 order-priority set
+    // packed into a 5-bit mask (bit_or of shifted bits — the roaring/
+    // bitmap-index aggregation primitive), then the mask histogram with
+    // popcounts. The bit assignment derives from the sorted distinct
+    // priority list (bounded domain, broadcast); the date filter is a
+    // pushdown-friendly timestamp range, not year()= (TimePred lesson).
+    "bitmask_priority_profile" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("o_orderpriority"))
+        val pr = Tables.orders(s, dir)
+          .select(col("o_orderpriority")).distinct()
+          .withColumn("bit", (row_number().over(w) - 1).cast("long"))
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .join(broadcast(pr), Seq("o_orderpriority"))
+          .groupBy(col("o_custkey"))
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))")
+            .as("mask"))
+          .groupBy(col("mask"))
+          .agg(count(lit(1)).as("n_customers"))
+          .select(col("mask"), bit_count(col("mask")).cast("long").as("n_priorities"),
+            col("n_customers"))
+          .orderBy(col("mask"))
+      },
+      """WITH pr AS (
+        |  SELECT o_orderpriority AS p,
+        |    CAST(row_number() OVER (ORDER BY o_orderpriority) - 1 AS BIGINT) AS bit
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+        |m AS (
+        |  SELECT o.o_custkey, bit_or(CAST(1 AS BIGINT) << pr.bit) AS mask
+        |  FROM orders o JOIN pr ON o.o_orderpriority = pr.p
+        |  WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1999-01-01'
+        |  GROUP BY 1)
+        |SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_priorities,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        |FROM m GROUP BY 1 ORDER BY mask""".stripMargin)
   )
 }

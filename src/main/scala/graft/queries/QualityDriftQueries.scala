@@ -338,7 +338,210 @@ object QualityDriftQueries {
          |  FROM f)
          |SELECT source, CAST(floor(score / 10.0) AS BIGINT) AS bucket,
          |  CAST(count(*) AS BIGINT) AS n_docs
-         |FROM sc GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin)
+         |FROM sc GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Merkle digest tree over the orders table (16 leaves → 4 inner →
+    // root): the replication/anti-entropy primitive — two replicas
+    // compare roots, then walk only the differing subtree. Row
+    // serialization uses engine-stable string forms only (BIGINT,
+    // VARCHAR, DECIMAL(12,2), DATE — never raw doubles or timestamps);
+    // leaves hash the SORTED concat of row hashes (sort_array ≡
+    // string_agg ORDER BY). The leaf fan-out is the unit of
+    // parallelism: row hashing is map-side, each level is one bounded
+    // agg, and the leaf count (here 16) scales with the table while
+    // inner fan-in stays fixed.
+    "merkle_table_digest" -> QueryDef(
+      (s, dir) => {
+        val rows = Tables.orders(s, dir).select(
+          (col("o_orderkey") % 16).as("leaf"),
+          md5(concat_ws("|",
+            col("o_orderkey").cast("string"),
+            col("o_custkey").cast("string"),
+            col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(12,2)").cast("string"),
+            col("o_orderdate").cast("date").cast("string"))).as("rh"))
+        val l0 = rows.groupBy(col("leaf"))
+          .agg(
+            md5(concat_ws("", sort_array(collect_list(col("rh"))))).as("h"),
+            count(lit(1)).as("n_rows"))
+        val l1 = l0.groupBy((col("leaf") / 4).cast("long").as("node"))
+          .agg(
+            md5(concat_ws("",
+              transform(sort_array(collect_list(struct(col("leaf"), col("h")))),
+                x => x.getField("h")))).as("h"),
+            sum(col("n_rows")).as("n_rows"))
+        val root = l1
+          .agg(
+            md5(concat_ws("",
+              transform(sort_array(collect_list(struct(col("node"), col("h")))),
+                x => x.getField("h")))).as("h"),
+            sum(col("n_rows")).as("n_rows"))
+          .select(lit(2).as("level"), lit(0L).as("node"), col("h"),
+            col("n_rows"))
+        l0.select(lit(0).as("level"), col("leaf").as("node"), col("h"),
+            col("n_rows"))
+          .unionByName(l1.select(lit(1).as("level"), col("node"), col("h"),
+            col("n_rows")))
+          .unionByName(root)
+          .orderBy(col("level"), col("node"))
+      },
+      """WITH rows_h AS (
+        |  SELECT o_orderkey % 16 AS leaf,
+        |    md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+        |        o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
+        |        CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS rh
+        |  FROM orders),
+        |l0 AS (
+        |  SELECT leaf, md5(string_agg(rh, '' ORDER BY rh)) AS h,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM rows_h GROUP BY 1),
+        |l1 AS (
+        |  SELECT leaf // 4 AS node, md5(string_agg(h, '' ORDER BY leaf)) AS h,
+        |    CAST(SUM(n_rows) AS BIGINT) AS n_rows
+        |  FROM l0 GROUP BY 1),
+        |root AS (
+        |  SELECT md5(string_agg(h, '' ORDER BY node)) AS h, CAST(SUM(n_rows) AS BIGINT) AS n_rows
+        |  FROM l1)
+        |SELECT CAST(0 AS INT) AS level, CAST(leaf AS BIGINT) AS node, h, n_rows FROM l0
+        |UNION ALL SELECT 1, CAST(node AS BIGINT), h, n_rows FROM l1
+        |UNION ALL SELECT 2, CAST(0 AS BIGINT), h, n_rows FROM root
+        |ORDER BY level, node""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Neyman-optimal stratified sample allocation (n_h ∝ N_h·S_h) of a
+    // 1000-row budget across (returnflag, linestatus) strata, finished
+    // by largest-remainder apportionment so the allocations sum to
+    // exactly 1000. Per-stratum moments are exact decimal sums (the
+    // Welch recipe); the cross-strata weight total uses the
+    // stratum-sorted fold (collect_list + aggregate ≡ DuckDB
+    // list_reduce) — the ordered-fold trick that makes a sum over a
+    // BOUNDED set of doubles deterministic. The fact-table agg is the
+    // only scan-sized shuffle; everything after runs on ≤ |strata|
+    // rows.
+    "neyman_allocation" -> QueryDef(
+      (s, dir) => {
+        val st = Tables.lineitem(s, dir)
+          .groupBy(concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+            .as("stratum"))
+          .agg(
+            count(lit(1)).as("nh"),
+            Money.decSum(col("l_quantity"), 2).as("sx"),
+            Money.decSum(col("l_quantity") * col("l_quantity"), 4).as("sxx"))
+        val w = st.select(col("stratum"), col("nh"),
+            sqrt((col("sxx") - col("sx") * (col("sx") / col("nh").cast("double"))) /
+              (col("nh") - 1).cast("double")).as("sh"))
+          .withColumn("wh", col("nh").cast("double") * col("sh"))
+        val tot = w
+          .agg(sort_array(collect_list(struct(col("stratum"), col("wh")))).as("ws"))
+          .select(aggregate(transform(col("ws"), x => x.getField("wh")),
+            lit(0.0), (a, x) => a + x).as("wtot"))
+        val base = w.crossJoin(broadcast(tot))
+          .select(col("stratum"), col("nh"), col("sh"),
+            floor(lit(1000.0) * col("wh") / col("wtot")).cast("long").as("n_floor"),
+            (lit(1000.0) * col("wh") / col("wtot") -
+              floor(lit(1000.0) * col("wh") / col("wtot"))).as("frac"))
+        val short = base.agg((lit(1000L) - sum(col("n_floor"))).as("extra"))
+        val rk = base.withColumn("r",
+          row_number().over(Window.orderBy(col("frac").desc, col("stratum"))))
+        rk.crossJoin(broadcast(short))
+          .select(col("stratum"), col("nh"), col("sh"),
+            (col("n_floor") +
+              when(col("r") <= col("extra"), lit(1L)).otherwise(lit(0L)))
+              .as("alloc"))
+          .orderBy(col("stratum"))
+      },
+      """WITH st AS (
+        |  SELECT l_returnflag || '/' || l_linestatus AS stratum,
+        |    CAST(count(*) AS BIGINT) AS nh,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY 1),
+        |sd AS (
+        |  SELECT stratum, nh,
+        |    sqrt((sxx - sx * (sx / CAST(nh AS DOUBLE))) / CAST(nh - 1 AS DOUBLE)) AS sh
+        |  FROM st),
+        |w AS (SELECT stratum, nh, sh, CAST(nh AS DOUBLE) * sh AS wh FROM sd),
+        |tot AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS DOUBLE), list(wh ORDER BY stratum)), (a, b) -> a + b) AS wtot
+        |  FROM w),
+        |base AS (
+        |  SELECT w.stratum, w.nh, w.sh,
+        |    CAST(floor(1000.0 * w.wh / tot.wtot) AS BIGINT) AS n_floor,
+        |    1000.0 * w.wh / tot.wtot - floor(1000.0 * w.wh / tot.wtot) AS frac
+        |  FROM w CROSS JOIN tot),
+        |short AS (SELECT CAST(1000 - SUM(n_floor) AS BIGINT) AS extra FROM base),
+        |rk AS (
+        |  SELECT stratum, nh, sh, n_floor, frac,
+        |    row_number() OVER (ORDER BY frac DESC, stratum) AS r
+        |  FROM base)
+        |SELECT rk.stratum, rk.nh, rk.sh,
+        |  rk.n_floor + CASE WHEN rk.r <= short.extra THEN 1 ELSE 0 END AS alloc
+        |FROM rk CROSS JOIN short
+        |ORDER BY stratum""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Inverse-probability-weighted (Horvitz–Thompson) total estimation:
+    // a deterministic md5 subsample (~1/8, the hash_sample pattern)
+    // per stratum, expansion weight N_h/n_h, estimate Σ_h w_h·S_h
+    // against the exact total computed alongside — the
+    // estimate-vs-truth harness every sampled pipeline needs. Stratum
+    // sums stay integer; each stratum's expansion is one fixed-order
+    // double expression; the cross-strata total uses the
+    // stratum-sorted fold (bounded set, deterministic).
+    "ipw_total_estimate" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.lineitem(s, dir).select(
+          concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
+            .as("stratum"),
+          col("l_quantity").cast("long").as("qty"),
+          md5(concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))).as("h"))
+        val nh = base.groupBy(col("stratum"))
+          .agg(count(lit(1)).as("nh"), sum(col("qty")).as("exact_sum"))
+        val samp = base
+          .filter(substring(col("h"), 1, 1).isin("0", "1"))
+          .groupBy(col("stratum"))
+          .agg(count(lit(1)).as("ns"), sum(col("qty")).as("s_sum"))
+        val est = nh.join(samp, Seq("stratum"))
+          .select(col("stratum"), col("nh"), col("ns"), col("exact_sum"),
+            ((col("nh").cast("double") / col("ns").cast("double")) *
+              col("s_sum").cast("double")).as("est_h"))
+        val tot = est.agg(
+            sort_array(collect_list(struct(col("stratum"), col("est_h"))))
+              .as("es"),
+            sum(col("exact_sum")).as("exact_total"))
+          .select(
+            aggregate(transform(col("es"), x => x.getField("est_h")),
+              lit(0.0), (a, x) => a + x).as("est_total"),
+            col("exact_total"))
+        est.crossJoin(broadcast(tot))
+          .select(col("stratum"), col("nh"), col("ns"), col("exact_sum"),
+            col("est_h"), col("est_total"), col("exact_total"))
+          .orderBy(col("stratum"))
+      },
+      """WITH base AS (
+        |  SELECT l_returnflag || '/' || l_linestatus AS stratum,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+        |  FROM lineitem),
+        |nh AS (SELECT stratum, CAST(count(*) AS BIGINT) AS nh,
+        |              CAST(SUM(qty) AS BIGINT) AS exact_sum
+        |       FROM base GROUP BY 1),
+        |samp AS (
+        |  SELECT stratum, CAST(count(*) AS BIGINT) AS ns, CAST(SUM(qty) AS BIGINT) AS s_sum
+        |  FROM base WHERE substr(h, 1, 1) IN ('0', '1') GROUP BY 1),
+        |est AS (
+        |  SELECT n.stratum, n.nh, s.ns, n.exact_sum,
+        |    (CAST(n.nh AS DOUBLE) / CAST(s.ns AS DOUBLE)) * CAST(s.s_sum AS DOUBLE) AS est_h
+        |  FROM nh n JOIN samp s ON s.stratum = n.stratum),
+        |tot AS (
+        |  SELECT
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(est_h ORDER BY stratum)), (a, b) -> a + b) AS est_total,
+        |    CAST(SUM(exact_sum) AS BIGINT) AS exact_total
+        |  FROM est)
+        |SELECT e.stratum, e.nh, e.ns, e.exact_sum, e.est_h, t.est_total, t.exact_total
+        |FROM est e CROSS JOIN tot t ORDER BY e.stratum""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

@@ -1,0 +1,314 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.exprs
+import graft.operators.{Similarity, TextOps}
+
+/** Embedding- and LM-driven data-selection operators: greedy k-center
+  * coreset selection (Gonzalez 1985 farthest-point traversal — the
+  * coreset sampler behind diversity-aware data selection), bitext
+  * mutual-top-1 mining (the CCMatrix/LASER margin-mining shape:
+  * forward/backward nearest neighbors that agree), per-dimension
+  * embedding centroid drift (distribution-shift monitoring between a
+  * cohort and the corpus), Hellinger/Bhattacharyya token-distribution
+  * drift between sources, and greedy argmax decoding from a trained
+  * bigram LM (the sanity-check decode every LM data pipeline runs).
+  *
+  * Determinism: embeddings ride the [[graft.functions.QuantizeVec]]
+  * integer grid wherever a distance feeds a decision (k-center,
+  * centroid drift), so every comparison is exact-integer; the bitext
+  * ranking reuses the cosine ordering already proven bit-stable by the
+  * ann_* oracles and outputs ids only; Hellinger emits per-token sqrt
+  * terms (no SUM over doubles, per CLAUDE.md); greedy decode is pure
+  * integer-count argmax with lexicographic tie-breaks.
+  *
+  * Scale: k-center and greedy decode touch the full data once per
+  * round through one keyed join/agg (driver sees only the 1-row
+  * argmax); bitext is a broadcast block product over two bounded
+  * cohorts with map-side-combinable struct-max argmax (no window over
+  * the pair frame); centroid drift is two aggregations on the
+  * (label, dim) / (dim) grains.
+  */
+object SelectionEmbedQueries {
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // Greedy k-center coreset (Gonzalez farthest-point, 5 centers):
+    // quantized integer grid → squared-L2 distances are exact BIGINTs
+    // (computed via the dot identity aa − 2ab + bb on integer-valued
+    // doubles, every partial exact under 2^53). Each round is one
+    // broadcast join against the 1-row new center + one running-min +
+    // one argmax; the driver sees exactly one row per round. The
+    // min-distance frame is localCheckpoint'ed per round (the lineage
+    // would otherwise deepen linearly — the cluster analog is a tiny
+    // working table).
+    "kcenter_coreset" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pts = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            exprs.quantizeVec(col("embedding"), 1000)
+              .cast("array<double>").as("v"))
+          .withColumn("saa", exprs.vecDot(col("v"), col("v")))
+          .localCheckpoint()
+        def distTo(center: org.apache.spark.sql.DataFrame) =
+          pts.crossJoin(broadcast(center
+              .select(col("v").as("cv"), col("saa").as("sbb"))))
+            .select(col("vec_id"),
+              (col("saa") - lit(2.0) * exprs.vecDot(col("v"), col("cv")) +
+                col("sbb")).cast("long").as("dist"))
+        val firstId = pts.agg(min(col("vec_id"))).collect()(0).getLong(0)
+        var m = distTo(pts.filter(col("vec_id") === firstId)).localCheckpoint()
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+        out += ((1, firstId, m.agg(max(col("dist"))).collect()(0).getLong(0)))
+        var r = 2
+        while (r <= 5) {
+          val pick = m.orderBy(col("dist").desc, col("vec_id")).limit(1)
+            .collect()(0)
+          val cid = pick.getLong(0)
+          val d = distTo(pts.filter(col("vec_id") === cid))
+          m = m.join(d.withColumnRenamed("dist", "d2"), Seq("vec_id"))
+            .select(col("vec_id"),
+              when(col("d2") < col("dist"), col("d2")).otherwise(col("dist"))
+                .as("dist"))
+            .localCheckpoint()
+          out += ((r, cid, m.agg(max(col("dist"))).collect()(0).getLong(0)))
+          r += 1
+        }
+        out.toSeq.toDF("round", "center_id", "radius").orderBy(col("round"))
+      }, {
+        val kc = new StringBuilder(
+          """WITH q AS MATERIALIZED (
+            |  SELECT vec_id, i AS dim,
+            |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+            |  FROM embeddings, unnest(range(1, 65)) r(i)),
+            |c1 AS (SELECT CAST(min(vec_id) AS BIGINT) AS id FROM embeddings),
+            |d1 AS (
+            |  SELECT q.vec_id, CAST(SUM((q.v - p.v) * (q.v - p.v)) AS BIGINT) AS dist
+            |  FROM q JOIN (SELECT q2.dim, q2.v FROM q q2 JOIN c1 ON q2.vec_id = c1.id) p
+            |    ON p.dim = q.dim
+            |  GROUP BY 1),
+            |m1 AS (SELECT vec_id, dist FROM d1)""".stripMargin)
+        val outs = scala.collection.mutable.ArrayBuffer(
+          "SELECT 1 AS round, id AS center_id, (SELECT max(dist) FROM m1) AS radius FROM c1")
+        for (r <- 2 to 5) {
+          kc ++= s""",
+            |c$r AS (SELECT vec_id AS id, dist FROM m${r - 1} ORDER BY dist DESC, vec_id LIMIT 1),
+            |d$r AS (
+            |  SELECT q.vec_id, CAST(SUM((q.v - p.v) * (q.v - p.v)) AS BIGINT) AS dist
+            |  FROM q JOIN (SELECT q2.dim, q2.v FROM q q2 JOIN c$r ON q2.vec_id = c$r.id) p
+            |    ON p.dim = q.dim
+            |  GROUP BY 1),
+            |m$r AS (SELECT m.vec_id, CASE WHEN d.dist < m.dist THEN d.dist ELSE m.dist END AS dist
+            |        FROM m${r - 1} m JOIN d$r d ON d.vec_id = m.vec_id)""".stripMargin
+          outs += s"SELECT $r AS round, id AS center_id, (SELECT max(dist) FROM m$r) AS radius FROM c$r"
+        }
+        kc ++= "\nSELECT CAST(round AS INT) AS round, center_id, radius FROM (" +
+          outs.mkString(" UNION ALL ") + ") ORDER BY round"
+        kc.toString
+      }),
+
+    // ------------------------------------------------------------------
+    // Bitext mutual-top-1 mining between two cohorts (labels 0 and 1 as
+    // stand-ins for two languages): a pair survives only if each side
+    // is the other's nearest neighbor by cosine — the agreement filter
+    // parallel-corpus miners apply before the margin test. The argmax
+    // on each side is a map-side-combinable max(struct(sim, −id))
+    // (array_max-over-structs lesson — no window over the pair frame);
+    // ids-only output, cosine ordering proven bit-stable by ann_*.
+    "bitext_mutual_pairs" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val a = emb.filter(col("label") === 0)
+          .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+        val b = emb.filter(col("label") === 1)
+          .select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+        val pairs = a.crossJoin(broadcast(b))
+          .select(col("a_id"), col("b_id"),
+            Similarity.cosine(col("ea"), col("eb")).as("sim"))
+          .localCheckpoint()
+        val fwd = pairs
+          .groupBy(col("a_id"))
+          .agg(max(struct(col("sim"), (-col("b_id")).as("nb"))).as("m"))
+          .select(col("a_id"), (-col("m.nb")).as("b_id"))
+        val bwd = pairs
+          .groupBy(col("b_id"))
+          .agg(max(struct(col("sim"), (-col("a_id")).as("na"))).as("m"))
+          .select(col("b_id"), (-col("m.na")).as("a_id"))
+        fwd.join(bwd, Seq("a_id", "b_id")).orderBy(col("a_id"))
+      },
+      """WITH a AS (SELECT vec_id, embedding FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id, embedding FROM embeddings WHERE label = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |    list_cosine_similarity(a.embedding, b.embedding) AS sim
+        |  FROM a CROSS JOIN b),
+        |fwd AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |      row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rk
+        |    FROM pairs) WHERE rk = 1),
+        |bwd AS (
+        |  SELECT a_id, b_id FROM (
+        |    SELECT a_id, b_id,
+        |      row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rk
+        |    FROM pairs) WHERE rk = 1)
+        |SELECT f.a_id, f.b_id
+        |FROM fwd f JOIN bwd w ON f.a_id = w.a_id AND f.b_id = w.b_id
+        |ORDER BY f.a_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Per-dimension centroid drift of each label cohort vs the whole
+    // corpus: on the integer grid the shift numerator
+    // n_all·S_label,d − n_label·S_all,d is an exact BIGINT, so the
+    // top-3 drifting dimensions per label rank exactly; the reported
+    // double shift is a single fixed-order division. Two aggregations
+    // ((label,dim) then (dim)) over the position-exploded grid — the
+    // embedding-table scan dominates at scale, the grain frames are
+    // labels×64 rows.
+    "embedding_centroid_drift" -> QueryDef(
+      (s, dir) => {
+        val q = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("label"),
+            posexplode(exprs.quantizeVec(col("embedding"), 1000))
+              .as(Seq("pos", "v")))
+          .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+            col("v"))
+        val l = q.groupBy(col("label"), col("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        val g = q.groupBy(col("dim"))
+          .agg(sum(col("v")).as("sg"), count(lit(1)).as("ng"))
+        val sh = l.join(g, Seq("dim"))
+          .select(col("label"), col("dim"),
+            (col("ng") * col("s") - col("n") * col("sg")).as("shift_num"),
+            col("n"), col("ng"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label"))
+          .orderBy(abs(col("shift_num")).desc, col("dim"))
+        sh.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("label"), col("dim"), col("shift_num"),
+            col("n").as("n_label"), col("ng").as("n_all"),
+            (col("shift_num").cast("double") /
+              (col("n") * col("ng")).cast("double") / lit(1000.0)).as("shift"))
+          .orderBy(col("label"), col("dim"))
+      },
+      """WITH q AS (
+        |  SELECT vec_id, label, i AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+        |  FROM embeddings, unnest(range(1, 65)) r(i)),
+        |l AS (SELECT label, dim, CAST(SUM(v) AS BIGINT) AS s,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM q GROUP BY 1, 2),
+        |g AS (SELECT dim, CAST(SUM(v) AS BIGINT) AS sg, CAST(count(*) AS BIGINT) AS ng
+        |      FROM q GROUP BY 1),
+        |sh AS (
+        |  SELECT l.label, l.dim,
+        |    CAST(g.ng * l.s - l.n * g.sg AS BIGINT) AS shift_num, l.n, g.ng
+        |  FROM l JOIN g ON l.dim = g.dim),
+        |rk AS (
+        |  SELECT label, dim, shift_num, n, ng,
+        |    row_number() OVER (PARTITION BY label ORDER BY abs(shift_num) DESC, dim) AS rk
+        |  FROM sh)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, shift_num, n AS n_label, ng AS n_all,
+        |  CAST(shift_num AS DOUBLE) / CAST(n * ng AS DOUBLE) / 1000.0 AS shift
+        |FROM rk WHERE rk <= 3 ORDER BY label, dim""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Hellinger/Bhattacharyya token-distribution drift between two
+    // sources: per-token affinity terms sqrt(p·q) for the 20 heaviest
+    // shared tokens. Counts are exact; each term is two divisions, one
+    // multiply, one sqrt in fixed order — emitted per row, never
+    // summed (the chi2 emit-per-term rule). The token-count agg is the
+    // only big shuffle; the totals ride a broadcast 1-row cross join.
+    "hellinger_token_drift" -> QueryDef(
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .filter(col("source").isin("src0", "src1"))
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+        val c = t.groupBy(col("tok")).agg(
+          count(when(col("source") === "src0", lit(1))).as("c0"),
+          count(when(col("source") === "src1", lit(1))).as("c1"))
+        val tot = c.agg(sum(col("c0")).as("t0"), sum(col("c1")).as("t1"))
+        c.orderBy((col("c0") + col("c1")).desc, col("tok")).limit(20)
+          .crossJoin(broadcast(tot))
+          .select(col("tok"), col("c0"), col("c1"),
+            sqrt((col("c0").cast("double") / col("t0").cast("double")) *
+              (col("c1").cast("double") / col("t1").cast("double")))
+              .as("bc_term"))
+          .orderBy((col("c0") + col("c1")).desc, col("tok"))
+      },
+      s"""WITH d AS (SELECT source, $toksSql AS toks FROM documents WHERE source IN ('src0','src1')),
+         |t AS (SELECT source, unnest(toks) AS tok FROM d),
+         |c AS (SELECT tok,
+         |        CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS c0,
+         |        CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS c1
+         |      FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1 FROM c),
+         |top AS (SELECT tok, c0, c1 FROM c ORDER BY c0 + c1 DESC, tok LIMIT 20)
+         |SELECT top.tok, top.c0, top.c1,
+         |  sqrt((CAST(top.c0 AS DOUBLE) / CAST(tot.t0 AS DOUBLE)) *
+         |       (CAST(top.c1 AS DOUBLE) / CAST(tot.t1 AS DOUBLE))) AS bc_term
+         |FROM top CROSS JOIN tot ORDER BY top.c0 + top.c1 DESC, top.tok""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Greedy decode from a trained bigram LM (8 steps from the most
+    // frequent seed token, count-argmax with lexicographic ties): the
+    // decode-sanity-check of an LM data pipeline, and the degenerate-
+    // repetition probe (greedy decodes loop — visibly — when the
+    // corpus is template-heavy). The bigram table is built once
+    // (checkpointed, reused 9 times); each step is one filtered argmax
+    // whose single row is all the driver ever sees.
+    "greedy_decode_bigram" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val bg = Tables.documents(s, dir)
+          .filter(col("source") === "src0")
+          .select(TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS prev, toks[i + 1] AS nxt))"))
+            .as("b"))
+          .groupBy(col("b.prev").as("prev"), col("b.nxt").as("nxt"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        val seed = bg.groupBy(col("prev").as("tok"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("tok")).limit(1)
+          .collect()(0)
+        val out = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+        out += ((0, seed.getString(0), seed.getLong(1)))
+        var cur = seed.getString(0)
+        var step = 1
+        while (step <= 8) {
+          val nxt = bg.filter(col("prev") === cur)
+            .orderBy(col("cnt").desc, col("nxt")).limit(1).collect()(0)
+          cur = nxt.getString(1)
+          out += ((step, cur, nxt.getLong(2)))
+          step += 1
+        }
+        out.toSeq.toDF("step", "tok", "cnt").orderBy(col("step"))
+      }, {
+        val rounds = (1 to 8).map { r =>
+          s""",
+             |p$r AS (SELECT b.nxt AS tok, b.cnt FROM bg b JOIN p${r - 1} p ON b.prev = p.tok
+             |        ORDER BY b.cnt DESC, b.nxt LIMIT 1)""".stripMargin
+        }.mkString
+        val outs = ("SELECT 0 AS step, tok, cnt FROM p0" +:
+          (1 to 8).map(r => s"SELECT $r AS step, tok, cnt FROM p$r")).mkString(" UNION ALL ")
+        s"""WITH d AS (SELECT $toksSql AS toks FROM documents WHERE source = 'src0'),
+           |bg AS MATERIALIZED (
+           |  SELECT toks[i] AS prev, toks[i+1] AS nxt, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM d, unnest(range(1, len(toks))) r(i) GROUP BY 1, 2),
+           |u AS (SELECT prev AS tok, CAST(SUM(cnt) AS BIGINT) AS cnt FROM bg GROUP BY 1),
+           |p0 AS (SELECT tok, cnt FROM u ORDER BY cnt DESC, tok LIMIT 1)$rounds
+           |SELECT CAST(step AS INT) AS step, tok, cnt FROM ($outs) ORDER BY step""".stripMargin
+      })
+  )
+}

@@ -67,7 +67,13 @@ class PlanAuditSpec extends SparkSuite {
     "hits_hubs_authorities", // per-half-round 1-row max-normalizer aggregates composed by cross join (J9 shape)
     "query_likelihood_topk", // 3-term query literal × doc-length frame + 1-row collection total, broadcast
     "word2vec_neg_table", // 20 broadcast draws range-probe the cumulative table (SearchSorted at vocab scale, documented)
-    "cusum_drift_orders") // day-count/total 1-row aggregate broadcast onto the day-grain frame (J9 shape)
+    "cusum_drift_orders", // day-count/total 1-row aggregate broadcast onto the day-grain frame (J9 shape)
+    "bitext_mutual_pairs", // broadcast cohort-B × cohort-A block product IS the mutual-kNN operator (bounded cohorts)
+    "hellinger_token_drift", // token grand totals as a broadcast 1-row aggregate onto the 20-row top frame
+    "prf_query_expansion", // n_docs/total_len collection stats as broadcast 1-row aggregates (the bm25_topk shape)
+    "neyman_allocation", // weight total + shortfall as broadcast 1-row aggregates over the |strata|-row frame
+    "ipw_total_estimate", // estimate/exact totals as a broadcast 1-row aggregate onto the |strata|-row frame
+    "gini_stump_quantity") // class grand totals as a broadcast 1-row aggregate onto the value histogram
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
