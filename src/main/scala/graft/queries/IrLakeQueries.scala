@@ -486,6 +486,154 @@ object IrLakeQueries {
          |  FROM sc1 GROUP BY doc_id)
          |SELECT doc_id, score,
          |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rk
-         |FROM r1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
+         |FROM r1 ORDER BY score DESC, doc_id LIMIT 10""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Posting-list delta+varint size estimation (the inverted-index
+    // compression ledger): per term, the byte cost of delta-encoded
+    // doc-id postings under LEB128 varints vs raw 8-byte ids. Deltas
+    // come from one term-partitioned lag window over the distinct
+    // postings; varint widths are exact integer CASE bands. This is
+    // the sizing pass an index builder runs before choosing block
+    // layouts — output is the 20 highest-df terms.
+    "postings_delta_bytes" -> QueryDef(
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term")).orderBy(col("doc_id"))
+        val tok = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.operators.TextOps.tokens(col("text"))).as("term"))
+          .distinct()
+        val d = tok.withColumn("delta",
+          col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
+        val b = d.withColumn("vbytes",
+          when(col("delta") < 128, lit(1L))
+            .when(col("delta") < 16384, lit(2L))
+            .when(col("delta") < 2097152, lit(3L))
+            .otherwise(lit(4L)))
+        b.groupBy(col("term"))
+          .agg(count(lit(1)).as("df"), sum(col("vbytes")).as("delta_bytes"),
+            (count(lit(1)) * 8).as("raw_bytes"))
+          .select(col("term"), col("df"), col("delta_bytes"), col("raw_bytes"),
+            (col("delta_bytes").cast("double") / col("raw_bytes").cast("double"))
+              .as("compression"))
+          .orderBy(col("df").desc, col("term"))
+          .limit(20)
+      },
+      s"""WITH tok AS (SELECT DISTINCT doc_id, unnest($toksSql) AS term FROM documents),
+         |d AS (
+         |  SELECT term, doc_id,
+         |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), -1) AS delta
+         |  FROM tok),
+         |b AS (
+         |  SELECT term, doc_id,
+         |    CASE WHEN delta < 128 THEN 1
+         |         WHEN delta < 16384 THEN 2
+         |         WHEN delta < 2097152 THEN 3
+         |         ELSE 4 END AS vbytes
+         |  FROM d),
+         |g AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(SUM(vbytes) AS BIGINT) AS delta_bytes,
+         |    CAST(count(*) * 8 AS BIGINT) AS raw_bytes
+         |  FROM b GROUP BY 1)
+         |SELECT term, df, delta_bytes, raw_bytes,
+         |  CAST(delta_bytes AS DOUBLE) / CAST(raw_bytes AS DOUBLE) AS compression
+         |FROM g ORDER BY df DESC, term LIMIT 20""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // MMR diverse re-rank (Carbonell & Goldstein 1998, λ=1/2 scaled to
+    // integers as 2·rel − maxsim): greedy top-5 diversification of the
+    // 20 most query-relevant vectors. Relevance and pairwise
+    // similarities are EXACT integer dots on the QuantizeVec grid, so
+    // every greedy argmax replays bit-exactly; the candidate set is
+    // bounded (top-20), the pair frame is candidate², and the driver
+    // sees one row per round — the greedy-rounds recipe shared with
+    // kcenter/submodular.
+    "mmr_diverse_rerank" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val pts = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            graft.functions.exprs.quantizeVec(col("embedding"), 1000)
+              .cast("array<double>").as("v"))
+          .localCheckpoint()
+        val qv = pts.filter(col("vec_id") === 0)
+          .select(col("v").as("qv"))
+        val rel = pts.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), col("v"),
+            graft.functions.exprs.vecDot(col("v"), col("qv")).cast("long")
+              .as("rel"))
+        val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(20)
+          .localCheckpoint()
+        val sim = cand.select(col("vec_id").as("ia"), col("v").as("va"))
+          .join(broadcast(cand.select(col("vec_id").as("ib"),
+            col("v").as("vb"))), col("ia") =!= col("ib"))
+          .select(col("ia"), col("ib"),
+            graft.functions.exprs.vecDot(col("va"), col("vb")).cast("long")
+              .as("s"))
+          .localCheckpoint()
+        val first = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+          .collect()(0)
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+        out += ((1, first.getLong(0), 2L * first.getLong(2)))
+        var selected = Seq(first.getLong(0))
+        var r = 2
+        while (r <= 5) {
+          val pick = cand
+            .filter(!col("vec_id").isin(selected: _*))
+            .join(sim.filter(col("ib").isin(selected: _*))
+                .groupBy(col("ia")).agg(max(col("s")).as("msim")),
+              col("vec_id") === col("ia"))
+            .select(col("vec_id"), (lit(2L) * col("rel") - col("msim")).as("sc"))
+            .orderBy(col("sc").desc, col("vec_id")).limit(1)
+            .collect()(0)
+          out += ((r, pick.getLong(0), pick.getLong(1)))
+          selected = selected :+ pick.getLong(0)
+          r += 1
+        }
+        out.toSeq.toDF("rank", "vec_id", "mmr_score").orderBy(col("rank"))
+      }, {
+        val sb = new StringBuilder(
+          """WITH q AS MATERIALIZED (
+            |  SELECT vec_id, i AS dim,
+            |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT) AS v
+            |  FROM embeddings, unnest(range(1, 65)) r(i)),
+            |qv AS (SELECT dim, v FROM q WHERE vec_id = 0),
+            |rel AS (
+            |  SELECT q.vec_id, CAST(SUM(q.v * qv.v) AS BIGINT) AS rel
+            |  FROM q JOIN qv ON qv.dim = q.dim
+            |  WHERE q.vec_id <> 0
+            |  GROUP BY 1),
+            |cand AS MATERIALIZED (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 20),
+            |sim0 AS MATERIALIZED (
+            |  SELECT a.vec_id AS ia, b.vec_id AS ib, CAST(SUM(qa.v * qb.v) AS BIGINT) AS s
+            |  FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+            |  JOIN q qa ON qa.vec_id = a.vec_id
+            |  JOIN q qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+            |  GROUP BY 1, 2),
+            |sim AS MATERIALIZED (SELECT ia, ib, s FROM sim0 UNION ALL SELECT ib AS ia, ia AS ib, s FROM sim0),
+            |p1 AS (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+            |sel1 AS (SELECT vec_id FROM p1)""".stripMargin)
+        val outs = scala.collection.mutable.ArrayBuffer(
+          "SELECT 1 AS rank, vec_id, CAST(2 * rel AS BIGINT) AS mmr_score FROM p1")
+        for (r <- 2 to 5) {
+          sb ++= s""",
+            |ms$r AS (
+            |  SELECT c.vec_id, c.rel, CAST(max(s.s) AS BIGINT) AS msim
+            |  FROM cand c
+            |  JOIN sim s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel${r - 1})
+            |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+            |  GROUP BY 1, 2),
+            |p$r AS (SELECT vec_id, CAST(2 * rel - msim AS BIGINT) AS sc FROM ms$r
+            |        ORDER BY sc DESC, vec_id LIMIT 1),
+            |sel$r AS (SELECT vec_id FROM sel${r - 1} UNION SELECT vec_id FROM p$r)""".stripMargin
+          outs += s"SELECT $r AS rank, vec_id, sc AS mmr_score FROM p$r"
+        }
+        sb ++= "\nSELECT CAST(rank AS INT) AS rank, vec_id, mmr_score FROM (" +
+          outs.mkString(" UNION ALL ") + ") ORDER BY rank"
+        sb.toString
+      })
   )
 }

@@ -2269,6 +2269,57 @@ object OlapQueries {
         |  GROUP BY 1)
         |SELECT mask, CAST(bit_count(mask) AS BIGINT) AS n_priorities,
         |  CAST(count(*) AS BIGINT) AS n_customers
-        |FROM m GROUP BY 1 ORDER BY mask""".stripMargin)
+        |FROM m GROUP BY 1 ORDER BY mask""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Cumulative gains chart (the lift/targeting curve): customers
+    // ranked by exact revenue cents into deciles, cumulative revenue
+    // share per decile — "the top 10% of customers carry X% of
+    // revenue", the model-free targeting baseline. The rank is a
+    // row_number over the customer grain (pre-aggregated, bounded);
+    // decile assignment is integer floor arithmetic; shares are one
+    // division per decile row.
+    "gains_chart_deciles" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")).as("cents"))
+        val n = c.agg(count(lit(1)).as("n"), sum(col("cents")).as("tot"))
+        val r = c.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cents").desc, col("o_custkey"))))
+        val g = r.crossJoin(broadcast(n))
+          .select((floor(((col("rk") - 1) * 10).cast("double") /
+            col("n").cast("double")).cast("long") + 1).as("decile"),
+            col("cents"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_cust"), sum(col("cents")).as("cents"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("decile"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        g.crossJoin(broadcast(n.select(col("tot"))))
+          .withColumn("cum_cents", sum(col("cents")).over(w))
+          .select(col("decile"), col("n_cust"), col("cents"), col("cum_cents"),
+            (col("cum_cents").cast("double") / col("tot").cast("double"))
+              .as("cum_share"))
+          .orderBy(col("decile"))
+      },
+      """WITH c AS (
+        |  SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS tot FROM c),
+        |r AS (
+        |  SELECT o_custkey, cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk
+        |  FROM c),
+        |dec AS (
+        |  SELECT CAST(((r.rk - 1) * 10) // n.n AS BIGINT) + 1 AS decile, r.cents
+        |  FROM r CROSS JOIN n),
+        |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust, CAST(SUM(cents) AS BIGINT) AS cents
+        |      FROM dec GROUP BY 1)
+        |SELECT g.decile, g.n_cust, g.cents,
+        |  CAST(SUM(g.cents) OVER (ORDER BY g.decile) AS BIGINT) AS cum_cents,
+        |  CAST(SUM(g.cents) OVER (ORDER BY g.decile) AS DOUBLE) / CAST(n.tot AS DOUBLE) AS cum_share
+        |FROM g CROSS JOIN n ORDER BY g.decile""".stripMargin)
   )
 }

@@ -430,6 +430,108 @@ object ParityQueries {
         |  TRY_CAST(event_type AS DOUBLE) AS bad_parse,
         |  make_date(CAST(year(ts) AS INT), CAST(month(ts) AS INT), 1) AS fecha_mes
         |FROM events
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q3 shape (shipping priority): 3-way join, anti-correlated
+    // date predicates on both fact arms, revenue top-10. Both date
+    // filters are pushdown-friendly ranges on the scans; the join order
+    // (customer filter → orders → lineitem) lets AQE broadcast the
+    // filtered build sides; TakeOrderedAndProject caps the output.
+    "tpch_q3_shipping_priority" -> QueryDef(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .filter(col("c_mktsegment") === "BUILDING")
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"),
+            col("o_orderdate").cast("date").as("orderdate"))
+          .agg(decSum(revenue, 4).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"), col("orderdate"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10),
+      s"""SELECT l.l_orderkey,
+         |  ${decSumSql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+         |  CAST(o.o_orderdate AS DATE) AS orderdate
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |WHERE c.c_mktsegment = 'BUILDING'
+         |  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+         |  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+         |GROUP BY 1, 3
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q5 shape (local supplier volume): the 6-way star with the
+    // supplier-nation = customer-nation CO-LOCATION predicate — the
+    // join that rewards broadcast dims (nation/region) and punishes
+    // engines that shuffle the fact twice. One order-year range, ASIA
+    // region, revenue by nation.
+    "tpch_q5_local_supplier" -> QueryDef(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.supplier(s, dir),
+            col("s_suppkey") === col("l_suppkey") &&
+              col("s_nationkey") === col("c_nationkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("c_nationkey"))
+          .join(broadcast(Tables.region(s, dir))
+            .filter(col("r_name") === "ASIA"),
+            col("r_regionkey") === col("n_regionkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(decSum(revenue, 4).as("revenue"))
+          .orderBy(col("revenue").desc, col("nation")),
+      s"""SELECT n.n_name AS nation,
+         |  ${decSumSql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |JOIN region r ON r.r_regionkey = n.n_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, nation""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q10 shape (returned items): quarter-bounded orders join
+    // return-flagged lineitems, revenue per (customer, nation), top-20
+    // loss drivers. The returnflag filter prunes lineitem at the scan;
+    // nation broadcasts.
+    "tpch_q10_returned_items" -> QueryDef(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1997-10-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("o_custkey") === col("c_custkey"))
+          .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("c_nationkey"))
+          .groupBy(col("c_custkey"), col("n_name").as("nation"))
+          .agg(decSum(revenue, 4).as("revenue"), count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20),
+      s"""SELECT c.c_custkey, n.n_name AS nation,
+         |  ${decSumSql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue,
+         |  CAST(count(*) AS BIGINT) AS n_items
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |JOIN nation n ON n.n_nationkey = c.c_nationkey
+         |WHERE l.l_returnflag = 'R'
+         |  AND o.o_orderdate >= TIMESTAMP '1997-10-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
   )
 }

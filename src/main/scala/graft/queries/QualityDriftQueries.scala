@@ -541,7 +541,180 @@ object QualityDriftQueries {
         |    CAST(SUM(exact_sum) AS BIGINT) AS exact_total
         |  FROM est)
         |SELECT e.stratum, e.nh, e.ns, e.exact_sum, e.est_h, t.est_total, t.exact_total
-        |FROM est e CROSS JOIN tot t ORDER BY e.stratum""".stripMargin)
+        |FROM est e CROSS JOIN tot t ORDER BY e.stratum""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Kaplan–Meier survival over repurchase intervals (first → second
+    // order; customers without a second order are right-censored at the
+    // dataset horizon). The day-grain risk table is exact integers
+    // (at-risk via a 1-preceding running sum); each event day's factor
+    // (n−d)/n is one division; the survival curve is the prefix product
+    // of the day-sorted factor list, materialized as ONE 1-row array
+    // frame and folded per position with `aggregate(slice(...))` — the
+    // ordered-fold determinism trick extended to prefix products over a
+    // BOUNDED (event-day) domain. First 50 curve points emitted.
+    "kaplan_meier_repurchase" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val r = Tables.orders(s, dir)
+          .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"),
+            row_number().over(w).as("rn"))
+          .filter(col("rn") <= 2)
+        val horizon = Tables.orders(s, dir)
+          .agg(max(col("o_orderdate").cast("date")).as("hz"))
+        val first = r.filter(col("rn") === 1).select(col("o_custkey"),
+          col("d").as("d1"))
+        val second = r.filter(col("rn") === 2).select(col("o_custkey"),
+          col("d").as("d2"))
+        val u = first.join(second, Seq("o_custkey"), "left")
+          .crossJoin(broadcast(horizon))
+          .select(
+            when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+              .otherwise(datediff(col("hz"), col("d1"))).cast("long").as("dur"),
+            when(col("d2").isNotNull, lit(1L)).otherwise(lit(0L)).as("ev"))
+        val tot = u.agg(count(lit(1)).as("n0"))
+        val dayEv = u.groupBy(col("dur").as("t"))
+          .agg(sum(col("ev")).as("d"), count(lit(1)).as("leaving"))
+        val wt = Window.orderBy(col("t"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val km0 = dayEv.crossJoin(broadcast(tot))
+          .withColumn("n_risk",
+            col("n0") - coalesce(sum(col("leaving")).over(wt), lit(0L)))
+        val evd = km0.filter(col("d") > 0)
+          .select(col("t"), col("d"), col("n_risk"),
+            ((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double")).as("term"))
+        val agg1 = evd.agg(
+          sort_array(collect_list(struct(col("t"), col("d"), col("n_risk"),
+            col("term")))).as("rows"))
+        agg1.select(posexplode(col("rows")).as(Seq("i", "r")), col("rows"))
+          .select(col("r.t").as("t"), col("r.d").as("d"),
+            col("r.n_risk").as("n_risk"),
+            aggregate(
+              transform(slice(col("rows"), lit(1), col("i") + 1),
+                x => x.getField("term")),
+              lit(1.0), (a, x) => a * x).as("survival"))
+          .orderBy(col("t"))
+          .limit(50)
+      },
+      """WITH r AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders),
+        |iv AS (
+        |  SELECT a.o_custkey, CAST(date_diff('day', a.d, b.d) AS BIGINT) AS dur, 1 AS ev
+        |  FROM r a JOIN r b ON b.o_custkey = a.o_custkey AND a.rn = 1 AND b.rn = 2),
+        |cen AS (
+        |  SELECT a.o_custkey,
+        |    CAST(date_diff('day', a.d, (SELECT max(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT) AS dur, 0 AS ev
+        |  FROM r a LEFT JOIN r b ON b.o_custkey = a.o_custkey AND b.rn = 2
+        |  WHERE a.rn = 1 AND b.o_custkey IS NULL),
+        |u AS (SELECT dur, ev FROM iv UNION ALL SELECT dur, ev FROM cen),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n0 FROM u),
+        |day_ev AS (
+        |  SELECT dur AS t, CAST(SUM(ev) AS BIGINT) AS d,
+        |    CAST(count(*) AS BIGINT) AS leaving
+        |  FROM u GROUP BY 1),
+        |km0 AS (
+        |  SELECT t, d,
+        |    CAST(tot.n0 - coalesce(SUM(leaving) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM day_ev CROSS JOIN tot),
+        |ev_days AS (SELECT t, d, n_risk,
+        |    (CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS term
+        |  FROM km0 WHERE d > 0),
+        |agg AS (SELECT list(term ORDER BY t) AS terms, list(t ORDER BY t) AS ts,
+        |               list(d ORDER BY t) AS ds, list(n_risk ORDER BY t) AS ns FROM ev_days)
+        |SELECT CAST(ts[i] AS BIGINT) AS t, CAST(ds[i] AS BIGINT) AS d, CAST(ns[i] AS BIGINT) AS n_risk,
+        |  list_reduce(list_prepend(CAST(1 AS DOUBLE), terms[1:i]), (a, b) -> a * b) AS survival
+        |FROM agg, unnest(range(1, len(ts) + 1)) r(i)
+        |ORDER BY t LIMIT 50""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Two-proportion z-test (pooled): urgent-order share of BUILDING
+    // customers vs the rest — the categorical A/B companion to
+    // welch_t_qty. Four exact integers into one fixed-order z formula.
+    "ztest_urgent_share" -> QueryDef(
+      (s, dir) => {
+        val g = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+          .groupBy(when(col("c_mktsegment") === "BUILDING", lit(1))
+            .otherwise(lit(0)).as("grp"))
+          .agg(count(lit(1)).as("n"),
+            count(when(col("o_orderpriority") === "1-URGENT", lit(1)))
+              .as("k"))
+        val p = g.agg(
+          max(when(col("grp") === 1, col("n"))).as("n1"),
+          max(when(col("grp") === 1, col("k"))).as("k1"),
+          max(when(col("grp") === 0, col("n"))).as("n0"),
+          max(when(col("grp") === 0, col("k"))).as("k0"))
+        val p1 = col("k1").cast("double") / col("n1").cast("double")
+        val p0 = col("k0").cast("double") / col("n0").cast("double")
+        val pp = (col("k1") + col("k0")).cast("double") /
+          (col("n1") + col("n0")).cast("double")
+        p.select(col("n1"), col("k1"), col("n0"), col("k0"),
+          p1.as("p1"), p0.as("p0"),
+          ((p1 - p0) /
+            sqrt(pp * (lit(1.0) - pp) *
+              (lit(1.0) / col("n1").cast("double") +
+                lit(1.0) / col("n0").cast("double")))).as("z"))
+      },
+      """WITH j AS (
+        |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS grp,
+        |    CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS hit
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, CAST(SUM(hit) AS BIGINT) AS k
+        |      FROM j GROUP BY 1),
+        |p AS (
+        |  SELECT
+        |    max(CASE WHEN grp = 1 THEN n END) AS n1, max(CASE WHEN grp = 1 THEN k END) AS k1,
+        |    max(CASE WHEN grp = 0 THEN n END) AS n0, max(CASE WHEN grp = 0 THEN k END) AS k0
+        |  FROM g)
+        |SELECT n1, k1, n0, k0,
+        |  CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+        |  CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+        |  (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE)) /
+        |    sqrt((CAST(k1 + k0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)) *
+        |         (1.0 - CAST(k1 + k0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE)) *
+        |         (1.0 / CAST(n1 AS DOUBLE) + 1.0 / CAST(n0 AS DOUBLE))) AS z
+        |FROM p""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Calibration / reliability bins: a deterministic md5 score in
+    // [0, 1000) ppt against the observed en-rate per decile bin — the
+    // reliability-diagram primitive for any probabilistic classifier.
+    // Map-side score, one bounded-bin agg; rates are one division per
+    // bin.
+    "calibration_bins" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            (conv(substring(md5(concat(lit("cal:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long") %
+              1000).as("score_ppt"),
+            when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+          .groupBy((col("score_ppt") / 100).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+          .select(col("bin"), col("n"), col("pos"),
+            (col("pos").cast("double") / col("n").cast("double"))
+              .as("observed_rate"))
+          .orderBy(col("bin")),
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('cal:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS BIGINT) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    CAST(h % 1000 AS BIGINT) AS score_ppt,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM d),
+        |b AS (
+        |  SELECT CAST(score_ppt // 100 AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS pos
+        |  FROM s GROUP BY 1)
+        |SELECT bin, n, pos,
+        |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS observed_rate
+        |FROM b ORDER BY bin""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

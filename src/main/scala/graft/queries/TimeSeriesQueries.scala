@@ -91,6 +91,250 @@ object TimeSeriesQueries {
         |  CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
         |       ELSE CAST(pn AS DOUBLE) + (CAST(nn AS DOUBLE) - CAST(pn AS DOUBLE)) *
         |         (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE)) END AS n_filled
-        |FROM w ORDER BY user_id, day""".stripMargin)
+        |FROM w ORDER BY user_id, day""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Debounce / throttle (the telemetry-ingest primitive): per
+    // customer, an order is KEPT iff it is the customer's first or
+    // arrives more than 7 days after the previous order — burst
+    // collapse by the gap rule (a new burst starts when the gap
+    // exceeds the threshold, the sessionize break rule applied as a
+    // filter). One key-partitioned window; day arithmetic stays in
+    // exact epoch integers.
+    "order_debounce" -> QueryDef(
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        Tables.orders(s, dir)
+          .withColumn("prev_d", lag(col("o_orderdate"), 1).over(w))
+          // o_orderdate is TIMESTAMP_NTZ and midnight-aligned, so the
+          // 7-day gap rule is exactly a day-grain datediff
+          .withColumn("keep",
+            when(col("prev_d").isNull ||
+              datediff(col("o_orderdate").cast("date"),
+                col("prev_d").cast("date")) > 7, lit(1L)).otherwise(lit(0L)))
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("keep")).as("n_kept"))
+          .filter(col("n_orders") > col("n_kept"))
+          .orderBy(col("o_custkey"))
+      },
+      """WITH e AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_d
+        |  FROM orders),
+        |k AS (
+        |  SELECT o_custkey,
+        |    CASE WHEN prev_d IS NULL
+        |           OR date_diff('day', CAST(prev_d AS DATE), CAST(o_orderdate AS DATE)) > 7
+        |         THEN 1 ELSE 0 END AS keep
+        |  FROM e)
+        |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(keep) AS BIGINT) AS n_kept
+        |FROM k GROUP BY 1 HAVING count(*) > SUM(keep)
+        |ORDER BY o_custkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Rolling 30-day Pearson correlation of quantity vs discount: the
+    // relationship-drift monitor. Sufficient statistics consolidate to
+    // the DAY grain first (exact BIGINTs; discount rides the proven
+    // DECIMAL(3,2)·100 integer grid), the RANGE window sums integers
+    // only, and each day's correlation is one fixed-order IEEE finish —
+    // the rolling window never sees doubles or raw rows.
+    "rolling_corr_qty_disc" -> QueryDef(
+      (s, dir) => {
+        val x = col("l_quantity").cast("long")
+        val y = (col("l_discount").cast("decimal(3,2)") * 100).cast("long")
+        val d = Tables.lineitem(s, dir)
+          .select(col("l_shipdate").cast("date").as("day"),
+            x.as("x"), y.as("y"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val win = Window.orderBy(col("day").cast("timestamp").cast("long"))
+          .rangeBetween(-29L * 86400L, 0L)
+        val w = d.select(col("day"),
+          sum(col("n")).over(win).as("n"),
+          sum(col("sx")).over(win).as("sx"),
+          sum(col("sy")).over(win).as("sy"),
+          sum(col("sxy")).over(win).as("sxy"),
+          sum(col("sxx")).over(win).as("sxx"),
+          sum(col("syy")).over(win).as("syy"))
+        w.filter(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0)
+          .select(col("day"), col("n"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))))
+              .as("corr30"))
+          .orderBy(col("day"))
+          .limit(100)
+      },
+      """WITH d AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)) AS BIGINT) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)) AS BIGINT) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT) * CAST(CAST(l_discount AS DECIMAL(3,2)) * 100 AS BIGINT)) AS BIGINT) AS syy
+        |  FROM lineitem GROUP BY 1),
+        |w AS (
+        |  SELECT day,
+        |    CAST(SUM(n) OVER win AS BIGINT) AS n,
+        |    CAST(SUM(sx) OVER win AS BIGINT) AS sx,
+        |    CAST(SUM(sy) OVER win AS BIGINT) AS sy,
+        |    CAST(SUM(sxy) OVER win AS BIGINT) AS sxy,
+        |    CAST(SUM(sxx) OVER win AS BIGINT) AS sxx,
+        |    CAST(SUM(syy) OVER win AS BIGINT) AS syy
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day RANGE BETWEEN INTERVAL 29 DAY PRECEDING AND CURRENT ROW))
+        |SELECT day, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE) /
+        |    (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr30
+        |FROM w WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |ORDER BY day LIMIT 100""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Difference-in-differences (the two-group × two-period causal
+    // baseline): BUILDING-segment customers as the treated group,
+    // 1997 → 1998 as pre/post, mean order value (exact cents) as the
+    // outcome. Four exact (sum, count) cells from ONE pass over the
+    // date-pruned join; each mean is one division and the DiD estimate
+    // is one fixed-order expression on the 1-row cell frame.
+    "diff_in_diff_price" -> QueryDef(
+      (s, dir) => {
+        val j = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"))
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .select(
+            when(col("c_mktsegment") === "BUILDING", lit(1)).otherwise(lit(0))
+              .as("treated"),
+            when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"),
+              lit(1)).otherwise(lit(0)).as("post"),
+            (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long")
+              .as("cents"))
+        val g = j.groupBy(col("treated"), col("post"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        def cell(t: Int, p: Int) = max(when(col("treated") === t && col("post") === p,
+          col("s").cast("double") / col("n").cast("double")))
+        g.agg(
+            cell(1, 0).as("t0"), cell(1, 1).as("t1"),
+            cell(0, 0).as("c0"), cell(0, 1).as("c1"))
+          .select(col("t0"), col("t1"), col("c0"), col("c1"),
+            ((col("t1") - col("t0")) - (col("c1") - col("c0"))).as("did_cents"))
+      },
+      """WITH j AS (
+        |  SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS treated,
+        |    CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1999-01-01'),
+        |g AS (
+        |  SELECT treated, post, CAST(count(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        |  FROM j GROUP BY 1, 2),
+        |p AS (
+        |  SELECT
+        |    max(CASE WHEN treated = 1 AND post = 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t0,
+        |    max(CASE WHEN treated = 1 AND post = 1 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS t1,
+        |    max(CASE WHEN treated = 0 AND post = 0 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c0,
+        |    max(CASE WHEN treated = 0 AND post = 1 THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END) AS c1
+        |  FROM g)
+        |SELECT t0, t1, c0, c1, (t1 - t0) - (c1 - c0) AS did_cents FROM p""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Top session paths (the Sankey/user-journey rollup): sessionize by
+    // the proven 30-minute break rule, take each session's first three
+    // event types in arrival order, count path strings. The path
+    // concat folds an already-bounded (≤3-row) sorted list per session;
+    // everything heavier is the one user-partitioned window the
+    // sessionizer already needs.
+    "top_session_paths" -> QueryDef(
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val sess = Tables.events(s, dir)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("brk",
+            when(col("prev_ts").isNull ||
+              unix_micros(col("ts")) - unix_micros(col("prev_ts")) >
+                1800L * 1000000L, 1L).otherwise(0L))
+          .withColumn("sess", sum(col("brk")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val bySess = Window.partitionBy(col("user_id"), col("sess"))
+          .orderBy(col("ts"), col("event_id"))
+        sess.withColumn("rn", row_number().over(bySess))
+          .filter(col("rn") <= 3)
+          .groupBy(col("user_id"), col("sess"))
+          .agg(array_join(
+            transform(sort_array(collect_list(struct(col("rn"), col("event_type")))),
+              x => x.getField("event_type")), ">").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(15)
+      },
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(SUM(CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800 * 1000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM e),
+        |r AS (
+        |  SELECT user_id, sess, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Seasonal-naive forecast backtest (forecast(d) = actual(d−7)),
+    // scored as per-weekday MAE — the baseline every demand forecaster
+    // must beat, and the forecastability probe for a new series. The
+    // day-grain consolidation is the only fact-table agg; the lag join
+    // is a self equi-join on the day key; absolute errors stay integer
+    // until one division per weekday.
+    "seasonal_naive_backtest" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val j = d.as("a")
+          .join(d.select(date_add(col("day"), 7).as("day"),
+            col("n").as("fc")), Seq("day"))
+          .select(col("day"), abs(col("n") - col("fc")).as("ae"))
+        j.groupBy(dayofweek(col("day")).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n_days"), sum(col("ae")).as("sum_ae"))
+          .select(col("dow"), col("n_days"), col("sum_ae"),
+            (col("sum_ae").cast("double") / col("n_days").cast("double"))
+              .as("mae"))
+          .orderBy(col("dow"))
+      },
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT a.day, CAST(abs(a.n - b.n) AS BIGINT) AS ae
+        |  FROM d a JOIN d b ON b.day = a.day - INTERVAL 7 DAY),
+        |wd AS (
+        |  -- DuckDB dayofweek is 0=Sunday; Spark's is 1=Sunday — shift to match
+        |  SELECT CAST(dayofweek(day) + 1 AS BIGINT) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(ae) AS BIGINT) AS sum_ae
+        |  FROM j GROUP BY 1)
+        |SELECT dow, n_days, sum_ae,
+        |  CAST(sum_ae AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae
+        |FROM wd ORDER BY dow""".stripMargin)
   )
 }

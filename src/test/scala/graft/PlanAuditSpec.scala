@@ -73,7 +73,9 @@ class PlanAuditSpec extends SparkSuite {
     "prf_query_expansion", // n_docs/total_len collection stats as broadcast 1-row aggregates (the bm25_topk shape)
     "neyman_allocation", // weight total + shortfall as broadcast 1-row aggregates over the |strata|-row frame
     "ipw_total_estimate", // estimate/exact totals as a broadcast 1-row aggregate onto the |strata|-row frame
-    "gini_stump_quantity") // class grand totals as a broadcast 1-row aggregate onto the value histogram
+    "gini_stump_quantity", // class grand totals as a broadcast 1-row aggregate onto the value histogram
+    "gains_chart_deciles", // customer count + revenue total as broadcast 1-row aggregates (ExactNtile shape)
+    "kaplan_meier_repurchase") // dataset horizon + cohort size as broadcast 1-row aggregates
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
