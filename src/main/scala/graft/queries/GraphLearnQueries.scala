@@ -395,7 +395,10 @@ object GraphLearnQueries {
     // finish touches doubles, in one fixed IEEE order.
     "degree_assortativity" -> QueryDef(
       (s, dir) => {
-        val e = edgesFrame(s, dir)
+        // the edge frame (a lineitem⋈orders distinct) feeds the degree
+        // agg AND both sides of the degree join — checkpoint once so
+        // the upstream join runs once, not three times
+        val e = edgesFrame(s, dir).localCheckpoint()
         val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         val de = e
           .join(deg.select(col("u"), col("d").as("x")), Seq("u"))
@@ -527,9 +530,12 @@ object GraphLearnQueries {
     // Σ_order |parts|², the classic co-occurrence budget.
     "link_prediction_jaccard" -> QueryDef(
       (s, dir) => {
+        // (part, order) pairs feed the degree agg and BOTH self-join
+        // sides — checkpoint so the distinct runs once
         val po = Tables.lineitem(s, dir)
           .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
           .distinct()
+          .localCheckpoint()
         val deg = po.groupBy(col("p")).agg(count(lit(1)).as("d"))
         val co = po.select(col("p").as("p1"), col("o"))
           .join(po.select(col("p").as("p2"), col("o")), Seq("o"))
