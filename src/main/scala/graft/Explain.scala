@@ -162,7 +162,17 @@ object Explain {
     "prf_query_expansion" ->
       "Both BM25 passes prune tf through the (broadcast) term join BEFORE scoring; the checkpointed tf frame serves three consumers; per-doc totals fold over term-sorted lists — no fixed-column pivot needed for data-dependent terms.",
     "gini_stump_quantity" ->
-      "CART stump: the value histogram is the only fact-table agg; cumulative windows run over the bounded distinct-value domain; purity is a scan-stage expression over the broadcast totals.")
+      "CART stump: the value histogram is the only fact-table agg; cumulative windows run over the bounded distinct-value domain; purity is a scan-stage expression over the broadcast totals.",
+    "tpch_q3_shipping_priority" ->
+      "Q3 shape: both date ranges reach PushedFilters on their scans; AQE broadcasts the filtered customer/orders sides; top-10 is TakeOrderedAndProject.",
+    "tpch_q5_local_supplier" ->
+      "Q5 shape: nation/region broadcast (bounded dims); the supplier co-location predicate rides the supplier join — the fact shuffles once; revenue is the exact-decimal sum.",
+    "rolling_corr_qty_disc" ->
+      "Rolling correlation: day-grain integer sufficient stats are the only fact agg; the RANGE window runs over ~2.4k day rows; the Pearson finish is a projection.",
+    "kaplan_meier_repurchase" ->
+      "KM curve: per-customer first/second windows, day-grain risk table, then ONE 1-row array frame whose per-position slice-fold is the prefix product — no per-row recursion.",
+    "auc_quality_en" ->
+      "ROC-AUC: quality kernel in the scan stage; the global rank is the single total sort (the exact-order-statistic cost class); the U statistic is a 1-row agg.")
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")

@@ -622,7 +622,157 @@ object GraphLearnQueries {
         |  FROM cum c CROSS JOIN tot
         |  WHERE c.nl > 0 AND tot.nt - c.nl > 0)
         |SELECT threshold, nl AS n_left, posl AS pos_left, nr AS n_right, posr AS pos_right, purity
-        |FROM sp ORDER BY purity DESC, threshold LIMIT 5""".stripMargin)
+        |FROM sp ORDER BY purity DESC, threshold LIMIT 5""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ROC-AUC of the quality score as an en-vs-rest classifier, via the
+    // rank-sum identity AUC = (Σ ranks⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) — the
+    // Mann–Whitney machinery repurposed as the standard classifier-eval
+    // metric. Ranks come from one global row_number with a
+    // deterministic (score, doc_id) tiebreak (a documented variant of
+    // the midrank convention); the statistic is exact integers into
+    // one division. At scale the global rank is the only total sort —
+    // the same cost class as any exact order statistic.
+    "auc_quality_en" -> QueryDef(
+      (s, dir) => {
+        val sc = Tables.documents(s, dir).select(col("doc_id"),
+          graft.operators.TextOps.qualityScore(col("text")).as("score"),
+          when(col("lang") === "en", lit(1L)).otherwise(lit(0L)).as("y"))
+        val r = sc.withColumn("rk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score"), col("doc_id"))).cast("long"))
+        r.agg(
+            sum(col("y")).as("n_pos"),
+            (count(lit(1)) - sum(col("y"))).as("n_neg"),
+            sum(when(col("y") === 1, col("rk")).otherwise(lit(0L)))
+              .as("rank_sum_pos"))
+          .select(col("n_pos"), col("n_neg"),
+            (col("rank_sum_pos") -
+              expr("n_pos * (n_pos + 1) div 2")).as("u_stat"),
+            ((col("rank_sum_pos") - expr("n_pos * (n_pos + 1) div 2"))
+              .cast("double") /
+              (col("n_pos") * col("n_neg")).cast("double")).as("auc"))
+      },
+      {
+        val sw = graft.operators.TextOps.englishStopwords
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, $nbToksSql AS toks,
+           |    len(regexp_replace(coalesce(text, ''), '\\s+', '', 'g')) AS n_chars_nosp,
+           |    coalesce(text, '') AS txt
+           |  FROM documents
+           |), m AS (
+           |  SELECT doc_id, lang,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(len(list_filter(toks, t -> list_contains($sw, t))) AS DOUBLE) / len(toks)
+           |         ELSE 0.0 END AS swr,
+           |    CASE WHEN len(toks) > 0
+           |         THEN CAST(n_chars_nosp AS DOUBLE) / len(toks) ELSE 0.0 END AS mtl,
+           |    CASE WHEN len(txt) > 0
+           |         THEN CAST(len(regexp_extract_all(txt, '[^A-Za-z0-9\\s]')) AS DOUBLE) / len(txt)
+           |         ELSE 0.0 END AS pr
+           |  FROM t
+           |), sc AS (
+           |  SELECT doc_id,
+           |    round(
+           |      (CASE WHEN mtl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.4
+           |      + least(swr * 4.0, 1.0) * 0.3
+           |      + greatest(0.0, 1.0 - pr * 4.0) * 0.3, 6) AS score,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM m
+           |), r AS (
+           |  SELECT y, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT) AS rk
+           |  FROM sc
+           |), a AS (
+           |  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           |    CAST(count(*) - SUM(y) AS BIGINT) AS n_neg,
+           |    CAST(SUM(CASE WHEN y = 1 THEN rk ELSE 0 END) AS BIGINT) AS rank_sum_pos
+           |  FROM r)
+           |SELECT n_pos, n_neg,
+           |  CAST(rank_sum_pos - n_pos * (n_pos + 1) // 2 AS BIGINT) AS u_stat,
+           |  CAST(rank_sum_pos - n_pos * (n_pos + 1) // 2 AS DOUBLE) /
+           |    CAST(n_pos * n_neg AS DOUBLE) AS auc
+           |FROM a""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Maximum spanning tree of the nation-grain trade graph via
+    // distributed Borůvka ([[graft.operators.Mst]]): the "trade
+    // backbone" — the strongest acyclic set of bilateral trade links.
+    // The graph build aggregates the full fact table (the scale-bearing
+    // stage); Borůvka then runs on the bounded nation graph with exact
+    // negated-cents weights, so every pick replays bit-exactly. The
+    // oracle unrolls the rounds, replaying each component's
+    // (w, u, v)-minimum incident edge and re-deriving labels with a
+    // recursive-CTE closure (the er_resolved_entities recipe).
+    "mst_trade_backbone" -> QueryDef(
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+          .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+            .cast("long")).as("cents"))
+        val e = rev.filter(col("cn") =!= col("sn"))
+          .groupBy(least(col("cn"), col("sn")).cast("long").as("u"),
+            greatest(col("cn"), col("sn")).cast("long").as("v"))
+          .agg(sum(col("cents")).as("cents"))
+          .select(col("u"), col("v"), (-col("cents")).as("w"))
+        graft.operators.Mst.boruvka(e, maxRounds = 5)
+          .select(col("round"), col("u"), col("v"),
+            (-col("w")).as("cents"))
+          .orderBy(col("round"), col("u"), col("v"))
+      }, {
+        val base =
+          """WITH rev AS (
+            |  SELECT c.c_nationkey AS cn, s.s_nationkey AS sn,
+            |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+            |  FROM lineitem l
+            |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+            |  JOIN customer c ON c.c_custkey = o.o_custkey
+            |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            |  GROUP BY 1, 2),
+            |ed AS (
+            |  SELECT CAST(least(cn, sn) AS BIGINT) AS u, CAST(greatest(cn, sn) AS BIGINT) AS v,
+            |    CAST(SUM(cents) AS BIGINT) AS cents
+            |  FROM rev WHERE cn <> sn GROUP BY 1, 2),
+            |e AS MATERIALIZED (SELECT u, v, CAST(-cents AS BIGINT) AS w FROM ed),
+            |nodes AS (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v FROM e),
+            |lab0 AS (SELECT n, n AS lab FROM nodes),
+            |f0(u, v, w, round) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS INT) WHERE FALSE)""".stripMargin
+        val rounds = (1 to 5).map { r =>
+          s""",
+             |x$r AS (
+             |  SELECT e.u, e.v, e.w, lu.lab AS cu, lv.lab AS cv
+             |  FROM e JOIN lab${r - 1} lu ON lu.n = e.u JOIN lab${r - 1} lv ON lv.n = e.v
+             |  WHERE lu.lab <> lv.lab),
+             |xs$r AS (
+             |  SELECT u, v, w, cu AS comp FROM x$r
+             |  UNION ALL SELECT u, v, w, cv AS comp FROM x$r),
+             |pk$r AS (
+             |  SELECT DISTINCT u, v, w FROM (
+             |    SELECT u, v, w, row_number() OVER (PARTITION BY comp ORDER BY w, u, v) AS rk
+             |    FROM xs$r) t
+             |  WHERE rk = 1),
+             |f$r(u, v, w, round) AS (
+             |  SELECT u, v, w, round FROM f${r - 1}
+             |  UNION ALL SELECT u, v, w, $r FROM pk$r),
+             |adj$r AS (SELECT u, v FROM f$r UNION SELECT v, u FROM f$r),
+             |cl$r AS (
+             |  SELECT n, min(r) AS lab FROM (
+             |    WITH RECURSIVE reach(n, r) AS (
+             |      SELECT n, n FROM nodes
+             |      UNION
+             |      SELECT reach.n, a.v FROM reach JOIN adj$r a ON a.u = reach.r)
+             |    SELECT n, r FROM reach) GROUP BY 1),
+             |lab$r AS (SELECT n, lab FROM cl$r)""".stripMargin
+        }.mkString
+        base + rounds +
+          """
+            |SELECT CAST(round AS INT) AS round, u, v, CAST(-w AS BIGINT) AS cents
+            |FROM f5 ORDER BY round, u, v""".stripMargin
+      })
   )
 
   /** DuckDB twin of TextOps.tokens (a def: `defs` above initializes
