@@ -1263,6 +1263,54 @@ case class LangIdExpr(child: Expression, profiles: Seq[(String, Seq[String])])
     copy(child = newChild)
 }
 
+/** Unicode NFC canonical normalization (UAX #15) of a string column —
+  * the hygiene step BEFORE any content hash or exact-dedup key, so
+  * that `Café` and `Café` collapse to one key. Wraps
+  * `java.text.Normalizer` (NFC), with a fast-path: pure-ASCII values
+  * (the overwhelming case in web corpora) return the input UTF8String
+  * unchanged with zero decode/copy. The codegen path calls the same
+  * static helper, so the expression stays inside whole-stage codegen.
+  * Determinism note: NFC is a Unicode-standard function; the oracle
+  * twin is DuckDB's `nfc_normalize` — fixtures stick to long-stable
+  * codepoints (combining marks, compatibility singletons) so Unicode
+  * version skew between JDK and utf8proc cannot bite.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "nfc_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"nfc_normalize requires string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static kernel shared by eval and codegen. ASCII fast path. */
+  def normalize(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < bytes.length) { if (bytes(i) < 0) ascii = false; i += 1 }
+    if (ascii) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** F1 `limpiar_texto` (`etl/transformar_mensual.py:91-94`) as a single
   * byte pass: null→"", collapse every run of RE2-`\s` whitespace
   * (0x09, 0x0A, 0x0C, 0x0D, 0x20 — NOT vertical tab 0x0B; see
@@ -2269,6 +2317,10 @@ object exprs {
   /** Double dot product of two float/double array columns. */
   def vecDot(a: Column, b: Column): Column =
     GraftShim.column(VecDot(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Unicode NFC canonical normalization (ASCII fast-path). */
+  def nfcNormalize(c: Column): Column =
+    GraftShim.column(NfcNormalize(GraftShim.expression(c)))
 
   /** Late-interaction MaxSim score of two flat multi-vector columns. */
   def maxSimScore(query: Column, doc: Column, slices: Int): Column =

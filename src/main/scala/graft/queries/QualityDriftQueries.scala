@@ -714,7 +714,60 @@ object QualityDriftQueries {
         |  FROM s GROUP BY 1)
         |SELECT bin, n, pos,
         |  CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS observed_rate
-        |FROM b ORDER BY bin""".stripMargin)
+        |FROM b ORDER BY bin""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Unicode NFC canonicalization before content keys (the
+    // [[graft.functions.NfcNormalize]] kernel, ASCII fast-path): each
+    // doc plants a precomposed and a decomposed spelling of the same
+    // logical string (é vs e+U+0301, Å vs A+U+030A); raw keys are 2×
+    // the canonical keys, and the md5 over the sorted canonical corpus
+    // pins the normalizer byte-for-byte against DuckDB's
+    // `nfc_normalize` (utf8proc). Normalization is map-side; the audit
+    // is one aggregate.
+    "nfc_canonical_dedup" -> QueryDef(
+      (s, dir) => {
+        val id = col("doc_id").cast("string")
+        // Spark's chr() is ASCII-mod-256, NOT a Unicode codepoint
+        // constructor (DuckDB's is) — plant the non-ASCII fixture
+        // chars as Scala escapes instead
+        val v = Tables.documents(s, dir).select(col("doc_id"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("Café doc "), id))
+            .otherwise(concat(lit("Ångstrom doc "), id))
+            .as("pre"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("Café doc "), id))
+            .otherwise(concat(lit("Ångstrom doc "), id))
+            .as("dec"))
+        val r = v.select(col("pre").as("raw"))
+          .unionByName(v.select(col("dec").as("raw")))
+        val n = r.select(col("raw"), exprs.nfcNormalize(col("raw")).as("canon"))
+        n.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("raw")).as("n_raw_keys"),
+          countDistinct(col("canon")).as("n_nfc_keys"),
+          count(when(col("canon") =!= col("raw"), lit(1))).as("n_changed"),
+          md5(concat_ws("\n", sort_array(collect_list(col("canon")))))
+            .as("canon_md5"))
+      },
+      """WITH v AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'Caf' || chr(233) || ' doc ' || CAST(doc_id AS VARCHAR)
+        |         ELSE chr(197) || 'ngstrom doc ' || CAST(doc_id AS VARCHAR) END AS pre,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'Cafe' || chr(769) || ' doc ' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'A' || chr(778) || 'ngstrom doc ' || CAST(doc_id AS VARCHAR) END AS dec
+        |  FROM documents),
+        |r AS (SELECT pre AS raw FROM v UNION ALL SELECT dec FROM v),
+        |n AS (SELECT raw, nfc_normalize(raw) AS canon FROM r)
+        |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw_keys,
+        |  CAST(count(DISTINCT canon) AS BIGINT) AS n_nfc_keys,
+        |  CAST(count(*) FILTER (WHERE canon <> raw) AS BIGINT) AS n_changed,
+        |  md5(string_agg(canon, chr(10) ORDER BY canon)) AS canon_md5
+        |FROM n""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

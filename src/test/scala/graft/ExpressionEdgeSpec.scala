@@ -406,4 +406,26 @@ class ExpressionEdgeSpec extends SparkSuite {
       .filter($"k" =!= $"r").count()
     assert(n == 0L)
   }
+
+  test("nfcNormalize: null, ASCII identity, composition, idempotence") {
+    val rows = Seq(
+      null, "", "plain ascii", "Café", "Café",
+      "Ångstrom", "Ångstrom", "mixed Café and Å end")
+      .toDF("t")
+      .select($"t", exprs.nfcNormalize($"t").as("n")).collect()
+    assert(rows(0).isNullAt(1), "null in → null out")
+    assert(rows(1).getString(1) == "")
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).getString(1) == "Café", "combining acute composes")
+    assert(rows(4).getString(1) == "Café", "already-NFC unchanged")
+    assert(rows(5).getString(1) == "Ångstrom", "combining ring composes")
+    assert(rows(6).getString(1) == "Ångstrom", "ANGSTROM SIGN singleton maps")
+    assert(rows(7).getString(1) == "mixed Café and Å end")
+    // idempotence: normalizing the normalized column is a no-op
+    val again = Seq("Café", "Ångstrom").toDF("t")
+      .select(exprs.nfcNormalize(exprs.nfcNormalize($"t")).as("a"),
+        exprs.nfcNormalize($"t").as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(again == 0L)
+  }
 }
