@@ -33,6 +33,12 @@ object GraphOps {
     while (r < rounds) {
       val surv = e.groupBy(col("u")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
+      // NO per-round checkpoint here: A/B'd at sf0.1 (r8) — AQE reuses
+      // the materialized exchanges across surv's two join sides and
+      // the next round's agg, and the checkpointed variant measured
+      // equal-or-slower (2.9-4.2s plain vs 3.6-4.0s checkpointed), the
+      // PrefixSum lesson again. bfsHops below is the opposite case
+      // (its frontier lineage is NOT exchange-shaped, so it keeps one).
       e = e
         .join(surv.select(col("u").as("ku")), col("u") === col("ku")).drop("ku")
         .join(surv.select(col("u").as("kv")), col("v") === col("kv")).drop("kv")
@@ -56,11 +62,15 @@ object GraphOps {
     var frontier = visited.select(col("node").as("fnode"))
     var r = 1
     while (r <= rounds) {
+      // checkpoint the frontier: it is consumed by BOTH the visited
+      // union and the next round's expansion join — unchecked, round
+      // r's frontier lineage re-runs every earlier round's join
       val next = e.join(frontier, col("u") === col("fnode"))
         .select(col("v").as("node")).distinct()
         .join(visited.select(col("node").as("vn")),
           col("node") === col("vn"), "left_anti")
         .withColumn("hop", lit(r))
+        .localCheckpoint()
       visited = visited.unionByName(next).localCheckpoint()
       frontier = next.select(col("node").as("fnode"))
       r += 1
