@@ -26,20 +26,23 @@ object QualityDriftQueries {
     // ------------------------------------------------------------------
     // Welch's unequal-variance t-test between l_quantity of returnflag
     // 'A' vs 'R' — the A/B-test primitive (treatment vs control means)
-    // every experimentation pipeline needs. Sums are exact decimals
-    // (Money.decSum; x and x² both bounded far under 2^53), then mean /
-    // variance / t / Welch–Satterthwaite df are derived in one fixed
-    // IEEE order. One map-side-combined agg over the fact table — the
-    // whole test is a 2-row reduction regardless of scale.
+    // every experimentation pipeline needs. l_quantity is integral, so
+    // Σx and Σx² accumulate as plain BIGINTs (exact at ANY scale — the
+    // r8-advice fix: the earlier DECIMAL(20,4) x² sum would have
+    // crossed the 2^53 decimal→double ceiling around sf50); mean /
+    // variance / t / Welch–Satterthwaite df are then derived in one
+    // fixed IEEE order. One map-side-combined agg over the fact
+    // table — the whole test is a 2-row reduction regardless of scale.
     "welch_t_qty" -> QueryDef(
       (s, dir) => {
+        val q = col("l_quantity").cast("long")
         val li = Tables.lineitem(s, dir)
           .filter(col("l_returnflag").isin("A", "R"))
           .groupBy(col("l_returnflag").as("flag"))
           .agg(
             count(lit(1)).as("n"),
-            Money.decSum(col("l_quantity"), 2).as("sx"),
-            Money.decSum(col("l_quantity") * col("l_quantity"), 4).as("sxx"))
+            sum(q).cast("double").as("sx"),
+            sum(q * q).cast("double").as("sxx"))
         val m = li.select(
           col("flag"), col("n"),
           (col("sx") / col("n").cast("double")).as("mean"),
@@ -65,8 +68,8 @@ object QualityDriftQueries {
       """WITH s AS (
         |  SELECT l_returnflag AS flag,
         |    CAST(count(*) AS BIGINT) AS n,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx
         |  FROM lineitem WHERE l_returnflag IN ('A', 'R') GROUP BY 1),
         |m AS (
         |  SELECT flag, n, sx / CAST(n AS DOUBLE) AS mean,
@@ -345,12 +348,15 @@ object QualityDriftQueries {
     // root): the replication/anti-entropy primitive — two replicas
     // compare roots, then walk only the differing subtree. Row
     // serialization uses engine-stable string forms only (BIGINT,
-    // VARCHAR, DECIMAL(12,2), DATE — never raw doubles or timestamps);
-    // leaves hash the SORTED concat of row hashes (sort_array ≡
-    // string_agg ORDER BY). The leaf fan-out is the unit of
-    // parallelism: row hashing is map-side, each level is one bounded
-    // agg, and the leaf count (here 16) scales with the table while
-    // inner fan-in stays fixed.
+    // VARCHAR, DECIMAL(12,2), DATE — never raw doubles or timestamps).
+    // Leaf digests are COMMUTATIVE set digests — md5 over (bit_xor of
+    // the 63-bit row-hash values, row count) — so per-leaf aggregation
+    // state is O(1) at any table size (the r8-advice fix: the earlier
+    // sorted-concat leaf collected every row hash into one buffer,
+    // linear per-leaf state). Inner levels still hash the ORDERED
+    // child concat (bounded fan-in 16 → 4 → 1). Row hashing is
+    // map-side and the xor is map-side-combinable, so the whole tree
+    // is one partial+final agg per level.
     "merkle_table_digest" -> QueryDef(
       (s, dir) => {
         val rows = Tables.orders(s, dir).select(
@@ -361,9 +367,13 @@ object QualityDriftQueries {
             col("o_orderstatus"),
             col("o_totalprice").cast("decimal(12,2)").cast("string"),
             col("o_orderdate").cast("date").cast("string"))).as("rh"))
-        val l0 = rows.groupBy(col("leaf"))
+        val l0 = rows
+          .select(col("leaf"), graft.functions.Md5Hash.lower63Col(col("rh")).as("hv"))
+          .groupBy(col("leaf"))
           .agg(
-            md5(concat_ws("", sort_array(collect_list(col("rh"))))).as("h"),
+            md5(concat_ws("|",
+              bit_xor(col("hv")).cast("string"),
+              count(lit(1)).cast("string"))).as("h"),
             count(lit(1)).as("n_rows"))
         val l1 = l0.groupBy((col("leaf") / 4).cast("long").as("node"))
           .agg(
@@ -392,10 +402,15 @@ object QualityDriftQueries {
         |        o_orderstatus || '|' || CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '|' ||
         |        CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS rh
         |  FROM orders),
+        |hv AS (
+        |  SELECT leaf,
+        |    CAST(('0x' || substr(md5(rh), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT AS BIGINT) AS hv
+        |  FROM rows_h),
         |l0 AS (
-        |  SELECT leaf, md5(string_agg(rh, '' ORDER BY rh)) AS h,
+        |  SELECT leaf,
+        |    md5(CAST(bit_xor(hv) AS VARCHAR) || '|' || CAST(count(*) AS VARCHAR)) AS h,
         |    CAST(count(*) AS BIGINT) AS n_rows
-        |  FROM rows_h GROUP BY 1),
+        |  FROM hv GROUP BY 1),
         |l1 AS (
         |  SELECT leaf // 4 AS node, md5(string_agg(h, '' ORDER BY leaf)) AS h,
         |    CAST(SUM(n_rows) AS BIGINT) AS n_rows
@@ -421,13 +436,16 @@ object QualityDriftQueries {
     // rows.
     "neyman_allocation" -> QueryDef(
       (s, dir) => {
+        // integral l_quantity: Σx / Σx² as plain BIGINTs — exact at any
+        // SF (the r8-advice fix; DECIMAL(20,4) x² would cross 2^53 ~sf50)
+        val q = col("l_quantity").cast("long")
         val st = Tables.lineitem(s, dir)
           .groupBy(concat(col("l_returnflag"), lit("/"), col("l_linestatus"))
             .as("stratum"))
           .agg(
             count(lit(1)).as("nh"),
-            Money.decSum(col("l_quantity"), 2).as("sx"),
-            Money.decSum(col("l_quantity") * col("l_quantity"), 4).as("sxx"))
+            sum(q).cast("double").as("sx"),
+            sum(q * q).cast("double").as("sxx"))
         val w = st.select(col("stratum"), col("nh"),
             sqrt((col("sxx") - col("sx") * (col("sx") / col("nh").cast("double"))) /
               (col("nh") - 1).cast("double")).as("sh"))
@@ -454,8 +472,8 @@ object QualityDriftQueries {
       """WITH st AS (
         |  SELECT l_returnflag || '/' || l_linestatus AS stratum,
         |    CAST(count(*) AS BIGINT) AS nh,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sx,
-        |    CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sxx
         |  FROM lineitem GROUP BY 1),
         |sd AS (
         |  SELECT stratum, nh,

@@ -286,12 +286,21 @@ object SelectionEmbedQueries {
         out += ((0, seed.getString(0), seed.getLong(1)))
         var cur = seed.getString(0)
         var step = 1
-        while (step <= 8) {
-          val nxt = bg.filter(col("prev") === cur)
-            .orderBy(col("cnt").desc, col("nxt")).limit(1).collect()(0)
-          cur = nxt.getString(1)
-          out += ((step, cur, nxt.getLong(2)))
-          step += 1
+        var deadEnd = false
+        // headOption + break on a dead-end token (no outgoing bigram):
+        // the oracle's p{r} CTE is empty past that step and emits fewer
+        // rows — the Spark side must shorten identically, not crash
+        // (the submodular_source_select empty-argmax lesson).
+        while (step <= 8 && !deadEnd) {
+          bg.filter(col("prev") === cur)
+            .orderBy(col("cnt").desc, col("nxt")).limit(1).collect()
+            .headOption match {
+            case None => deadEnd = true
+            case Some(nxt) =>
+              cur = nxt.getString(1)
+              out += ((step, cur, nxt.getLong(2)))
+              step += 1
+          }
         }
         out.toSeq.toDF("step", "tok", "cnt").orderBy(col("step"))
       }, {

@@ -54,6 +54,19 @@ object StreamingDriftGate {
 
   /** Per-key continuous drift gate over the micro-batch count of
     * `keyCol` rows. Emits one row per key per batch (Update mode).
+    *
+    * CONTRACT (documented limitation, r8 advice): mapGroupsWithState
+    * fires only for keys PRESENT in a micro-batch, so a key whose
+    * volume drops to exactly zero does not advance its statistic that
+    * batch — the downward CUSUM only accumulates across batches where
+    * the key still appears at least once, and per-key `batch` counts
+    * key-visible batches, not global micro-batch numbers. For
+    * vanished-key detection, compose with an upstream key registry
+    * that injects heartbeat rows (n=0 sentinels) per registered key,
+    * or switch to flatMapGroupsWithState with a processing-time
+    * timeout that emits the n=0 step on expiry — the `step` function
+    * above is already pure and shared, so either host drives it
+    * unchanged.
     */
   def gate(
       rows: Dataset[org.apache.spark.sql.Row], keyCol: String,
