@@ -532,6 +532,98 @@ object ParityQueries {
          |JOIN nation n ON n.n_nationkey = c.c_nationkey
          |WHERE l.l_returnflag = 'R'
          |  AND o.o_orderdate >= TIMESTAMP '1997-10-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
-         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+         |GROUP BY 1, 2 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q18 shape (large-volume customer): the HAVING-on-SUM
+    // semi-join stress test. The classic spec restates the outer
+    // SUM(l_quantity) after an IN-subquery on the same grain; the
+    // Spark-first plan aggregates lineitem ONCE at the order grain,
+    // filters the HAVING there, and joins orders/customer onto the
+    // surviving keys — no second lineitem scan, no subquery re-scan.
+    // l_quantity is integral → the qualifying sum is an exact BIGINT.
+    // Threshold 150 keeps ~20% of orders at every SF (driver data has
+    // ~4 lines/order; the spec's 300 assumes 7). Top-100 by total
+    // price plans as TakeOrderedAndProject.
+    "tpch_q18_large_orders" -> QueryDef(
+      (s, dir) => {
+        val big = Tables.lineitem(s, dir)
+          .groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        big
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("date").as("orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(100)
+      },
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |  CAST(o.o_orderdate AS DATE) AS orderdate, o.o_totalprice, b.sum_qty
+        |FROM big b
+        |JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the
+    // multi-way EXISTS / NOT-EXISTS stress test — a left-SEMI join
+    // (some other supplier contributed to the order) composed with a
+    // left-ANTI join (no other supplier was late on it) over the same
+    // late-lineitem frame. "Late" adapts to the driver schema as
+    // l_shipdate > o_orderdate + 60 days (no receipt/commit dates);
+    // the nation dim joins broadcast (the spec's single-nation filter
+    // is dropped — at sf0.001 it would leave ~0 suppliers). Both
+    // correlated subqueries become keyed joins with a residual
+    // supplier-inequality condition: no cartesian product, no
+    // per-row re-scan of lineitem.
+    "tpch_q21_waiting_supplier" -> QueryDef(
+      (s, dir) => {
+        val ord = Tables.orders(s, dir)
+          .filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        val late = Tables.lineitem(s, dir)
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val others = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+        val lateOthers = late
+          .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+        late
+          .join(others,
+            col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+            "left_semi")
+          .join(lateOthers,
+            col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+            "left_anti")
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("s_nationkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      """WITH ord AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+        |late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN ord o ON l.l_orderkey = o.o_orderkey
+        |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
   )
 }
