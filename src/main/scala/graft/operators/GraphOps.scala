@@ -47,6 +47,66 @@ object GraphOps {
     e.groupBy(col("u").as("node")).agg(count(lit(1)).as("deg"))
   }
 
+  /** Semi-synchronous label-propagation community detection (Raghavan
+    * et al. 2007, "Near linear time algorithm to detect community
+    * structures" — public literature) over a BIPARTITE edge frame
+    * using the repo's node-parity convention (even ids = one side,
+    * odd = the other) as the 2-coloring: each round updates the even
+    * side from odd labels, then the odd side from the just-updated
+    * even labels. Semi-synchronous scheduling on a proper coloring
+    * removes the synchronous-LPA oscillation mode (Cordasco & Gargano
+    * 2010); the deterministic tie-break (max count, then MIN label —
+    * one struct-max aggregate, the array_max-over-structs lesson)
+    * makes every round replayable by the oracle's unrolled CTEs.
+    *
+    * Per phase: one edge⋈label equi-join + one (node,label) count agg
+    * + one struct-max argmax + one label update join — all keyed on
+    * the node id, no driver participation beyond the per-round
+    * convergence probe (a limit-1 count). Labels localCheckpoint per
+    * phase: each phase's frame feeds the next phase's count join AND
+    * the update base AND (round-end) the convergence compare — the
+    * degree_assortativity multi-consumer lesson. Converged means a
+    * full round changed no label (a fixed point — further rounds are
+    * identity, which is what lets the oracle unroll a FIXED round
+    * count); non-convergence within `maxRounds` throws rather than
+    * silently truncating.
+    */
+  def lpaCommunities(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    var lab = e.select(col("u").as("n")).distinct()
+      .select(col("n"), col("n").as("lab"))
+      .localCheckpoint()
+    var r = 1
+    var done = false
+    while (r <= maxRounds && !done) {
+      val prev = lab
+      var cur = lab
+      var par = 0
+      while (par <= 1) {
+        val cnt = e.filter(col("u") % 2 === par)
+          .join(cur.select(col("n").as("vn"), col("lab")),
+            col("v") === col("vn"))
+          .groupBy(col("u"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+        val pick = cnt.groupBy(col("u"))
+          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+          .select(col("u").as("pn"), (-col("m.nl")).as("plab"))
+        cur = cur.join(pick, col("n") === col("pn"), "left")
+          .select(col("n"), coalesce(col("plab"), col("lab")).as("lab"))
+          .localCheckpoint()
+        par += 1
+      }
+      lab = cur
+      done = prev.select(col("n"), col("lab").as("old"))
+        .join(lab, Seq("n"))
+        .filter(col("lab") =!= col("old")).limit(1).count() == 0L
+      r += 1
+    }
+    require(done, s"LPA did not converge within $maxRounds rounds")
+    lab
+  }
+
   /** Bounded-round BFS hop levels from a seed frame (column `node`):
     * hop 0 = seeds, hop r = nodes first reached in round r ≤ `rounds`.
     * Frontier-only expansion — each round joins ONLY the newly

@@ -432,6 +432,68 @@ object GraphLearnQueries {
          |FROM s""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Label-propagation community detection (Raghavan 2007) on the
+    // VOLUME-THRESHOLDED supplier↔customer graph (edges = pairs with
+    // ≥3 distinct shared orders — strong trade ties; the raw graph is
+    // one giant component and LPA correctly collapses it to a single
+    // community, which is true but uninformative). Semi-synchronous
+    // parity-colored rounds with the (count desc, label asc)
+    // deterministic tie-break; converges in ≤3 rounds at every tested
+    // SF, runs under a 6-round budget whose overrun THROWS, and the
+    // oracle unrolls all 6 rounds (identity past the fixed point — the
+    // same contract that lets Spark early-stop). Output is the
+    // community census: size, side split, and the minimum member id
+    // per community.
+    "lpa_communities" -> QueryDef(
+      (s, dir) => {
+        val e0 = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("l_suppkey") * 2).as("u"),
+            (col("o_custkey") * 2 + 1).as("v"))
+          .agg(countDistinct(col("o_orderkey")).as("w"))
+          .filter(col("w") >= 3)
+          .select(col("u"), col("v"))
+        val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+        GraphOps.lpaCommunities(e, maxRounds = 6)
+          .groupBy(col("lab").as("community"))
+          .agg(
+            count(lit(1)).as("n_nodes"),
+            sum(when(col("n") % 2 === 0, 1L).otherwise(0L)).as("n_suppliers"),
+            sum(when(col("n") % 2 === 1, 1L).otherwise(0L)).as("n_customers"),
+            min(col("n")).as("min_node"))
+          .orderBy(col("n_nodes").desc, col("community"))
+      }, {
+        val phases = (1 to 6).flatMap { r =>
+          Seq(0, 1).map { p =>
+            val prev = if (p == 0) { if (r == 1) "lab0" else s"l${r - 1}b" }
+              else s"l${r}a"
+            val cur = if (p == 0) s"l${r}a" else s"l${r}b"
+            s""",
+               |c$cur AS (SELECT e.u AS n, l.lab, CAST(count(*) AS BIGINT) AS c
+               |  FROM e JOIN $prev l ON l.n = e.v WHERE e.u % 2 = $p GROUP BY 1, 2),
+               |p$cur AS (SELECT n, lab FROM (
+               |  SELECT n, lab, row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+               |  FROM c$cur) t WHERE rn = 1),
+               |$cur AS MATERIALIZED (
+               |  SELECT l.n, coalesce(p.lab, l.lab) AS lab
+               |  FROM $prev l LEFT JOIN p$cur p ON p.n = l.n)""".stripMargin
+          }
+        }.mkString
+        s"""WITH e0 AS (
+           |  SELECT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |  GROUP BY 1, 2 HAVING count(DISTINCT o.o_orderkey) >= 3),
+           |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+           |lab0 AS (SELECT DISTINCT u AS n, u AS lab FROM e)$phases
+           |SELECT lab AS community,
+           |  CAST(count(*) AS BIGINT) AS n_nodes,
+           |  CAST(count(*) FILTER (WHERE n % 2 = 0) AS BIGINT) AS n_suppliers,
+           |  CAST(count(*) FILTER (WHERE n % 2 = 1) AS BIGINT) AS n_customers,
+           |  CAST(min(n) AS BIGINT) AS min_node
+           |FROM l6b GROUP BY 1 ORDER BY n_nodes DESC, community""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Multinomial Naive Bayes text classifier (train + score in one
     // plan): token counts per class on the doc_id%5≠0 slice, Laplace
     // smoothing over the training vocabulary, held-out docs scored by

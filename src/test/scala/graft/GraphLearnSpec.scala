@@ -124,6 +124,40 @@ class GraphLearnSpec extends SparkSuite {
     assert(hops == Map(1 -> 0, 4 -> 0, 2 -> 1, 3 -> 1))
   }
 
+  // ------------------------------------------------------------ LPA
+
+  test("lpaCommunities: two disjoint stars become two communities") {
+    // bipartite convention: even = one side, odd = the other.
+    val und = Seq((0L, 1L), (2L, 1L), (4L, 5L), (6L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val lab = GraphOps.lpaCommunities(edges, maxRounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab.keySet == Set(0L, 1L, 2L, 4L, 5L, 6L))
+    assert(Set(lab(0L), lab(1L), lab(2L)).size == 1, "star 1 is one community")
+    assert(Set(lab(4L), lab(5L), lab(6L)).size == 1, "star 2 is one community")
+    assert(lab(0L) != lab(4L), "stars stay separate")
+  }
+
+  test("lpaCommunities: frequency beats label value; ties take min label") {
+    // node 7's neighbors: 0,2 (which settle to label L1) and 4 (label
+    // L2) — frequency 2 vs 1 picks the majority community.
+    val und = Seq((0L, 1L), (2L, 1L), (0L, 7L), (2L, 7L), (4L, 7L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    val lab = GraphOps.lpaCommunities(edges, maxRounds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lab(7L) == lab(0L), "7 joins the majority (two-vote) community")
+  }
+
+  test("lpaCommunities throws when the round budget is too small") {
+    val und = Seq((0L, 1L), (2L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      // labels still move in round 1, so a 1-round budget cannot PROVE
+      // the fixed point — the probe must throw, never silently truncate
+      GraphOps.lpaCommunities(edges, maxRounds = 1)
+    }
+  }
+
   // ------------------------------------------------------------ perceptron
 
   test("perceptron learns a separable 2-D concept exactly") {
