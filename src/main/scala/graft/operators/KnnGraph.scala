@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.exprs.{centroidIds, vecDot}
+
+/** Corpus-wide k-nearest-neighbor GRAPH construction: every node is
+  * both probe and candidate — the backbone structure SemDeDup-style
+  * semantic clustering, graph-based curation, and skip-gram-over-
+  * neighborhood embedding pipelines consume (vs the `ann_*` operators,
+  * which rank candidates for a small probe SET).
+  *
+  * Scale shape: candidates come from the IVF router as ONE equi-join
+  * on the inverted-list id — each node indexes into its nearest list
+  * and probes its `nprobe` nearest lists, so a pair (q, n) arises iff
+  * n's home list is among q's probe lists (at most once: no pair
+  * dedup needed, unlike the LSH multi-table join). Candidate volume is
+  * Σ_lists |list| · |probes into list| ≈ N²·nprobe/nlist on
+  * unclustered data and far less on real clustered corpora — never an
+  * all-pairs product, and nlist grows with the corpus (√N rule of
+  * thumb) so list sizes stay bounded. The candidate join carries IDS
+  * ONLY; vectors re-attach by id for the exact-cosine verify (the
+  * 30× shuffle-volume lesson), and the per-node cut is the native
+  * bounded-heap [[graft.plans.TopKPerGroup]] — no per-group sort.
+  *
+  * The (id, vec, norm, probe lists) base frame is localCheckpoint'ed:
+  * it feeds the index side, the probe side, and both verify re-attach
+  * joins — four consumers (the multi-consumer lineage rule).
+  */
+object KnnGraph {
+
+  /** kNN graph with a quantizer trained by the deterministic
+    * exact-integer k-means of [[IvfIndex]] (bit-replayable end to
+    * end). Output: (query_id, neighbor_id, rank, cosine_sim),
+    * rank 1..k per node, ties broken by neighbor id.
+    */
+  def buildIvf(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 8,
+      sampleSize: Int = 10000, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    val cs = IvfIndex
+      .trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed)
+      .map(_.toIndexedSeq).toIndexedSeq
+    buildWithCentroids(corpus, idCol, vecCol, k, cs, nprobe)
+  }
+
+  /** kNN graph against a fixed centroid table. */
+  def buildWithCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      cs: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cs.length, s"nprobe $nprobe out of range")
+    val base = corpus.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        Similarity.l2Norm(col(vecCol)).as("norm"),
+        centroidIds(col(vecCol), cs, nprobe).as("probe_lists"))
+      .localCheckpoint()
+    // home list = nearest centroid = first probe list (CentroidIds
+    // returns the nprobe nearest ids in ascending distance order)
+    val idx = base.select(col("id").as("neighbor_id"),
+      element_at(col("probe_lists"), 1).as("list_id"))
+    val probe = base.select(col("id").as("query_id"),
+      explode(col("probe_lists")).as("list_id"))
+    val cand = idx.join(probe, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val pairs = cand
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("vec_n"),
+        col("norm").as("norm_n")), "neighbor_id")
+      .join(base.select(col("id").as("query_id"), col("vec").as("vec_q"),
+        col("norm").as("norm_q")), "query_id")
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
+  /** Mutual-kNN edges of a built graph: (a, b) survives iff a→b AND
+    * b→a are both kNN edges — the standard sparsification before
+    * community/cluster rollups (mutual edges are the high-precision
+    * core). One self equi-join on the (already k-bounded) edge list;
+    * each undirected edge emitted once (a < b).
+    */
+  def mutualEdges(knn: DataFrame): DataFrame = {
+    val e = knn.select(col("query_id").as("a"), col("neighbor_id").as("b"))
+    e.join(e.select(col("b").as("a2"), col("a").as("b2")),
+        col("a") === col("a2") && col("b") === col("b2"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+  }
+}

@@ -494,6 +494,101 @@ object GraphLearnQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Corpus-wide kNN GRAPH (every node's top-5 cosine neighbors) via
+    // the trained-IVF router: candidates are ONE equi-join on the
+    // inverted-list id (home list ∈ the probe's nprobe nearest lists),
+    // ids-only through the join, exact-cosine rescore, bounded-heap
+    // top-k. Oracled END TO END — the DuckDB twin replays the
+    // exact-integer k-means training AND the routing (the proven
+    // ann_ivf_topk recipe with every node probing), so the indexed
+    // path is bit-exact verified; knn_graph_recall below quantifies it
+    // against the brute-force truth (the synthetic fixture is
+    // UNclustered — cosine ~N(0,0.02) — so exact recall would require
+    // probing every list; real clustered corpora run nprobe≪nlist).
+    // The backbone of SemDeDup clustering and graph-based curation.
+    "knn_graph_topk" -> QueryDef(
+      (s, dir) =>
+        graft.operators.KnnGraph.buildIvf(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank")),
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        "\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // ------------------------------------------------------------------
+    // Mutual-kNN sparsification of the same graph: an undirected edge
+    // survives iff BOTH endpoints rank each other in their top-5 — the
+    // high-precision core that cluster/community rollups consume. One
+    // self equi-join on the k-bounded edge list (≤ N·k rows), emitted
+    // once per pair (a < b).
+    "knn_graph_mutual" -> QueryDef(
+      (s, dir) =>
+        graft.operators.KnnGraph.mutualEdges(
+          graft.operators.KnnGraph.buildIvf(
+            Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+            nlist = 16, nprobe = 8))
+          .orderBy(col("a"), col("b")),
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
+          |SELECT e1.query_id AS a, e1.neighbor_id AS b
+          |FROM knn e1 JOIN knn e2
+          |  ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+          |WHERE e1.query_id < e1.neighbor_id
+          |ORDER BY a, b""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // kNN-graph recall evaluation: the indexed graph above measured
+    // against its in-query brute-force twin (the dedup_lsh_eval
+    // pattern — production operator + exact truth in one plan).
+    // n_true is N·k by construction; recall is one integer→double
+    // division, engine-identical.
+    "knn_graph_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val knn = graft.operators.KnnGraph.buildIvf(
+          emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+          .select(col("query_id").as("kq"), col("neighbor_id").as("kn"),
+            lit(1).as("hit"))
+        val truth = graft.operators.Similarity.bruteForceTopK(
+          emb, emb, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        truth
+          .join(knn,
+            col("query_id") === col("kq") && col("neighbor_id") === col("kn"),
+            "left")
+          .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_hit"))
+          .withColumn("recall",
+            col("n_hit").cast("double") / col("n_true").cast("double"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |bfp AS (
+          |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+          |  FROM embeddings c, embeddings p
+          |  WHERE c.vec_id <> p.vec_id),
+          |bfr AS (
+          |  SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id
+          |         ORDER BY sim DESC, neighbor_id) AS rank
+          |  FROM bfp),
+          |bf AS (SELECT query_id, neighbor_id FROM bfr WHERE rank <= 5)
+          |SELECT CAST(count(*) AS BIGINT) AS n_true,
+          |  CAST(count(k.query_id) AS BIGINT) AS n_hit,
+          |  CAST(count(k.query_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
+          |FROM bf b LEFT JOIN knn k
+          |  ON k.query_id = b.query_id AND k.neighbor_id = b.neighbor_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Multinomial Naive Bayes text classifier (train + score in one
     // plan): token counts per class on the doc_id%5≠0 slice, Laplace
     // smoothing over the training vocabulary, held-out docs scored by

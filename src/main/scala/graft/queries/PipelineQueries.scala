@@ -641,7 +641,20 @@ object PipelineQueries {
     */
   private def trainedIvfOracleSql(
       dim: Int, nlist: Int, nprobe: Int,
-      sampleSize: Int, iters: Int, seed: Long, k: Int): String = {
+      sampleSize: Int, iters: Int, seed: Long, k: Int): String =
+    trainedIvfRankedCtes(dim, nlist, nprobe, sampleSize, iters, seed,
+      probeFilter = "p.vec_id < 10") +
+      s"\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k ORDER BY query_id, rank"
+
+  /** The CTE chain of [[trainedIvfOracleSql]] up to `ranked(query_id,
+    * neighbor_id, rank)` with a pluggable probe filter — shared with
+    * the corpus-wide kNN-graph oracles (probeFilter = "TRUE": every
+    * node probes), whose tails differ (top-k cut, mutual self-join,
+    * recall meet vs brute force).
+    */
+  private[queries] def trainedIvfRankedCtes(
+      dim: Int, nlist: Int, nprobe: Int,
+      sampleSize: Int, iters: Int, seed: Long, probeFilter: String): String = {
     val offset = graft.operators.IvfIndex.QuantOffset
     def distW(a: String, b: String) =
       s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
@@ -715,7 +728,7 @@ object PipelineQueries {
       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         c.embedding AS e_n, p.embedding AS e_q
       |  FROM scored c JOIN scored p ON c.cid = p.cid
-      |  WHERE c.r = 1 AND p.r <= $nprobe AND p.vec_id < 10 AND c.vec_id <> p.vec_id)""".stripMargin
+      |  WHERE c.r = 1 AND p.r <= $nprobe AND $probeFilter AND c.vec_id <> p.vec_id)""".stripMargin
     ctes += s"""rescored AS (
       |  SELECT query_id, neighbor_id,
       |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n) ELSE 0.0 END AS sim
@@ -727,8 +740,7 @@ object PipelineQueries {
       |    CAST(row_number() OVER (PARTITION BY query_id
       |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
       |  FROM rescored)""".stripMargin
-    "WITH " + ctes.mkString(",\n") +
-      s"\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k ORDER BY query_id, rank"
+    "WITH " + ctes.mkString(",\n")
   }
 
   /** DuckDB twin of [[Similarity.lshTopK]] over `embeddings` with

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KnnGraph, Similarity}
+
+/** Unit evidence for the corpus-wide kNN-graph builder: full-probe
+  * routing reproduces brute force exactly (candidate generation loses
+  * nothing when every list is visited), restricted probing still finds
+  * in-cluster neighbors on a clustered fixture, and mutual
+  * sparsification keeps exactly the reciprocated edges.
+  */
+class KnnGraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  // two well-separated clusters on the first two axes
+  private def clustered = Seq(
+    (1L, Array(1.0f, 0.1f)), (2L, Array(0.9f, 0.2f)), (3L, Array(1.1f, 0.0f)),
+    (11L, Array(0.1f, 1.0f)), (12L, Array(0.0f, 0.9f)), (13L, Array(0.2f, 1.1f)))
+    .toDF("vec_id", "embedding")
+
+  private val centers = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+
+  test("full-probe kNN graph equals brute force") {
+    val g = KnnGraph.buildWithCentroids(
+      clustered, "vec_id", "embedding", k = 2, cs = centers, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val bf = Similarity.bruteForceTopK(
+      clustered, clustered, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(g == bf, "nprobe = nlist loses no candidate")
+  }
+
+  test("single-probe routing keeps in-cluster neighbors on clustered data") {
+    val g = KnnGraph.buildWithCentroids(
+      clustered, "vec_id", "embedding", k = 2, cs = centers, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every node's 2 nearest are its cluster mates — all found with
+    // nprobe=1 because the cluster IS the list
+    val expect = Set(
+      (1L, 2L), (1L, 3L), (2L, 1L), (2L, 3L), (3L, 1L), (3L, 2L),
+      (11L, 12L), (11L, 13L), (12L, 11L), (12L, 13L), (13L, 11L), (13L, 12L))
+    assert(g == expect)
+  }
+
+  test("mutualEdges keeps exactly the reciprocated pairs") {
+    val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("query_id", "neighbor_id")
+    val m = KnnGraph.mutualEdges(knn)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m == Set((1L, 2L), (3L, 4L)), "1→3 unreciprocated, dropped")
+  }
+}
