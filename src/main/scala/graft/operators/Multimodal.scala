@@ -264,6 +264,41 @@ object Multimodal {
     }
   }
 
+  final case class ImageSig(media_id: Long, n_pixels: Long, sig: Array[Double])
+
+  /** Mean-centered sampled-byte signature from DECODED pixels: the
+    * dHash nearest-neighbor sampling (`p[j·L/points]`, integer index
+    * arithmetic) centered at 96 so cosine between signatures
+    * discriminates content instead of the shared byte-value mean —
+    * the image-side embedding of the image↔text alignment gate.
+    * Doubles hold exact small integers; all comparisons downstream
+    * are fixed-order IEEE.
+    */
+  def byteSignature(
+      media: Dataset[MediaRow], points: Int = 32,
+      batchSize: Int = 256): Dataset[ImageSig] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val img = ImageIO.read(new ByteArrayInputStream(m.content))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val raster = img.getRaster
+          val len = w * h
+          val sig = new Array[Double](points)
+          var j = 0
+          while (j < points) {
+            val idx = j * len / points
+            sig(j) = (raster.getSample(idx % w, idx / w, 0) - 96).toDouble
+            j += 1
+          }
+          ImageSig(m.media_id, len.toLong, sig)
+        }
+      }
+    }
+  }
+
   // ------------------------------------------------------------------
   // Audio: PCM16 payloads. The CODEC stays trivial by design (the
   // container libs aren't here — a real pipeline swaps parsePcm16 for

@@ -314,6 +314,76 @@ object CurationQueries {
         |ORDER BY id_a, id_b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Image↔text ALIGNMENT gate (the CLIP-score curation mainstay,
+    // Radford et al. 2021 — shape only, no learned model): each real
+    // BMP/PNG image is scored against its own caption (positive) and
+    // the next doc's caption (hard negative) by cosine between two
+    // 32-point signatures — the IMAGE side sampled from DECODED PIXELS
+    // (Multimodal.byteSignature: the dHash sampling, mean-centered at
+    // 96), the TEXT side restated from characters by 32 explicit
+    // codegen'd ascii(substring) columns (no HOF). Positives score ~1
+    // (pixels ARE the rendered caption bytes), negatives spread around
+    // 0 (measured max 0.65 at sf0.01), so the 0.8 threshold separates
+    // cleanly — and even a crossing pair stays oracle-green (both
+    // engines compute the identical fixed-order double). Decode stays
+    // in the typed scan stage; pairing is two id equi-joins.
+    "image_text_alignment" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.exprs.vecDot
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+            col("source"), col("n_chars"))
+          .filter(length(col("text")) > 0)
+        val img = Multimodal.byteSignature(Multimodal.mediaFrom(base))
+          .toDF()
+          .select(col("media_id").as("img_id"), col("sig").as("iv"))
+        val txt = base.select(
+          col("doc_id").as("txt_id"),
+          array((0 until 32).map { j =>
+            expr(s"cast(ascii(substring(text, $j * octet_length(text) div 32 + 1, 1)) - 96 as double)")
+          }: _*).as("tv"))
+        val pos = img.join(txt, col("img_id") === col("txt_id"))
+          .withColumn("pair_type", lit("pos"))
+        val neg = img.join(txt, col("txt_id") === col("img_id") + 1)
+          .withColumn("pair_type", lit("neg"))
+        val denom =
+          sqrt(vecDot(col("iv"), col("iv"))) * sqrt(vecDot(col("tv"), col("tv")))
+        pos.unionByName(neg)
+          .withColumn("score",
+            when(denom > 0, vecDot(col("iv"), col("tv")) / denom)
+              .otherwise(lit(0.0)))
+          .select(col("img_id"), col("txt_id"), col("pair_type"), col("score"),
+            when(col("score") >= 0.8, lit(1)).otherwise(lit(0)).as("aligned"))
+          .orderBy(col("pair_type"), col("img_id"))
+      },
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
+        |  FROM documents WHERE len(coalesce(text, '')) > 0),
+        |v AS (
+        |  SELECT doc_id,
+        |    list(CAST(ascii(substr(text, CAST(j * L // 32 + 1 AS INT), 1)) - 96 AS DOUBLE) ORDER BY j) AS v
+        |  FROM (SELECT doc_id, text, L, unnest(range(0, 32)) AS j FROM d)
+        |  GROUP BY doc_id),
+        |p AS (
+        |  SELECT a.doc_id AS img_id, a.doc_id AS txt_id, 'pos' AS pair_type,
+        |         a.v AS iv, a.v AS tv
+        |  FROM v a
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id, 'neg', a.v, b.v
+        |  FROM v a JOIN v b ON b.doc_id = a.doc_id + 1),
+        |sc AS (
+        |  SELECT img_id, txt_id, pair_type,
+        |    CASE WHEN sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(tv, tv)) > 0
+        |         THEN list_dot_product(iv, tv) /
+        |              (sqrt(list_dot_product(iv, iv)) * sqrt(list_dot_product(tv, tv)))
+        |         ELSE 0.0 END AS score
+        |  FROM p)
+        |SELECT img_id, txt_id, pair_type, score,
+        |  CAST(CASE WHEN score >= 0.8 THEN 1 ELSE 0 END AS INT) AS aligned
+        |FROM sc ORDER BY pair_type, img_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Sliding-window chunking (Chunking.tokenWindows): 64-token windows
     // at stride 32, last window right-aligned to the doc end (the HF
     // overflow convention) — the prep between a curated corpus and an

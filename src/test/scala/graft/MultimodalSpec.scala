@@ -161,4 +161,20 @@ class MultimodalSpec extends SparkSuite {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(0).toInt
     assert(s == sample('x'))
   }
+
+  test("byteSignature: pixel samples equal the caption's centered chars") {
+    import spark.implicits._
+    val text = "hello alignment world"
+    val docs = Seq((2L, text, "s", text.length.toLong),
+      (3L, text, "s", text.length.toLong)) // BMP (even) and PNG (odd)
+      .toDF("doc_id", "text", "source", "n_chars")
+    val sigs = Multimodal.byteSignature(Multimodal.mediaFrom(docs))
+      .collect().map(r => r.media_id -> r).toMap
+    val L = text.length
+    val expect = (0 until 32).map(j => (text.charAt(j * L / 32) - 96).toDouble)
+    Seq(2L, 3L).foreach { id =>
+      assert(sigs(id).n_pixels == L.toLong)
+      assert(sigs(id).sig.toSeq == expect, s"container $id decodes to caption bytes")
+    }
+  }
 }
