@@ -121,6 +121,41 @@ object SpanDedup {
           " ").as("clean_text"))
   }
 
+  /** MAXIMAL duplicated spans per document (the anchor-extension step
+    * of real ExactSubstr pipelines: Lee et al. seed on fixed k-gram
+    * matches, then extend to the longest duplicated run): adjacent and
+    * overlapping duplicated n-gram hits merge into maximal coverage
+    * runs — gaps-and-islands (pos0 − row_number per doc) over the same
+    * [[coveredPositions]] frame the excision policies read — and each
+    * run is emitted WITH its byte-exact text (the material an excision
+    * would cut, at its maximal extent). The islands window partitions
+    * BY DOCUMENT (bounded by doc length); token text re-attaches by
+    * (doc, pos) equi-join; one (doc, run)-grain agg reassembles each
+    * span in order. Output: (idCol, start0, span_len, span_text).
+    */
+  def maximalSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cov = coveredPositions(docs, idCol, textCol, n, maxDocs)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos0"))
+    val runs = cov.withColumn("grp", col("pos0") - row_number().over(w))
+    val tokens = docs.select(
+      col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos0", "token")))
+    runs.join(tokens, Seq(idCol, "pos0"))
+      .groupBy(col(idCol), col("grp"))
+      .agg(
+        min(col("pos0")).as("start0"),
+        count(lit(1)).as("span_len"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos0"), col("token")))),
+            t => t.getField("token")),
+          " ").as("span_text"))
+      .select(col(idCol), col("start0"), col("span_len"), col("span_text"))
+  }
+
   /** The coverage set the excision policies share: one row per
     * (document, 0-based token position) whose token a policy would
     * drop — the union of duplicated-span hit intervals (minus each

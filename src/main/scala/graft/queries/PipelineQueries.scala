@@ -2991,6 +2991,47 @@ object PipelineQueries {
          |FROM rl GROUP BY 1 ORDER BY run_len""".stripMargin),
 
     // ------------------------------------------------------------------
+    // MAXIMAL duplicated spans (the ExactSubstr anchor-EXTENSION step:
+    // Lee et al. seed on fixed 8-gram matches, then extend to the
+    // longest duplicated run): adjacent/overlapping hits merge via
+    // gaps-and-islands over the shared coverage frame, and each
+    // maximal run is reported WITH its byte-exact text — the spans an
+    // excision cuts, at full extent, plus their offsets for audit.
+    // Fires mid-document on the perturbed corpus (each doc's span
+    // block recurs shifted in its twin).
+    "dedup_span_maximal" -> QueryDef(
+      (s, dir) =>
+        SpanDedup.maximalSpans(
+          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L)
+          .orderBy(col("doc_id"), col("start0")),
+      s"""WITH corpus AS ($perturbedSql),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start0,
+         |    ${md5_63("array_to_string(toks[i:i+7], ' ')")} AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+         |bl AS (
+         |  SELECT span_hash FROM sp
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.start0 + u.j AS pos0
+         |  FROM sp s JOIN bl USING (span_hash), unnest(range(0, 8)) u(j)),
+         |runs AS (
+         |  SELECT doc_id, pos0,
+         |    pos0 - row_number() OVER (PARTITION BY doc_id ORDER BY pos0) AS grp
+         |  FROM cov),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos0, toks[i] AS token
+         |  FROM tk, unnest(range(1, len(toks) + 1)) r(i))
+         |SELECT r.doc_id,
+         |  CAST(min(r.pos0) AS BIGINT) AS start0,
+         |  CAST(count(*) AS BIGINT) AS span_len,
+         |  string_agg(t.token, ' ' ORDER BY r.pos0) AS span_text
+         |FROM runs r JOIN tok t ON t.doc_id = r.doc_id AND t.pos0 = r.pos0
+         |GROUP BY r.doc_id, r.grp
+         |ORDER BY r.doc_id, start0""".stripMargin),
+
+    // ------------------------------------------------------------------
     // INTRA-doc span de-looping (SpanDedup.exciseIntraDocRepeats):
     // decoder loops repeat runs inside ONE document; this drops every
     // occurrence after the first and reassembles. Fixture doubles

@@ -130,4 +130,34 @@ class SpanDedupSpec extends SparkSuite {
     assert(r(0).getAs[Long]("n_dropped") == 0L)
     assert(r(0).getAs[String]("clean_text") == s"$shared $shared")
   }
+
+  test("maximalSpans extends overlapping anchors to the full duplicated run") {
+    // a shared 10-token block = three overlapping 8-gram anchors;
+    // extension must merge them into ONE maximal span of length 10
+    // with the byte-exact text
+    val block = s"$shared iota kappa" // 10 tokens
+    val two = Seq(
+      (0L, s"unique head words $block unique tail words"),
+      (1L, s"other intro entirely $block other outro entirely")).toDF("doc_id", "text")
+    val spans = SpanDedup.maximalSpans(two, "doc_id", "text", n = 8, maxDocs = 1L)
+      .orderBy("doc_id").collect()
+    assert(spans.length == 2, "one maximal span per carrier")
+    spans.foreach { r =>
+      assert(r.getAs[Long]("span_len") == 10L)
+      assert(r.getAs[String]("span_text") == block)
+      assert(r.getAs[Int]("start0") == 3)
+    }
+  }
+
+  test("maximalSpans reports disjoint runs separately") {
+    val other = "one two three four five six seven eight"
+    val two = Seq(
+      (0L, s"$shared filler word $other"),
+      (1L, s"$other padding tokens also distinct $shared")).toDF("doc_id", "text")
+    val spans = SpanDedup.maximalSpans(two, "doc_id", "text", n = 8, maxDocs = 1L)
+      .orderBy("doc_id", "start0").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("span_len")))
+    assert(spans.toSeq == Seq((0L, 8L), (0L, 8L), (1L, 8L), (1L, 8L)),
+      "two 8-token runs per doc, not merged across the gap")
+  }
 }
