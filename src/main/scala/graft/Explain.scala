@@ -172,7 +172,87 @@ object Explain {
     "kaplan_meier_repurchase" ->
       "KM curve: per-customer first/second windows, day-grain risk table, then ONE 1-row array frame whose per-position slice-fold is the prefix product — no per-row recursion.",
     "auc_quality_en" ->
-      "ROC-AUC: quality kernel in the scan stage; the global rank is the single total sort (the exact-order-statistic cost class); the U statistic is a 1-row agg.")
+      "ROC-AUC: quality kernel in the scan stage; the global rank is the single total sort (the exact-order-statistic cost class); the U statistic is a 1-row agg.",
+    "kcore_decomposition" ->
+      "All 3 peel rounds nest in THIS one plan (no per-round checkpoint — the r8 A/B measured AQE reusing the materialized exchanges across each survivor frame's two join sides, so checkpointing was equal-or-slower): each round is one degree agg + two node-keyed equi-joins over the checkpointed edge scan.",
+    "hits_hubs_authorities" ->
+      "Both HITS rounds nest whole: each half-step is ONE broadcast-score equi-join on the checkpointed bipartite edge frame + one destination agg; the 1-row max normalizers ride broadcast cross joins; all arithmetic on the 0..1000 integer grid. Loop invariant: per-round cost is O(|E|) join + agg, score frames broadcast (the PageRank escape hatch applies to graphs whose score frame outgrows broadcast).",
+    "deepwalk_pairs" ->
+      "All 3 walk steps nest over the ONCE-checkpointed neighbor index and degree frames: each step is one degree equi-join + one (node, idx) equi-join picking the md5-routed neighbor — walks advance wholly in the cluster, never on the driver.",
+    "cf_item_neighbors" ->
+      "Candidate pairs come from the basket self-join keyed on the ORDER id (Σ|basket|² budget — never |items|²); the item-count frames broadcast back onto the pair keys; the native bounded-heap TopKPerGroup caps the exchange at k rows per item.",
+    "naive_bayes_lang" ->
+      "Model-in-the-plan NB: class counts, totals, priors, and vocab all BROADCAST onto the held-out token stream, so scoring is map-side; the only corpus-sized exchanges are the training aggregates and the per-doc factor-fold agg.",
+    "dedup_lsh_eval" ->
+      "Eval harness running TWO production chains (exact n-gram Jaccard + MinHash LSH — each audited standalone above) that meet in ONE full-outer join on pair ids + a 1-row counts agg: the cost is the sum of its parts by design, not a regression.")
+
+  /** Iterative/greedy flagships whose loops checkpoint per round (so
+    * the final frame's plan is lineage-truncated): each entry builds
+    * ONE representative round's frame — via the operator's own
+    * factored-out round body where one exists — on checkpointed
+    * round-(r−1) state, exactly the physical plan the loop executes
+    * every round. The note carries the loop invariant.
+    */
+  private def iterAudited(dir: String): Seq[(String, String,
+      org.apache.spark.sql.SparkSession => org.apache.spark.sql.DataFrame)] = {
+    import org.apache.spark.sql.functions._
+    Seq(
+      ("bfs_hops_from_seeds — round 2 (GraphOps.bfsRound)",
+        "The loop body itself (GraphOps.bfsRound, called by bfsHops): frontier-expansion equi-join on the checkpointed edge frame + distinct + anti-join against the checkpointed visited set. Loop invariant: per-round work is proportional to the FRONTIER (the join probe side), not the visited set; frontier and visited are localCheckpoint'ed each round because both feed two consumers (measured 2× iso win, CLAUDE.md).",
+        s => {
+          val e = queries.GraphLearnQueries.edgesFrame(s, dir)
+            .select(col("u"), col("v")).localCheckpoint()
+          val seeds = s.range(1, 4).select((col("id") * 2).as("node"))
+          val visited = operators.GraphOps.bfsHops(e, seeds, rounds = 1)
+          val frontier = visited.filter(col("hop") === 1)
+            .select(col("node").as("fnode"))
+          operators.GraphOps.bfsRound(e, visited, frontier, 2)
+        }),
+      ("mst_trade_backbone — Borůvka round 1 pick (Mst.pickRound)",
+        "The loop body itself (Mst.pickRound, called by boruvka): two label equi-joins onto the once-checkpointed edge frame, symmetrized per-component frame, struct-min aggregate under the (w,u,v) total order, 2-cycle-collapsing distinct. Loop invariant: the component graph at least halves per round (O(log V) rounds); labels re-checkpoint per round; the 4-way graph build runs ONCE before the loop.",
+        s => {
+          val e = queries.GraphLearnQueries.mstTradeEdges(s, dir)
+            .select(col("u").cast("long").as("u"),
+              col("v").cast("long").as("v"), col("w").cast("long").as("w"))
+            .localCheckpoint()
+          val labels = e.select(col("u").as("n"))
+            .unionByName(e.select(col("v").as("n"))).distinct()
+            .select(col("n"), col("n").as("lab")).localCheckpoint()
+          operators.Mst.pickRound(e, labels)
+        }),
+      ("kcenter_coreset — round 2 min-distance update",
+        "One greedy round (SelectionEmbedQueries.kcenterDistTo + running-min, the query's exact loop body): distances to the new center are a broadcast 1-row cross join with the codegen'd VecDot over the checkpointed quantized points; the running-min is one vec_id equi-join. Loop invariant: the min-distance frame re-checkpoints per round (linear lineage otherwise); the driver sees exactly the 1-row argmax per round (TakeOrderedAndProject, k=1).",
+        s => {
+          val pts = queries.SelectionEmbedQueries.kcenterPts(s, dir)
+          val firstId = pts.agg(min(col("vec_id"))).collect()(0).getLong(0)
+          val m = queries.SelectionEmbedQueries
+            .kcenterDistTo(pts, pts.filter(col("vec_id") === firstId))
+            .localCheckpoint()
+          val cid = m.orderBy(col("dist").desc, col("vec_id")).limit(1)
+            .collect()(0).getLong(0)
+          val d = queries.SelectionEmbedQueries
+            .kcenterDistTo(pts, pts.filter(col("vec_id") === cid))
+          m.join(d.withColumnRenamed("dist", "d2"), Seq("vec_id"))
+            .select(col("vec_id"),
+              when(col("d2") < col("dist"), col("d2")).otherwise(col("dist"))
+                .as("dist"))
+        }),
+      ("submodular_source_select — round 2 gains",
+        "One greedy round over the once-checkpointed (source, bigram) universe: marginal gains are a single anti-join against the checkpointed covered set + one source-grain count agg; the argmax the driver collects is 1 row (TakeOrderedAndProject, k=1). Loop invariant: rounds are bounded (k≤5) and the covered set re-checkpoints per round so round r+1 never re-derives rounds 1..r; the loop breaks when the argmax frame is empty (universe exhausted).",
+        s => {
+          import s.implicits._
+          val bg = queries.TrainingMixQueries.submodularBigrams(s, dir)
+          val gains1 = bg
+            .join(s.emptyDataset[String].toDF("term"), Seq("term"), "left_anti")
+            .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+          val top = gains1.orderBy(col("gain").desc, col("source")).limit(1)
+            .collect()(0)
+          val covered = bg.filter(col("source") === top.getString(0))
+            .select(col("term")).distinct().localCheckpoint()
+          bg.join(covered, Seq("term"), "left_anti")
+            .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+        }))
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("8")
@@ -184,6 +264,17 @@ object Explain {
     audited.foreach { case (name, note) =>
       sb.append(s"\n## $name\n\n$note\n\n```\n")
       sb.append(SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      sb.append("```\n")
+    }
+    // Iterative/greedy flagships: loops with per-round checkpoints
+    // can't be EXPLAIN'd whole (the final frame is lineage-truncated),
+    // so each section shows ONE representative round's physical plan
+    // on checkpointed round-(r−1) state — the plan the loop executes
+    // every round — plus the loop-invariant note.
+    iterAudited(dir).foreach { case (title, note, build) =>
+      sb.append(s"\n## $title\n\n$note\n\n```\n")
+      sb.append(build(spark).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
       sb.append("```\n")
     }
@@ -222,7 +313,7 @@ object Explain {
       .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     sb.append("```\n")
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[explain] wrote PLANS.md (${audited.size + 2} plans)")
+    println(s"[explain] wrote PLANS.md (${audited.size + iterAudited(dir).size + 2} plans)")
     spark.stop()
   }
 }

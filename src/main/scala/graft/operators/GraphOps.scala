@@ -125,16 +125,25 @@ object GraphOps {
       // checkpoint the frontier: it is consumed by BOTH the visited
       // union and the next round's expansion join — unchecked, round
       // r's frontier lineage re-runs every earlier round's join
-      val next = e.join(frontier, col("u") === col("fnode"))
-        .select(col("v").as("node")).distinct()
-        .join(visited.select(col("node").as("vn")),
-          col("node") === col("vn"), "left_anti")
-        .withColumn("hop", lit(r))
-        .localCheckpoint()
+      val next = bfsRound(e, visited, frontier, r).localCheckpoint()
       visited = visited.unionByName(next).localCheckpoint()
       frontier = next.select(col("node").as("fnode"))
       r += 1
     }
     visited
   }
+
+  /** ONE BFS round's frame, pre-checkpoint — the loop body of
+    * [[bfsHops]], factored out so `graft.Explain` audits the exact
+    * per-round physical plan the loop executes (frontier expansion
+    * equi-join + distinct + visited anti-join).
+    */
+  private[graft] def bfsRound(
+      e: DataFrame, visited: DataFrame, frontier: DataFrame,
+      r: Int): DataFrame =
+    e.join(frontier, col("u") === col("fnode"))
+      .select(col("v").as("node")).distinct()
+      .join(visited.select(col("node").as("vn")),
+        col("node") === col("vn"), "left_anti")
+      .withColumn("hop", lit(r))
 }

@@ -45,21 +45,7 @@ object Mst {
     var r = 1
     var done = false
     while (r <= maxRounds && !done) {
-      val x = e
-        .join(labels.select(col("n").as("u"), col("lab").as("cu")), Seq("u"))
-        .join(labels.select(col("n").as("v"), col("lab").as("cv")), Seq("v"))
-        .filter(col("cu") =!= col("cv"))
-      val xs = x.select(col("u"), col("v"), col("w"), col("cu").as("comp"))
-        .unionByName(x.select(col("u"), col("v"), col("w"),
-          col("cv").as("comp")))
-      // each component's minimum incident edge under the (w, u, v)
-      // total order; the 2-cycle (two comps picking the same edge)
-      // collapses in the distinct
-      val pk = xs.groupBy(col("comp"))
-        .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
-        .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
-        .distinct()
-        .localCheckpoint()
+      val pk = pickRound(e, labels).localCheckpoint()
       if (pk.isEmpty) { done = true }
       else {
         forest = forest.unionByName(pk.withColumn("round", lit(r)))
@@ -86,5 +72,27 @@ object Mst {
       remaining
     }, s"Borůvka did not converge within $maxRounds rounds")
     forest
+  }
+
+  /** ONE Borůvka round's pick frame, pre-checkpoint — the loop body of
+    * [[boruvka]], factored out so `graft.Explain` audits the exact
+    * per-round physical plan (two label equi-joins, symmetrized comp
+    * frame, struct-min per component, 2-cycle-collapsing distinct).
+    */
+  private[graft] def pickRound(e: DataFrame, labels: DataFrame): DataFrame = {
+    val x = e
+      .join(labels.select(col("n").as("u"), col("lab").as("cu")), Seq("u"))
+      .join(labels.select(col("n").as("v"), col("lab").as("cv")), Seq("v"))
+      .filter(col("cu") =!= col("cv"))
+    val xs = x.select(col("u"), col("v"), col("w"), col("cu").as("comp"))
+      .unionByName(x.select(col("u"), col("v"), col("w"),
+        col("cv").as("comp")))
+    // each component's minimum incident edge under the (w, u, v)
+    // total order; the 2-cycle (two comps picking the same edge)
+    // collapses in the distinct
+    xs.groupBy(col("comp"))
+      .agg(min(struct(col("w"), col("u"), col("v"))).as("m"))
+      .select(col("m.u").as("u"), col("m.v").as("v"), col("m.w").as("w"))
+      .distinct()
   }
 }

@@ -27,7 +27,7 @@ object GraphLearnQueries {
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       |e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0)""".stripMargin
 
-  private def edgesFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def edgesFrame(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val e0 = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .select(
@@ -87,6 +87,26 @@ object GraphLearnQueries {
          |  SELECT w.dim, CAST(w.w + coalesce(u.du, 0) AS BIGINT) AS w
          |  FROM w${r - 1} w LEFT JOIN u$r u ON w.dim = u.dim)""".stripMargin
     }.mkString
+
+  /** Nation-grain trade graph with exact negated-cents weights — the
+    * mst_trade_backbone input, shared with graft.Explain's
+    * representative-round audit.
+    */
+  private[graft] def mstTradeEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+      .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")).as("cents"))
+    rev.filter(col("cn") =!= col("sn"))
+      .groupBy(least(col("cn"), col("sn")).cast("long").as("u"),
+        greatest(col("cn"), col("sn")).cast("long").as("v"))
+      .agg(sum(col("cents")).as("cents"))
+      .select(col("u"), col("v"), (-col("cents")).as("w"))
+  }
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -864,19 +884,7 @@ object GraphLearnQueries {
     // recursive-CTE closure (the er_resolved_entities recipe).
     "mst_trade_backbone" -> QueryDef(
       (s, dir) => {
-        val rev = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
-          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
-          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
-          .groupBy(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
-          .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
-            .cast("long")).as("cents"))
-        val e = rev.filter(col("cn") =!= col("sn"))
-          .groupBy(least(col("cn"), col("sn")).cast("long").as("u"),
-            greatest(col("cn"), col("sn")).cast("long").as("v"))
-          .agg(sum(col("cents")).as("cents"))
-          .select(col("u"), col("v"), (-col("cents")).as("w"))
-        graft.operators.Mst.boruvka(e, maxRounds = 5)
+        graft.operators.Mst.boruvka(mstTradeEdges(s, dir), maxRounds = 5)
           .select(col("round"), col("u"), col("v"),
             (-col("w")).as("cents"))
           .orderBy(col("round"), col("u"), col("v"))

@@ -36,6 +36,32 @@ object SelectionEmbedQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 
+  /** Quantized-integer point frame of the k-center traversal
+    * (vec_id, exact-double grid coordinates, self-dot), checkpointed —
+    * shared with graft.Explain's representative-round audit.
+    */
+  private[graft] def kcenterPts(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        exprs.quantizeVec(col("embedding"), 1000)
+          .cast("array<double>").as("v"))
+      .withColumn("saa", exprs.vecDot(col("v"), col("v")))
+      .localCheckpoint()
+
+  /** Exact-integer squared-L2 distance of every point to a broadcast
+    * 1-row center (the aa − 2ab + bb identity) — the k-center round's
+    * distance frame.
+    */
+  private[graft] def kcenterDistTo(
+      pts: org.apache.spark.sql.DataFrame,
+      center: org.apache.spark.sql.DataFrame) =
+    pts.crossJoin(broadcast(center
+        .select(col("v").as("cv"), col("saa").as("sbb"))))
+      .select(col("vec_id"),
+        (col("saa") - lit(2.0) * exprs.vecDot(col("v"), col("cv")) +
+          col("sbb")).cast("long").as("dist"))
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -51,18 +77,9 @@ object SelectionEmbedQueries {
     "kcenter_coreset" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val pts = Tables.embeddings(s, dir)
-          .select(col("vec_id"),
-            exprs.quantizeVec(col("embedding"), 1000)
-              .cast("array<double>").as("v"))
-          .withColumn("saa", exprs.vecDot(col("v"), col("v")))
-          .localCheckpoint()
+        val pts = kcenterPts(s, dir)
         def distTo(center: org.apache.spark.sql.DataFrame) =
-          pts.crossJoin(broadcast(center
-              .select(col("v").as("cv"), col("saa").as("sbb"))))
-            .select(col("vec_id"),
-              (col("saa") - lit(2.0) * exprs.vecDot(col("v"), col("cv")) +
-                col("sbb")).cast("long").as("dist"))
+          kcenterDistTo(pts, center)
         val firstId = pts.agg(min(col("vec_id"))).collect()(0).getLong(0)
         var m = distTo(pts.filter(col("vec_id") === firstId)).localCheckpoint()
         val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()

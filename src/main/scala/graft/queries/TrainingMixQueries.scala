@@ -1101,20 +1101,29 @@ object TrainingMixQueries {
     // driver participation), and the covered set is localCheckpoint'd
     // per round (the deep-lineage rule: round r+1 must not re-derive
     // rounds 1..r).
-    "submodular_source_select" -> QueryDef(
+    "submodular_source_select" -> submodularDef)
+
+  /** Distinct (source, bigram) universe of the submodular selection,
+    * checkpointed — shared with graft.Explain's representative-round
+    * audit. sequence(0, -2) would step BACKWARDS in Spark, so docs
+    * with < 2 tokens are filtered (they contribute no bigrams on
+    * either engine — oracle-neutral).
+    */
+  private[graft] def submodularBigrams(
+      s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.documents(s, dir)
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+        .as("term"))
+      .distinct()
+      .localCheckpoint()
+
+  private def submodularDef: QueryDef = QueryDef(
       (s, dir) => {
         import s.implicits._
-        val bg = Tables.documents(s, dir)
-          .select(col("source"), TextOps.tokens(col("text")).as("toks"))
-          // sequence(0, -2) would step BACKWARDS in Spark — keep docs
-          // with ≥ 2 tokens (shorter docs contribute no bigrams on
-          // either engine, so the filter is oracle-neutral)
-          .filter(size(col("toks")) >= 2)
-          .select(col("source"), explode(expr(
-            "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
-            .as("term"))
-          .distinct()
-          .localCheckpoint()
+        val bg = submodularBigrams(s, dir)
         var covered = s.emptyDataset[String].toDF("term")
         val picks = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
         var r = 1
@@ -1160,5 +1169,4 @@ object TrainingMixQueries {
            |SELECT CAST(round AS INT) AS round, source, gain, covered
            |FROM ($out) ORDER BY round""".stripMargin
       })
-  )
 }
