@@ -75,7 +75,8 @@ class PlanAuditSpec extends SparkSuite {
     "ipw_total_estimate", // estimate/exact totals as a broadcast 1-row aggregate onto the |strata|-row frame
     "gini_stump_quantity", // class grand totals as a broadcast 1-row aggregate onto the value histogram
     "gains_chart_deciles", // customer count + revenue total as broadcast 1-row aggregates (ExactNtile shape)
-    "kaplan_meier_repurchase") // dataset horizon + cohort size as broadcast 1-row aggregates
+    "kaplan_meier_repurchase", // dataset horizon + cohort size as broadcast 1-row aggregates
+    "knn_graph_recall") // embeds bruteForceTopK's broadcast probe × corpus product (the eval's exact truth twin)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
