@@ -184,7 +184,19 @@ object Explain {
     "naive_bayes_lang" ->
       "Model-in-the-plan NB: class counts, totals, priors, and vocab all BROADCAST onto the held-out token stream, so scoring is map-side; the only corpus-sized exchanges are the training aggregates and the per-doc factor-fold agg.",
     "dedup_lsh_eval" ->
-      "Eval harness running TWO production chains (exact n-gram Jaccard + MinHash LSH — each audited standalone above) that meet in ONE full-outer join on pair ids + a 1-row counts agg: the cost is the sum of its parts by design, not a regression.")
+      "Eval harness running TWO production chains (exact n-gram Jaccard + MinHash LSH — each audited standalone above) that meet in ONE full-outer join on pair ids + a 1-row counts agg: the cost is the sum of its parts by design, not a regression.",
+    "tpch_q18_large_orders" ->
+      "Q18 shape: lineitem aggregates ONCE at the order grain, the HAVING filters there, orders/customer join onto surviving keys — one fact scan, no subquery re-scan; top-100 is TakeOrderedAndProject.",
+    "tpch_q21_waiting_supplier" ->
+      "Q21 shape: the correlated EXISTS/NOT-EXISTS plan as a left-SEMI + left-ANTI join keyed on the order id with residual supplier-inequality conditions — hash/merge joins throughout, no cartesian, no per-row lineitem re-scan; nation broadcasts.",
+    "knn_graph_topk" ->
+      "Corpus-wide kNN graph: candidates are ONE equi-join on the IVF list id over the checkpointed (id, vec, norm, probe-lists) base — ids only; vectors re-attach by id for the exact-cosine verify; native bounded-heap TopKPerGroup caps the exchange at k rows per node.",
+    "image_text_alignment" ->
+      "Cross-modal gate: image signatures come from decoded pixels in the typed scan stage (binaries never shuffle — the plan reads the compact signature rows), text signatures are 32 codegen'd ascii(substring) columns, pairing is two id equi-joins, scoring one fixed-order VecDot chain.",
+    "dedup_span_maximal" ->
+      "Anchor extension: the shared span census/blacklist chain (the dedup_span_excise shape) feeds a PER-DOCUMENT gaps-and-islands window (bounded by doc length), token text re-attaches via the (doc, pos) equi-join, one (doc, run)-grain agg reassembles each maximal span.",
+    "packing_bfd_eval" ->
+      "Bin packing with the SHARD as the parallelism unit: one corpus scan, one shard-grain agg collecting the two sorted item lists, then both FF and BFD run as array-aggregate folds INSIDE the projection — no per-item shuffles, no window; 16 result rows at any corpus size.")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
@@ -236,6 +248,15 @@ object Explain {
             .select(col("vec_id"),
               when(col("d2") < col("dist"), col("d2")).otherwise(col("dist"))
                 .as("dist"))
+        }),
+      ("lpa_communities — round 2, even half-step (GraphOps.lpaCommunities phase)",
+        "One semi-synchronous LPA half-step on checkpointed round-1 labels: edge⋈label equi-join + (node, label) count agg + struct-max argmax + left-join label update — all keyed on the node id. Loop invariant: labels checkpoint per phase (they feed the next phase's count join, the update base, and the round-end convergence probe); the probe is a limit-1 count per round and non-convergence throws.",
+        s => {
+          val e = queries.GraphLearnQueries.edgesFrame(s, dir)
+            .localCheckpoint()
+          val lab = e.select(col("u").as("n")).distinct()
+            .select(col("n"), col("n").as("lab")).localCheckpoint()
+          operators.GraphOps.lpaPhase(e, lab, par = 0)
         }),
       ("submodular_source_select — round 2 gains",
         "One greedy round over the once-checkpointed (source, bigram) universe: marginal gains are a single anti-join against the checkpointed covered set + one source-grain count agg; the argmax the driver collects is 1 row (TakeOrderedAndProject, k=1). Loop invariant: rounds are bounded (k≤5) and the covered set re-checkpoints per round so round r+1 never re-derives rounds 1..r; the loop breaks when the argmax frame is empty (universe exhausted).",

@@ -84,17 +84,7 @@ object GraphOps {
       var cur = lab
       var par = 0
       while (par <= 1) {
-        val cnt = e.filter(col("u") % 2 === par)
-          .join(cur.select(col("n").as("vn"), col("lab")),
-            col("v") === col("vn"))
-          .groupBy(col("u"), col("lab"))
-          .agg(count(lit(1)).as("c"))
-        val pick = cnt.groupBy(col("u"))
-          .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
-          .select(col("u").as("pn"), (-col("m.nl")).as("plab"))
-        cur = cur.join(pick, col("n") === col("pn"), "left")
-          .select(col("n"), coalesce(col("plab"), col("lab")).as("lab"))
-          .localCheckpoint()
+        cur = lpaPhase(e, cur, par).localCheckpoint()
         par += 1
       }
       lab = cur
@@ -105,6 +95,25 @@ object GraphOps {
     }
     require(done, s"LPA did not converge within $maxRounds rounds")
     lab
+  }
+
+  /** ONE LPA half-step's updated label frame, pre-checkpoint — the
+    * loop body of [[lpaCommunities]], factored out so `graft.Explain`
+    * audits the exact per-phase physical plan (edge⋈label equi-join +
+    * (node,label) count + struct-max argmax + label-update join).
+    */
+  private[graft] def lpaPhase(
+      e: DataFrame, cur: DataFrame, par: Int): DataFrame = {
+    val cnt = e.filter(col("u") % 2 === par)
+      .join(cur.select(col("n").as("vn"), col("lab")),
+        col("v") === col("vn"))
+      .groupBy(col("u"), col("lab"))
+      .agg(count(lit(1)).as("c"))
+    val pick = cnt.groupBy(col("u"))
+      .agg(max(struct(col("c"), (-col("lab")).as("nl"))).as("m"))
+      .select(col("u").as("pn"), (-col("m.nl")).as("plab"))
+    cur.join(pick, col("n") === col("pn"), "left")
+      .select(col("n"), coalesce(col("plab"), col("lab")).as("lab"))
   }
 
   /** Bounded-round BFS hop levels from a seed frame (column `node`):
