@@ -609,6 +609,60 @@ object GraphLearnQueries {
           |  ON k.query_id = b.query_id AND k.neighbor_id = b.neighbor_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // SemDeDup-style semantic clusters END TO END: kNN graph →
+    // mutual-kNN sparsification (the high-precision core) → pointer-
+    // jumping connected components → cluster census with min-id
+    // representatives and the prune count (members − 1 drop per
+    // cluster — the SemDeDup keep-one policy at cluster grain).
+    // Isolated nodes (no reciprocated neighbor) are their own
+    // singleton clusters via the left join + coalesce. Every stage is
+    // keyed: list-id candidate equi-join, id-keyed mutual self-join,
+    // O(log d) CC rounds, one census agg. The oracle replays training
+    // + routing + mutual join and closes components with the
+    // er_resolved_entities recursive-CTE recipe (min reachable id ≡
+    // min-propagation labels).
+    "semdedup_knn_clusters" -> QueryDef(
+      (s, dir) => {
+        val knn = graft.operators.KnnGraph.buildIvf(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 8)
+        val mutual = graft.operators.KnnGraph.mutualEdges(knn)
+        val cc = graft.operators.Dedup.connectedComponents(mutual, "a", "b")
+        val labeled = Tables.embeddings(s, dir).select(col("vec_id"))
+          .join(cc.select(col("id").as("vec_id"), col("component")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("component"), col("vec_id")).as("cluster"))
+        labeled.groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_members"),
+            (count(lit(1)) - 1).as("n_pruned"))
+          .orderBy(col("n_members").desc, col("cluster"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |mutual AS (
+          |  SELECT e1.query_id AS a, e1.neighbor_id AS b
+          |  FROM knn e1 JOIN knn e2
+          |    ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+          |  WHERE e1.query_id < e1.neighbor_id),
+          |adj AS (SELECT a AS u, b AS v FROM mutual
+          |        UNION SELECT b AS u, a AS v FROM mutual),
+          |cl AS (
+          |  SELECT n, min(r) AS lab FROM (
+          |    WITH RECURSIVE reach(n, r) AS (
+          |      SELECT vec_id, vec_id FROM embeddings
+          |      UNION
+          |      SELECT reach.n, a.v FROM reach JOIN adj a ON a.u = reach.r)
+          |    SELECT n, r FROM reach) GROUP BY 1)
+          |SELECT lab AS cluster,
+          |  CAST(count(*) AS BIGINT) AS n_members,
+          |  CAST(count(*) - 1 AS BIGINT) AS n_pruned
+          |FROM cl GROUP BY 1 ORDER BY n_members DESC, cluster""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Multinomial Naive Bayes text classifier (train + score in one
     // plan): token counts per class on the doc_id%5≠0 slice, Laplace
     // smoothing over the training vocabulary, held-out docs scored by

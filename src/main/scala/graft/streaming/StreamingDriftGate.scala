@@ -61,12 +61,12 @@ object StreamingDriftGate {
     * batch — the downward CUSUM only accumulates across batches where
     * the key still appears at least once, and per-key `batch` counts
     * key-visible batches, not global micro-batch numbers. For
-    * vanished-key detection, compose with an upstream key registry
-    * that injects heartbeat rows (n=0 sentinels) per registered key,
-    * or switch to flatMapGroupsWithState with a processing-time
-    * timeout that emits the n=0 step on expiry — the `step` function
-    * above is already pure and shared, so either host drives it
-    * unchanged.
+    * vanished-key detection use [[gateWithHeartbeats]] +
+    * [[heartbeatStream]]: a registry heartbeat (weight 0) keeps every
+    * registered key present in each batch, so the statistic advances
+    * with n=0 and the downward alarm can fire — while the state
+    * operator stays a pure deterministic fold (no processing-time
+    * timeouts, replays bit-identical).
     */
   def gate(
       rows: Dataset[org.apache.spark.sql.Row], keyCol: String,
@@ -90,4 +90,51 @@ object StreamingDriftGate {
   def toMemorySink(ds: Dataset[DriftRow], name: String): org.apache.spark.sql.streaming.StreamingQuery =
     ds.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Update).start()
+
+  final case class WObs(key: String, w: Long)
+
+  /** Heartbeat-aware gate (the r8-advice upgrade): rows carry a
+    * WEIGHT — 1 for a real observation, 0 for a registry heartbeat —
+    * and the per-batch statistic advances on Σw, so a key whose real
+    * volume drops to ZERO still steps (n=0) as long as its heartbeat
+    * flows, and the downward CUSUM can alarm on vanished keys. The
+    * heartbeat union happens in the SOURCE stream (see
+    * [[heartbeatStream]]), which keeps the state operator itself a
+    * pure deterministic fold — no processing-time timeouts, so
+    * replays stay bit-identical (the suite's determinism contract).
+    */
+  def gateWithHeartbeats(
+      rows: Dataset[org.apache.spark.sql.Row], keyCol: String,
+      weightCol: String, mu: Long, slack: Long, h: Long): Dataset[DriftRow] = {
+    import rows.sparkSession.implicits._
+    rows
+      .select(col(keyCol).cast("string").as("key"),
+        col(weightCol).cast("long").as("w"))
+      .as[WObs]
+      .groupByKey(_.key)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[WObs], state: GroupState[Cusum]) =>
+          val n = it.map(_.w).sum
+          val prev = state.getOption.getOrElse(Cusum(0L, 0L, 0L))
+          val (next, (b, u, d, au, ad)) = step(prev, n, mu, slack, h)
+          state.update(next)
+          DriftRow(key, b, n, u, d, au, ad)
+      }
+  }
+
+  /** Registry heartbeat source: one weight-0 row per registered key
+    * per rate tick — union this with the real observation stream
+    * (mapped to weight 1) before [[gateWithHeartbeats]]. The key list
+    * is a broadcast static side of a stream-static join, so the
+    * heartbeat volume is |keys| per tick regardless of data volume.
+    */
+  def heartbeatStream(
+      spark: org.apache.spark.sql.SparkSession, keys: Seq[String],
+      rowsPerSecond: Int = 1): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+      .crossJoin(broadcast(keys.toDF("key")))
+      .select(col("key"), lit(0L).as("w"))
+  }
 }

@@ -62,4 +62,38 @@ class StreamingDriftGateSpec extends SparkSuite {
       }
     } finally q.stop()
   }
+
+  test("heartbeat variant: a vanished key keeps stepping and alarms downward") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingDriftGate.toMemorySink(
+      StreamingDriftGate.gateWithHeartbeats(
+        mem.toDS().toDF("key", "w"), "key", "w", MU, SLACK, H),
+      "drift_hb")
+    try {
+      // key "c" sends 10 real rows in batch 1, then VANISHES — only
+      // its weight-0 registry heartbeat keeps flowing. Without the
+      // heartbeat the documented mapGroupsWithState contract would
+      // never advance the statistic; with it, S⁻ grows by
+      // (μ − 0 − k) = 9 per silent batch and alarms at batch 2
+      // (9 > 6), resets, then re-alarms at batch 4.
+      val batches = Seq(
+        Seq.fill(10)(("c", 1L)) :+ (("c", 0L)),
+        Seq(("c", 0L)), Seq(("c", 0L)), Seq(("c", 0L)))
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("drift_hb")
+        .as[StreamingDriftGate.DriftRow].collect()
+        .map(r => r.batch -> r).toMap
+      assert(got(1L).n == 10L && !got(1L).alarmDown)
+      assert(got(2L).n == 0L && got(2L).cusumDown == 9L && got(2L).alarmDown)
+      assert(got(3L).n == 0L && got(3L).cusumDown == 9L && got(3L).alarmDown)
+      assert(got(4L).n == 0L && got(4L).alarmDown)
+    } finally q.stop()
+  }
+
+  test("heartbeatStream: |keys| weight-0 rows per tick, streaming plan") {
+    val hb = StreamingDriftGate.heartbeatStream(spark, Seq("a", "b"))
+    assert(hb.isStreaming, "rate × broadcast static keys is a streaming frame")
+    assert(hb.columns.toSeq == Seq("key", "w"))
+  }
 }
