@@ -108,6 +108,52 @@ object GraphLearnQueries {
       .select(col("u"), col("v"), (-col("cents")).as("w"))
   }
 
+  /** Volume-thresholded supplier↔customer graph (pairs with ≥3
+    * distinct shared orders, both directions) — the LPA fixture,
+    * shared by lpa_communities / lpa_modularity.
+    */
+  private def thresholdEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("l_suppkey") * 2).as("u"),
+        (col("o_custkey") * 2 + 1).as("v"))
+      .agg(countDistinct(col("o_orderkey")).as("w"))
+      .filter(col("w") >= 3)
+      .select(col("u"), col("v"))
+    e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+  }
+
+  /** DuckDB CTE chain replaying the thresholded graph + all 6 LPA
+    * round budgets (12 semi-synchronous phases) to `l6b(n, lab)` —
+    * identity past the fixed point, which is what lets the Spark side
+    * early-stop on convergence.
+    */
+  private def lpaOracleCtes: String = {
+    val phases = (1 to 6).flatMap { r =>
+      Seq(0, 1).map { p =>
+        val prev = if (p == 0) { if (r == 1) "lab0" else s"l${r - 1}b" }
+          else s"l${r}a"
+        val cur = if (p == 0) s"l${r}a" else s"l${r}b"
+        s""",
+           |c$cur AS (SELECT e.u AS n, l.lab, CAST(count(*) AS BIGINT) AS c
+           |  FROM e JOIN $prev l ON l.n = e.v WHERE e.u % 2 = $p GROUP BY 1, 2),
+           |p$cur AS (SELECT n, lab FROM (
+           |  SELECT n, lab, row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
+           |  FROM c$cur) t WHERE rn = 1),
+           |$cur AS MATERIALIZED (
+           |  SELECT l.n, coalesce(p.lab, l.lab) AS lab
+           |  FROM $prev l LEFT JOIN p$cur p ON p.n = l.n)""".stripMargin
+      }
+    }.mkString
+    s"""WITH e0 AS (
+       |  SELECT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY 1, 2 HAVING count(DISTINCT o.o_orderkey) >= 3),
+       |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+       |lab0 AS (SELECT DISTINCT u AS n, u AS lab FROM e)$phases""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -466,15 +512,7 @@ object GraphLearnQueries {
     // per community.
     "lpa_communities" -> QueryDef(
       (s, dir) => {
-        val e0 = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .groupBy((col("l_suppkey") * 2).as("u"),
-            (col("o_custkey") * 2 + 1).as("v"))
-          .agg(countDistinct(col("o_orderkey")).as("w"))
-          .filter(col("w") >= 3)
-          .select(col("u"), col("v"))
-        val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-        GraphOps.lpaCommunities(e, maxRounds = 6)
+        GraphOps.lpaCommunities(thresholdEdges(s, dir), maxRounds = 6)
           .groupBy(col("lab").as("community"))
           .agg(
             count(lit(1)).as("n_nodes"),
@@ -482,36 +520,70 @@ object GraphLearnQueries {
             sum(when(col("n") % 2 === 1, 1L).otherwise(0L)).as("n_customers"),
             min(col("n")).as("min_node"))
           .orderBy(col("n_nodes").desc, col("community"))
-      }, {
-        val phases = (1 to 6).flatMap { r =>
-          Seq(0, 1).map { p =>
-            val prev = if (p == 0) { if (r == 1) "lab0" else s"l${r - 1}b" }
-              else s"l${r}a"
-            val cur = if (p == 0) s"l${r}a" else s"l${r}b"
-            s""",
-               |c$cur AS (SELECT e.u AS n, l.lab, CAST(count(*) AS BIGINT) AS c
-               |  FROM e JOIN $prev l ON l.n = e.v WHERE e.u % 2 = $p GROUP BY 1, 2),
-               |p$cur AS (SELECT n, lab FROM (
-               |  SELECT n, lab, row_number() OVER (PARTITION BY n ORDER BY c DESC, lab) AS rn
-               |  FROM c$cur) t WHERE rn = 1),
-               |$cur AS MATERIALIZED (
-               |  SELECT l.n, coalesce(p.lab, l.lab) AS lab
-               |  FROM $prev l LEFT JOIN p$cur p ON p.n = l.n)""".stripMargin
-          }
-        }.mkString
-        s"""WITH e0 AS (
-           |  SELECT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
-           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-           |  GROUP BY 1, 2 HAVING count(DISTINCT o.o_orderkey) >= 3),
-           |e AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-           |lab0 AS (SELECT DISTINCT u AS n, u AS lab FROM e)$phases
-           |SELECT lab AS community,
-           |  CAST(count(*) AS BIGINT) AS n_nodes,
-           |  CAST(count(*) FILTER (WHERE n % 2 = 0) AS BIGINT) AS n_suppliers,
-           |  CAST(count(*) FILTER (WHERE n % 2 = 1) AS BIGINT) AS n_customers,
-           |  CAST(min(n) AS BIGINT) AS min_node
-           |FROM l6b GROUP BY 1 ORDER BY n_nodes DESC, community""".stripMargin
-      }),
+      },
+      lpaOracleCtes +
+        """
+          |SELECT lab AS community,
+          |  CAST(count(*) AS BIGINT) AS n_nodes,
+          |  CAST(count(*) FILTER (WHERE n % 2 = 0) AS BIGINT) AS n_suppliers,
+          |  CAST(count(*) FILTER (WHERE n % 2 = 1) AS BIGINT) AS n_customers,
+          |  CAST(min(n) AS BIGINT) AS min_node
+          |FROM l6b GROUP BY 1 ORDER BY n_nodes DESC, community""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Newman modularity of the LPA partition (Newman & Girvan 2004):
+    // per community c, Q_c = W_c/S − (d_c/S)² where W_c counts
+    // directed edge slots with both ends in c, d_c the community's
+    // degree mass, S all directed slots — emitted PER COMMUNITY as
+    // integer stats + one fixed-order double term (never a SUM over
+    // doubles — the chi2 per-row-term rule; the analyst folds Q
+    // however they like). The quality score that decides whether the
+    // partition is worth acting on. One degree agg + two label joins
+    // + one community agg over the same thresholded graph.
+    "lpa_modularity" -> QueryDef(
+      (s, dir) => {
+        val e = thresholdEdges(s, dir).localCheckpoint()
+        val lab = GraphOps.lpaCommunities(e, maxRounds = 6)
+        val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val stot = e.count()
+        val win = e
+          .join(lab.select(col("n").as("u"), col("lab").as("la")), Seq("u"))
+          .join(lab.select(col("n").as("v"), col("lab").as("lb")), Seq("v"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("community"))
+          .agg(count(lit(1)).as("w_in"))
+        val dsum = lab
+          .join(deg, col("n") === col("u"))
+          .groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_sum"))
+        dsum.join(win, Seq("community"), "left")
+          .select(col("community"), col("n_nodes"),
+            coalesce(col("w_in"), lit(0L)).as("w_in"), col("d_sum"))
+          .withColumn("q_term",
+            col("w_in").cast("double") / lit(stot.toDouble) -
+              (col("d_sum").cast("double") / lit(stot.toDouble)) *
+              (col("d_sum").cast("double") / lit(stot.toDouble)))
+          .orderBy(col("community"))
+      },
+      lpaOracleCtes +
+        """,
+          |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS stot FROM e),
+          |win AS (
+          |  SELECT a.lab AS community, CAST(count(*) AS BIGINT) AS w_in
+          |  FROM e JOIN l6b a ON a.n = e.u JOIN l6b b ON b.n = e.v
+          |  WHERE a.lab = b.lab GROUP BY 1),
+          |ds AS (
+          |  SELECT l.lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+          |    CAST(SUM(deg.d) AS BIGINT) AS d_sum
+          |  FROM l6b l JOIN deg ON deg.u = l.n GROUP BY 1)
+          |SELECT ds.community, ds.n_nodes,
+          |  coalesce(win.w_in, 0) AS w_in, ds.d_sum,
+          |  CAST(coalesce(win.w_in, 0) AS DOUBLE) / CAST(s.stot AS DOUBLE) -
+          |    (CAST(ds.d_sum AS DOUBLE) / CAST(s.stot AS DOUBLE)) *
+          |    (CAST(ds.d_sum AS DOUBLE) / CAST(s.stot AS DOUBLE)) AS q_term
+          |FROM ds LEFT JOIN win ON win.community = ds.community CROSS JOIN s
+          |ORDER BY ds.community""".stripMargin),
 
     // ------------------------------------------------------------------
     // Corpus-wide kNN GRAPH (every node's top-5 cosine neighbors) via
@@ -555,7 +627,7 @@ object GraphLearnQueries {
         dim = 64, nlist = 16, nprobe = 8,
         sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
         """,
-          |knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
+          |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5)
           |SELECT e1.query_id AS a, e1.neighbor_id AS b
           |FROM knn e1 JOIN knn e2
           |  ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
@@ -590,7 +662,7 @@ object GraphLearnQueries {
         dim = 64, nlist = 16, nprobe = 8,
         sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
         """,
-          |knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
           |bfp AS (
           |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
           |         list_cosine_similarity(c.embedding, p.embedding) AS sim
@@ -642,8 +714,8 @@ object GraphLearnQueries {
         dim = 64, nlist = 16, nprobe = 8,
         sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
         """,
-          |knn AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
-          |mutual AS (
+          |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |mutual AS MATERIALIZED (
           |  SELECT e1.query_id AS a, e1.neighbor_id AS b
           |  FROM knn e1 JOIN knn e2
           |    ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
@@ -661,6 +733,98 @@ object GraphLearnQueries {
           |  CAST(count(*) AS BIGINT) AS n_members,
           |  CAST(count(*) - 1 AS BIGINT) AS n_pruned
           |FROM cl GROUP BY 1 ORDER BY n_members DESC, cluster""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Triangle census + global clustering coefficient of the
+    // mutual-kNN semantic graph — the compact-forward / degree-ordered
+    // node-iterator (Latapy 2008): orient every edge from the
+    // (degree, id)-smaller endpoint to the larger, join oriented
+    // wedges on their apex, close them against the oriented edge
+    // list. Each triangle counts EXACTLY once, wedge volume is
+    // Σ out-deg² with out-degree bounded by O(√m) under degree
+    // ordering — the only triangle algorithm that survives skewed
+    // 100 TB graphs. All integers; the one double is 3T/W in fixed
+    // order. Clustering structure is the signal SemDeDup-style
+    // curation reads off the semantic graph.
+    "triangle_count_semantic" -> QueryDef(
+      (s, dir) => {
+        val knn = graft.operators.KnnGraph.buildIvf(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 8)
+        val mutual = graft.operators.KnnGraph.mutualEdges(knn)
+          .localCheckpoint() // feeds degrees + orientation + closure
+        val sym = mutual.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(mutual.select(col("b").as("u"), col("a").as("v")))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val m2 = mutual
+          .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+        val oriented = m2.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("s"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("t"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("db"))
+            .otherwise(col("da")).as("dt"))
+          .localCheckpoint() // apex join + both closure sides
+        val wedges = oriented.as("o1")
+          .join(oriented.as("o2"),
+            col("o1.s") === col("o2.s") &&
+              (col("o1.dt") < col("o2.dt") ||
+                (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+          .select(col("o1.t").as("v"), col("o2.t").as("w"))
+        val tri = wedges.join(oriented,
+            col("v") === col("s") && col("w") === col("t"), "left_semi")
+        val stats = mutual.agg(count(lit(1)).as("n_edges"))
+          .crossJoin(broadcast(
+            deg.agg(count(lit(1)).as("n_nodes"),
+              sum(expr("d * (d - 1) div 2")).as("n_wedges"))))
+          .crossJoin(broadcast(tri.agg(count(lit(1)).as("n_triangles"))))
+        stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") > 0,
+            (col("n_triangles") * 3).cast("double") /
+              col("n_wedges").cast("double")).otherwise(lit(0.0))
+            .as("global_cc"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |mutual AS MATERIALIZED (
+          |  SELECT e1.query_id AS a, e1.neighbor_id AS b
+          |  FROM knn e1 JOIN knn e2
+          |    ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+          |  WHERE e1.query_id < e1.neighbor_id),
+          |sym AS (SELECT a AS u, b AS v FROM mutual
+          |        UNION ALL SELECT b AS u, a AS v FROM mutual),
+          |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+          |ori AS MATERIALIZED (
+          |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND m.a < m.b) THEN m.a ELSE m.b END AS s,
+          |         CASE WHEN da.d < db.d OR (da.d = db.d AND m.a < m.b) THEN m.b ELSE m.a END AS t,
+          |         CASE WHEN da.d < db.d OR (da.d = db.d AND m.a < m.b) THEN db.d ELSE da.d END AS dt
+          |  FROM mutual m JOIN deg da ON da.u = m.a JOIN deg db ON db.u = m.b),
+          |wg AS (
+          |  SELECT o1.t AS v, o2.t AS w
+          |  FROM ori o1 JOIN ori o2
+          |    ON o1.s = o2.s AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))),
+          |tri AS (
+          |  SELECT count(*) AS n_triangles FROM wg
+          |  WHERE EXISTS (SELECT 1 FROM ori o3 WHERE o3.s = wg.v AND o3.t = wg.w)),
+          |st AS (
+          |  SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+          |         (SELECT CAST(count(*) AS BIGINT) FROM mutual) AS n_edges,
+          |         (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+          |         (SELECT CAST(n_triangles AS BIGINT) FROM tri) AS n_triangles)
+          |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+          |  CASE WHEN n_wedges > 0
+          |       THEN CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+          |       ELSE 0.0 END AS global_cc
+          |FROM st""".stripMargin),
 
     // ------------------------------------------------------------------
     // Multinomial Naive Bayes text classifier (train + score in one
