@@ -827,6 +827,79 @@ object GraphLearnQueries {
           |FROM st""".stripMargin),
 
     // ------------------------------------------------------------------
+    // DeepWalk context pairs over the SEMANTIC graph — the r8
+    // deepwalk_pairs recipe (md5-routed deterministic steps against a
+    // dense per-node neighbor index) applied to the mutual-kNN graph
+    // instead of the bipartite trade fixture: the walk corpus a
+    // skip-gram embedder would train on to densify sparse semantic
+    // neighborhoods. Every node with a reciprocated neighbor starts
+    // one 3-step walk; each step is ONE equi-join on the checkpointed
+    // neighbor index keyed by the current node.
+    "knn_graph_deepwalk" -> QueryDef(
+      (s, dir) => {
+        val knn = graft.operators.KnnGraph.buildIvf(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 8)
+        val mutual = graft.operators.KnnGraph.mutualEdges(knn)
+        val e = mutual.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(mutual.select(col("b").as("u"), col("a").as("v")))
+        val nbr = e.select(col("u"), col("v"),
+            (row_number().over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("u")).orderBy(col("v"))) - 1)
+              .cast("long").as("idx"))
+          .localCheckpoint()
+        val deg = nbr.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .localCheckpoint()
+        var cur = deg.select(col("u").as("walk"), col("u").as("cur"))
+        val steps = (1 to 3).map { r =>
+          cur = cur
+            .join(deg, col("u") === col("cur")).drop("u")
+            .withColumn("pick",
+              Md5Hash.lower63Col(concat(lit("s:"), col("walk").cast("string"),
+                lit(":"), lit(r).cast("string"))) % col("d"))
+            .join(nbr,
+              col("u") === col("cur") && col("idx") === col("pick"))
+            .select(col("walk"), col("v").as("cur"))
+          cur.select(col("walk"), lit(r).cast("int").as("step"),
+            col("cur").as("node"))
+        }
+        steps.reduce(_ unionByName _).orderBy(col("walk"), col("step"))
+      }, {
+        def md5(x: String) =
+          s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
+        val rounds = (1 to 3).map { r =>
+          s""",
+             |w$r AS (SELECT w.walk, nbr.v AS cur
+             |  FROM w${r - 1} w
+             |  JOIN deg ON deg.u = w.cur
+             |  JOIN nbr ON nbr.u = w.cur
+             |   AND nbr.idx = ${md5(s"'s:' || CAST(w.walk AS VARCHAR) || ':' || $r")} % deg.d)""".stripMargin
+        }.mkString
+        PipelineQueries.trainedIvfRankedCtes(
+          dim = 64, nlist = 16, nprobe = 8,
+          sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+          s""",
+             |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+             |mutual AS MATERIALIZED (
+             |  SELECT e1.query_id AS a, e1.neighbor_id AS b
+             |  FROM knn e1 JOIN knn e2
+             |    ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+             |  WHERE e1.query_id < e1.neighbor_id),
+             |ge AS MATERIALIZED (SELECT a AS u, b AS v FROM mutual
+             |      UNION ALL SELECT b AS u, a AS v FROM mutual),
+             |nbr AS MATERIALIZED (
+             |  SELECT u, v, CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1 AS BIGINT) AS idx
+             |  FROM ge),
+             |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM ge GROUP BY 1),
+             |w0 AS (SELECT u AS walk, u AS cur FROM deg)$rounds
+             |SELECT walk, step, node FROM (
+             |  SELECT walk, 1 AS step, cur AS node FROM w1
+             |  UNION ALL SELECT walk, 2, cur FROM w2
+             |  UNION ALL SELECT walk, 3, cur FROM w3)
+             |ORDER BY walk, step""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Multinomial Naive Bayes text classifier (train + score in one
     // plan): token counts per class on the doc_id%5≠0 slice, Laplace
     // smoothing over the training vocabulary, held-out docs scored by
