@@ -827,6 +827,88 @@ object GraphLearnQueries {
           |FROM st""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Per-node clustering coefficient over the mutual-kNN graph: each
+    // closed wedge credits all THREE corners (a bounded ×3 explode of
+    // the closure rows — never a per-node wedge enumeration), local
+    // cc = t_n / (d(d−1)/2), reported for nodes with degree ≥ 3
+    // ordered by (cc desc, node). The node-grain refinement of
+    // triangle_count_semantic: the "is this doc inside a tight
+    // semantic clique?" signal curation reads per document.
+    "triangle_local_cc" -> QueryDef(
+      (s, dir) => {
+        val knn = graft.operators.KnnGraph.buildIvf(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          nlist = 16, nprobe = 8)
+        val mutual = graft.operators.KnnGraph.mutualEdges(knn)
+          .localCheckpoint()
+        val sym = mutual.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(mutual.select(col("b").as("u"), col("a").as("v")))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val m2 = mutual
+          .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+        val fwd = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val oriented = m2.select(
+          when(fwd, col("a")).otherwise(col("b")).as("s"),
+          when(fwd, col("b")).otherwise(col("a")).as("t"),
+          when(fwd, col("db")).otherwise(col("da")).as("dt"))
+          .localCheckpoint()
+        val closed = oriented.as("o1")
+          .join(oriented.as("o2"),
+            col("o1.s") === col("o2.s") &&
+              (col("o1.dt") < col("o2.dt") ||
+                (col("o1.dt") === col("o2.dt") && col("o1.t") < col("o2.t"))))
+          .select(col("o1.s").as("x"), col("o1.t").as("v"), col("o2.t").as("w"))
+          .join(oriented,
+            col("v") === col("s") && col("w") === col("t"), "left_semi")
+        val perNode = closed
+          .select(explode(array(col("x"), col("v"), col("w"))).as("u"))
+          .groupBy(col("u")).agg(count(lit(1)).as("t_n"))
+        deg.filter(col("d") >= 3)
+          .join(perNode, Seq("u"), "left")
+          .select(col("u").as("node"), col("d").as("degree"),
+            coalesce(col("t_n"), lit(0L)).as("n_triangles"),
+            (coalesce(col("t_n"), lit(0L)).cast("double") /
+              expr("(d * (d - 1) div 2)").cast("double")).as("local_cc"))
+          .orderBy(col("local_cc").desc, col("node"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |mutual AS MATERIALIZED (
+          |  SELECT e1.query_id AS a, e1.neighbor_id AS b
+          |  FROM knn e1 JOIN knn e2
+          |    ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+          |  WHERE e1.query_id < e1.neighbor_id),
+          |sym AS (SELECT a AS u, b AS v FROM mutual
+          |        UNION ALL SELECT b AS u, a AS v FROM mutual),
+          |deg AS MATERIALIZED (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+          |ori AS MATERIALIZED (
+          |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND m.a < m.b) THEN m.a ELSE m.b END AS s,
+          |         CASE WHEN da.d < db.d OR (da.d = db.d AND m.a < m.b) THEN m.b ELSE m.a END AS t,
+          |         CASE WHEN da.d < db.d OR (da.d = db.d AND m.a < m.b) THEN db.d ELSE da.d END AS dt
+          |  FROM mutual m JOIN deg da ON da.u = m.a JOIN deg db ON db.u = m.b),
+          |closed AS MATERIALIZED (
+          |  SELECT o1.s AS x, o1.t AS v, o2.t AS w
+          |  FROM ori o1 JOIN ori o2
+          |    ON o1.s = o2.s AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))
+          |  WHERE EXISTS (SELECT 1 FROM ori o3 WHERE o3.s = o1.t AND o3.t = o2.t)),
+          |pn AS (
+          |  SELECT u, CAST(count(*) AS BIGINT) AS t_n FROM (
+          |    SELECT x AS u FROM closed
+          |    UNION ALL SELECT v FROM closed
+          |    UNION ALL SELECT w FROM closed) GROUP BY 1)
+          |SELECT deg.u AS node, deg.d AS degree,
+          |  coalesce(pn.t_n, 0) AS n_triangles,
+          |  CAST(coalesce(pn.t_n, 0) AS DOUBLE) / CAST(deg.d * (deg.d - 1) // 2 AS DOUBLE) AS local_cc
+          |FROM deg LEFT JOIN pn ON pn.u = deg.u
+          |WHERE deg.d >= 3
+          |ORDER BY local_cc DESC, node""".stripMargin),
+
+    // ------------------------------------------------------------------
     // DeepWalk context pairs over the SEMANTIC graph — the r8
     // deepwalk_pairs recipe (md5-routed deterministic steps against a
     // dense per-node neighbor index) applied to the mutual-kNN graph
