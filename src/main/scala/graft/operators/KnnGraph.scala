@@ -79,6 +79,61 @@ object KnnGraph {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
+  /** INCREMENTAL graph maintenance against a FIXED quantizer: `base`
+    * nodes already hold `baseKnn` (their top-k over the base corpus,
+    * built with the SAME centroids/nprobe); `fresh` vectors arrive.
+    * New work is proportional to the fresh batch, not the corpus:
+    *  - fresh nodes probe the full (base ∪ fresh) index — one list-id
+    *    equi-join whose probe side is the fresh batch;
+    *  - base nodes can only GAIN candidates from fresh vectors (their
+    *    base candidates are already folded into baseKnn), so the only
+    *    base-side work is base-probes ⋈ fresh-index;
+    *  - the merge is top-k(top-k(base) ∪ new-candidates) ≡
+    *    top-k(all candidates) — the standard bounded-heap merge
+    *    identity, which is what makes the result EQUAL to a full
+    *    rebuild over base ∪ fresh (spec-asserted).
+    * The fixed quantizer is the production contract (the IVF index
+    * artifact); retrain-then-rebuild is a separate, rarer event.
+    */
+  def appendWithCentroids(
+      baseKnn: DataFrame, base: DataFrame, fresh: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cs: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cs.length, s"nprobe $nprobe out of range")
+    def prep(df: DataFrame): DataFrame = df.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        Similarity.l2Norm(col(vecCol)).as("norm"),
+        centroidIds(col(vecCol), cs, nprobe).as("probe_lists"))
+      .localCheckpoint()
+    val b = prep(base)
+    val f = prep(fresh)
+    def idx(df: DataFrame) = df.select(col("id").as("neighbor_id"),
+      element_at(col("probe_lists"), 1).as("list_id"))
+    def probe(df: DataFrame) = df.select(col("id").as("query_id"),
+      explode(col("probe_lists")).as("list_id"))
+    val cand = idx(b).unionByName(idx(f)).join(probe(f), Seq("list_id"))
+      .unionByName(idx(f).join(probe(b), Seq("list_id")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val all = b.unionByName(f)
+    val scored = cand
+      .join(all.select(col("id").as("neighbor_id"), col("vec").as("vec_n"),
+        col("norm").as("norm_n")), "neighbor_id")
+      .join(all.select(col("id").as("query_id"), col("vec").as("vec_q"),
+        col("norm").as("norm_q")), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)).as("cosine_sim"))
+    val merged = baseKnn
+      .select(col("query_id"), col("neighbor_id"), col("cosine_sim"))
+      .unionByName(scored)
+    graft.plans.TopKPerGroup(
+      merged, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
   /** Mutual-kNN edges of a built graph: (a, b) survives iff a→b AND
     * b→a are both kNN edges — the standard sparsification before
     * community/cluster rollups (mutual edges are the high-precision

@@ -635,6 +635,39 @@ object GraphLearnQueries {
           |ORDER BY a, b""".stripMargin),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL kNN-graph maintenance: the quantizer trains on the
+    // BASE corpus only (the production contract — the index artifact
+    // outlives the batch), yesterday's graph is built over base, then
+    // the fresh batch (vec_id % 10 = 0) arrives: fresh nodes probe the
+    // full index, base nodes only rescore against fresh candidates,
+    // and the bounded-heap merge top-k(top-k(base) ∪ new) makes the
+    // result EQUAL to a full rebuild — which is exactly what the
+    // oracle computes (routing replay over the whole corpus with
+    // training restricted to base). Per-batch work is proportional to
+    // the batch, not the corpus.
+    "knn_graph_append" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val fresh = emb.filter(col("vec_id") % 10 === 0)
+        val cs = graft.operators.IvfIndex.trainCentroids(
+          base, "vec_id", "embedding", nlist = 16,
+          sampleSize = 10000, iters = 5, seed = 42L)
+          .map(_.toIndexedSeq).toIndexedSeq
+        val baseKnn = graft.operators.KnnGraph.buildWithCentroids(
+          base, "vec_id", "embedding", k = 5, cs, nprobe = 8)
+        graft.operators.KnnGraph.appendWithCentroids(
+          baseKnn, base, fresh, "vec_id", "embedding", k = 5, cs, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE",
+        trainFilter = "vec_id % 10 <> 0") +
+        "\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // ------------------------------------------------------------------
     // kNN-graph recall evaluation: the indexed graph above measured
     // against its in-query brute-force twin (the dedup_lsh_eval
     // pattern — production operator + exact truth in one plan).

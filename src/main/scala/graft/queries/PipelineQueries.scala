@@ -654,7 +654,8 @@ object PipelineQueries {
     */
   private[queries] def trainedIvfRankedCtes(
       dim: Int, nlist: Int, nprobe: Int,
-      sampleSize: Int, iters: Int, seed: Long, probeFilter: String): String = {
+      sampleSize: Int, iters: Int, seed: Long, probeFilter: String,
+      trainFilter: String = "TRUE"): String = {
     val offset = graft.operators.IvfIndex.QuantOffset
     def distW(a: String, b: String) =
       s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
@@ -668,6 +669,7 @@ object PipelineQueries {
       |    SELECT vec_id,
       |      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + $offset) AS wq
       |    FROM embeddings
+      |    WHERE $trainFilter
       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
       |    LIMIT $sampleSize))""".stripMargin
     ctes += s"""cents0 AS MATERIALIZED (

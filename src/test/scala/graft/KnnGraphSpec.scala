@@ -43,6 +43,26 @@ class KnnGraphSpec extends SparkSuite {
     assert(g == expect)
   }
 
+  test("appendWithCentroids equals a full rebuild (fixed quantizer)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val base = emb.filter(col("vec_id") % 10 =!= 0)
+    val fresh = emb.filter(col("vec_id") % 10 === 0)
+    val cs = graft.operators.IvfIndex.trainCentroids(
+      base, "vec_id", "embedding", nlist = 16,
+      sampleSize = 10000, iters = 5, seed = 42L)
+      .map(_.toIndexedSeq).toIndexedSeq
+    val baseKnn = KnnGraph.buildWithCentroids(
+      base, "vec_id", "embedding", k = 5, cs, nprobe = 8)
+    val inc = KnnGraph.appendWithCentroids(
+      baseKnn, base, fresh, "vec_id", "embedding", k = 5, cs, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val full = KnnGraph.buildWithCentroids(
+      emb, "vec_id", "embedding", k = 5, cs, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(inc == full,
+      "top-k(top-k(base) ∪ fresh candidates) ≡ top-k over the full corpus")
+  }
+
   test("mutualEdges keeps exactly the reciprocated pairs") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
       .toDF("query_id", "neighbor_id")
