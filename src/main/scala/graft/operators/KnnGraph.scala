@@ -134,6 +134,44 @@ object KnnGraph {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
+  /** ONE NN-descent round (Dong, Moses & Li, WWW 2011: "a neighbor of
+    * a neighbor is likely a neighbor"): candidates = the current
+    * edges ∪ the forward 2-hop closure (q→v→w ⇒ try q→w), exact
+    * rescore, re-cut to top-k. The closure is ONE self equi-join on
+    * the k-bounded edge list (≤ N·k² candidate rows before dedup —
+    * never corpus²), so a round costs a fixed multiple of the graph
+    * size; rounds monotonically improve recall (the candidate set
+    * only grows and the heap keeps the best). This is how production
+    * kNN-graph builders close the recall gap the coarse router leaves.
+    */
+  def refine(
+      knn: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val e = knn.select(col("query_id"), col("neighbor_id")).localCheckpoint()
+    val twoHop = e.select(col("query_id"), col("neighbor_id").as("mid"))
+      .join(e.select(col("query_id").as("mid"), col("neighbor_id")), Seq("mid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val cand = e.unionByName(twoHop)
+      .dropDuplicates("query_id", "neighbor_id")
+    val side = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        Similarity.l2Norm(col(vecCol)).as("norm"))
+      .localCheckpoint()
+    val pairs = cand
+      .join(side.select(col("id").as("neighbor_id"), col("vec").as("vec_n"),
+        col("norm").as("norm_n")), "neighbor_id")
+      .join(side.select(col("id").as("query_id"), col("vec").as("vec_q"),
+        col("norm").as("norm_q")), "query_id")
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
   /** Mutual-kNN edges of a built graph: (a, b) survives iff a→b AND
     * b→a are both kNN edges — the standard sparsification before
     * community/cluster rollups (mutual edges are the high-precision
