@@ -196,7 +196,15 @@ object Explain {
     "dedup_span_maximal" ->
       "Anchor extension: the shared span census/blacklist chain (the dedup_span_excise shape) feeds a PER-DOCUMENT gaps-and-islands window (bounded by doc length), token text re-attaches via the (doc, pos) equi-join, one (doc, run)-grain agg reassembles each maximal span.",
     "packing_bfd_eval" ->
-      "Bin packing with the SHARD as the parallelism unit: one corpus scan, one shard-grain agg collecting the two sorted item lists, then both FF and BFD run as array-aggregate folds INSIDE the projection — no per-item shuffles, no window; 16 result rows at any corpus size.")
+      "Bin packing with the SHARD as the parallelism unit: one corpus scan, one shard-grain agg collecting the two sorted item lists, then both FF and BFD run as array-aggregate folds INSIDE the projection — no per-item shuffles, no window; 16 result rows at any corpus size.",
+    "triangle_count_semantic" ->
+      "Degree-ordered triangle counting over the checkpointed oriented edge frame: the apex wedge self-join + left-SEMI closure are the only joins (wedge volume Σ out-deg², bounded by the orientation); the three totals meet in broadcast 1-row cross joins.",
+    "lpa_modularity" ->
+      "Modularity scoring on the converged LPA labels (checkpointed working table): one degree agg + two label equi-joins + one community-grain agg; per-community Q terms are scan-stage doubles — never a SUM over doubles.",
+    "knn_graph_append" ->
+      "Incremental maintenance: fresh probes ⋈ full index + base probes ⋈ FRESH index only (both list-id equi-joins over checkpointed bases), then the bounded-heap merge of yesterday's top-k with the new candidates — per-batch work, full-rebuild result.",
+    "knn_graph_nndescent" ->
+      "NN-descent round: the 2-hop closure is one self equi-join on the k-bounded edge list; rescore re-attaches vectors by id; both recall legs (IVF graph, refined graph) join the brute-force truth on pair ids into a 1-row agg.")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
