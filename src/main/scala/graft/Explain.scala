@@ -204,7 +204,9 @@ object Explain {
     "knn_graph_append" ->
       "Incremental maintenance: fresh probes ⋈ full index + base probes ⋈ FRESH index only (both list-id equi-joins over checkpointed bases), then the bounded-heap merge of yesterday's top-k with the new candidates — per-batch work, full-rebuild result.",
     "knn_graph_nndescent" ->
-      "NN-descent round: the 2-hop closure is one self equi-join on the k-bounded edge list; rescore re-attaches vectors by id; both recall legs (IVF graph, refined graph) join the brute-force truth on pair ids into a 1-row agg.")
+      "NN-descent round: the 2-hop closure is one self equi-join on the k-bounded edge list; rescore re-attaches vectors by id; both recall legs (IVF graph, refined graph) join the brute-force truth on pair ids into a 1-row agg.",
+    "knn_graph_pq" ->
+      "Memory-bounded graph build: the list-id candidate equi-join carries M-byte PQ codes and per-node ADC tables (no raw vectors); integer ADC + bounded-heap shortlist, then vectors re-attach for ≤ N·shortK rows only and exact cosine re-cuts to k.")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds

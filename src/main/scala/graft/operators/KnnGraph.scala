@@ -134,6 +134,60 @@ object KnnGraph {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
+  /** Memory-bounded graph construction — the IVFADC composition
+    * applied corpus-wide: candidates come from the same list-id
+    * equi-join as [[buildWithCentroids]], but scoring is TWO-stage —
+    * integer ADC over M-byte PQ codes cuts each node's candidates to
+    * a `shortK` shortlist (per-pair cost M table lookups; the
+    * candidate join moves codes + the per-node M×ksub ADC table, not
+    * raw vectors), then full vectors re-attach for shortlist rows
+    * only (≤ N·shortK — the skinny-shuffle rule) and exact cosine
+    * picks the final k. At production dims the corpus-side memory is
+    * M bytes/vector instead of 4·dim — the difference between a
+    * graph build that fits executor memory at 100 TB and one that
+    * doesn't. Probe-side ADC tables are join-distributed (every node
+    * is a probe — nothing broadcasts), unlike the small-probe-set
+    * `PqIndex.ivfAdcTopK`.
+    */
+  def buildIvfPq(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int, shortK: Int,
+      coarse: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Long]]],
+      nprobe: Int): DataFrame = {
+    import graft.functions.exprs.{adcDistance, pqAdcTable, pqCodes}
+    require(shortK >= k, s"shortK $shortK must be ≥ k $k")
+    val ksub = codebooks.head.length
+    val base = corpus.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        Similarity.l2Norm(col(vecCol)).as("norm"),
+        centroidIds(col(vecCol), coarse, nprobe).as("probe_lists"),
+        pqCodes(col(vecCol), codebooks).as("codes"),
+        pqAdcTable(col(vecCol), codebooks).as("tbl"))
+      .localCheckpoint()
+    val idx = base.select(col("id").as("neighbor_id"),
+      element_at(col("probe_lists"), 1).as("list_id"), col("codes"))
+    val probe = base.select(col("id").as("query_id"),
+      explode(col("probe_lists")).as("list_id"), col("tbl"))
+    val shortlist = graft.plans.TopKPerGroup(
+      idx.join(probe, Seq("list_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("adc_dist", adcDistance(col("codes"), col("tbl"), ksub)),
+      Seq("query_id"), Seq(("adc_dist", false), ("neighbor_id", false)), shortK)
+      .select(col("query_id"), col("neighbor_id"))
+    val rescored = shortlist
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("vec_n"),
+        col("norm").as("norm_n")), "neighbor_id")
+      .join(base.select(col("id").as("query_id"), col("vec").as("vec_q"),
+        col("norm").as("norm_q")), "query_id")
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      rescored, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** ONE NN-descent round (Dong, Moses & Li, WWW 2011: "a neighbor of
     * a neighbor is likely a neighbor"): candidates = the current
     * edges ∪ the forward 2-hop closure (q→v→w ⇒ try q→w), exact

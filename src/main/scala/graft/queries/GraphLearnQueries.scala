@@ -714,6 +714,33 @@ object GraphLearnQueries {
           |  ON k.query_id = b.query_id AND k.neighbor_id = b.neighbor_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Memory-bounded kNN-graph construction — the IVFADC composition
+    // corpus-wide (KnnGraph.buildIvfPq): the same list-id candidate
+    // equi-join, but scored in the COMPRESSED domain (integer ADC
+    // over M-byte PQ codes, per-pair cost M lookups) to a shortK=10
+    // shortlist per node; full vectors re-attach for shortlist rows
+    // only (≤ N·shortK) and exact cosine picks the final 5. At
+    // production dims the corpus-side memory is M bytes/vector — the
+    // graph build that fits executor memory at 100 TB. Seeded coarse
+    // quantizer + seeded codebooks (the pre-trained index-artifact
+    // contract, ann_ivfadc seeds), so the oracle inlines both as
+    // literals and replays routing, encode, ADC, and rerank exactly.
+    "knn_graph_pq" -> QueryDef(
+      (s, dir) =>
+        graft.operators.KnnGraph.buildIvfPq(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          k = 5, shortK = 10,
+          coarse = graft.operators.IvfIndex.seededCentroids(
+            dim = 64, nlist = 16, seed = 11L),
+          codebooks = graft.operators.PqIndex.seededCodebooks(
+            dim = 64, m = 8, ksub = 8, seed = 7L),
+          nprobe = 8)
+          .orderBy(col("query_id"), col("rank")),
+      PipelineQueries.ivfPqGraphOracleSql(
+        dim = 64, nlist = 16, m = 8, ksub = 8, nprobe = 8,
+        coarseSeed = 11L, pqSeed = 7L, shortK = 10, k = 5)),
+
+    // ------------------------------------------------------------------
     // ONE NN-descent round over the IVF-seeded kNN graph (Dong et al.
     // 2011): candidates grow by the forward 2-hop closure (one self
     // equi-join on the k-bounded edge list, ≤ N·k² rows — never

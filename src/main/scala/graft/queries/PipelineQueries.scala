@@ -451,6 +451,96 @@ object PipelineQueries {
        |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
        |  FROM adc)""".stripMargin
 
+  /** DuckDB twin of [[graft.operators.KnnGraph.buildIvfPq]]: seeded
+    * coarse routing (every node probes) + seeded-codebook encode +
+    * integer ADC shortlist per node + exact cosine rerank — the
+    * memory-bounded corpus-wide graph build. CTEs that feed multiple
+    * consumers are MATERIALIZED (the CTE-inlining lesson).
+    */
+  private[queries] def ivfPqGraphOracleSql(
+      dim: Int, nlist: Int, m: Int, ksub: Int, nprobe: Int,
+      coarseSeed: Long, pqSeed: Long, shortK: Int, k: Int): String = {
+    val cs = IvfIndex.seededCentroids(dim, nlist, coarseSeed)
+    val halfNorms = cs.map(c => c.map(x => x * x).sum / 2.0)
+    def scoreExpr(ci: Int): String =
+      "(" + (0 until dim).map(i =>
+        s"CAST(embedding[${i + 1}] AS DOUBLE)*${cs(ci)(i)}").mkString(" + ") +
+        s") - ${halfNorms(ci)}"
+    val scoreList = (0 until nlist).map(scoreExpr).mkString(",\n      ")
+    val cbs = graft.operators.PqIndex.seededCodebooks(dim, m, ksub, pqSeed)
+    val rows = (for (mi <- 0 until m; j <- 0 until ksub) yield
+      s"($mi, $j, [${cbs(mi)(j).mkString(", ")}])").mkString(",\n  ")
+    val ds = dim / m
+    val selfDot = (0 until dim)
+      .map(i => s"CAST(embedding[${i + 1}] AS DOUBLE)*CAST(embedding[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    val pairDot = (0 until dim)
+      .map(i => s"CAST(e_n[${i + 1}] AS DOUBLE)*CAST(e_q[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH cb(m, j, cw) AS (VALUES
+       |  $rows),
+       |scored AS MATERIALIZED (
+       |  SELECT vec_id, cid, r FROM (
+       |    SELECT vec_id, cid,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS r
+       |    FROM (
+       |      SELECT vec_id, unnest(range(0, $nlist)) AS cid,
+       |        unnest([
+       |      $scoreList]) AS s
+       |      FROM embeddings))),
+       |wqe AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
+       |  FROM embeddings),
+       |dists AS MATERIALIZED (
+       |  SELECT q.vec_id, c.m, c.j,
+       |    CAST(list_sum(list_transform(
+       |      list_zip(q.w[c.m*$ds+1 : c.m*$ds+$ds], c.cw),
+       |      p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS d
+       |  FROM wqe q CROSS JOIN cb c),
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, m, j AS code FROM (
+       |    SELECT vec_id, m, j,
+       |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS r
+       |    FROM dists) WHERE r = 1),
+       |pairs0 AS (
+       |  SELECT p.vec_id AS query_id, n.vec_id AS neighbor_id
+       |  FROM scored n JOIN scored p ON n.cid = p.cid
+       |  WHERE n.r = 1 AND p.r <= $nprobe AND n.vec_id <> p.vec_id),
+       |adc AS MATERIALIZED (
+       |  SELECT pr.query_id, pr.neighbor_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
+       |  FROM pairs0 pr
+       |  JOIN codes n ON n.vec_id = pr.neighbor_id
+       |  JOIN dists d ON d.vec_id = pr.query_id AND d.m = n.m AND d.j = n.code
+       |  GROUP BY 1, 2),
+       |short AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_dist, neighbor_id) AS rk
+       |    FROM adc) t WHERE rk <= $shortK),
+       |nrm AS (SELECT vec_id, sqrt($selfDot) AS n FROM embeddings),
+       |rescored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n)
+       |         ELSE 0.0 END AS sim
+       |  FROM short s
+       |  JOIN (SELECT vec_id, embedding AS e_n FROM embeddings) en
+       |    ON en.vec_id = s.neighbor_id
+       |  JOIN (SELECT vec_id, embedding AS e_q FROM embeddings) eq
+       |    ON eq.vec_id = s.query_id
+       |  JOIN nrm nn ON nn.vec_id = s.neighbor_id
+       |  JOIN nrm nq ON nq.vec_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored)
+       |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of TRAINED PQ: per-subspace exact-integer k-means
     * over the shared hash-ordered sample (the trainedIvfOracleSql
     * recipe, one CTE chain per subspace with seed+m), codebooks

@@ -43,6 +43,22 @@ class KnnGraphSpec extends SparkSuite {
     assert(g == expect)
   }
 
+  test("buildIvfPq with full probing and exhaustive shortlist equals brute force") {
+    // shortK ≥ corpus: the ADC stage cannot lose a candidate, so the
+    // exact rerank must reproduce the brute-force graph
+    val g = KnnGraph.buildIvfPq(
+      clustered, "vec_id", "embedding", k = 2, shortK = 6,
+      coarse = centers,
+      codebooks = graft.operators.PqIndex.seededCodebooks(
+        dim = 2, m = 2, ksub = 4, seed = 7L),
+      nprobe = 2)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val bf = Similarity.bruteForceTopK(
+      clustered, clustered, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(g == bf)
+  }
+
   test("appendWithCentroids equals a full rebuild (fixed quantizer)") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val base = emb.filter(col("vec_id") % 10 =!= 0)
