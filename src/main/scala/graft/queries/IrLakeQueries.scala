@@ -18,7 +18,112 @@ object IrLakeQueries {
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 
+  /** 1/log₂(i+1) DCG weights and their prefix sums for ranks 1..10,
+    * rendered as shortest-round-trip double literals — the SAME text
+    * lands in the Spark plan and the oracle SQL, so both engines
+    * parse identical bits and the log never runs inside either
+    * engine (the no-log parity law; this is how nDCG becomes
+    * hash-exact when the earlier retrieval evals had to skip it).
+    */
+  private val dcgW: IndexedSeq[Double] =
+    (1 to 10).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+  private val dcgCum: IndexedSeq[Double] =
+    dcgW.scanLeft(0.0)(_ + _).tail
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ------------------------------------------------------------------
+    // nDCG@10 of the exact dense retriever against label relevance
+    // (binary: the probe's class): DCG folds the rank-ordered
+    // rel·w_rank terms left-to-right (the neyman ordered-fold — never
+    // an unordered SUM over doubles), IDCG is the literal prefix-sum
+    // array indexed at min(n_rel, 10), and the weights are
+    // PRECOMPUTED log₂ literals, so no transcendental ever evaluates
+    // in-engine. The ranking-quality metric the retrieval stack was
+    // previously missing under the parity law.
+    "ndcg_dense_eval" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ret = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val lab = emb.select(col("vec_id"), col("label"))
+        val wArr = array(dcgW.map(w => lit(w)): _*)
+        val cumArr = array(dcgCum.map(w => lit(w)): _*)
+        val terms = ret
+          .join(broadcast(lab.select(col("vec_id").as("query_id"),
+            col("label").as("lq"))), "query_id")
+          .join(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("ln")), "neighbor_id")
+          .select(col("query_id"), col("rank"),
+            (when(col("lq") === col("ln"), 1.0).otherwise(0.0) *
+              element_at(wArr, col("rank"))).as("term"))
+        val dcg = terms
+          .groupBy(col("query_id"))
+          .agg(sort_array(collect_list(struct(col("rank"), col("term"))))
+            .as("ts"))
+          .select(col("query_id"),
+            aggregate(transform(col("ts"), t => t.getField("term")),
+              lit(0.0), (a, x) => a + x).as("dcg"))
+        val nrel = lab.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("label").as("lq"))
+          .join(lab.select(col("vec_id").as("d"), col("label").as("ld")),
+            col("lq") === col("ld") && col("query_id") =!= col("d"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_rel"))
+        dcg.join(nrel, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("dcg"))
+          .withColumn("idcg",
+            when(col("n_rel") > 0,
+              element_at(cumArr, least(col("n_rel"), lit(10L)).cast("int")))
+              .otherwise(lit(0.0)))
+          .withColumn("ndcg",
+            when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(lit(0.0)))
+          .orderBy(col("query_id"))
+      }, {
+        // element-wise CAST('…' AS DOUBLE): the VARCHAR→DOUBLE strtod
+        // path parses the shortest-round-trip literal to the exact JVM
+        // bits — a bare numeric list literal would land in
+        // DECIMAL(17,16) first and round 17-significant-digit weights
+        val wList = dcgW.map(w => s"CAST('$w' AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        val cumList = dcgCum.map(w => s"CAST('$w' AS DOUBLE)")
+          .mkString("[", ", ", "]")
+        s"""WITH pairs AS (
+           |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, p.label AS lq, c.label AS ln,
+           |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+           |  FROM embeddings c, embeddings p
+           |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+           |ret AS (
+           |  SELECT query_id, lq, ln, rank FROM (
+           |    SELECT query_id, lq, ln,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+           |    FROM pairs) t WHERE rank <= 10),
+           |terms AS (
+           |  SELECT query_id, rank,
+           |    CAST(CASE WHEN lq = ln THEN 1.0 ELSE 0.0 END AS DOUBLE) * ($wList)[rank] AS term
+           |  FROM ret),
+           |dcg AS (
+           |  SELECT query_id,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY rank)), (a, b) -> a + b) AS dcg
+           |  FROM terms GROUP BY 1),
+           |nrel AS (
+           |  SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_rel
+           |  FROM embeddings q JOIN embeddings d
+           |    ON d.label = q.label AND d.vec_id <> q.vec_id
+           |  WHERE q.vec_id < 10 GROUP BY 1)
+           |SELECT dcg.query_id, coalesce(nrel.n_rel, 0) AS n_rel, dcg.dcg,
+           |  CASE WHEN coalesce(nrel.n_rel, 0) > 0
+           |       THEN ($cumList)[CAST(least(nrel.n_rel, 10) AS INT)]
+           |       ELSE CAST(0.0 AS DOUBLE) END AS idcg,
+           |  CASE WHEN coalesce(nrel.n_rel, 0) > 0 AND
+           |            ($cumList)[CAST(least(nrel.n_rel, 10) AS INT)] > 0
+           |       THEN dcg.dcg / ($cumList)[CAST(least(nrel.n_rel, 10) AS INT)]
+           |       ELSE CAST(0.0 AS DOUBLE) END AS ndcg
+           |FROM dcg LEFT JOIN nrel ON nrel.query_id = dcg.query_id
+           |ORDER BY dcg.query_id""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // LAST-TOUCH attribution: every purchase credits the most recent

@@ -78,7 +78,8 @@ class PlanAuditSpec extends SparkSuite {
     "kaplan_meier_repurchase", // dataset horizon + cohort size as broadcast 1-row aggregates
     "knn_graph_recall", // embeds bruteForceTopK's broadcast probe × corpus product (the eval's exact truth twin)
     "knn_graph_nndescent", // same brute-force truth twin as knn_graph_recall (before/after recall legs)
-    "triangle_count_semantic") // the three 1-row totals (edges/wedges/triangles) meet in broadcast cross joins (J9 shape)
+    "triangle_count_semantic", // the three 1-row totals (edges/wedges/triangles) meet in broadcast cross joins (J9 shape)
+    "ndcg_dense_eval") // embeds bruteForceTopK's broadcast probe × corpus product (the exact dense retriever under eval)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
