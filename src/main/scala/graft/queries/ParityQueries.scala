@@ -624,6 +624,52 @@ object ParityQueries {
         |              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
         |  AND NOT EXISTS (SELECT 1 FROM late l3
         |                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
-        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q20 shape (excess-share supplier): the correlated
+    // aggregate-threshold subquery ("suppliers whose shipped quantity
+    // for some part exceeds a threshold derived from that part's own
+    // aggregate") planned Spark-first as two pre-aggregations joined
+    // on the part key — the (part, supplier) grain agg meets the
+    // part-total agg once, no per-supplier re-scan. The threshold is
+    // 2× the part's AVERAGE supplier share (s·n_supp > 2·total —
+    // scale-invariant, unlike a fixed share on data where supplier
+    // fan-out grows with SF), compared in exact integers. Count of
+    // dominated parts per supplier, supplier dim joined at the end.
+    "tpch_q20_dominant_supplier" -> QueryDef(
+      (s, dir) => {
+        val ps = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("s_qty"))
+        val pt = ps
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("s_qty")).as("p_qty"), count(lit(1)).as("n_supp"))
+        ps.join(pt, col("l_partkey") === col("pk"))
+          .filter(col("s_qty") * col("n_supp") > col("p_qty") * 2)
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n_dominated_parts"),
+            sum(col("s_qty")).as("qty_dominated"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("n_dominated_parts"), col("qty_dominated"))
+          .orderBy(col("n_dominated_parts").desc, col("s_suppkey"))
+      },
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s_qty
+        |  FROM lineitem GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT l_partkey, CAST(SUM(s_qty) AS BIGINT) AS p_qty,
+        |    CAST(count(*) AS BIGINT) AS n_supp
+        |  FROM ps GROUP BY 1),
+        |dom AS (
+        |  SELECT ps.l_suppkey, CAST(count(*) AS BIGINT) AS n_dominated_parts,
+        |    CAST(SUM(ps.s_qty) AS BIGINT) AS qty_dominated
+        |  FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+        |  WHERE ps.s_qty * pt.n_supp > pt.p_qty * 2
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, d.n_dominated_parts, d.qty_dominated
+        |FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+        |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin)
   )
 }
