@@ -670,6 +670,164 @@ object ParityQueries {
         |  GROUP BY 1)
         |SELECT s.s_suppkey, s.s_name, d.n_dominated_parts, d.qty_dominated
         |FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
-        |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin)
+        |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q4 shape (order-priority checking): the canonical correlated
+    // EXISTS — count quarter-bounded orders having at least one late
+    // line. The spec's l_commitdate < l_receiptdate becomes
+    // l_shipdate > o_orderdate + 30 days on the driver schema (no
+    // commit/receipt dates; Q21 uses the same adaptation at 60 days).
+    // Spark-first the EXISTS decorrelates into ONE left-semi hash join
+    // on the order key with the lateness residual evaluated on the
+    // joined row — no per-order re-scan of lineitem, and the quarter
+    // range prunes the orders scan before the join.
+    "tpch_q4_order_priority" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+          .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+            col("l_orderkey") === col("o_orderkey") &&
+              col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority")),
+      """SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-07-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q13 shape (customer order-count distribution): the only
+    // canonical OUTER-join-aggregate — customers LEFT JOIN a filtered
+    // orders side (the spec excludes comment-pattern orders; the driver
+    // schema has no comment, so one priority class is excluded), count
+    // per customer with zero-preserved for order-less customers, then a
+    // second aggregate turns counts into a histogram. count(o_orderkey)
+    // skips the outer join's nulls, so the filter lives on the orders
+    // build side (NOT a post-join WHERE, which would turn the outer
+    // join inner). Both aggregates are partial+final; no fact re-scan.
+    "tpch_q13_customer_distribution" -> QueryDef(
+      (s, dir) =>
+        Tables.customer(s, dir)
+          .select(col("c_custkey"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+            .select(col("o_custkey"), col("o_orderkey")),
+            col("o_custkey") === col("c_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc),
+      """WITH c_orders AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o
+        |    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q17 shape (small-quantity-order revenue): the classic
+    // correlated scalar-subquery — lines whose quantity is below 20% of
+    // their part's own average. Decorrelated as the Q20 recipe: ONE
+    // per-part aggregate joined back on the part key. The threshold
+    // compares in exact integers (qty < 0.2·(t/n) ⟺ 5·qty·n < t;
+    // l_quantity is integral) so no double average is ever formed; the
+    // part-type filter prunes BEFORE both the aggregate and the join
+    // (the correlated aggregate restricted to filtered parts is
+    // value-identical to the spec's all-lines average for those parts).
+    // avg_yearly is one decimal-exact sum divided by the literal 7.0 —
+    // a single IEEE division, identical on both engines.
+    "tpch_q17_small_quantity" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir)
+            .filter(col("p_type") === "PROMO")
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("p_brand"),
+            col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+        val pq = li
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("qty")).as("t_qty"), count(lit(1)).as("n_lines"))
+        li.join(pq, col("l_partkey") === col("pk"))
+          .filter(col("qty") * 5 * col("n_lines") < col("t_qty"))
+          .groupBy(col("p_brand"))
+          .agg((decSum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+          .orderBy(col("p_brand"))
+      },
+      """WITH li AS (
+        |  SELECT l.l_partkey, p.p_brand, CAST(l.l_quantity AS BIGINT) AS qty,
+        |         l.l_extendedprice
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_type = 'PROMO'),
+        |pq AS (
+        |  SELECT l_partkey AS pk, CAST(SUM(qty) AS BIGINT) AS t_qty,
+        |         CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM li GROUP BY 1)
+        |SELECT li.p_brand,
+        |  CAST(SUM(CAST(li.l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  CAST(count(*) AS BIGINT) AS n_small
+        |FROM li JOIN pq ON pq.pk = li.l_partkey
+        |WHERE li.qty * 5 * pq.n_lines < pq.t_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q22 shape (global sales opportunity): substring bucketing +
+    // global-average threshold + NOT EXISTS. The "country code" is the
+    // last digit of the zero-padded customer name (the driver schema
+    // has no phone); the threshold is the average positive balance over
+    // the selected codes (one decimal-exact sum ÷ a count — a single
+    // IEEE division, identical both engines) crossed in as a 1-row
+    // broadcast (the J9 shape); the NOT EXISTS — "never placed an
+    // URGENT order" on the comment-less schema — is ONE left-anti hash
+    // join against the priority-pruned orders scan. No correlated
+    // re-scan anywhere.
+    "tpch_q22_global_sales" -> QueryDef(
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .select(col("c_custkey"),
+            substring(col("c_name"), 18, 1).as("cntrycode"), col("c_acctbal"))
+          .filter(col("cntrycode").isin("1", "3", "5", "7", "9"))
+        val avgRow = cust
+          .filter(col("c_acctbal") > 0)
+          .agg((decSum(col("c_acctbal")) /
+            count(lit(1)).cast("double")).as("avg_pos"))
+        cust
+          .crossJoin(broadcast(avgRow))
+          .filter(col("c_acctbal") > col("avg_pos"))
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") === "1-URGENT")
+            .select(col("o_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .groupBy(col("cntrycode"))
+          .agg(count(lit(1)).as("numcust"),
+            decSum(col("c_acctbal")).as("totacctbal"))
+          .orderBy(col("cntrycode"))
+      },
+      """WITH cust AS (
+        |  SELECT c_custkey, substring(c_name, 18, 1) AS cntrycode, c_acctbal
+        |  FROM customer WHERE substring(c_name, 18, 1) IN ('1','3','5','7','9')),
+        |avgbal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS avg_pos
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(20,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, avgbal
+        |WHERE c_acctbal > avg_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = cust.c_custkey
+        |                    AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
