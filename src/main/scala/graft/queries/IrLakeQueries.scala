@@ -126,6 +126,147 @@ object IrLakeQueries {
       }),
 
     // ------------------------------------------------------------------
+    // MRR@10 of the same dense retriever over the same probe set as
+    // ndcg_dense_eval (the three ranking metrics are directly
+    // comparable). Reciprocal rank is ONE IEEE division 1.0/min(rank)
+    // — exact-integer min, single correctly-rounded op, no fold needed
+    // at all; queries with no relevant in the top-10 score 0.0 with a
+    // sentinel rank of 0 (output columns must be non-null).
+    "mrr_dense_eval" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ret = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val lab = emb.select(col("vec_id"), col("label"))
+        val firstRel = ret
+          .join(broadcast(lab.select(col("vec_id").as("query_id"),
+            col("label").as("lq"))), "query_id")
+          .join(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("ln")), "neighbor_id")
+          .filter(col("lq") === col("ln"))
+          .groupBy(col("query_id"))
+          .agg(min(col("rank")).cast("long").as("fr"))
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"))
+          .join(firstRel, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("fr"), lit(0L)).as("first_rel_rank"),
+            when(col("fr").isNotNull,
+              lit(1.0) / col("fr").cast("double")).otherwise(lit(0.0)).as("rr"))
+          .orderBy(col("query_id"))
+      },
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, p.label AS lq, c.label AS ln,
+        |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+        |ret AS (
+        |  SELECT query_id, lq, ln, rank FROM (
+        |    SELECT query_id, lq, ln,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM pairs) t WHERE rank <= 10),
+        |firstrel AS (
+        |  SELECT query_id, CAST(min(rank) AS BIGINT) AS fr
+        |  FROM ret WHERE lq = ln GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        |  COALESCE(f.fr, CAST(0 AS BIGINT)) AS first_rel_rank,
+        |  CASE WHEN f.fr IS NOT NULL
+        |       THEN CAST(1.0 AS DOUBLE) / CAST(f.fr AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS rr
+        |FROM embeddings q LEFT JOIN firstrel f ON f.query_id = q.vec_id
+        |WHERE q.vec_id < 10 ORDER BY q.vec_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // MAP@10 over the same probe set: average precision folds the
+    // rank-ordered rel·(cum_rel/rank) terms left-to-right (each term is
+    // an exact-integer cumulative count through ONE IEEE division; the
+    // fold is the ndcg/neyman ordered-sum law — never an unordered SUM
+    // over doubles), normalized by min(n_rel, 10) in a final single
+    // division. Completes the nDCG/MRR/MAP comparable-metric trio.
+    "map_dense_eval" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ret = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val lab = emb.select(col("vec_id"), col("label"))
+        val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val terms = ret
+          .join(broadcast(lab.select(col("vec_id").as("query_id"),
+            col("label").as("lq"))), "query_id")
+          .join(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("ln")), "neighbor_id")
+          .select(col("query_id"), col("rank"),
+            when(col("lq") === col("ln"), 1L).otherwise(0L).as("rel"))
+          .withColumn("cum", sum(col("rel")).over(w))
+          .select(col("query_id"), col("rank"),
+            when(col("rel") === 1L,
+              col("cum").cast("double") / col("rank").cast("double"))
+              .otherwise(lit(0.0)).as("term"))
+        val apSum = terms
+          .groupBy(col("query_id"))
+          .agg(sort_array(collect_list(struct(col("rank"), col("term"))))
+            .as("ts"))
+          .select(col("query_id"),
+            aggregate(transform(col("ts"), t => t.getField("term")),
+              lit(0.0), (a, x) => a + x).as("ap_sum"))
+        val nrel = lab.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("label").as("lq"))
+          .join(lab.select(col("vec_id").as("d"), col("label").as("ld")),
+            col("lq") === col("ld") && col("query_id") =!= col("d"))
+          .groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_rel"))
+        apSum.join(nrel, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_rel"), lit(0L)).as("n_rel"), col("ap_sum"))
+          .withColumn("ap",
+            when(col("n_rel") > 0,
+              col("ap_sum") /
+                least(col("n_rel"), lit(10L)).cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy(col("query_id"))
+      },
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, p.label AS lq, c.label AS ln,
+        |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+        |ret AS (
+        |  SELECT query_id, lq, ln, rank FROM (
+        |    SELECT query_id, lq, ln,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM pairs) t WHERE rank <= 10),
+        |cums AS (
+        |  SELECT query_id, rank,
+        |    CASE WHEN lq = ln THEN 1 ELSE 0 END AS rel,
+        |    SUM(CASE WHEN lq = ln THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY query_id ORDER BY rank) AS cum
+        |  FROM ret),
+        |terms AS (
+        |  SELECT query_id, rank,
+        |    CASE WHEN rel = 1
+        |         THEN CAST(cum AS DOUBLE) / CAST(rank AS DOUBLE)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS term
+        |  FROM cums),
+        |apsum AS (
+        |  SELECT query_id,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY rank)), (a, b) -> a + b) AS ap_sum
+        |  FROM terms GROUP BY 1),
+        |nrel AS (
+        |  SELECT q.vec_id AS query_id, CAST(count(*) AS BIGINT) AS n_rel
+        |  FROM embeddings q JOIN embeddings d
+        |    ON d.label = q.label AND d.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10 GROUP BY 1)
+        |SELECT a.query_id, COALESCE(n.n_rel, CAST(0 AS BIGINT)) AS n_rel, a.ap_sum,
+        |  CASE WHEN COALESCE(n.n_rel, 0) > 0
+        |       THEN a.ap_sum / CAST(least(n.n_rel, 10) AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS ap
+        |FROM apsum a LEFT JOIN nrel n ON n.query_id = a.query_id
+        |ORDER BY a.query_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // LAST-TOUCH attribution: every purchase credits the most recent
     // click/view by the same user within 24 h, via ONE carry-forward
     // window (max of a (ts, event_id, channel) struct over the
