@@ -65,6 +65,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
+  /** Exact cosine top-k when the probe side is TOO BIG to broadcast
+    * (corpus-wide truth twins: every node is a probe —
+    * [[bruteForceTopK]] would broadcast the whole corpus and OOM long
+    * before the indexed paths stop scaling). The all-pairs product is
+    * BLOCKED like a distributed matrix multiply: corpus rows hash into
+    * `corpusBlocks` groups and replicate `probeBlocks`× (probes
+    * symmetrically), the equi-join on the (corpus-block, probe-block)
+    * pair gives corpusBlocks×probeBlocks independent tasks, and
+    * per-task memory is one block of each side — shuffle volume is
+    * N·probeBlocks + P·corpusBlocks rows instead of an N-row
+    * broadcast per executor. Still O(N·P) compute (it IS the exact
+    * truth); the bounded-heap cut ships ≤ corpusBlocks·k rows per
+    * query to the final merge. Same output and tie-break as
+    * [[bruteForceTopK]].
+    */
+  def bruteForceTopKBlocked(
+      corpus: DataFrame, probes: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      corpusBlocks: Int = 8, probeBlocks: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cBlk = broadcast(
+      spark.range(corpusBlocks).select(col("id").cast("int").as("blk_c")))
+    val pBlk = broadcast(
+      spark.range(probeBlocks).select(col("id").cast("int").as("blk_p")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("vec_n"),
+        l2Norm(col(vecCol)).as("norm_n"),
+        pmod(hash(col(idCol)), lit(corpusBlocks)).as("blk_c"))
+      .crossJoin(pBlk)
+    val p = probes.select(col(idCol).as("query_id"), col(vecCol).as("vec_q"),
+        l2Norm(col(vecCol)).as("norm_q"),
+        pmod(hash(col(idCol)), lit(probeBlocks)).as("blk_p"))
+      .crossJoin(cBlk)
+    val pairs = c.join(p, Seq("blk_c", "blk_p"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
   /** Bucket ids (one per table): deterministic Gaussian hyperplanes
     * generated inside [[graft.functions.HyperplaneBuckets]] — one
     * expression node; a Column-level formulation builds a

@@ -671,8 +671,12 @@ object GraphLearnQueries {
     // kNN-graph recall evaluation: the indexed graph above measured
     // against its in-query brute-force twin (the dedup_lsh_eval
     // pattern — production operator + exact truth in one plan).
-    // n_true is N·k by construction; recall is one integer→double
-    // division, engine-identical.
+    // Every node is a probe, so the truth side is the BLOCKED
+    // brute force (bruteForceTopKBlocked — nothing corpus-sized
+    // broadcasts; still O(N²) compute, which is what "exact truth"
+    // costs and why it lives only inside evals). n_true is N·k by
+    // construction; recall is one integer→double division,
+    // engine-identical.
     "knn_graph_recall" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -680,7 +684,7 @@ object GraphLearnQueries {
           emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
           .select(col("query_id").as("kq"), col("neighbor_id").as("kn"),
             lit(1).as("hit"))
-        val truth = graft.operators.Similarity.bruteForceTopK(
+        val truth = graft.operators.Similarity.bruteForceTopKBlocked(
           emb, emb, "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
         truth
@@ -712,6 +716,123 @@ object GraphLearnQueries {
           |  CAST(count(k.query_id) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall
           |FROM bf b LEFT JOIN knn k
           |  ON k.query_id = b.query_id AND k.neighbor_id = b.neighbor_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Quantizer RETRAIN + graph remap — the "rare event" the
+    // fixed-quantizer append contract defers (SCALE.md §kNN): retrain
+    // the coarse centroids on base ∪ fresh (same exact-integer
+    // k-means, same seed), rebuild the graph, and QUANTIFY what the
+    // retrain buys before committing to it — per-edge neighbor churn
+    // vs the append-composed graph, and the recall delta of both
+    // against the blocked brute-force truth. This is the drift report
+    // a production index owner reads to decide whether the remap
+    // shuffle is worth it. The oracle composes TWO full routing
+    // replays (base-trained and retrained — prefix-renamed CTEs of
+    // the proven trainedIvfRankedCtes recipe, relying on the
+    // spec-proven append ≡ rebuild merge identity) plus the
+    // brute-force twin; every ratio is a single IEEE division and
+    // the delta subtracts the two divisions in identical textual
+    // order.
+    "knn_graph_retrain_drift" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = emb.filter(col("vec_id") % 10 =!= 0)
+        val fresh = emb.filter(col("vec_id") % 10 === 0)
+        val csOld = graft.operators.IvfIndex.trainCentroids(
+          base, "vec_id", "embedding", nlist = 16,
+          sampleSize = 10000, iters = 5, seed = 42L)
+          .map(_.toIndexedSeq).toIndexedSeq
+        val gOld = graft.operators.KnnGraph.appendWithCentroids(
+          graft.operators.KnnGraph.buildWithCentroids(
+            base, "vec_id", "embedding", k = 5, csOld, nprobe = 8),
+          base, fresh, "vec_id", "embedding", k = 5, csOld, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint() // feeds edge count, churn join, recall join
+        val csNew = graft.operators.IvfIndex.trainCentroids(
+          emb, "vec_id", "embedding", nlist = 16,
+          sampleSize = 10000, iters = 5, seed = 42L)
+          .map(_.toIndexedSeq).toIndexedSeq
+        val gNew = graft.operators.KnnGraph.buildWithCentroids(
+          emb, "vec_id", "embedding", k = 5, csNew, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"))
+          .localCheckpoint() // feeds churn join + recall join
+        val churn = gNew
+          .join(gOld.withColumn("in_old", lit(1)),
+            Seq("query_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("edges_retrain"),
+            count(col("in_old")).as("edges_common"))
+        val edgesA = gOld.agg(count(lit(1)).as("edges_append"))
+        val truth = graft.operators.Similarity.bruteForceTopKBlocked(
+          emb, emb, "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        val rec = truth
+          .join(gOld.select(col("query_id").as("aq"),
+            col("neighbor_id").as("an"), lit(1).as("ha")),
+            col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+            "left")
+          .join(gNew.select(col("query_id").as("bq"),
+            col("neighbor_id").as("bn"), lit(1).as("hb")),
+            col("query_id") === col("bq") && col("neighbor_id") === col("bn"),
+            "left")
+          .agg(count(lit(1)).as("n_true"),
+            count(col("ha")).as("n_hit_append"),
+            count(col("hb")).as("n_hit_retrain"))
+        churn.crossJoin(edgesA).crossJoin(rec)
+          .select(
+            col("edges_append"), col("edges_retrain"), col("edges_common"),
+            (lit(1.0) - col("edges_common").cast("double") /
+              col("edges_retrain").cast("double")).as("churn"),
+            col("n_true"), col("n_hit_append"), col("n_hit_retrain"),
+            (col("n_hit_append").cast("double") /
+              col("n_true").cast("double")).as("recall_append"),
+            (col("n_hit_retrain").cast("double") /
+              col("n_true").cast("double")).as("recall_retrain"),
+            (col("n_hit_retrain").cast("double") / col("n_true").cast("double") -
+              col("n_hit_append").cast("double") / col("n_true").cast("double"))
+              .as("recall_delta"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE",
+        trainFilter = "vec_id % 10 <> 0") + ",\n" +
+        PipelineQueries.trainedIvfRankedCtes(
+          dim = 64, nlist = 16, nprobe = 8,
+          sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE",
+          trainFilter = "TRUE", prefix = "rt").stripPrefix("WITH ") +
+        """,
+          |ga AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |gb AS MATERIALIZED (SELECT query_id, neighbor_id FROM rtranked WHERE rank <= 5),
+          |bfp AS (
+          |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+          |  FROM embeddings c, embeddings p
+          |  WHERE c.vec_id <> p.vec_id),
+          |bf AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |    SELECT query_id, neighbor_id,
+          |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+          |    FROM bfp) t WHERE rk <= 5),
+          |em AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS edges_retrain,
+          |    CAST(count(o.query_id) AS BIGINT) AS edges_common
+          |  FROM gb LEFT JOIN ga o
+          |    ON o.query_id = gb.query_id AND o.neighbor_id = gb.neighbor_id),
+          |ea AS (SELECT CAST(count(*) AS BIGINT) AS edges_append FROM ga),
+          |rc AS (
+          |  SELECT CAST(count(*) AS BIGINT) AS n_true,
+          |    CAST(count(k1.query_id) AS BIGINT) AS n_hit_append,
+          |    CAST(count(k2.query_id) AS BIGINT) AS n_hit_retrain
+          |  FROM bf b
+          |  LEFT JOIN ga k1 ON k1.query_id = b.query_id AND k1.neighbor_id = b.neighbor_id
+          |  LEFT JOIN gb k2 ON k2.query_id = b.query_id AND k2.neighbor_id = b.neighbor_id)
+          |SELECT ea.edges_append, em.edges_retrain, em.edges_common,
+          |  CAST(1.0 AS DOUBLE) - CAST(em.edges_common AS DOUBLE) / CAST(em.edges_retrain AS DOUBLE) AS churn,
+          |  rc.n_true, rc.n_hit_append, rc.n_hit_retrain,
+          |  CAST(rc.n_hit_append AS DOUBLE) / CAST(rc.n_true AS DOUBLE) AS recall_append,
+          |  CAST(rc.n_hit_retrain AS DOUBLE) / CAST(rc.n_true AS DOUBLE) AS recall_retrain,
+          |  CAST(rc.n_hit_retrain AS DOUBLE) / CAST(rc.n_true AS DOUBLE) -
+          |    CAST(rc.n_hit_append AS DOUBLE) / CAST(rc.n_true AS DOUBLE) AS recall_delta
+          |FROM em CROSS JOIN ea CROSS JOIN rc""".stripMargin),
 
     // ------------------------------------------------------------------
     // Memory-bounded kNN-graph construction — the IVFADC composition
@@ -758,7 +879,7 @@ object GraphLearnQueries {
           .localCheckpoint()
         val refined = graft.operators.KnnGraph.refine(
           knn, emb, "vec_id", "embedding", k = 5)
-        val truth = graft.operators.Similarity.bruteForceTopK(
+        val truth = graft.operators.Similarity.bruteForceTopKBlocked(
           emb, emb, "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
         truth

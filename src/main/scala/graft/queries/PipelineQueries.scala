@@ -742,10 +742,27 @@ object PipelineQueries {
     * node probes), whose tails differ (top-k cut, mutual self-join,
     * recall meet vs brute force).
     */
+  /** `prefix` renames every generated CTE (smp, centsN, lqN, asgN,
+    * updN, cent, scored, nrm, pairs, rescored, ranked) so TWO
+    * independently-parameterized routings can live in ONE oracle
+    * (knn_graph_retrain_drift composes a base-trained and a
+    * retrained replay); the base `embeddings` table reference is
+    * deliberately left shared.
+    */
   private[queries] def trainedIvfRankedCtes(
       dim: Int, nlist: Int, nprobe: Int,
       sampleSize: Int, iters: Int, seed: Long, probeFilter: String,
-      trainFilter: String = "TRUE"): String = {
+      trainFilter: String = "TRUE", prefix: String = ""): String = {
+    if (prefix.nonEmpty) {
+      require(prefix.matches("[a-z][a-z0-9]*"), s"bad CTE prefix: $prefix")
+      val raw = trainedIvfRankedCtes(
+        dim, nlist, nprobe, sampleSize, iters, seed, probeFilter, trainFilter)
+      // rename is safe textually: no generated CTE name doubles as a
+      // column name, and \b keeps `cent` from matching `cents0`
+      return raw.replaceAll(
+        "\\b(smp|cents\\d+|lq\\d+|asg\\d+|upd\\d+|cent|scored|nrm|pairs|rescored|ranked)\\b",
+        prefix + "$1")
+    }
     val offset = graft.operators.IvfIndex.QuantOffset
     def distW(a: String, b: String) =
       s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"

@@ -79,6 +79,22 @@ class KnnGraphSpec extends SparkSuite {
       "top-k(top-k(base) ∪ fresh candidates) ≡ top-k over the full corpus")
   }
 
+  test("bruteForceTopKBlocked equals the broadcast brute force") {
+    // the blocked (matrix-multiply-shaped) all-pairs must reproduce the
+    // broadcast path's ranking AND similarity bit-for-bit — same kernel,
+    // same tie-break, only the distribution strategy differs; block
+    // counts deliberately don't divide the corpus evenly
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val blocked = Similarity.bruteForceTopKBlocked(
+      emb, emb, "vec_id", "embedding", k = 5,
+      corpusBlocks = 3, probeBlocks = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val bf = Similarity.bruteForceTopK(
+      emb, emb, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(blocked == bf)
+  }
+
   test("mutualEdges keeps exactly the reciprocated pairs") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
       .toDF("query_id", "neighbor_id")

@@ -76,10 +76,14 @@ class PlanAuditSpec extends SparkSuite {
     "gini_stump_quantity", // class grand totals as a broadcast 1-row aggregate onto the value histogram
     "gains_chart_deciles", // customer count + revenue total as broadcast 1-row aggregates (ExactNtile shape)
     "kaplan_meier_repurchase", // dataset horizon + cohort size as broadcast 1-row aggregates
-    "knn_graph_recall", // embeds bruteForceTopK's broadcast probe × corpus product (the eval's exact truth twin)
-    "knn_graph_nndescent", // same brute-force truth twin as knn_graph_recall (before/after recall legs)
+    "knn_graph_recall", // blocked brute-force truth: the tiny block-id frames (4/8 rows) replicate sides via BNLJ by design
+    "knn_graph_nndescent", // same blocked brute-force truth twin as knn_graph_recall (before/after recall legs)
     "triangle_count_semantic", // the three 1-row totals (edges/wedges/triangles) meet in broadcast cross joins (J9 shape)
-    "ndcg_dense_eval") // embeds bruteForceTopK's broadcast probe × corpus product (the exact dense retriever under eval)
+    "ndcg_dense_eval", // embeds bruteForceTopK's broadcast probe × corpus product (the exact dense retriever under eval)
+    "mrr_dense_eval", // same broadcast probe × corpus dense retriever as ndcg_dense_eval (10-probe set)
+    "map_dense_eval", // same broadcast probe × corpus dense retriever as ndcg_dense_eval (10-probe set)
+    "knn_graph_retrain_drift", // blocked brute-force truth block-id frames + 1-row churn/recall metric cross joins
+    "tpch_q22_global_sales") // global positive-balance average as a broadcast 1-row aggregate (the J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
