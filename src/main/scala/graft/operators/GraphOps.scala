@@ -70,10 +70,22 @@ object GraphOps {
     * identity, which is what lets the oracle unroll a FIXED round
     * count); non-convergence within `maxRounds` throws rather than
     * silently truncating.
+    *
+    * CONTRACT: `edges` must be SYMMETRIC (every (u,v) has its (v,u)
+    * twin) — labels key off the u column and votes flow u←v, so an
+    * unsymmetrized directed frame would silently leave v-only nodes
+    * unlabeled and drop their votes. Enforced by one early-out
+    * anti-join against the reversed frame (a bounded guard job on the
+    * already-checkpointed edges), which throws instead.
     */
   def lpaCommunities(edges: DataFrame, maxRounds: Int): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be positive")
     val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val unmirrored = e.join(
+      e.select(col("v").as("u"), col("u").as("v")),
+      Seq("u", "v"), "left_anti").limit(1).count()
+    require(unmirrored == 0L,
+      "lpaCommunities requires a symmetric edge frame: some (u,v) has no (v,u) twin")
     var lab = e.select(col("u").as("n")).distinct()
       .select(col("n"), col("n").as("lab"))
       .localCheckpoint()

@@ -327,13 +327,23 @@ object CurationQueries {
     // cleanly — and even a crossing pair stays oracle-green (both
     // engines compute the identical fixed-order double). Decode stays
     // in the typed scan stage; pairing is two id equi-joins.
+    // DOMAIN GUARD (r9 advice): the image side samples decoded-pixel
+    // BYTES while the text side samples CHARACTERS, and those coincide
+    // only for single-byte text — so the gate EXPLICITLY restricts to
+    // captions whose byte length equals their char length (pure
+    // ASCII), in both engines. A multi-byte caption is excluded from
+    // the gate (well-defined semantics at any fixture) instead of
+    // being silently mis-scored; a byte-sampled text twin isn't
+    // cleanly expressible in the oracle (DuckDB has no blob byte
+    // accessor).
     "image_text_alignment" -> QueryDef(
       (s, dir) => {
         import graft.functions.exprs.vecDot
         val base = Tables.documents(s, dir)
           .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
             col("source"), col("n_chars"))
-          .filter(length(col("text")) > 0)
+          .filter(length(col("text")) > 0 &&
+            octet_length(col("text")) === length(col("text")))
         val img = Multimodal.byteSignature(Multimodal.mediaFrom(base))
           .toDF()
           .select(col("media_id").as("img_id"), col("sig").as("iv"))
@@ -359,7 +369,9 @@ object CurationQueries {
       """WITH d AS (
         |  SELECT doc_id, coalesce(text, '') AS text,
         |    CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS L
-        |  FROM documents WHERE len(coalesce(text, '')) > 0),
+        |  FROM documents
+        |  WHERE len(coalesce(text, '')) > 0
+        |    AND octet_length(encode(coalesce(text, ''))) = len(coalesce(text, ''))),
         |v AS (
         |  SELECT doc_id,
         |    list(CAST(ascii(substr(text, CAST(j * L // 32 + 1 AS INT), 1)) - 96 AS DOUBLE) ORDER BY j) AS v

@@ -148,6 +148,15 @@ class GraphLearnSpec extends SparkSuite {
     assert(lab(7L) == lab(0L), "7 joins the majority (two-vote) community")
   }
 
+  test("lpaCommunities rejects an unsymmetrized (directed) edge frame") {
+    // (0,1) without its (1,0) twin: votes would silently drop and node
+    // 1 would never be labeled — the guard must throw instead
+    val edges = Seq((0L, 1L), (2L, 1L), (1L, 2L)).toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      GraphOps.lpaCommunities(edges, maxRounds = 4)
+    }
+  }
+
   test("lpaCommunities throws when the round budget is too small") {
     val und = Seq((0L, 1L), (2L, 1L))
     val edges = (und ++ und.map(_.swap)).toDF("u", "v")
