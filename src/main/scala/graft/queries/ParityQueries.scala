@@ -828,6 +828,282 @@ object ParityQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = cust.c_custkey
         |                    AND o.o_orderpriority = '1-URGENT')
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q7 shape (volume shipping between nation pair): the
+    // DISJUNCTIVE cross-nation predicate — revenue flowing in either
+    // direction between two specific nations, by supplier-nation ×
+    // customer-nation × ship-year. The OR of the two directed pairs
+    // cannot be pushed into either scan; it evaluates as a residual
+    // after the two broadcast nation joins, which is the planner
+    // stress the shape exists for. Nation pair chosen to be populated
+    // at every driver SF (suppliers are sparse across nations at
+    // sf0.001).
+    "tpch_q7_nation_volume" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("nk1"), col("n_name").as("supp_nation"))),
+            col("nk1") === col("s_nationkey"))
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("nk2"), col("n_name").as("cust_nation"))),
+            col("nk2") === col("c_nationkey"))
+          .filter(
+            (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_12") ||
+              (col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_3"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(decSum(revenue, 4).as("revenue"))
+          .orderBy(col("supp_nation"), col("cust_nation"), col("l_year")),
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  CAST(year(l.l_shipdate) AS INT) AS l_year,
+         |  ${decSumSql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+         |FROM lineitem l
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+         |JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c ON c.c_custkey = o.o_custkey
+         |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+         |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_12')
+         |    OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_3'))
+         |  AND l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q8 shape (national market share): one nation's share of
+    // region-wide order volume per year — the conditional-aggregate
+    // ratio (SUM(CASE)/SUM) computed in ONE pass over the 7-way join,
+    // never two scans. Both sums are exact decimals; the share is a
+    // single IEEE division of their double casts (identical textual
+    // order both engines).
+    "tpch_q8_market_share" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("nk1"), col("n_regionkey"))),
+            col("nk1") === col("c_nationkey"))
+          .join(broadcast(Tables.region(s, dir))
+            .filter(col("r_name") === "ASIA"),
+            col("r_regionkey") === col("n_regionkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)
+            .select(col("n_nationkey").as("nk2"), col("n_name").as("supp_nation"))),
+            col("nk2") === col("s_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            decSum(when(col("supp_nation") === "NATION_3", revenue)
+              .otherwise(lit(0)), 4).as("nation_volume"),
+            decSum(revenue, 4).as("total_volume"))
+          .select(col("o_year"), col("nation_volume"), col("total_volume"),
+            (col("nation_volume") / col("total_volume")).as("mkt_share"))
+          .orderBy(col("o_year")),
+      s"""WITH vol AS (
+         |  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         |    l.l_extendedprice * (1 - l.l_discount) AS volume,
+         |    n2.n_name AS supp_nation
+         |  FROM lineitem l
+         |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+         |  JOIN customer c ON c.c_custkey = o.o_custkey
+         |  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+         |  JOIN region r ON r.r_regionkey = n1.n_regionkey
+         |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+         |  WHERE r.r_name = 'ASIA'
+         |    AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'),
+         |agg AS (
+         |  SELECT o_year,
+         |    ${decSumSql("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", 4)} AS nation_volume,
+         |    ${decSumSql("volume", 4)} AS total_volume
+         |  FROM vol GROUP BY 1)
+         |SELECT o_year, nation_volume, total_volume,
+         |  nation_volume / total_volume AS mkt_share
+         |FROM agg ORDER BY o_year""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q9 shape (product-type profit): profit = revenue − cost
+    // over a part-name pattern, by supplier nation × ship-year. Cost
+    // adapts to the driver schema as retailprice × quantity (no
+    // ps_supplycost). The two sums keep their OWN exact-decimal scales
+    // (4 for price×(1−disc), 2 for price×integral qty) and subtract
+    // once as doubles — the F11 SUM(a)−SUM(b) law, never a double sum.
+    // The name LIKE filter prunes part before the fact join.
+    "tpch_q9_product_profit" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir).filter(col("p_name").like("%widget%")),
+            col("p_partkey") === col("l_partkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("l_shipdate")).as("o_year"))
+          .agg((decSum(revenue, 4) -
+            decSum(col("p_retailprice") * col("l_quantity"))).as("sum_profit"))
+          .orderBy(col("nation"), col("o_year").desc),
+      s"""SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS INT) AS o_year,
+         |  ${decSumSql("l.l_extendedprice * (1 - l.l_discount)", 4)} -
+         |    ${decSumSql("p.p_retailprice * l.l_quantity", 2)} AS sum_profit
+         |FROM lineitem l
+         |JOIN part p ON p.p_partkey = l.l_partkey
+         |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+         |JOIN nation n ON n.n_nationkey = s.s_nationkey
+         |WHERE p.p_name LIKE '%widget%'
+         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q12 shape (shipping-priority audit): lines bucketed by
+    // lateness (the driver schema's shipmode analog: shipped >45 days
+    // after ordering), counting high- vs low-priority orders per
+    // bucket in ONE pass — two conditional counts, no second scan, no
+    // pivot. Exact integers end to end.
+    "tpch_q12_priority_lateness" -> QueryDef(
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(
+            when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 45 DAYS"), "late")
+              .otherwise("ontime").as("ship_bucket"))
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+              .otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+              .otherwise(1L)).as("low_line_count"))
+          .orderBy(col("ship_bucket")),
+      """SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+        |            THEN 'late' ELSE 'ontime' END AS ship_bucket,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q14 shape (promo-revenue share): the single-pass
+    // conditional-aggregate percentage — 100·SUM(CASE promo)/SUM over
+    // one month of shipments. Both sums exact decimal; the percentage
+    // is (100·num)/den in identical left-associated order both
+    // engines.
+    "tpch_q14_promo_share" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+          .agg(
+            decSum(when(col("p_type") === "PROMO", revenue).otherwise(lit(0)), 4)
+              .as("num"),
+            decSum(revenue, 4).as("den"))
+          .select((lit(100.0) * col("num") / col("den")).as("promo_revenue")),
+      s"""WITH agg AS (
+         |  SELECT
+         |    ${decSumSql("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END", 4)} AS num,
+         |    ${decSumSql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS den
+         |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |  WHERE l.l_shipdate >= TIMESTAMP '1996-09-01' AND l.l_shipdate < TIMESTAMP '1996-10-01')
+         |SELECT CAST(100.0 AS DOUBLE) * num / den AS promo_revenue FROM agg""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q15 shape (top supplier): per-supplier quarter revenue,
+    // keep the max — the classic view + global-aggregate join, planned
+    // as ONE revenue aggregate reused by both the max (1-row broadcast
+    // cross join, J9 shape) and the equality probe. Revenue equality
+    // compares doubles cast from exact decimal sums — identical bits
+    // both engines, so the tie set is engine-independent.
+    "tpch_q15_top_supplier" -> QueryDef(
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(decSum(revenue, 4).as("total_revenue"))
+          .localCheckpoint() // feeds the max agg AND the equality probe
+        val mx = rev.agg(max(col("total_revenue")).as("m"))
+        rev.crossJoin(broadcast(mx))
+          .filter(col("total_revenue") === col("m"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("supplier_no"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      s"""WITH rev AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${decSumSql("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1),
+         |mx AS (SELECT max(total_revenue) AS m FROM rev)
+         |SELECT s.s_suppkey, s.s_name, r.total_revenue
+         |FROM rev r JOIN supplier s ON s.s_suppkey = r.supplier_no CROSS JOIN mx
+         |WHERE r.total_revenue = mx.m
+         |ORDER BY s.s_suppkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q16 shape (supplier-part relationship count): DISTINCT
+    // suppliers per part attribute triple, with a NOT-IN supplier
+    // exclusion — the exclusion decorrelates into one left-anti join
+    // BEFORE the distinct aggregate (never a per-row subquery), and
+    // the part-attribute filters prune the dimension before the fact
+    // join. The distinct count is partial-aggregated on (attrs,
+    // suppkey) first.
+    "tpch_q16_supplier_parts" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir)
+            .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)),
+            col("p_partkey") === col("l_partkey"))
+          .join(Tables.supplier(s, dir)
+            .filter(col("s_suppkey") % 3 === 0).select(col("s_suppkey")),
+            col("s_suppkey") === col("l_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc,
+            col("p_brand"), col("p_type"), col("p_size")),
+      """SELECT p.p_brand, p.p_type, p.p_size,
+        |  CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand <> 'Brand#5' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 3 = 0)
+        |GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, 1, 2, 3""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    // the OR-of-conjunctions over join-crossing attributes — the
+    // classic test of whether an engine evaluates the disjunction as
+    // a post-join residual (correct) while still pushing the
+    // per-branch part filters into a unified scan range. One exact
+    // decimal sum out.
+    "tpch_q19_disjunctive_revenue" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), col("p_partkey") === col("l_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+              col("l_quantity").between(1, 20)) ||
+              (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+                col("l_quantity").between(5, 30)) ||
+              (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+                col("l_quantity").between(10, 40)))
+          .agg(decSum(revenue, 4).as("revenue")),
+      s"""SELECT ${decSumSql("l.l_extendedprice * (1 - l.l_discount)", 4)} AS revenue
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+         |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 5 AND 30)
+         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 10 AND 40)""".stripMargin)
   )
 }
