@@ -1104,6 +1104,115 @@ object ParityQueries {
          |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
          |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
          |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 5 AND 30)
-         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 10 AND 40)""".stripMargin)
+         |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 10 AND 40)""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q2 shape (minimum-cost supplier): the correlated-MIN
+    // subquery — for each filtered part, the supplier(s) offering it
+    // at the lowest unit price. Decorrelated as the Q17/Q20 recipe:
+    // ONE (part, supplier) aggregate, ONE per-part min joined back on
+    // the part key, equality probe on the unit cost. Unit cost is an
+    // exact-decimal price sum over an exact-integer quantity sum, ONE
+    // IEEE division each — identical bits both engines, so the
+    // min-equality tie set is engine-independent (no supply-cost
+    // column in the driver schema; shipped unit price is the analog).
+    "tpch_q2_min_cost_supplier" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir)
+            .filter(col("p_type") === "ECONOMY" && col("p_size") <= 25)
+            .select(col("p_partkey"), col("p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"), col("p_brand"),
+            col("l_extendedprice"), col("l_quantity"))
+        val ps = li
+          .groupBy(col("l_partkey"), col("l_suppkey"), col("p_brand"))
+          .agg((decSum(col("l_extendedprice")) /
+            sum(col("l_quantity").cast("long")).cast("double")).as("unit_cost"))
+        val mn = ps
+          .groupBy(col("l_partkey").as("pk"))
+          .agg(min(col("unit_cost")).as("min_cost"))
+        ps.join(mn,
+            col("l_partkey") === col("pk") &&
+              col("unit_cost") === col("min_cost"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("n_nationkey") === col("s_nationkey"))
+          .select(col("l_partkey").as("p_partkey"), col("p_brand"),
+            col("s_name"), col("n_name").as("nation"),
+            col("s_acctbal"), col("unit_cost"))
+          .orderBy(col("s_acctbal").desc, col("nation"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      """WITH li AS (
+        |  SELECT l.l_partkey, l.l_suppkey, p.p_brand, l.l_extendedprice, l.l_quantity
+        |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |  WHERE p.p_type = 'ECONOMY' AND p.p_size <= 25),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey, p_brand,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) /
+        |      CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS unit_cost
+        |  FROM li GROUP BY 1, 2, 3),
+        |mn AS (SELECT l_partkey AS pk, min(unit_cost) AS min_cost FROM ps GROUP BY 1)
+        |SELECT ps.l_partkey AS p_partkey, ps.p_brand, s.s_name, n.n_name AS nation,
+        |  s.s_acctbal, ps.unit_cost
+        |FROM ps JOIN mn ON mn.pk = ps.l_partkey AND ps.unit_cost = mn.min_cost
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |ORDER BY s.s_acctbal DESC, nation, s.s_name, p_partkey LIMIT 100""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q6 shape (forecast revenue change): the pure scan-
+    // aggregate — three sargable predicates (year range pushes to the
+    // parquet scan; discount/quantity bounds are row-group-prunable
+    // min/max residuals), one exact decimal sum of price×discount
+    // (scale 4), zero joins. The shape that measures raw scan + filter
+    // + map-side-aggregate throughput.
+    "tpch_q6_forecast_revenue" -> QueryDef(
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+          .agg(decSum(col("l_extendedprice") * col("l_discount"), 4)
+            .as("revenue")),
+      s"""SELECT ${decSumSql("l_extendedprice * l_discount", 4)} AS revenue
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TPC-H Q11 shape (important stock): per-part value with a
+    // global-share HAVING — value > 1.25× the average part value
+    // (scale-invariant, unlike the spec's fixed fraction, which would
+    // empty out as the part count grows with SF; 1.25 is exactly
+    // representable). The global total comes from ONE exact decimal
+    // sum over the base scan and the part count from the aggregate's
+    // own grain, both crossed in as 1-row broadcasts (J9); the
+    // comparison multiplies doubles in identical textual order.
+    "tpch_q11_important_parts" -> QueryDef(
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        val pv = li.groupBy(col("l_partkey"))
+          .agg(decSum(col("l_extendedprice")).as("value"))
+          .localCheckpoint() // feeds the count agg AND the filter probe
+        val tot = li.agg(decSum(col("l_extendedprice")).as("total"))
+        val np = pv.agg(count(lit(1)).as("n_parts"))
+        pv.crossJoin(broadcast(tot)).crossJoin(broadcast(np))
+          .filter(col("value") * col("n_parts").cast("double") >
+            col("total") * lit(1.25))
+          .select(col("l_partkey").as("p_partkey"), col("value"))
+          .orderBy(col("value").desc, col("p_partkey"))
+      },
+      s"""WITH pv AS (
+         |  SELECT l_partkey, ${decSumSql("l_extendedprice", 2)} AS value
+         |  FROM lineitem GROUP BY 1),
+         |tot AS (SELECT ${decSumSql("l_extendedprice", 2)} AS total FROM lineitem),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM pv)
+         |SELECT l_partkey AS p_partkey, value
+         |FROM pv CROSS JOIN tot CROSS JOIN np
+         |WHERE value * CAST(n_parts AS DOUBLE) > total * CAST(1.25 AS DOUBLE)
+         |ORDER BY value DESC, p_partkey""".stripMargin)
   )
 }

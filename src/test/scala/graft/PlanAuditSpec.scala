@@ -84,7 +84,8 @@ class PlanAuditSpec extends SparkSuite {
     "map_dense_eval", // same broadcast probe × corpus dense retriever as ndcg_dense_eval (10-probe set)
     "knn_graph_retrain_drift", // blocked brute-force truth block-id frames + 1-row churn/recall metric cross joins
     "tpch_q22_global_sales", // global positive-balance average as a broadcast 1-row aggregate (the J9 shape)
-    "tpch_q15_top_supplier") // global max revenue as a broadcast 1-row aggregate (the J9 shape)
+    "tpch_q15_top_supplier", // global max revenue as a broadcast 1-row aggregate (the J9 shape)
+    "tpch_q11_important_parts") // global value total + part count as broadcast 1-row aggregates (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
