@@ -255,6 +255,97 @@ object CurationQueries {
         |ORDER BY lx.doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // C4 cleaning rules (Raffel et al. 2020 §2.2) at line + doc grain —
+    // the third canonical web-cleaning recipe beside Gopher
+    // (gopher_quality_rules) and CCNet (ngram_perplexity_filter):
+    // keep lines that END in terminal punctuation, have ≥5 words, and
+    // don't mention javascript; drop whole docs containing "lorem
+    // ipsum" or a curly brace; keep docs with ≥3 surviving lines. The
+    // synthetic corpus has no newlines/punctuation, so both engines
+    // salt each doc with the SAME deterministic doc_id-derived lines
+    // (one per rule branch — the line_dedup_boilerplate recipe), and
+    // the survivors reassemble byte-exactly (md5 over pos-ordered kept
+    // lines). Everything is map-side string work + one doc-grain agg —
+    // no shuffle beyond the rollup at any SF.
+    "c4_line_doc_rules" -> QueryDef(
+      (s, dir) => {
+        val salted = Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat_ws("\n",
+            concat(coalesce(col("text"), lit("")), lit(".")),
+            when(col("doc_id") % 4 === 0, lit("too short line"))
+              .otherwise(lit("this sentence has enough words to pass the filter.")),
+            when(col("doc_id") % 7 === 0,
+              lit("please enable javascript to continue viewing this page."))
+              .otherwise(lit("another perfectly ordinary sentence appears right here.")),
+            when(col("doc_id") % 11 === 0, lit("lorem ipsum dolor sit amet."))
+              .otherwise(lit("closing line with sufficient words present here.")),
+            when(col("doc_id") % 13 === 0, lit("function() { return 0; }"))
+              .otherwise(lit("final informative sentence concludes the document body.")))
+            .as("text"))
+        val lines = salted
+          .select(col("doc_id"), col("text"),
+            posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        val flagged = lines.withColumn("kept",
+          substring(col("line"), -1, 1).isin(".", "!", "?", "\"") &&
+            size(filter(split(col("line"), "\\s+"), t => length(t) > 0)) >= 5 &&
+            !col("line").contains("javascript"))
+        flagged
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_lines"),
+            sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+            max(when(col("text").contains("lorem ipsum") ||
+              col("text").contains("{"), 1).otherwise(0)).as("doc_banned"),
+            md5(array_join(
+              transform(
+                array_sort(collect_list(
+                  when(col("kept"), struct(col("pos"), col("line"))))),
+                x => x.getField("line")),
+              "\n")).as("kept_md5"))
+          .select(col("doc_id"), col("n_lines"), col("n_kept"), col("doc_banned"),
+            when(col("doc_banned") === 0 && col("n_kept") >= 3, 1).otherwise(0)
+              .as("doc_kept"),
+            col("kept_md5"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || '.' || chr(10) ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'too short line'
+        |         ELSE 'this sentence has enough words to pass the filter.' END || chr(10) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN 'please enable javascript to continue viewing this page.'
+        |         ELSE 'another perfectly ordinary sentence appears right here.' END || chr(10) ||
+        |    CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+        |         ELSE 'closing line with sufficient words present here.' END || chr(10) ||
+        |    CASE WHEN doc_id % 13 = 0 THEN 'function() { return 0; }'
+        |         ELSE 'final informative sentence concludes the document body.' END AS text
+        |  FROM documents),
+        |lx AS (
+        |  SELECT doc_id, text,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    unnest(range(0, len(string_split(text, chr(10))))) AS pos
+        |  FROM salted),
+        |fl AS (
+        |  SELECT doc_id, text, line, pos,
+        |    (right(line, 1) IN ('.', '!', '?', '"')
+        |     AND len(list_filter(string_split_regex(line, '\s+'), t -> len(t) > 0)) >= 5
+        |     AND NOT contains(line, 'javascript')) AS kept
+        |  FROM lx)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(max(CASE WHEN contains(text, 'lorem ipsum') OR contains(text, '{')
+        |               THEN 1 ELSE 0 END) AS INT) AS doc_banned,
+        |  CAST(CASE WHEN max(CASE WHEN contains(text, 'lorem ipsum') OR contains(text, '{')
+        |                    THEN 1 ELSE 0 END) = 0
+        |             AND SUM(CASE WHEN kept THEN 1 ELSE 0 END) >= 3
+        |       THEN 1 ELSE 0 END AS INT) AS doc_kept,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE kept), '')) AS kept_md5
+        |FROM fl GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Image near-dup via dHash perceptual fingerprints: the corpus's
     // real BMP/PNG images plus planted variants (first two pixels
     // overwritten — id+100000) are decoded with javax.imageio, dHashed
