@@ -206,7 +206,41 @@ object Explain {
     "knn_graph_nndescent" ->
       "NN-descent round: the 2-hop closure is one self equi-join on the k-bounded edge list; rescore re-attaches vectors by id; both recall legs (IVF graph, refined graph) join the brute-force truth on pair ids into a 1-row agg.",
     "knn_graph_pq" ->
-      "Memory-bounded graph build: the list-id candidate equi-join carries M-byte PQ codes and per-node ADC tables (no raw vectors); integer ADC + bounded-heap shortlist, then vectors re-attach for ≤ N·shortK rows only and exact cosine re-cuts to k.")
+      "Memory-bounded graph build: the list-id candidate equi-join carries M-byte PQ codes and per-node ADC tables (no raw vectors); integer ADC + bounded-heap shortlist, then vectors re-attach for ≤ N·shortK rows only and exact cosine re-cuts to k.",
+    "tpch_q20_dominant_supplier" ->
+      "Q20 shape: the correlated aggregate-threshold decorrelates into TWO pre-aggregations ((part,supplier) grain, then part grain) meeting in one part-key equi-join; the threshold compares exact integers; supplier dim joins at the end — one fact scan total.",
+    "ndcg_dense_eval" ->
+      "nDCG under the parity law: the exact retriever is the broadcast probe×corpus product (10 probes — the operator), labels re-attach by id, per-query DCG folds rank-sorted terms inside the projection, IDCG indexes a literal prefix-sum array — no transcendental evaluates in-plan.",
+    "mrr_dense_eval" ->
+      "MRR: same broadcast dense retriever; first-relevant rank is one min agg over the label-joined top-10; the reciprocal is a single scan-stage division — no fold needed.",
+    "map_dense_eval" ->
+      "MAP: cumulative relevance is ONE window over the k-bounded (10-row-per-query) retrieval frame; per-rank precision terms are scan-stage divisions; the AP fold runs rank-sorted inside the projection (the ndcg recipe).",
+    "tpch_q4_order_priority" ->
+      "Q4 shape: the correlated EXISTS is ONE left-semi hash join on the order key with the lateness residual evaluated on the joined row; the quarter range reaches PushedFilters on the orders scan.",
+    "tpch_q13_customer_distribution" ->
+      "Q13 shape: the only outer-join-aggregate — the exclusion filter lives on the orders BUILD side (the outer join stays outer), count(o_orderkey) zero-preserves, and the histogram is a second partial+final agg over customer-grain counts.",
+    "tpch_q17_small_quantity" ->
+      "Q17 shape: the correlated per-part AVG threshold decorrelates into one per-part aggregate joined back on the part key; the comparison is exact integers (5·qty·n < t); the part-type filter prunes before both the aggregate and the join.",
+    "tpch_q22_global_sales" ->
+      "Q22 shape: substring bucketing in the scan projection; the positive-balance average is a 1-row broadcast cross join (J9); NOT EXISTS is one left-anti hash join against the priority-pruned orders scan.",
+    "tpch_q2_min_cost_supplier" ->
+      "Q2 shape: correlated MIN decorrelates like Q17 — one (part,supplier) aggregate, one per-part min joined back, equality probe on identically-computed unit-price doubles; part filters prune the dimension first; top-100 is TakeOrderedAndProject.",
+    "tpch_q7_nation_volume" ->
+      "Q7 shape: the disjunctive cross-nation predicate evaluates as a residual AFTER the two broadcast nation joins (it cannot push into either scan); the ship-date range does push; one fact shuffle through the join chain.",
+    "tpch_q8_market_share" ->
+      "Q8 shape: the conditional-aggregate ratio computes in ONE pass over the 7-way join — numerator and denominator are twin exact-decimal sums in the same aggregate, the share one scan-stage division.",
+    "tpch_q11_important_parts" ->
+      "Q11 shape: global-share HAVING via two 1-row broadcasts (exact-decimal grand total from the base scan + part count from the aggregate's own grain); the per-part aggregate is checkpointed for its two consumers.",
+    "tpch_q15_top_supplier" ->
+      "Q15 shape: the per-supplier revenue aggregate materializes ONCE (checkpoint) and feeds both the 1-row broadcast max and the equality probe — never two fact scans.",
+    "tpch_q16_supplier_parts" ->
+      "Q16 shape: the NOT-IN exclusion decorrelates into one left-anti join BEFORE the distinct aggregate; part-attribute filters prune the dimension before the fact join; countDistinct partial-aggregates on (attrs, suppkey).",
+    "tpch_q19_disjunctive_revenue" ->
+      "Q19 shape: the OR-of-conjunctions over join-crossing attributes evaluates post-join while per-branch part predicates still prune; one exact-decimal sum out — no pivot, no union-of-branches re-scan.",
+    "knn_graph_retrain_drift" ->
+      "Retrain drift report: both graphs (fixed-quantizer append-composed, retrained rebuild) are the bounded IVF shape over checkpointed frames; churn/recall meet in id-keyed joins + 1-row aggregates; the exact-truth twin is the BLOCKED brute force (block-id replication, one block per side per task — nothing corpus-sized broadcasts).",
+    "c4_line_doc_rules" ->
+      "C4 rules: line keeps are map-side string predicates over the salted explode; doc bans and the ≥3-kept rule ride ONE doc-grain rollup that reassembles survivors byte-exactly — scan-bound, zero extra shuffles.")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
