@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.SargableTimeRewrite)
     // levenshtein(a,b)<=k gains a short-circuiting length prefilter
     ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
+    // aggregate navigator: fact rollups retarget onto registered
+    // materialized pre-aggregates (see MvRewrite scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.MvRewrite)
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", "simhash64"),

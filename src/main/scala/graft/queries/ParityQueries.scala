@@ -1213,6 +1213,49 @@ object ParityQueries {
          |SELECT l_partkey AS p_partkey, value
          |FROM pv CROSS JOIN tot CROSS JOIN np
          |WHERE value * CAST(n_parts AS DOUBLE) > total * CAST(1.25 AS DOUBLE)
-         |ORDER BY value DESC, p_partkey""".stripMargin)
+         |ORDER BY value DESC, p_partkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Materialized-view rewrite END TO END (plans.MvRewrite — the
+    // aggregate navigator; the reference's vista_agregada_mensual
+    // intent as an optimizer rule): a (returnflag, linestatus) grain
+    // pre-aggregate registers as an MV, then the user-facing query —
+    // a COARSER rollup with a residual key filter, written against the
+    // FACT — must retarget onto the MV. The fn ASSERTS the rewrite
+    // fired (no fact scan survives in the optimized plan), so a
+    // regression that silently falls back fails the gate rather than
+    // passing on the identical-by-construction answer. Exact-integer
+    // partials: sum-of-partials ≡ the oracle's one-level sum.
+    "mv_rewrite_rollup" -> QueryDef(
+      (s, dir) => {
+        val mv = Tables.lineitem(s, dir)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            count(lit(1)).as("cnt"))
+          .localCheckpoint()
+        graft.plans.MvRewrite.clear() // idempotent re-runs (Bench warms ×4)
+        graft.plans.MvRewrite.register(graft.plans.MvDef(
+          srcPathTag = "/lineitem",
+          keys = Set("l_returnflag", "l_linestatus"),
+          sums = Map("l_quantity" -> "sum_qty"),
+          countCol = Some("cnt"),
+          freshView = () => mv.queryExecution.analyzed))
+        val out = Tables.lineitem(s, dir)
+          .filter(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("l_returnflag"))
+        val paths = graft.plans.MvRewrite
+          .scanPaths(out.queryExecution.optimizedPlan)
+        require(!paths.exists(_.contains("/lineitem")),
+          s"MV rewrite did not fire — the fact scan survived: $paths")
+        out
+      },
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem WHERE l_linestatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

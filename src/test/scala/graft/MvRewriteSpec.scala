@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.{MvDef, MvRewrite}
+
+/** The aggregate navigator: coarser rollups over the fact scan must
+  * retarget onto a registered pre-aggregate (plan-asserted), produce
+  * identical results, re-state residual key filters on the MV, and
+  * fail OPEN (keep the fact plan) for anything non-derivable.
+  */
+class MvRewriteSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withMv(test: => Unit): Unit = {
+    val mv = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    MvRewrite.register(MvDef(
+      srcPathTag = "/lineitem",
+      keys = Set("l_returnflag", "l_linestatus"),
+      sums = Map("l_quantity" -> "sum_qty"),
+      countCol = Some("cnt"),
+      freshView = () => mv.queryExecution.analyzed))
+    try test finally MvRewrite.clear()
+  }
+
+  private def factQuery() = Tables.lineitem(spark, dir)
+    .groupBy(col("l_returnflag"))
+    .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+      count(lit(1)).as("n_lines"))
+    .orderBy(col("l_returnflag"))
+
+  test("coarser rollup rewrites onto the MV and matches the fact answer") {
+    val expected = factQuery().collect().toSeq // registry empty: fact plan
+    withMv {
+      val q = factQuery()
+      val paths = MvRewrite.scanPaths(q.queryExecution.optimizedPlan)
+      assert(!paths.exists(_.contains("/lineitem")),
+        s"fact scan survived the rewrite: $paths")
+      assert(q.collect().toSeq == expected, "MV rollup must equal the fact rollup")
+    }
+  }
+
+  test("residual key filter re-states on the MV") {
+    val base = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+    val expected = base.collect().toSeq
+    withMv {
+      val q = Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus"))
+      assert(!MvRewrite.scanPaths(q.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")))
+      assert(q.collect().toSeq == expected)
+    }
+  }
+
+  test("non-derivable outputs veto the rewrite (fail-open)") {
+    withMv {
+      // uncovered measure
+      val q1 = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice")).as("s"))
+      assert(MvRewrite.scanPaths(q1.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")), "uncovered measure must not rewrite")
+      // type mismatch: raw double sum vs the MV's long partial
+      val q2 = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("s"))
+      assert(MvRewrite.scanPaths(q2.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")), "type mismatch must not rewrite")
+      // non-key grouping column
+      val q3 = Tables.lineitem(spark, dir)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"))
+      assert(MvRewrite.scanPaths(q3.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")), "non-key grouping must not rewrite")
+      // non-key filter column
+      val q4 = Tables.lineitem(spark, dir)
+        .filter(col("l_quantity") > 10)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+      assert(MvRewrite.scanPaths(q4.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")), "non-key filter must not rewrite")
+    }
+  }
+
+  test("exact-grain and global rollups both derive") {
+    val exact = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .orderBy(col("l_returnflag"), col("l_linestatus")).collect().toSeq
+    val global = Tables.lineitem(spark, dir)
+      .agg(count(lit(1)).as("n")).collect().toSeq
+    withMv {
+      val qe = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("q"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+      val qg = Tables.lineitem(spark, dir).agg(count(lit(1)).as("n"))
+      assert(!MvRewrite.scanPaths(qe.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")))
+      assert(!MvRewrite.scanPaths(qg.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")))
+      assert(qe.collect().toSeq == exact)
+      assert(qg.collect().toSeq == global)
+    }
+  }
+}
