@@ -362,6 +362,63 @@ object Multimodal {
     }
   }
 
+  final case class VideoRow(media_id: Long, content: Array[Byte])
+  final case class FrameDiff(
+      media_id: Long, frame_idx: Int, diff: Long, is_cut: Int)
+
+  /** Synthetic raw-video payloads from the documents corpus: byte i is
+    * a fixed integer spread of the text's i-th code point
+    * ((cp·7) mod 256), so the DuckDB oracle restates every byte from
+    * the text with `unicode()` (the audioFrom recipe) while the engine
+    * processes a genuine opaque binary column.
+    */
+  def videoFrom(docs: DataFrame): Dataset[VideoRow] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val cps = Option(text).getOrElse("").codePoints().toArray
+        val bytes = new Array[Byte](cps.length)
+        var i = 0
+        while (i < cps.length) {
+          bytes(i) = ((cps(i) * 7) % 256).toByte
+          i += 1
+        }
+        VideoRow(id, bytes)
+      }
+  }
+
+  /** Shot-boundary (scene-cut) detection over raw-frame video: the
+    * classic consecutive-frame SAD signal (sum of absolute pixel
+    * differences — integer-exact), computed INSIDE the decode kernel
+    * so payloads never shuffle: one row in, (frames−1) compact diff
+    * rows out. A real demuxer/decoder slots into the same batch shape;
+    * only full frames participate (a trailing partial frame is
+    * container padding). `is_cut` = diff > threshold — the hard gate a
+    * frame-sampling curation stage keys on.
+    */
+  def sceneCuts(
+      media: Dataset[VideoRow], frameBytes: Int, threshold: Long,
+      batchSize: Int = 256): Dataset[FrameDiff] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val full = m.content.grouped(frameBytes)
+            .filter(_.length == frameBytes).toArray
+          (1 until full.length).iterator.map { k =>
+            var d = 0L
+            var j = 0
+            while (j < frameBytes) {
+              d += math.abs((full(k)(j) & 0xff) - (full(k - 1)(j) & 0xff))
+              j += 1
+            }
+            FrameDiff(m.media_id, k, d, if (d > threshold) 1 else 0)
+          }
+        }
+      }
+    }
+  }
+
   /** End-to-end demo frame: real-image corpus → batched ImageIO decode
     * → pixel-derived features. Container byte counts (PNG: zlib-
     * shaped) stay OUT of the comparable columns; width/height/mean/f0

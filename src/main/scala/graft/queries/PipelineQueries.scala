@@ -4296,6 +4296,55 @@ object PipelineQueries {
         |FROM s ORDER BY media_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Video shot-boundary profile (Multimodal.sceneCuts): raw-frame
+    // payloads explode into consecutive-frame SAD diffs INSIDE the
+    // decode kernel (payload bytes never shuffle — only compact diff
+    // rows reach the media-grain rollup), is_cut gates at the
+    // distribution median (1600 at the fixture's byte spread). Clips
+    // too short for two full frames surface with zeroed stats via the
+    // left join — never silently dropped. The oracle restates every
+    // payload byte from the text (the audio_pcm_features recipe) and
+    // replays the per-pair SAD exactly — all integers.
+    "video_scene_cuts" -> QueryDef(
+      (s, dir) => {
+        val d = Multimodal.sceneCuts(
+          Multimodal.videoFrom(Tables.documents(s, dir)),
+          frameBytes = 16, threshold = 1600L)
+          .toDF()
+          .groupBy(col("media_id"))
+          .agg(
+            count(lit(1)).as("n_frame_pairs"),
+            sum(col("is_cut").cast("long")).as("n_cuts"),
+            max(col("diff")).as("max_diff"),
+            sum(col("diff")).as("total_diff"))
+        Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+          .join(d, Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("n_frame_pairs"), lit(0L)).as("n_frame_pairs"),
+            coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+            coalesce(col("max_diff"), lit(0L)).as("max_diff"),
+            coalesce(col("total_diff"), lit(0L)).as("total_diff"))
+          .orderBy(col("media_id"))
+      },
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    list_transform(range(1, len(coalesce(text, '')) + 1),
+        |      i -> (unicode(text[i:i]) * 7) % 256) AS b
+        |  FROM documents),
+        |f AS (SELECT media_id, len(b) // 16 AS nf, b FROM v),
+        |d AS (
+        |  SELECT media_id, k AS frame_idx,
+        |    list_sum(list_transform(range(1, 17),
+        |      j -> abs(b[k*16 + j] - b[(k-1)*16 + j]))) AS diff
+        |  FROM (SELECT media_id, b, unnest(range(1, nf)) AS k FROM f))
+        |SELECT v.media_id,
+        |  CAST(count(d.frame_idx) AS BIGINT) AS n_frame_pairs,
+        |  CAST(coalesce(SUM(CASE WHEN d.diff > 1600 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cuts,
+        |  CAST(coalesce(max(d.diff), 0) AS BIGINT) AS max_diff,
+        |  CAST(coalesce(SUM(d.diff), 0) AS BIGINT) AS total_diff
+        |FROM v LEFT JOIN d ON d.media_id = v.media_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Streaming-shaped batch: tumbling 1h windows over events
     // (Structured Streaming twin in graft.streaming.EventsStreaming).
     "events_hourly_window" -> QueryDef(

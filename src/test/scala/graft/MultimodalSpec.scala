@@ -162,6 +162,27 @@ class MultimodalSpec extends SparkSuite {
     assert(s == sample('x'))
   }
 
+  test("sceneCuts: SAD diffs, threshold gate, partial-frame drop") {
+    import spark.implicits._
+    // 3 full 4-byte frames + 2 trailing bytes (dropped): frame 1 equals
+    // frame 0 (diff 0), frame 2 shifts every byte by +10 (diff 40)
+    val payload = Array[Byte](1, 2, 3, 4, 1, 2, 3, 4, 11, 12, 13, 14, 9, 9)
+    val media = Seq(Multimodal.VideoRow(7L, payload)).toDS()
+    val diffs = Multimodal.sceneCuts(media, frameBytes = 4, threshold = 20L)
+      .collect().sortBy(_.frame_idx)
+    assert(diffs.map(d => (d.frame_idx, d.diff, d.is_cut)).toSeq ==
+      Seq((1, 0L, 0), (2, 40L, 1)))
+    // unsigned byte arithmetic: 0xFF vs 0x00 differs by 255, not -1
+    val hi = Seq(Multimodal.VideoRow(8L,
+      Array[Byte](0, 0.toByte, -1, -1))).toDS() // frames [0,0] and [255,255]
+    val d2 = Multimodal.sceneCuts(hi, frameBytes = 2, threshold = 100L).collect()
+    assert(d2.map(d => (d.diff, d.is_cut)).toSeq == Seq((510L, 1)))
+    // fewer than two full frames: no pairs
+    val short = Seq(Multimodal.VideoRow(9L, Array[Byte](1, 2, 3))).toDS()
+    assert(Multimodal.sceneCuts(short, frameBytes = 4, threshold = 1L)
+      .collect().isEmpty)
+  }
+
   test("byteSignature: pixel samples equal the caption's centered chars") {
     import spark.implicits._
     val text = "hello alignment world"
