@@ -5402,6 +5402,66 @@ object PipelineQueries {
     // TakeOrderedAndProject top-k (no global sort materialized), the
     // 50-row head broadcasts into the bigram side, and the per-prev
     // argmax is one window partitioned by the prev token.
+    // ------------------------------------------------------------------
+    // Kneser–Ney bigram smoothing (Kneser & Ney 1995; Chen & Goodman
+    // 1999 — THE LM smoothing baseline): absolute discounting with the
+    // continuation-probability backoff,
+    //   p_kn(y|x) = (c(x,y)−d)/c(x) + (d·N1+(x·)/c(x)) · (N1+(·y)/B),
+    // d = 0.75 (EXACT in binary — the whole formula is integer counts
+    // through a fixed parenthesized sequence of IEEE ops, identical
+    // textual order both engines, so the probabilities hash-exactly).
+    // One bigram aggregate feeds the left marginal, the continuation
+    // marginal, the distinct-bigram total (1-row broadcast, J9), and
+    // the final probe — checkpointed for its four consumers. Top-30
+    // bigrams by count.
+    "kneser_ney_bigram" -> QueryDef(
+      (s, dir) => {
+        val bi = Tables.documents(s, dir)
+          .select(explode(
+            graft.functions.exprs.wordNgramsAll(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("c_xy"))
+          .withColumn("x", split(col("bigram"), " ").getItem(0))
+          .withColumn("y", split(col("bigram"), " ").getItem(1))
+          .localCheckpoint()
+        val xm = bi.groupBy(col("x"))
+          .agg(sum(col("c_xy")).as("c_x"), count(lit(1)).as("n1p_x"))
+        val ym = bi.groupBy(col("y")).agg(count(lit(1)).as("n1p_y"))
+        val bc = bi.agg(count(lit(1)).as("b"))
+        bi.join(xm, Seq("x")).join(ym, Seq("y")).crossJoin(broadcast(bc))
+          .select(col("x"), col("y"), col("c_xy"), col("c_x"),
+            col("n1p_x"), col("n1p_y"),
+            (((col("c_xy").cast("double") - lit(0.75)) /
+              col("c_x").cast("double")) +
+              (((lit(0.75) * col("n1p_x").cast("double")) /
+                col("c_x").cast("double")) *
+                (col("n1p_y").cast("double") / col("b").cast("double"))))
+              .as("pkn"))
+          .orderBy(col("c_xy").desc, col("x"), col("y"))
+          .limit(30)
+      },
+      s"""WITH toks AS (
+         |  SELECT $toksSql AS tk FROM documents),
+         |bic AS (
+         |  SELECT bg AS bigram, COUNT(*) AS c_xy FROM (
+         |    SELECT unnest(list_transform(range(1, len(tk)),
+         |                                 i -> tk[i] || ' ' || tk[i+1])) AS bg
+         |    FROM toks) GROUP BY bg),
+         |sp AS (
+         |  SELECT string_split(bigram, ' ')[1] AS x,
+         |         string_split(bigram, ' ')[2] AS y, c_xy
+         |  FROM bic),
+         |xm AS (SELECT x, CAST(SUM(c_xy) AS BIGINT) AS c_x,
+         |              CAST(COUNT(*) AS BIGINT) AS n1p_x FROM sp GROUP BY 1),
+         |ym AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n1p_y FROM sp GROUP BY 1),
+         |bc AS (SELECT CAST(COUNT(*) AS BIGINT) AS b FROM sp)
+         |SELECT sp.x, sp.y, CAST(sp.c_xy AS BIGINT) AS c_xy,
+         |  xm.c_x, xm.n1p_x, ym.n1p_y,
+         |  ((CAST(sp.c_xy AS DOUBLE) - CAST(0.75 AS DOUBLE)) / CAST(xm.c_x AS DOUBLE)) +
+         |    (((CAST(0.75 AS DOUBLE) * CAST(xm.n1p_x AS DOUBLE)) / CAST(xm.c_x AS DOUBLE)) *
+         |     (CAST(ym.n1p_y AS DOUBLE) / CAST(bc.b AS DOUBLE))) AS pkn
+         |FROM sp JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN bc
+         |ORDER BY c_xy DESC, x, y LIMIT 30""".stripMargin),
+
     "bigram_next_token" -> QueryDef(
       (s, dir) => {
         val docs = Tables.documents(s, dir)

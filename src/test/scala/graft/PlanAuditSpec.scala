@@ -85,7 +85,8 @@ class PlanAuditSpec extends SparkSuite {
     "knn_graph_retrain_drift", // blocked brute-force truth block-id frames + 1-row churn/recall metric cross joins
     "tpch_q22_global_sales", // global positive-balance average as a broadcast 1-row aggregate (the J9 shape)
     "tpch_q15_top_supplier", // global max revenue as a broadcast 1-row aggregate (the J9 shape)
-    "tpch_q11_important_parts") // global value total + part count as broadcast 1-row aggregates (J9 shape)
+    "tpch_q11_important_parts", // global value total + part count as broadcast 1-row aggregates (J9 shape)
+    "kneser_ney_bigram") // distinct-bigram total B as a broadcast 1-row aggregate (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
