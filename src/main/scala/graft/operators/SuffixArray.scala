@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed suffix-array construction by prefix doubling
+  * (Manber & Myers 1990; the Flick & Aluru 2015 distributed
+  * formulation) — the index behind ExactSubstr-style corpus dedup
+  * (Lee et al. 2022 build exactly this over the training corpus).
+  *
+  * Round k orders every suffix by its first 2^k characters: each
+  * position pairs its current rank with the rank of the position 2^k
+  * ahead (ONE keyed self equi-join — a missing lookahead ranks -1,
+  * which matches byte-comparison semantics where a proper prefix
+  * sorts first), and the pair set re-numbers densely via
+  * [[DenseId]] (range-sort + per-partition offsets — never a global
+  * window). Ranks only refine, so the loop stops the round they
+  * become distinct — ceil(log2 L) rounds worst-case, far fewer on
+  * natural text (distinct prefixes appear at ~log_σ L characters);
+  * non-convergence throws rather than silently truncating.
+  *
+  * Scale shape: per round ONE self-join + ONE distinct + DenseId's
+  * single range shuffle over the position frame — O(L) rows keyed by
+  * position, O(partitions) driver state, per-round lineage truncated.
+  * At corpus scale the position frame shards like any fact table;
+  * nothing materializes the corpus as one string on any executor.
+  */
+object SuffixArray {
+
+  /** `chars`: one row per corpus position — (`gpos` contiguous
+    * 1..L, `code` the character's code point). Returns
+    * (gpos, sa_rank): the 1-based lexicographic rank of the suffix
+    * starting at gpos (all suffixes distinct — lengths differ).
+    */
+  def prefixDoubling(chars: DataFrame): DataFrame = {
+    val total = chars.count()
+    require(total > 0, "empty corpus")
+    var r = chars
+      .select(col("gpos").cast("long").as("gpos"),
+        col("code").cast("long").as("rank"))
+      .localCheckpoint()
+    var k = 1L
+    var distinct = r.select(col("rank")).distinct().count()
+    while (distinct < total) {
+      require(k <= 2L * total,
+        s"prefix doubling failed to converge (k=$k, L=$total)")
+      val shifted = r.select((col("gpos") - k).as("gpos"),
+        col("rank").as("rank2"))
+      val paired = r.join(shifted, Seq("gpos"), "left")
+        .select(col("gpos"), col("rank"),
+          coalesce(col("rank2"), lit(-1L)).as("rank2"))
+      val ids = DenseId.withDenseId(
+        paired.select(col("rank"), col("rank2")).distinct(),
+        Seq(col("rank"), col("rank2")), "nid")
+      r = paired.join(ids, Seq("rank", "rank2"))
+        .select(col("gpos"), col("nid").as("rank"))
+        .localCheckpoint()
+      // nid is dense 1..D, so max(rank) IS the distinct count — one
+      // 1-row aggregate instead of a distinct+count job
+      distinct = r.agg(max(col("rank"))).head().getLong(0)
+      k *= 2
+    }
+    r.withColumnRenamed("rank", "sa_rank")
+  }
+}

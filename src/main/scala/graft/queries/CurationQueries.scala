@@ -346,6 +346,98 @@ object CurationQueries {
         |ORDER BY doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Distributed SUFFIX ARRAY by prefix doubling (Manber & Myers
+    // 1990) over a 40-doc corpus slice — the index ExactSubstr-style
+    // corpus dedup is built on (Lee et al. 2022). Each round is one
+    // keyed self-join (rank of the position 2^k ahead; missing
+    // lookahead = −1, matching proper-prefix byte order) + a DenseId
+    // re-number; rounds stop the moment ranks go distinct. The oracle
+    // sorts the actual suffix STRINGS (row_number over substr) — a
+    // completely independent O(L²·cmp) construction that must agree
+    // rank-for-rank with the O(L log L) doubling. First 64 positions
+    // emitted.
+    "suffix_array_build" -> QueryDef(
+      (s, dir) => {
+        val chars = graft.operators.DenseId.withDenseId(
+          Tables.documents(s, dir).filter(col("doc_id") < 40)
+            .select(col("doc_id"),
+              concat(coalesce(col("text"), lit("")), lit("\u0001")).as("t"))
+            .select(col("doc_id"), posexplode(expr(
+              "transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
+              .as(Seq("pos", "code"))),
+          Seq(col("doc_id"), col("pos")), "gpos")
+          .select(col("gpos"), col("code"))
+        graft.operators.SuffixArray.prefixDoubling(chars)
+          .filter(col("gpos") <= 64)
+          .select(col("gpos"), col("sa_rank"))
+          .orderBy(col("gpos"))
+      },
+      """WITH c AS (
+        |  SELECT string_agg(coalesce(text, '') || chr(1), '' ORDER BY doc_id) AS s
+        |  FROM documents WHERE doc_id < 40),
+        |p AS (SELECT unnest(range(1, len(s) + 1)) AS gpos, s FROM c),
+        |r AS (
+        |  SELECT gpos,
+        |    CAST(row_number() OVER (ORDER BY substr(s, CAST(gpos AS INT))) AS BIGINT) AS sa_rank
+        |  FROM p)
+        |SELECT CAST(gpos AS BIGINT) AS gpos, sa_rank
+        |FROM r WHERE gpos <= 64 ORDER BY gpos""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Whole-index digest of the same suffix array plus its
+    // Burrows–Wheeler transform (bwt[i] = char before the i-th ranked
+    // suffix, cyclic) — one row proving EVERY rank agrees, not just
+    // the first 64, and tying the SA to the compression/FM-index
+    // transform built from it. Digests fold pos-/rank-ordered strings
+    // (exact ASCII bytes both engines).
+    "suffix_array_digest" -> QueryDef(
+      (s, dir) => {
+        val chars = graft.operators.DenseId.withDenseId(
+          Tables.documents(s, dir).filter(col("doc_id") < 40)
+            .select(col("doc_id"),
+              concat(coalesce(col("text"), lit("")), lit("\u0001")).as("t"))
+            .select(col("doc_id"), posexplode(expr(
+              "transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
+              .as(Seq("pos", "code"))),
+          Seq(col("doc_id"), col("pos")), "gpos")
+          .select(col("gpos"), col("code"))
+          .localCheckpoint() // feeds the SA build AND the BWT char join
+        val sa = graft.operators.SuffixArray.prefixDoubling(chars)
+          .localCheckpoint() // feeds the SA digest AND the BWT join
+        val n = chars.count()
+        val bwt = sa
+          .select(col("sa_rank"),
+            when(col("gpos") === 1L, lit(n)).otherwise(col("gpos") - 1)
+              .as("pg"))
+          .join(chars.select(col("gpos").as("pg"), col("code")), Seq("pg"))
+        val saMd5 = sa.agg(
+          md5(concat_ws(",",
+            transform(sort_array(collect_list(struct(col("gpos"), col("sa_rank")))),
+              x => concat(x.getField("gpos"), lit(":"), x.getField("sa_rank")))))
+            .as("sa_md5"))
+        val bwtMd5 = bwt.agg(
+          md5(concat_ws("",
+            transform(sort_array(collect_list(struct(col("sa_rank"), col("code")))),
+              x => char(x.getField("code"))))).as("bwt_md5"))
+        saMd5.crossJoin(bwtMd5)
+          .select(lit(n).as("corpus_len"), col("sa_md5"), col("bwt_md5"))
+      },
+      """WITH c AS (
+        |  SELECT string_agg(coalesce(text, '') || chr(1), '' ORDER BY doc_id) AS s
+        |  FROM documents WHERE doc_id < 40),
+        |p AS (SELECT unnest(range(1, len(s) + 1)) AS gpos, s FROM c),
+        |r AS (
+        |  SELECT gpos, s,
+        |    CAST(row_number() OVER (ORDER BY substr(s, CAST(gpos AS INT))) AS BIGINT) AS sa_rank
+        |  FROM p)
+        |SELECT CAST(len(c.s) AS BIGINT) AS corpus_len,
+        |  (SELECT md5(string_agg(gpos || ':' || sa_rank, ',' ORDER BY gpos)) FROM r) AS sa_md5,
+        |  (SELECT md5(string_agg(
+        |     substr(s, CAST(CASE WHEN gpos = 1 THEN len(s) ELSE gpos - 1 END AS INT), 1),
+        |     '' ORDER BY sa_rank)) FROM r) AS bwt_md5
+        |FROM c""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Image near-dup via dHash perceptual fingerprints: the corpus's
     // real BMP/PNG images plus planted variants (first two pixels
     // overwritten — id+100000) are decoded with javax.imageio, dHashed
