@@ -32,13 +32,23 @@ object SuffixArray {
     * (gpos, sa_rank): the 1-based lexicographic rank of the suffix
     * starting at gpos (all suffixes distinct — lengths differ).
     */
-  def prefixDoubling(chars: DataFrame): DataFrame = {
+  def prefixDoubling(chars: DataFrame): DataFrame =
+    buildRounds(chars).last._2.withColumnRenamed("rank", "sa_rank")
+
+  /** The doubling rounds themselves: (window, rank frame) for windows
+    * 1, 2, 4, …, w_max — rank_w[i] = rank_w[j] iff suffixes i and j
+    * agree on their first w characters. The last frame's ranks are
+    * fully distinct (the suffix array); the earlier frames are the
+    * sparse table [[adjacentLcp]] descends.
+    */
+  private def buildRounds(chars: DataFrame): Seq[(Long, DataFrame)] = {
     val total = chars.count()
     require(total > 0, "empty corpus")
     var r = chars
       .select(col("gpos").cast("long").as("gpos"),
         col("code").cast("long").as("rank"))
       .localCheckpoint()
+    val rounds = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]((1L, r))
     var k = 1L
     var distinct = r.select(col("rank")).distinct().count()
     while (distinct < total) {
@@ -59,7 +69,46 @@ object SuffixArray {
       // 1-row aggregate instead of a distinct+count job
       distinct = r.agg(max(col("rank"))).head().getLong(0)
       k *= 2
+      rounds += ((k, r))
     }
-    r.withColumnRenamed("rank", "sa_rank")
+    rounds.toSeq
+  }
+
+  /** Longest common prefix of every ADJACENT suffix pair in rank
+    * order — max over these IS the longest repeated substring (the
+    * ExactSubstr threshold signal). The doubling rounds double as the
+    * sparse table: descending over windows w, a pair advances its lcp
+    * by w iff the rank_w values at (a+lcp, b+lcp) exist and agree
+    * (agreement at window w ⟺ w more common characters; any
+    * lcp < w_max is a sum of distinct available windows, and
+    * lcp ≥ w_max is impossible — ranks are distinct there). Per
+    * level: two keyed lookups on the L-row pair frame; O(log L)
+    * levels, lineage truncated per level.
+    *
+    * Returns (a, b, sa_rank, lcp): positions of the rank-r and
+    * rank-(r+1) suffixes and their common-prefix length.
+    */
+  def adjacentLcp(chars: DataFrame): DataFrame = {
+    val rounds = buildRounds(chars)
+    val sa = rounds.last._2
+    var cur = sa
+      .join(sa.select((col("rank") - 1).as("rank"), col("gpos").as("b")),
+        Seq("rank"))
+      .select(col("rank").as("sa_rank"), col("gpos").as("a"), col("b"),
+        lit(0L).as("lcp"))
+    rounds.reverse.foreach { case (w, rf) =>
+      cur = cur
+        .withColumn("ga", col("a") + col("lcp"))
+        .withColumn("gb", col("b") + col("lcp"))
+        .join(rf.select(col("gpos").as("ga"), col("rank").as("ra")),
+          Seq("ga"), "left")
+        .join(rf.select(col("gpos").as("gb"), col("rank").as("rb")),
+          Seq("gb"), "left")
+        .select(col("sa_rank"), col("a"), col("b"),
+          when(col("ra").isNotNull && col("ra") === col("rb"),
+            col("lcp") + w).otherwise(col("lcp")).as("lcp"))
+        .localCheckpoint()
+    }
+    cur
   }
 }

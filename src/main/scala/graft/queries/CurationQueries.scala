@@ -438,6 +438,71 @@ object CurationQueries {
         |FROM c""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Longest repeated substrings via adjacent-suffix LCP — THE
+    // ExactSubstr dedup signal (a repeated span of length ≥ t exists
+    // iff some adjacent-rank LCP ≥ t). The doubling rounds double as
+    // the sparse table: each level advances a pair's lcp by w iff the
+    // rank_w values at the shifted positions agree (two keyed lookups
+    // per level on the L-row pair frame — never a character-by-
+    // character walk). The oracle computes the SAME lcp by BINARY
+    // LIFTING OVER SUBSTRINGS (15 unrolled CTE levels of guarded
+    // substr-equality) — a structurally independent construction that
+    // must agree pair-for-pair. Top-10 with the repeated text
+    // reconstructed (10-row broadcast range join).
+    "suffix_lrs_topk" -> QueryDef(
+      (s, dir) => {
+        val chars = graft.operators.DenseId.withDenseId(
+          Tables.documents(s, dir).filter(col("doc_id") < 40)
+            .select(col("doc_id"),
+              concat(coalesce(col("text"), lit("")), lit("\u0001")).as("t"))
+            .select(col("doc_id"), posexplode(expr(
+              "transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
+              .as(Seq("pos", "code"))),
+          Seq(col("doc_id"), col("pos")), "gpos")
+          .select(col("gpos"), col("code"))
+          .localCheckpoint() // feeds the LCP build AND the text reconstruct
+        val top = graft.operators.SuffixArray.adjacentLcp(chars)
+          .orderBy(col("lcp").desc, col("a")).limit(10)
+          .select(col("a"), col("b"), col("lcp"))
+        top.join(chars,
+            col("gpos") >= col("a") && col("gpos") < col("a") + col("lcp"),
+            "left")
+          .groupBy(col("a"), col("b"), col("lcp"))
+          .agg(concat_ws("",
+            transform(sort_array(collect_list(struct(col("gpos"), col("code")))),
+              x => char(x.getField("code")))).as("lrs"))
+          .orderBy(col("lcp").desc, col("a"))
+      }, {
+        val steps = (0 to 14).reverse.map(j => 1L << j) // 16384 .. 1
+        val lifts = steps.zipWithIndex.map { case (w, i) =>
+          s"""l${i + 1} AS (
+             |  SELECT a, b, s, ln,
+             |    lcp + CASE WHEN a + lcp + $w - 1 <= ln AND b + lcp + $w - 1 <= ln
+             |               AND substr(s, CAST(a + lcp AS INT), $w) =
+             |                   substr(s, CAST(b + lcp AS INT), $w)
+             |          THEN $w ELSE 0 END AS lcp
+             |  FROM l$i)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH c AS (
+           |  SELECT string_agg(coalesce(text, '') || chr(1), '' ORDER BY doc_id) AS s
+           |  FROM documents WHERE doc_id < 40),
+           |p AS (SELECT unnest(range(1, len(s) + 1)) AS gpos, s FROM c),
+           |r AS (
+           |  SELECT gpos, s,
+           |    CAST(row_number() OVER (ORDER BY substr(s, CAST(gpos AS INT))) AS BIGINT) AS sa_rank
+           |  FROM p),
+           |l0 AS (
+           |  SELECT r1.gpos AS a, r2.gpos AS b, r1.s AS s,
+           |    CAST(len(r1.s) AS BIGINT) AS ln, CAST(0 AS BIGINT) AS lcp
+           |  FROM r r1 JOIN r r2 ON r2.sa_rank = r1.sa_rank + 1),
+           |$lifts
+           |SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, lcp,
+           |  substr(s, CAST(a AS INT), CAST(lcp AS INT)) AS lrs
+           |FROM l${steps.length}
+           |ORDER BY lcp DESC, a LIMIT 10""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Image near-dup via dHash perceptual fingerprints: the corpus's
     // real BMP/PNG images plus planted variants (first two pixels
     // overwritten — id+100000) are decoded with javax.imageio, dHashed

@@ -24,6 +24,26 @@ class SuffixArraySpec extends SparkSuite {
     assert(sa == hostSa(s))
   }
 
+  test("adjacentLcp equals host common-prefix lengths; max is the LRS") {
+    val s = "bananabandanaban"
+    val chars = s.zipWithIndex
+      .map { case (c, i) => ((i + 1).toLong, c.toInt) }.toDF("gpos", "code")
+    val got = SuffixArray.adjacentLcp(chars)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"),
+        r.getAs[Long]("lcp"))).toSet
+    def lcp(a: Int, b: Int): Long = {
+      val (x, y) = (s.substring(a - 1), s.substring(b - 1))
+      x.zip(y).takeWhile { case (p, q) => p == q }.size.toLong
+    }
+    val order = (1 to s.length).sortBy(p => s.substring(p - 1))
+    val expect = order.sliding(2).map { case Seq(a, b) =>
+      (a.toLong, b.toLong, lcp(a, b))
+    }.toSet
+    assert(got == expect)
+    // LRS of this corpus is "anaban" (pos 4 and 11) — max adjacent LCP 6
+    assert(got.map(_._3).max == 6L)
+  }
+
   test("periodic corpus (worst case for doubling rounds)") {
     val s = "ab" * 24 + "" // long shared prefixes everywhere
     val chars = s.zipWithIndex
