@@ -507,6 +507,90 @@ object QualityDriftQueries {
     // sums stay integer; each stratum's expansion is one fixed-order
     // double expression; the cross-strata total uses the
     // stratum-sorted fold (bounded set, deterministic).
+    // ------------------------------------------------------------------
+    // Propensity-score MATCHING ATT estimate (Rosenbaum & Rubin 1983;
+    // greedy 1-NN with replacement) — the causal design the family
+    // still lacked beside DiD/IPW/Neyman: each treated customer
+    // (placed ≥1 URGENT order) matches the nearest-below control on a
+    // deterministic score axis WITHIN its market segment, via ONE
+    // AsOfJoin (the union + carry-forward window — a single exchange,
+    // no range join). The score is exact integer cents with the
+    // customer key in the low digits, so scores are UNIQUE and the
+    // greedy match is engine-independent; DuckDB replays it with its
+    // native ASOF LEFT JOIN. Outcomes are integral quantity sums; ATT
+    // is two single divisions subtracted in identical textual order,
+    // over matched pairs only (unmatched treated surface in
+    // n_treated − n_matched, never silently dropped).
+    "psm_att_estimate" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val co = Tables.orders(s, dir)
+          .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("qty"),
+            max(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+              .as("treated"))
+        val u = Tables.customer(s, dir)
+          .join(co, col("o_custkey") === col("c_custkey"), "left")
+          .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            ((col("c_acctbal").cast(DecimalType(20, 2)) * 100).cast("long") *
+              100000L + col("c_custkey") % 100000L).as("s"),
+            coalesce(col("qty"), lit(0L)).as("qty"),
+            coalesce(col("treated"), lit(0)).as("treated"))
+          .localCheckpoint() // feeds both arms of the match
+        val t = u.filter(col("treated") === 1)
+          .select(col("seg"), col("s"), col("qty"))
+        val g = u.filter(col("treated") === 0)
+          .select(col("seg"), col("s"), col("qty").as("c_qty"))
+        graft.operators.AsOfJoin
+          .backward(t, g, "seg", "s", Seq("c_qty"))
+          .groupBy(col("seg"))
+          .agg(
+            count(lit(1)).as("n_treated"),
+            count(col("c_qty")).as("n_matched"),
+            sum(when(col("c_qty").isNotNull, col("qty"))).as("t_qty_matched"),
+            sum(col("c_qty")).as("c_qty_matched"))
+          .select(col("seg"), col("n_treated"), col("n_matched"),
+            coalesce(col("t_qty_matched"), lit(0L)).as("t_qty_matched"),
+            coalesce(col("c_qty_matched"), lit(0L)).as("c_qty_matched"),
+            when(col("n_matched") > 0,
+              col("t_qty_matched").cast("double") /
+                col("n_matched").cast("double") -
+                col("c_qty_matched").cast("double") /
+                  col("n_matched").cast("double"))
+              .otherwise(lit(0.0)).as("att"))
+          .orderBy(col("seg"))
+      },
+      """WITH co AS (
+        |  SELECT o.o_custkey AS ck,
+        |    CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    max(CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS treated
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1),
+        |u AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) * 100000
+        |      + c.c_custkey % 100000 AS s,
+        |    coalesce(co.qty, 0) AS qty, coalesce(co.treated, 0) AS treated
+        |  FROM customer c LEFT JOIN co ON co.ck = c.c_custkey),
+        |t AS (SELECT seg, s, qty FROM u WHERE treated = 1),
+        |g AS (SELECT seg, s, qty AS c_qty FROM u WHERE treated = 0),
+        |m AS (
+        |  SELECT t.seg, t.qty, g.c_qty
+        |  FROM t ASOF LEFT JOIN g ON t.seg = g.seg AND t.s >= g.s)
+        |SELECT seg,
+        |  CAST(count(*) AS BIGINT) AS n_treated,
+        |  CAST(count(c_qty) AS BIGINT) AS n_matched,
+        |  CAST(coalesce(SUM(CASE WHEN c_qty IS NOT NULL THEN qty END), 0) AS BIGINT) AS t_qty_matched,
+        |  CAST(coalesce(SUM(c_qty), 0) AS BIGINT) AS c_qty_matched,
+        |  CASE WHEN count(c_qty) > 0
+        |       THEN CAST(coalesce(SUM(CASE WHEN c_qty IS NOT NULL THEN qty END), 0) AS DOUBLE)
+        |              / CAST(count(c_qty) AS DOUBLE)
+        |          - CAST(coalesce(SUM(c_qty), 0) AS DOUBLE)
+        |              / CAST(count(c_qty) AS DOUBLE)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS att
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "ipw_total_estimate" -> QueryDef(
       (s, dir) => {
         val base = Tables.lineitem(s, dir).select(
