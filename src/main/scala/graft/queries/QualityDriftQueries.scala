@@ -508,6 +508,71 @@ object QualityDriftQueries {
     // double expression; the cross-strata total uses the
     // stratum-sorted fold (bounded set, deterministic).
     // ------------------------------------------------------------------
+    // Good–Turing frequency re-estimation + Chao1 richness (Good 1953;
+    // Chao 1984) — the unseen-vocabulary estimators a corpus census
+    // needs before claiming coverage: the frequency-of-frequencies
+    // table N_r, the GT re-estimate r* = (r+1)·N_{r+1}/N_r for
+    // r = 1..5, the unseen probability mass N_1/N, and
+    // Chao1 = V + N_1²/(2·N_2). Two bounded aggregates (token counts →
+    // count-of-counts); every statistic is exact integers through
+    // single divisions in identical textual order. Corpus-level
+    // constants repeat per row (1-row broadcast, J9).
+    "good_turing_vocab" -> QueryDef(
+      (s, dir) => {
+        val counts = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds the N_r table AND the global stats
+        val fof = counts.groupBy(col("c").as("r"))
+          .agg(count(lit(1)).as("n_r"))
+          .localCheckpoint() // feeds rows, the r+1 lookup, and constants
+        val tot = counts.agg(count(lit(1)).as("v"), sum(col("c")).as("n"))
+        val ones = fof.select(
+          sum(when(col("r") === 1, col("n_r")).otherwise(0L)).as("n1"),
+          sum(when(col("r") === 2, col("n_r")).otherwise(0L)).as("n2"))
+        fof.orderBy(col("r")).limit(5) // the 5 RAREST counts present —
+          // the synthetic corpus has no singletons, so a literal r ≤ 5
+          // band would be empty; GT re-estimation applies to whatever
+          // low-count band the corpus actually has
+          .join(fof.select((col("r") - 1).as("r"), col("n_r").as("n_next")),
+            Seq("r"), "left")
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(ones))
+          .select(col("r"), col("n_r"),
+            coalesce(col("n_next"), lit(0L)).as("n_next"),
+            (((col("r") + 1) * coalesce(col("n_next"), lit(0L)))
+              .cast("double") / col("n_r").cast("double")).as("gt_rstar"),
+            col("v"), col("n"),
+            (col("n1").cast("double") / col("n").cast("double")).as("p0_mass"),
+            when(col("n2") > 0,
+              col("v").cast("double") +
+                (col("n1") * col("n1")).cast("double") /
+                  (lit(2L) * col("n2")).cast("double"))
+              .otherwise(col("v").cast("double")).as("chao1"))
+          .orderBy(col("r"))
+      },
+      s"""WITH tk AS (SELECT unnest($toksSql) AS tok FROM documents),
+         |counts AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+         |fof AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM counts GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(SUM(c) AS BIGINT) AS n FROM counts),
+         |ones AS (
+         |  SELECT CAST(coalesce(SUM(CASE WHEN r = 1 THEN n_r ELSE 0 END), 0) AS BIGINT) AS n1,
+         |         CAST(coalesce(SUM(CASE WHEN r = 2 THEN n_r ELSE 0 END), 0) AS BIGINT) AS n2
+         |  FROM fof)
+         |SELECT f.r, f.n_r,
+         |  CAST(coalesce(nx.n_r, 0) AS BIGINT) AS n_next,
+         |  CAST((f.r + 1) * coalesce(nx.n_r, 0) AS DOUBLE) / CAST(f.n_r AS DOUBLE) AS gt_rstar,
+         |  tot.v, tot.n,
+         |  CAST(ones.n1 AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p0_mass,
+         |  CASE WHEN ones.n2 > 0
+         |       THEN CAST(tot.v AS DOUBLE)
+         |            + CAST(ones.n1 * ones.n1 AS DOUBLE) / CAST(2 * ones.n2 AS DOUBLE)
+         |       ELSE CAST(tot.v AS DOUBLE) END AS chao1
+         |FROM (SELECT * FROM fof ORDER BY r LIMIT 5) f
+         |LEFT JOIN fof nx ON nx.r = f.r + 1
+         |CROSS JOIN tot CROSS JOIN ones
+         |ORDER BY f.r""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Propensity-score MATCHING ATT estimate (Rosenbaum & Rubin 1983;
     // greedy 1-NN with replacement) — the causal design the family
     // still lacked beside DiD/IPW/Neyman: each treated customer

@@ -88,7 +88,8 @@ class PlanAuditSpec extends SparkSuite {
     "tpch_q11_important_parts", // global value total + part count as broadcast 1-row aggregates (J9 shape)
     "kneser_ney_bigram", // distinct-bigram total B as a broadcast 1-row aggregate (J9 shape)
     "suffix_lrs_topk", // 10-row broadcast top-k range-joins the char frame to reconstruct the repeated text
-    "suffix_array_digest") // the SA md5 and BWT md5 1-row aggregates compose by cross join (J9 shape)
+    "suffix_array_digest", // the SA md5 and BWT md5 1-row aggregates compose by cross join (J9 shape)
+    "good_turing_vocab") // corpus totals (V, N, N1, N2) as broadcast 1-row aggregates (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
