@@ -586,6 +586,63 @@ object GraphLearnQueries {
           |ORDER BY ds.community""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Conductance of each LPA community (the Cheeger-style cut
+    // quality — low conductance = a community that keeps its edges
+    // inside): φ_c = cut_c / min(vol_c, S − vol_c), where the
+    // boundary cut is EXACTLY the degree mass minus the internal
+    // slots (cut = d_c − W_c — no extra join beyond modularity's),
+    // all directed-slot integers, one guarded division. Complements
+    // modularity: Q says the partition beats chance, φ says each
+    // community's boundary is tight.
+    "lpa_conductance" -> QueryDef(
+      (s, dir) => {
+        val e = thresholdEdges(s, dir).localCheckpoint()
+        val lab = GraphOps.lpaCommunities(e, maxRounds = 6)
+        val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val stot = e.count()
+        val win = e
+          .join(lab.select(col("n").as("u"), col("lab").as("la")), Seq("u"))
+          .join(lab.select(col("n").as("v"), col("lab").as("lb")), Seq("v"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("community"))
+          .agg(count(lit(1)).as("w_in"))
+        lab.join(deg, col("n") === col("u"))
+          .groupBy(col("lab").as("community"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_sum"))
+          .join(win, Seq("community"), "left")
+          .select(col("community"), col("n_nodes"),
+            coalesce(col("w_in"), lit(0L)).as("w_in"), col("d_sum"))
+          .withColumn("cut_out", col("d_sum") - col("w_in"))
+          .withColumn("conductance",
+            when(least(col("d_sum"), lit(stot) - col("d_sum")) > 0,
+              col("cut_out").cast("double") /
+                least(col("d_sum"), lit(stot) - col("d_sum")).cast("double"))
+              .otherwise(lit(0.0)))
+          .orderBy(col("community"))
+      },
+      lpaOracleCtes +
+        """,
+          |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+          |s AS (SELECT CAST(count(*) AS BIGINT) AS stot FROM e),
+          |win AS (
+          |  SELECT a.lab AS community, CAST(count(*) AS BIGINT) AS w_in
+          |  FROM e JOIN l6b a ON a.n = e.u JOIN l6b b ON b.n = e.v
+          |  WHERE a.lab = b.lab GROUP BY 1),
+          |ds AS (
+          |  SELECT l.lab AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+          |    CAST(SUM(deg.d) AS BIGINT) AS d_sum
+          |  FROM l6b l JOIN deg ON deg.u = l.n GROUP BY 1)
+          |SELECT ds.community, ds.n_nodes,
+          |  coalesce(win.w_in, 0) AS w_in, ds.d_sum,
+          |  ds.d_sum - coalesce(win.w_in, 0) AS cut_out,
+          |  CASE WHEN least(ds.d_sum, s.stot - ds.d_sum) > 0
+          |       THEN CAST(ds.d_sum - coalesce(win.w_in, 0) AS DOUBLE) /
+          |            CAST(least(ds.d_sum, s.stot - ds.d_sum) AS DOUBLE)
+          |       ELSE CAST(0.0 AS DOUBLE) END AS conductance
+          |FROM ds LEFT JOIN win ON win.community = ds.community CROSS JOIN s
+          |ORDER BY ds.community""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Corpus-wide kNN GRAPH (every node's top-5 cosine neighbors) via
     // the trained-IVF router: candidates are ONE equi-join on the
     // inverted-list id (home list ∈ the probe's nprobe nearest lists),
