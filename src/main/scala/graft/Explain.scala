@@ -240,7 +240,23 @@ object Explain {
     "knn_graph_retrain_drift" ->
       "Retrain drift report: both graphs (fixed-quantizer append-composed, retrained rebuild) are the bounded IVF shape over checkpointed frames; churn/recall meet in id-keyed joins + 1-row aggregates; the exact-truth twin is the BLOCKED brute force (block-id replication, one block per side per task — nothing corpus-sized broadcasts).",
     "c4_line_doc_rules" ->
-      "C4 rules: line keeps are map-side string predicates over the salted explode; doc bans and the ≥3-kept rule ride ONE doc-grain rollup that reassembles survivors byte-exactly — scan-bound, zero extra shuffles.")
+      "C4 rules: line keeps are map-side string predicates over the salted explode; doc bans and the ≥3-kept rule ride ONE doc-grain rollup that reassembles survivors byte-exactly — scan-bound, zero extra shuffles.",
+    "video_scene_cuts" ->
+      "Shot boundaries: consecutive-frame SAD computes INSIDE the typed decode kernel (payload binaries never shuffle — only compact diff rows reach the media-grain rollup); short clips surface zeroed via the left join.",
+    "kneser_ney_bigram" ->
+      "KN smoothing: ONE checkpointed bigram aggregate feeds the left marginal, continuation marginal, distinct-bigram total (1-row broadcast), and the final probe; the probability is a fixed parenthesized IEEE sequence over exact integers.",
+    "mv_rewrite_rollup" ->
+      "MV rewrite: the optimized plan must contain NO fact scan — the Aggregate retargeted onto the registered pre-aggregate (the in-plan require() makes a silent fallback fail the gate); residual key filter re-stated on the MV.",
+    "suffix_array_build" ->
+      "Prefix doubling: each round is one keyed self-join (rank at +2^k) + DenseId re-numbering (range shuffle, no global window); rounds stop when ranks go distinct — O(log L) worst case, ~5 on this corpus.",
+    "suffix_lrs_topk" ->
+      "Adjacent-LCP sparse table: per level two keyed lookups on the L-row pair frame against the retained round ranks — never a character walk; the 10-row top-k broadcast range-joins the char frame only to reconstruct the text.",
+    "psm_att_estimate" ->
+      "PSM: the greedy nearest-below match is ONE AsOfJoin (union + carry-forward window — a single exchange on the segment key, no range join); outcomes stay exact integers to the two final divisions.",
+    "good_turing_vocab" ->
+      "GT/Chao1: token counts → count-of-counts (two bounded aggregates); corpus constants ride 1-row broadcasts; every estimator is one division over exact integers.",
+    "lpa_conductance" ->
+      "Conductance: reuses modularity's degree agg + two label joins; the boundary cut is degree mass minus internal slots — NO extra join; one guarded division per community.")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
