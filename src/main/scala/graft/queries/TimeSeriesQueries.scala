@@ -305,6 +305,138 @@ object TimeSeriesQueries {
     // day-grain consolidation is the only fact-table agg; the lag join
     // is a self equi-join on the day key; absolute errors stay integer
     // until one division per weekday.
+    // ------------------------------------------------------------------
+    // Mann–Kendall trend test (Mann 1945; Kendall 1975) over the 1996
+    // daily order-count series — the standard nonparametric "is this
+    // metric drifting" monitor (no distributional assumption, robust
+    // to outliers): S = Σ_{i<j} sign(y_j − y_i), tie-corrected
+    // variance kept as the exact INTEGER numerator
+    // var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5), and the continuity-
+    // corrected z = (S∓1)/sqrt(var18/18) — one division and one
+    // correctly-rounded sqrt. Consolidate-to-day-grain-first (366
+    // rows), then the bounded pairwise self-join (~67k pairs at any
+    // SF).
+    "mann_kendall_trend" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint() // feeds the pair join (both sides) + ties + n
+        val pairs = daily.select(col("d").as("di"), col("y").as("yi"))
+          .join(daily.select(col("d").as("dj"), col("y").as("yj")),
+            col("di") < col("dj"))
+          .agg(sum(signum(col("yj") - col("yi")).cast("long")).as("s_stat"),
+            count(lit(1)).as("n_pairs"))
+        val ties = daily.groupBy(col("y")).agg(count(lit(1)).as("t"))
+          .agg(sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+            .as("tie18"))
+        val nn = daily.agg(count(lit(1)).as("n"))
+        pairs.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+          .select(col("n"), col("n_pairs"), col("s_stat"),
+            (col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) -
+              coalesce(col("tie18"), lit(0L))).as("var18"))
+          .withColumn("z",
+            when(col("var18") > 0,
+              when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+                .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+                .otherwise(lit(0.0)) /
+                sqrt(col("var18").cast("double") / lit(18.0)))
+              .otherwise(lit(0.0)))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |pr AS (
+        |  SELECT CAST(SUM(CAST(sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s_stat,
+        |    CAST(count(*) AS BIGINT) AS n_pairs
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |ties AS (
+        |  SELECT CAST(coalesce(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie18
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+        |SELECT nn.n, pr.n_pairs, pr.s_stat,
+        |  nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS var18,
+        |  CASE WHEN nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 > 0
+        |       THEN (CASE WHEN pr.s_stat > 0 THEN CAST(pr.s_stat - 1 AS DOUBLE)
+        |                  WHEN pr.s_stat < 0 THEN CAST(pr.s_stat + 1 AS DOUBLE)
+        |                  ELSE CAST(0.0 AS DOUBLE) END)
+        |            / sqrt(CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie18 AS DOUBLE) / CAST(18.0 AS DOUBLE))
+        |       ELSE CAST(0.0 AS DOUBLE) END AS z
+        |FROM pr CROSS JOIN nn CROSS JOIN ties""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Theil–Sen robust slope (Theil 1950; Sen 1968) over the same
+    // series: the LOWER median of all pairwise slopes
+    // (y_j−y_i)/(day_j−day_i) — each slope ONE IEEE division over
+    // exact integers, the median an exact rank-(⌈m/2⌉) selection
+    // under the total (slope, di, dj) order (deterministic across
+    // engines: identical division bits, identical tiebreak). The
+    // robust-regression complement to OLS (ols_qty_on_discount):
+    // immune to outlier days. Intercept = lower median of
+    // y_i − slope·day_i under (value, d) order.
+    "theil_sen_slope" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(datediff(col("o_orderdate").cast("date"),
+            lit("1996-01-01").cast("date")).cast("long").as("x"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint() // feeds both pair sides + the intercept pass
+        val slopes = daily.select(col("x").as("xi"), col("y").as("yi"))
+          .join(daily.select(col("x").as("xj"), col("y").as("yj")),
+            col("xi") < col("xj"))
+          .select(col("xi"), col("xj"),
+            ((col("yj") - col("yi")).cast("double") /
+              (col("xj") - col("xi")).cast("double")).as("slope"))
+          .localCheckpoint() // feeds the count agg AND the rank selection
+        val m = slopes.agg(count(lit(1)).as("m"))
+        val w = Window.orderBy(col("slope"), col("xi"), col("xj"))
+        val med = slopes
+          .withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(m))
+          .filter(col("rk") === expr("(m + 1) div 2"))
+          .select(col("m").as("n_pairs"), col("slope"))
+        val wi = Window.orderBy(col("v"), col("x"))
+        med.crossJoin(daily)
+          .select(col("n_pairs"), col("slope"), col("x"),
+            (col("y").cast("double") -
+              col("slope") * col("x").cast("double")).as("v"))
+          .withColumn("rk", row_number().over(wi))
+          .crossJoin(broadcast(daily.agg(count(lit(1)).as("nd"))))
+          .filter(col("rk") === expr("(nd + 1) div 2"))
+          .select(col("n_pairs"), col("nd").as("n_days"), col("slope"),
+            col("v").as("intercept"))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(date_diff('day', DATE '1996-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |sl AS (
+        |  SELECT a.x AS xi, b.x AS xj,
+        |    CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON a.x < b.x),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM sl),
+        |med AS (
+        |  SELECT mm.m AS n_pairs, t.slope
+        |  FROM (SELECT slope, row_number() OVER (ORDER BY slope, xi, xj) AS rk FROM sl) t
+        |  CROSS JOIN mm WHERE t.rk = (mm.m + 1) // 2),
+        |iv AS (
+        |  SELECT med.n_pairs, med.slope, d.x,
+        |    CAST(d.y AS DOUBLE) - med.slope * CAST(d.x AS DOUBLE) AS v
+        |  FROM med CROSS JOIN daily d),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM daily)
+        |SELECT t.n_pairs, nd.nd AS n_days, t.slope, t.v AS intercept
+        |FROM (SELECT n_pairs, slope, v,
+        |        row_number() OVER (ORDER BY v, x) AS rk FROM iv) t
+        |CROSS JOIN nd WHERE t.rk = (nd.nd + 1) // 2""".stripMargin),
+
     "seasonal_naive_backtest" -> QueryDef(
       (s, dir) => {
         val d = Tables.orders(s, dir)

@@ -89,7 +89,9 @@ class PlanAuditSpec extends SparkSuite {
     "kneser_ney_bigram", // distinct-bigram total B as a broadcast 1-row aggregate (J9 shape)
     "suffix_lrs_topk", // 10-row broadcast top-k range-joins the char frame to reconstruct the repeated text
     "suffix_array_digest", // the SA md5 and BWT md5 1-row aggregates compose by cross join (J9 shape)
-    "good_turing_vocab") // corpus totals (V, N, N1, N2) as broadcast 1-row aggregates (J9 shape)
+    "good_turing_vocab", // corpus totals (V, N, N1, N2) as broadcast 1-row aggregates (J9 shape)
+    "mann_kendall_trend", // the bounded 366-row day-grain pairwise self-join (di < dj) is the statistic
+    "theil_sen_slope") // same bounded pairwise product + 1-row median/count broadcasts (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
