@@ -44,6 +44,27 @@ class SuffixArraySpec extends SparkSuite {
     assert(got.map(_._3).max == 6L)
   }
 
+  test("generator-driven: random small-alphabet corpora equal the host sort") {
+    // small alphabet maximizes repeated substrings (the hard case for
+    // rank refinement); deterministic seed so failures reproduce
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(1, 48)
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString
+    val corpora = Gen.listOfN(6, gen)
+      .apply(Gen.Parameters.default, Seed(11L)).getOrElse(Nil)
+    assert(corpora.nonEmpty)
+    corpora.foreach { s =>
+      val chars = s.zipWithIndex
+        .map { case (c, i) => ((i + 1).toLong, c.toInt) }.toDF("gpos", "code")
+      val sa = SuffixArray.prefixDoubling(chars)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(sa == hostSa(s), s"mismatch on corpus '$s'")
+    }
+  }
+
   test("periodic corpus (worst case for doubling rounds)") {
     val s = "ab" * 24 + "" // long shared prefixes everywhere
     val chars = s.zipWithIndex
