@@ -44,9 +44,17 @@ object SuffixArray {
   private def buildRounds(chars: DataFrame): Seq[(Long, DataFrame)] = {
     val total = chars.count()
     require(total > 0, "empty corpus")
+    // densify the window-1 ranks too: if the first characters are
+    // already all distinct the loop never runs, and raw code points
+    // would leak out as sa_rank (caught by the property spec on 'ca')
+    val codeIds = DenseId.withDenseId(
+      chars.select(col("code").cast("long").as("code")).distinct(),
+      Seq(col("code")), "nid")
     var r = chars
       .select(col("gpos").cast("long").as("gpos"),
-        col("code").cast("long").as("rank"))
+        col("code").cast("long").as("code"))
+      .join(codeIds, Seq("code"))
+      .select(col("gpos"), col("nid").as("rank"))
       .localCheckpoint()
     val rounds = scala.collection.mutable.ArrayBuffer[(Long, DataFrame)]((1L, r))
     var k = 1L
