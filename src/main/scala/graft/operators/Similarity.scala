@@ -109,6 +109,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
+  /** ALL directed pairs with cosine ≥ eps — the ε-neighborhood graph
+    * density clustering (DBSCAN) and radius near-dup sweeps consume.
+    * Same blocked distribution as [[bruteForceTopKBlocked]] (nothing
+    * corpus-sized broadcasts; one block per side per task), but the
+    * cut is the THRESHOLD, not a heap — output is data-dependent, so
+    * callers own the eps choice (production candidate generation goes
+    * through the IVF/LSH paths; this exact form is for evals and
+    * bounded corpora).
+    */
+  def epsNeighborPairsBlocked(
+      corpus: DataFrame, idCol: String, vecCol: String, eps: Double,
+      corpusBlocks: Int = 8, probeBlocks: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val cBlk = broadcast(
+      spark.range(corpusBlocks).select(col("id").cast("int").as("blk_c")))
+    val pBlk = broadcast(
+      spark.range(probeBlocks).select(col("id").cast("int").as("blk_p")))
+    val c = corpus.select(col(idCol).as("j"), col(vecCol).as("vec_n"),
+        l2Norm(col(vecCol)).as("norm_n"),
+        pmod(hash(col(idCol)), lit(corpusBlocks)).as("blk_c"))
+      .crossJoin(pBlk)
+    val p = corpus.select(col(idCol).as("i"), col(vecCol).as("vec_q"),
+        l2Norm(col(vecCol)).as("norm_q"),
+        pmod(hash(col(idCol)), lit(probeBlocks)).as("blk_p"))
+      .crossJoin(cBlk)
+    c.join(p, Seq("blk_c", "blk_p"))
+      .filter(col("i") =!= col("j"))
+      .withColumn("sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+      .filter(col("sim") >= eps)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
   /** Bucket ids (one per table): deterministic Gaussian hyperplanes
     * generated inside [[graft.functions.HyperplaneBuckets]] — one
     * expression node; a Column-level formulation builds a

@@ -1062,6 +1062,105 @@ object GraphLearnQueries {
           |FROM cl GROUP BY 1 ORDER BY n_members DESC, cluster""".stripMargin),
 
     // ------------------------------------------------------------------
+    // DBSCAN over the embedding corpus (Ester et al. 1996): exact
+    // ε-neighborhood graph (cosine ≥ 0.33 — the fixture's top-neighbor
+    // band) via the BLOCKED all-pairs shape, core points = ≥3
+    // neighbors, clusters = pointer-jump CC over core-core edges
+    // (isolated cores are singleton clusters), borders take the MIN
+    // cluster among their core neighbors, the rest is the noise row
+    // (cluster −1) — nothing silently dropped. The density-based
+    // complement to the kNN/SemDeDup clustering family: no k, no
+    // centroids, noise is first-class. Exact pairs are the eval-class
+    // cost (production candidates come from the IVF/LSH paths); the
+    // oracle restates the engine's cosine bit-for-bit
+    // (double-cast list_dot_product over explicit sqrt norms) and
+    // closes components with the recursive-CTE min-reachable recipe.
+    "dbscan_embedding_clusters" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val pairs = graft.operators.Similarity.epsNeighborPairsBlocked(
+          emb, "vec_id", "embedding", eps = 0.33)
+          .select(col("i"), col("j"))
+          .localCheckpoint() // feeds degrees, core-core edges, borders
+        val core = pairs.groupBy(col("i")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= 3).select(col("i").as("id"))
+          .localCheckpoint() // feeds two semi-joins, the anti-join, labels
+        val coreEdges = pairs
+          .join(core.select(col("id").as("i")), Seq("i"), "left_semi")
+          .join(core.select(col("id").as("j")), Seq("j"), "left_semi")
+          .filter(col("i") < col("j"))
+          .select(col("i").as("a"), col("j").as("b"))
+        val cc = graft.operators.Dedup.connectedComponents(coreEdges, "a", "b")
+        val coreLab = core
+          .join(cc.select(col("id"), col("component")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+          .localCheckpoint() // border assignment + census
+        val border = pairs
+          .join(core.select(col("id").as("i")), Seq("i"), "left_anti")
+          .join(coreLab.select(col("id").as("j"), col("cluster")), Seq("j"))
+          .groupBy(col("i")).agg(min(col("cluster")).as("cluster"))
+          .localCheckpoint() // census + noise anti-join
+        val census = coreLab.select(col("cluster"), lit(1L).as("is_core"))
+          .unionByName(border.select(col("cluster"), lit(0L).as("is_core")))
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).as("n_total"), sum(col("is_core")).as("n_core"),
+            sum(lit(1L) - col("is_core")).as("n_border"))
+        val noise = emb.select(col("vec_id"))
+          .join(coreLab.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+          .join(border.select(col("i").as("vec_id")), Seq("vec_id"), "left_anti")
+          .agg(count(lit(1)).as("n_total"))
+          .select(lit(-1L).as("cluster"), col("n_total"),
+            lit(0L).as("n_core"), lit(0L).as("n_border"))
+        census.select(col("cluster"), col("n_total"), col("n_core"), col("n_border"))
+          .unionByName(noise)
+          .orderBy(col("cluster"))
+      },
+      """WITH ev AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nr AS MATERIALIZED (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM ev),
+        |p AS MATERIALIZED (
+        |  SELECT b.vec_id AS i, a.vec_id AS j
+        |  FROM nr a, nr b
+        |  WHERE a.vec_id <> b.vec_id
+        |    AND (CASE WHEN a.n * b.n > 0
+        |              THEN list_dot_product(a.v, b.v) / (a.n * b.n)
+        |              ELSE CAST(0.0 AS DOUBLE) END) >= 0.33),
+        |core AS MATERIALIZED (
+        |  SELECT i AS id FROM (SELECT i, count(*) AS d FROM p GROUP BY 1)
+        |  WHERE d >= 3),
+        |ce AS MATERIALIZED (
+        |  SELECT p.i AS u, p.j AS v FROM p
+        |  JOIN core c1 ON c1.id = p.i JOIN core c2 ON c2.id = p.j),
+        |cl AS MATERIALIZED (
+        |  SELECT n, min(r) AS cluster FROM (
+        |    WITH RECURSIVE reach(n, r) AS (
+        |      SELECT id, id FROM core
+        |      UNION
+        |      SELECT reach.n, e.v FROM reach JOIN ce e ON e.u = reach.r)
+        |    SELECT n, r FROM reach) GROUP BY 1),
+        |bl AS MATERIALIZED (
+        |  SELECT p.i, min(cl.cluster) AS cluster
+        |  FROM p JOIN cl ON cl.n = p.j
+        |  WHERE p.i NOT IN (SELECT id FROM core)
+        |  GROUP BY 1),
+        |cen AS (
+        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(SUM(is_core) AS BIGINT) AS n_core,
+        |    CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+        |  FROM (SELECT cluster, 1 AS is_core FROM cl
+        |        UNION ALL SELECT cluster, 0 AS is_core FROM bl)
+        |  GROUP BY 1),
+        |noise AS (
+        |  SELECT CAST(-1 AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border
+        |  FROM embeddings e
+        |  WHERE e.vec_id NOT IN (SELECT n FROM cl)
+        |    AND e.vec_id NOT IN (SELECT i FROM bl))
+        |SELECT * FROM cen UNION ALL SELECT * FROM noise ORDER BY cluster""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Triangle census + global clustering coefficient of the
     // mutual-kNN semantic graph — the compact-forward / degree-ordered
     // node-iterator (Latapy 2008): orient every edge from the
