@@ -437,6 +437,73 @@ object TimeSeriesQueries {
         |        row_number() OVER (ORDER BY v, x) AS rk FROM iv) t
         |CROSS JOIN nd WHERE t.rk = (nd.nd + 1) // 2""".stripMargin),
 
+    // ------------------------------------------------------------------
+    // Split CONFORMAL prediction interval (Vovk et al.; the
+    // distribution-free UQ recipe) around the lag-7 seasonal-naive
+    // forecaster: calibration residuals |y − y_lag7| on 1996 H1 (exact
+    // integers), the interval half-width q̂ is the rank-
+    // ⌈(n+1)(1−α)⌉ calibration residual (α = 0.1 — the rank computed
+    // in exact integer arithmetic, the selection under a (r, day)
+    // total order), and H2 coverage = the fraction of test days whose
+    // residual ≤ q̂ — ONE division. The finite-sample ≥ 1−α coverage
+    // guarantee is what makes this the production forecast-gate; every
+    // step is engine-exact.
+    "conformal_forecast_interval" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint() // feeds both sides of the lag join
+        val res = daily
+          .join(daily.select(date_add(col("d"), 7).as("d"),
+            col("y").as("y_hat")), Seq("d"))
+          .select(col("d"), abs(col("y") - col("y_hat")).as("r"))
+          .localCheckpoint() // feeds the calibration rank AND the test scan
+        val cal = res.filter(col("d") < lit("1996-07-01").cast("date"))
+        val nCal = cal.agg(count(lit(1)).as("n_cal"))
+        val w = Window.orderBy(col("r"), col("d"))
+        val qhat = cal.withColumn("rk", row_number().over(w))
+          .crossJoin(broadcast(nCal))
+          .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
+          .select(col("n_cal"), col("rk").cast("long").as("k_rank"),
+            col("r").as("qhat"))
+        res.filter(col("d") >= lit("1996-07-01").cast("date"))
+          .crossJoin(broadcast(qhat))
+          .agg(
+            first(col("n_cal")).as("n_cal"),
+            first(col("k_rank")).as("k_rank"),
+            first(col("qhat")).as("qhat"),
+            count(lit(1)).as("n_test"),
+            sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_test").cast("double"))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |res AS (
+        |  SELECT a.d, CAST(abs(a.y - b.y) AS BIGINT) AS r
+        |  FROM daily a JOIN daily b ON b.d + INTERVAL 7 DAY = a.d),
+        |cal AS (SELECT * FROM res WHERE d < DATE '1996-07-01'),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+        |qh AS (
+        |  SELECT nc.n_cal, t.rk AS k_rank, t.r AS qhat
+        |  FROM (SELECT r, row_number() OVER (ORDER BY r, d) AS rk FROM cal) t
+        |  CROSS JOIN nc WHERE t.rk = (9 * (nc.n_cal + 1) + 9) // 10),
+        |tst AS (SELECT * FROM res WHERE d >= DATE '1996-07-01')
+        |SELECT qh.n_cal, qh.k_rank, qh.qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN tst.r <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN tst.r <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM tst CROSS JOIN qh
+        |GROUP BY 1, 2, 3""".stripMargin),
+
     "seasonal_naive_backtest" -> QueryDef(
       (s, dir) => {
         val d = Tables.orders(s, dir)
