@@ -256,7 +256,15 @@ object Explain {
     "good_turing_vocab" ->
       "GT/Chao1: token counts → count-of-counts (two bounded aggregates); corpus constants ride 1-row broadcasts; every estimator is one division over exact integers.",
     "lpa_conductance" ->
-      "Conductance: reuses modularity's degree agg + two label joins; the boundary cut is degree mass minus internal slots — NO extra join; one guarded division per community.")
+      "Conductance: reuses modularity's degree agg + two label joins; the boundary cut is degree mass minus internal slots — NO extra join; one guarded division per community.",
+    "mann_kendall_trend" ->
+      "MK: day-grain consolidation FIRST; the 366-row pairwise self-join IS the statistic (bounded at any SF); ties/variance/z from exact integers through one division + one sqrt.",
+    "theil_sen_slope" ->
+      "Theil–Sen: bounded pairwise slopes (one division each), lower-median by exact rank selection under the total (slope, di, dj) order; intercept by the same selection over the day frame.",
+    "dbscan_embedding_clusters" ->
+      "DBSCAN: blocked exact ε-pairs (eval-class; production candidates ride IVF/LSH), core filter, pointer-jump CC on core-core edges, min-cluster border assignment, noise as a census row — every stage keyed on ids.",
+    "conformal_forecast_interval" ->
+      "Conformal: lag-7 residuals on the checkpointed day frame, exact integer rank for q̂, single coverage division; the 1-row q̂ broadcasts onto the test scan (J9).")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
