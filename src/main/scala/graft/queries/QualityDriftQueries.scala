@@ -508,6 +508,51 @@ object QualityDriftQueries {
     // double expression; the cross-strata total uses the
     // stratum-sorted fold (bounded set, deterministic).
     // ------------------------------------------------------------------
+    // McNemar's paired test (1947) between two document-quality gates
+    // on the SAME corpus — the statistically correct way to compare
+    // two filters (a two-proportion z-test ignores the pairing): gate
+    // A = length (≥25 tokens), gate B = lexical diversity (distinct
+    // tokens ≥ half the tokens — compared by exact integer
+    // cross-multiplication, never a ratio). χ² = (b−c)²/(b+c) over
+    // the discordant cells — exact integers through ONE division.
+    // One corpus scan, one 1-row aggregate.
+    "mcnemar_filter_compare" -> QueryDef(
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(
+            (size(TextOps.tokens(col("text"))) >= 25).as("ga"),
+            (size(array_distinct(TextOps.tokens(col("text")))) * 2 >=
+              size(TextOps.tokens(col("text")))).as("gb"))
+          .agg(
+            sum(when(col("ga") && col("gb"), 1L).otherwise(0L)).as("n_both"),
+            sum(when(col("ga") && !col("gb"), 1L).otherwise(0L)).as("n_only_a"),
+            sum(when(!col("ga") && col("gb"), 1L).otherwise(0L)).as("n_only_b"),
+            sum(when(!col("ga") && !col("gb"), 1L).otherwise(0L)).as("n_neither"))
+          .withColumn("mcnemar_chi2",
+            when(col("n_only_a") + col("n_only_b") > 0,
+              ((col("n_only_a") - col("n_only_b")) *
+                (col("n_only_a") - col("n_only_b"))).cast("double") /
+                (col("n_only_a") + col("n_only_b")).cast("double"))
+              .otherwise(lit(0.0))),
+      s"""WITH g AS (
+         |  SELECT len($toksSql) >= 25 AS ga,
+         |    len(list_distinct($toksSql)) * 2 >= len($toksSql) AS gb
+         |  FROM documents),
+         |ct AS (
+         |  SELECT
+         |    CAST(SUM(CASE WHEN ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    CAST(SUM(CASE WHEN ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+         |    CAST(SUM(CASE WHEN NOT ga AND gb THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b,
+         |    CAST(SUM(CASE WHEN NOT ga AND NOT gb THEN 1 ELSE 0 END) AS BIGINT) AS n_neither
+         |  FROM g)
+         |SELECT n_both, n_only_a, n_only_b, n_neither,
+         |  CASE WHEN n_only_a + n_only_b > 0
+         |       THEN CAST((n_only_a - n_only_b) * (n_only_a - n_only_b) AS DOUBLE)
+         |            / CAST(n_only_a + n_only_b AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS mcnemar_chi2
+         |FROM ct""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Good–Turing frequency re-estimation + Chao1 richness (Good 1953;
     // Chao 1984) — the unseen-vocabulary estimators a corpus census
     // needs before claiming coverage: the frequency-of-frequencies

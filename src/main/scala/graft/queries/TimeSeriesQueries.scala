@@ -504,6 +504,85 @@ object TimeSeriesQueries {
         |FROM tst CROSS JOIN qh
         |GROUP BY 1, 2, 3""".stripMargin),
 
+    // ------------------------------------------------------------------
+    // Wald–Wolfowitz RUNS test (1940) on the 1996 daily series —
+    // "is the day-to-day sequence random around its median, or does it
+    // streak?" (the complement to Mann–Kendall: MK sees monotone
+    // drift, runs see clustering/oscillation). Dichotomize against the
+    // exact LOWER median (rank selection — the Theil–Sen recipe),
+    // drop exact-median ties (the standard convention), count runs
+    // with one lag window over the bounded day frame; μ_R and σ²_R
+    // are single divisions over exact integers and z composes them in
+    // identical textual order.
+    "runs_test_daily" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint() // feeds the median rank AND the runs scan
+        val nn = daily.agg(count(lit(1)).as("n"))
+        val wMed = Window.orderBy(col("y"), col("d"))
+        val med = daily.withColumn("rk", row_number().over(wMed))
+          .crossJoin(broadcast(nn))
+          .filter(col("rk") === expr("(n + 1) div 2"))
+          .select(col("y").as("med"))
+        val signed = daily.crossJoin(broadcast(med))
+          .filter(col("y") =!= col("med"))
+          .select(col("d"), when(col("y") > col("med"), 1).otherwise(0).as("sg"))
+        val wd = Window.orderBy(col("d"))
+        signed
+          .withColumn("prev", lag(col("sg"), 1).over(wd))
+          .agg(
+            sum(col("sg").cast("long")).as("n1"),
+            sum(lit(1L) - col("sg")).as("n0"),
+            (lit(1L) + sum(when(col("prev").isNotNull &&
+              col("sg") =!= col("prev"), 1L).otherwise(0L))).as("r_runs"))
+          .withColumn("mu_r",
+            lit(1.0) + (lit(2L) * col("n1") * col("n0")).cast("double") /
+              (col("n1") + col("n0")).cast("double"))
+          .withColumn("var_r",
+            (lit(2L) * col("n1") * col("n0") *
+              (lit(2L) * col("n1") * col("n0") - col("n1") - col("n0")))
+              .cast("double") /
+              ((col("n1") + col("n0")) * (col("n1") + col("n0")) *
+                (col("n1") + col("n0") - 1)).cast("double"))
+          .withColumn("z",
+            when(col("var_r") > 0,
+              (col("r_runs").cast("double") - col("mu_r")) / sqrt(col("var_r")))
+              .otherwise(lit(0.0)))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily),
+        |med AS (
+        |  SELECT t.y AS med
+        |  FROM (SELECT y, row_number() OVER (ORDER BY y, d) AS rk FROM daily) t
+        |  CROSS JOIN nn WHERE t.rk = (nn.n + 1) // 2),
+        |sg AS (
+        |  SELECT d, CASE WHEN y > med.med THEN 1 ELSE 0 END AS sg
+        |  FROM daily CROSS JOIN med WHERE y <> med.med),
+        |st AS (
+        |  SELECT CAST(SUM(sg) AS BIGINT) AS n1,
+        |    CAST(SUM(1 - sg) AS BIGINT) AS n0,
+        |    CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND sg <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r_runs
+        |  FROM (SELECT sg, lag(sg) OVER (ORDER BY d) AS prev FROM sg)),
+        |ext AS (
+        |  SELECT n1, n0, r_runs,
+        |    CAST(1.0 AS DOUBLE) + CAST(2 * n1 * n0 AS DOUBLE) / CAST(n1 + n0 AS DOUBLE) AS mu_r,
+        |    CAST(2 * n1 * n0 * (2 * n1 * n0 - n1 - n0) AS DOUBLE) /
+        |      CAST((n1 + n0) * (n1 + n0) * (n1 + n0 - 1) AS DOUBLE) AS var_r
+        |  FROM st)
+        |SELECT n1, n0, r_runs, mu_r, var_r,
+        |  CASE WHEN var_r > 0
+        |       THEN (CAST(r_runs AS DOUBLE) - mu_r) / sqrt(var_r)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS z
+        |FROM ext""".stripMargin),
+
     "seasonal_naive_backtest" -> QueryDef(
       (s, dir) => {
         val d = Tables.orders(s, dir)
