@@ -419,6 +419,26 @@ object Multimodal {
     }
   }
 
+  final case class FrameKey(media_id: Long, frame_idx: Int, key: String)
+
+  /** Sampled-frame content keys for cross-video near-dup: every
+    * `everyN`-th FULL frame keyed by its exact byte content (the ids
+    * join on (position, key) — aligned-copy detection, the video
+    * analog of line dedup). Key derivation happens inside the decode
+    * kernel; only compact (id, idx, key) rows ever shuffle.
+    */
+  def frameKeys(
+      media: Dataset[VideoRow], frameBytes: Int, everyN: Int): Dataset[FrameKey] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.content.grouped(frameBytes).zipWithIndex.collect {
+        case (f, idx) if idx % everyN == 0 && f.length == frameBytes =>
+          FrameKey(m.media_id, idx,
+            f.map(b => (b & 0xff).toString).mkString(":"))
+      }
+    }
+  }
+
   /** End-to-end demo frame: real-image corpus → batched ImageIO decode
     * → pixel-derived features. Container byte counts (PNG: zlib-
     * shaped) stay OUT of the comparable columns; width/height/mean/f0

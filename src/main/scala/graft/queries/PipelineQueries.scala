@@ -4345,6 +4345,58 @@ object PipelineQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Cross-video near-dup via sampled frame keys — the video analog
+    // of line dedup: every 2nd full frame keyed by exact content
+    // inside the decode kernel, candidate pairs from ONE equi-join on
+    // (position, key) (aligned-copy detection — same content at the
+    // same timestamp), kept at ≥2 shared frames. Planted copies
+    // (every 10th doc re-encoded with a changed first character)
+    // share every frame after the first. Payload bytes never shuffle;
+    // the join carries compact key rows.
+    "video_framehash_neardup" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        val planted = base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 400000L).as("doc_id"),
+            concat(lit("Z"), expr("substring(text, 2)")).as("text"))
+        val vids = Multimodal.videoFrom(base.unionByName(planted))
+        val fk = Multimodal.frameKeys(vids, frameBytes = 16, everyN = 2)
+          .toDF().localCheckpoint() // both sides of the pair join
+        fk.as("x")
+          .join(fk.as("y"),
+            col("x.frame_idx") === col("y.frame_idx") &&
+              col("x.key") === col("y.key") &&
+              col("x.media_id") < col("y.media_id"))
+          .groupBy(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 2)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      """WITH corpus AS (
+        |  SELECT doc_id, coalesce(text, '') AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 'Z' || substr(coalesce(text, ''), 2)
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |v AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(1, len(text) + 1),
+        |      i -> (unicode(text[i:i]) * 7) % 256) AS b
+        |  FROM corpus),
+        |f AS (
+        |  SELECT media_id, CAST(k AS INT) AS frame_idx,
+        |    array_to_string(b[k*16+1 : k*16+16], ':') AS key
+        |  FROM (SELECT media_id, b, unnest(range(0, len(b) // 16)) AS k FROM v)
+        |  WHERE k % 2 = 0)
+        |SELECT x.media_id AS id_a, y.media_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS n_shared
+        |FROM f x JOIN f y
+        |  ON y.frame_idx = x.frame_idx AND y.key = x.key
+        | AND x.media_id < y.media_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Streaming-shaped batch: tumbling 1h windows over events
     // (Structured Streaming twin in graft.streaming.EventsStreaming).
     "events_hourly_window" -> QueryDef(
