@@ -33,7 +33,20 @@ object SuffixArray {
     * starting at gpos (all suffixes distinct — lengths differ).
     */
   def prefixDoubling(chars: DataFrame): DataFrame =
-    buildRounds(chars).last._2.withColumnRenamed("rank", "sa_rank")
+    saFromRounds(buildRounds(chars))
+
+  /** The doubling rounds as a reusable ARTIFACT (every frame already
+    * lineage-truncated): consumers that need both the final array and
+    * the sparse table ([[saFromRounds]] + [[adjacentLcpFromRounds]])
+    * build the rounds ONCE and share them — the session-scoped-cache
+    * contract (corpus index = an artifact, not a per-query
+    * computation).
+    */
+  def rounds(chars: DataFrame): Seq[(Long, DataFrame)] = buildRounds(chars)
+
+  /** The suffix array read off a [[rounds]] artifact. */
+  def saFromRounds(rounds: Seq[(Long, DataFrame)]): DataFrame =
+    rounds.last._2.withColumnRenamed("rank", "sa_rank")
 
   /** The doubling rounds themselves: (window, rank frame) for windows
     * 1, 2, 4, …, w_max — rank_w[i] = rank_w[j] iff suffixes i and j
@@ -96,8 +109,13 @@ object SuffixArray {
     * Returns (a, b, sa_rank, lcp): positions of the rank-r and
     * rank-(r+1) suffixes and their common-prefix length.
     */
-  def adjacentLcp(chars: DataFrame): DataFrame = {
-    val rounds = buildRounds(chars)
+  def adjacentLcp(chars: DataFrame): DataFrame =
+    adjacentLcpFromRounds(buildRounds(chars))
+
+  /** [[adjacentLcp]] over a pre-built [[rounds]] artifact — descends
+    * the cached sparse table without re-running the doubling.
+    */
+  def adjacentLcpFromRounds(rounds: Seq[(Long, DataFrame)]): DataFrame = {
     val sa = rounds.last._2
     var cur = sa
       .join(sa.select((col("rank") - 1).as("rank"), col("gpos").as("b")),

@@ -124,6 +124,27 @@ object GraphLearnQueries {
     e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
   }
 
+  /** Session-scoped LPA PARTITION ARTIFACT: (checkpointed thresholded
+    * edge frame, converged label frame). The three LPA consumers
+    * (`lpa_communities` / `lpa_modularity` / `lpa_conductance`) each
+    * re-ran the full semi-synchronous propagation (~8 s of sweep
+    * re-derivation; at 100 TB, a corpus-scale clustering recomputed
+    * per query) — cluster labels are an artifact, not a per-query
+    * computation (SCALE.md's rule, already applied to dedup CC and
+    * the star). Both frames are lineage-truncated (lpaCommunities
+    * checkpoints per phase), so cached reuse plans shallowly.
+    */
+  private val lpaCache =
+    new SessionScopedCache[(org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]
+
+  private def lpaPartition(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    lpaCache.getOrElseUpdate(s, dir) {
+      val e = thresholdEdges(s, dir).localCheckpoint()
+      (e, GraphOps.lpaCommunities(e, maxRounds = 6))
+    }
+
   /** DuckDB CTE chain replaying the thresholded graph + all 6 LPA
     * round budgets (12 semi-synchronous phases) to `l6b(n, lab)` —
     * identity past the fixed point, which is what lets the Spark side
@@ -512,7 +533,7 @@ object GraphLearnQueries {
     // per community.
     "lpa_communities" -> QueryDef(
       (s, dir) => {
-        GraphOps.lpaCommunities(thresholdEdges(s, dir), maxRounds = 6)
+        lpaPartition(s, dir)._2
           .groupBy(col("lab").as("community"))
           .agg(
             count(lit(1)).as("n_nodes"),
@@ -542,8 +563,7 @@ object GraphLearnQueries {
     // + one community agg over the same thresholded graph.
     "lpa_modularity" -> QueryDef(
       (s, dir) => {
-        val e = thresholdEdges(s, dir).localCheckpoint()
-        val lab = GraphOps.lpaCommunities(e, maxRounds = 6)
+        val (e, lab) = lpaPartition(s, dir)
         val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         val stot = e.count()
         val win = e
@@ -596,8 +616,7 @@ object GraphLearnQueries {
     // community's boundary is tight.
     "lpa_conductance" -> QueryDef(
       (s, dir) => {
-        val e = thresholdEdges(s, dir).localCheckpoint()
-        val lab = GraphOps.lpaCommunities(e, maxRounds = 6)
+        val (e, lab) = lpaPartition(s, dir)
         val deg = e.groupBy(col("u")).agg(count(lit(1)).as("d"))
         val stot = e.count()
         val win = e
