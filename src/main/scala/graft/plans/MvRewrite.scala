@@ -18,8 +18,21 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * - `keys`: MV grouping columns, SAME NAMES as the fact columns.
   * - `sums`: fact measure name → MV column holding SUM(measure) at MV
   *   grain. SUM re-aggregates by summing partials.
+  * - `valueCounts`: fact measure name → MV column holding
+  *   COUNT(measure) (non-null count) at MV grain. AVG(measure)
+  *   derives as SUM(sumPartial) / SUM(valueCountPartial) for
+  *   long-backed measures — exact integer partials, one final IEEE
+  *   division, provided the long sum stays below 2^53 (the repo-wide
+  *   decimal→double rule; the fact-side Average accumulates a double,
+  *   identical in that range). COUNT(*) partials are NOT a substitute:
+  *   a nullable measure would divide by the wrong denominator.
+  * - `mins` / `maxs`: fact measure name → MV column holding
+  *   MIN/MAX(measure) at MV grain. Directly rollable (min of mins,
+  *   max of maxs) — exact for every ordered type.
   * - `countCol`: MV column holding COUNT(*) at MV grain. COUNT(*)
-  *   re-aggregates as SUM(countCol).
+  *   re-aggregates as SUM(countCol), coalesced to 0 for the global
+  *   (no-grouping) case where an empty rewritten child must still
+  *   yield count 0, not NULL.
   * - `freshView`: the analyzed logical plan of the MV contents. The
   *   REGISTRANT owns freshness: the view must equal the fact rollup at
   *   registration grain (the classic MV contract).
@@ -35,19 +48,22 @@ final case class MvDef(
     keys: Set[String],
     sums: Map[String, String],
     countCol: Option[String],
-    freshView: () => LogicalPlan)
+    freshView: () => LogicalPlan,
+    mins: Map[String, String] = Map.empty,
+    maxs: Map[String, String] = Map.empty,
+    valueCounts: Map[String, String] = Map.empty)
 
 /** Aggregate navigator (the classic materialized-view rewrite —
   * Goldstein & Larson, SIGMOD 2001 shape, scoped to rollups): an
   * optimizer rule that retargets `Aggregate` over the registered fact
   * scan onto a pre-aggregated view when every output is derivable —
-  * grouping keys ⊆ MV keys, aggregates ∈ {SUM(measure), COUNT(*)}
-  * over registered partials, residual filters referencing key columns
-  * only (they re-state verbatim on the MV). The reference's
-  * `vista_agregada_mensual` exists precisely to serve coarser
-  * queries (`sql/CreacionDeUsuariosyVistas.sql:21-196`); this rule is
-  * the Spark-native rendition — the user keeps writing queries
-  * against the fact, and a 100 TB scan becomes an MV-sized one.
+  * grouping keys ⊆ MV keys, aggregates ∈ {SUM(measure), COUNT(*),
+  * MIN/MAX(measure), AVG(measure)} over registered partials, residual
+  * filters referencing key columns only (they re-state verbatim on
+  * the MV). The reference's `vista_agregada_mensual` exists precisely
+  * to serve coarser queries (`sql/CreacionDeUsuariosyVistas.sql:21-196`);
+  * this rule is the Spark-native rendition — the user keeps writing
+  * queries against the fact, and a 100 TB scan becomes an MV-sized one.
   *
   * Output schema is preserved exactly: every rewritten aggregate
   * expression keeps its original name and `exprId`, so parent
@@ -63,6 +79,16 @@ object MvRewrite extends Rule[LogicalPlan] {
 
   def register(d: MvDef): Unit = registry.add(d)
   def clear(): Unit = registry.clear()
+
+  /** Run `body` with `d` registered, then ALWAYS deregister — scopes
+    * the rewrite to one query so the global registry can't serve a
+    * later query (or a different fixture dir in the same JVM) stale
+    * MV data.
+    */
+  def withMv[T](d: MvDef)(body: => T): T = {
+    register(d)
+    try body finally clear()
+  }
 
   /** Root paths of all V1 file relations in `plan` — lets callers
     * assert a rewrite actually happened (no fact path left).
@@ -90,6 +116,17 @@ object MvRewrite extends Rule[LogicalPlan] {
         out
     }
 
+  /** Derivability veto: aborts [[tryRewrite]] into its fail-open
+    * catch. A dedicated ControlThrowable-free exception (not Scala's
+    * deprecated non-local return, whose NonLocalReturnControl only
+    * survived the NonFatal catch by accident of being a
+    * ControlThrowable).
+    */
+  private final class Veto extends RuntimeException {
+    override def fillInStackTrace(): Throwable = this // cheap: control flow only
+  }
+  private def veto(): Nothing = throw new Veto
+
   /** Strip column-pruning Projects and collect Filters down to the
     * fact scan. Only attribute-only Projects and deterministic filter
     * conditions qualify; anything else vetoes.
@@ -112,16 +149,17 @@ object MvRewrite extends Rule[LogicalPlan] {
     }
 
   private def tryRewrite(agg: Aggregate, d: MvDef): Option[LogicalPlan] = try {
-    val (conds, _) = unwrap(agg.child, d.srcPathTag).getOrElse(return None)
+    val (conds, _) = unwrap(agg.child, d.srcPathTag).getOrElse(veto())
 
     // grouping keys: plain attributes, all covered by the MV grain
     val grpAttrs = agg.groupingExpressions.map {
       case a: AttributeReference if d.keys.contains(a.name) => a
-      case _ => return None
+      case _ => veto()
     }
+    val isGlobal = grpAttrs.isEmpty
     // residual filters may reference key columns only
     val condRefs = conds.flatMap(_.references.toSeq)
-    if (!condRefs.forall(r => d.keys.contains(r.name))) return None
+    if (!condRefs.forall(r => d.keys.contains(r.name))) veto()
 
     lazy val mv = d.freshView()
     // missing MV column ⇒ veto: thrown as a plain exception, landing in
@@ -136,6 +174,28 @@ object MvRewrite extends Rule[LogicalPlan] {
       case _ => None
     }
 
+    // SUM(countCol) re-states COUNT(*); the global (no-grouping) case
+    // must coalesce to 0L — an empty MV after residual filters yields
+    // SUM = NULL where the fact plan's COUNT yields 0.
+    // fresh resultIds throughout: the AVG path emits TWO aggregate
+    // expressions derived from one original — sharing its resultId
+    // would collide in physical aggregation (the Alias keeps the
+    // original exprId, so parent references still bind unchanged)
+    def countAsSum(ae: AggregateExpression): Expression = {
+      val cnt = d.countCol.map(mvAttr).getOrElse(veto())
+      if (cnt.dataType != LongType) veto()
+      val sum = ae.copy(aggregateFunction = Sum(cnt),
+        resultId = NamedExpression.newExprId)
+      if (isGlobal) Coalesce(Seq(sum, Literal(0L))) else sum
+    }
+
+    def mvPartial(part: Map[String, String], ch: Expression): Attribute = {
+      val fact = underlying(ch).getOrElse(veto())
+      val mvCol = part.get(fact.name).map(mvAttr).getOrElse(veto())
+      if (mvCol.dataType != ch.dataType) veto()
+      mvCol
+    }
+
     val rewritten: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case a: AttributeReference if d.keys.contains(a.name) =>
         Alias(mvAttr(a.name), a.name)(exprId = a.exprId)
@@ -143,23 +203,49 @@ object MvRewrite extends Rule[LogicalPlan] {
         Alias(mvAttr(a.name), name)(exprId = al.exprId)
       case al @ Alias(
           ae @ AggregateExpression(s @ Sum(ch, _), _, false, None, _), name) =>
-        val fact = underlying(ch).getOrElse(return None)
-        val mvCol = d.sums.get(fact.name).map(mvAttr).getOrElse(return None)
         // the stored partial must carry the exact type the original
         // SUM accumulated, and re-summing must not change the result
         // type (Long and Double are closed under SUM; decimal widens
         // precision, so it is deliberately not matched)
-        if (mvCol.dataType != ch.dataType) return None
-        if (ch.dataType != LongType && ch.dataType != DoubleType) return None
+        if (ch.dataType != LongType && ch.dataType != DoubleType) veto()
+        val mvCol = mvPartial(d.sums, ch)
         Alias(ae.copy(aggregateFunction = s.withNewChildren(Seq(mvCol))
           .asInstanceOf[AggregateFunction]), name)(exprId = al.exprId)
       case al @ Alias(
+          ae @ AggregateExpression(m @ Min(ch), _, false, None, _), name) =>
+        // min of per-group mins — exact for every ordered type
+        val mvCol = mvPartial(d.mins, ch)
+        Alias(ae.copy(aggregateFunction = m.withNewChildren(Seq(mvCol))
+          .asInstanceOf[AggregateFunction]), name)(exprId = al.exprId)
+      case al @ Alias(
+          ae @ AggregateExpression(m @ Max(ch), _, false, None, _), name) =>
+        val mvCol = mvPartial(d.maxs, ch)
+        Alias(ae.copy(aggregateFunction = m.withNewChildren(Seq(mvCol))
+          .asInstanceOf[AggregateFunction]), name)(exprId = al.exprId)
+      case al @ Alias(
+          ae @ AggregateExpression(Average(ch, _), _, false, None, _), name) =>
+        // AVG = SUM(sumPartial)/SUM(valueCountPartial): exact for
+        // long-backed measures (integer partials, ONE final IEEE
+        // division — the fact-side Average's double accumulation is
+        // identical below 2^53). Double sums re-associate ⇒ veto; a
+        // measure without a registered non-null count ⇒ veto (COUNT(*)
+        // would be the wrong denominator for a nullable measure).
+        if (ch.dataType != LongType) veto()
+        val fact = underlying(ch).getOrElse(veto())
+        val mvSum = mvPartial(d.sums, ch)
+        val vCnt = d.valueCounts.get(fact.name).map(mvAttr).getOrElse(veto())
+        if (vCnt.dataType != LongType) veto()
+        val sumExpr = ae.copy(aggregateFunction = Sum(mvSum),
+          resultId = NamedExpression.newExprId)
+        val cntExpr = ae.copy(aggregateFunction = Sum(vCnt),
+          resultId = NamedExpression.newExprId)
+        Alias(Divide(Cast(sumExpr, DoubleType), Cast(cntExpr, DoubleType)),
+          name)(exprId = al.exprId)
+      case al @ Alias(
           ae @ AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _),
           name) =>
-        val cnt = d.countCol.map(mvAttr).getOrElse(return None)
-        if (cnt.dataType != LongType) return None
-        Alias(ae.copy(aggregateFunction = Sum(cnt)), name)(exprId = al.exprId)
-      case _ => return None
+        Alias(countAsSum(ae), name)(exprId = al.exprId)
+      case _ => veto()
     }
 
     val newGroupings = grpAttrs.map(g => mvAttr(g.name))

@@ -33,6 +33,36 @@ object MefStarQueries {
   private def star(s: SparkSession, dir: String): Star.StarSchema =
     starCache.getOrElseUpdate(s, dir)(MefPipeline.buildFromRaw(s, syntheticRaw(s, dir)))
 
+  /** The star fact PERSISTED as year-partitioned parquet plus the time
+    * spine as a file-based dim — the cluster's warehouse layout (the
+    * reference's per-year files + PG indexes, S2's scale note). Both
+    * dynamic partition pruning and the MV rewrite need REAL file
+    * scans: DPP's pruning subquery attaches to partitioned
+    * FileSourceScans (a LocalRelation dim constant-folds first —
+    * PartitionPruningSpec), and MvRewrite matches relations by root
+    * path. The fact is written annotated with (anio, mes) from the
+    * spine so year is the physical partition key. Written once per
+    * (session, sfDir); content is deterministic per sfDir, overwrite
+    * keeps it self-healing.
+    */
+  private val lakeCache = new SessionScopedCache[(String, String)]
+
+  private def starLake(s: SparkSession, dir: String): (String, String) =
+    lakeCache.getOrElseUpdate(s, dir) {
+      val st = star(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_star_lake/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      val factPath = s"$base/fact_by_anio"
+      val tiempoPath = s"$base/dim_tiempo"
+      val annotated = st.fact.join(
+        broadcast(st.dimTiempo.select(col("tiempo_id"), col("anio"), col("mes"))),
+        Seq("tiempo_id"))
+      graft.sources.ParquetSink.writePartitioned(
+        annotated, factPath, "anio", overwrite = true)
+      graft.sources.ParquetSink.write(st.dimTiempo, tiempoPath, overwrite = true)
+      (factPath, tiempoPath)
+    }
+
   /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw.
     * All three dim joins broadcast explicitly (bounded domains, like
     * the reference's ejecutora/sector tables). NOT fanned out: an
@@ -170,6 +200,98 @@ object MefStarQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2, 3
-        |ORDER BY anio, sector_nombre, pliego_nombre""".stripMargin)
+        |ORDER BY anio, sector_nombre, pliego_nombre""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // DYNAMIC PARTITION PRUNING end to end — THE 100 TB star-schema
+    // read feature (the reference approximates it with PG fact indexes,
+    // `sql/CreacionDeDataWareHouse.sql:141-145`): the star fact is laid
+    // out as anio-partitioned parquet, the time spine is a file-based
+    // dim, and a dim-filtered join (fecha = one spine month → one anio)
+    // must plan a dynamicpruningexpression partition filter on the fact
+    // scan — only that year's partition directory is read. The fn
+    // ASSERTS the DPP subquery is in the executed plan, so a planner
+    // regression fails the gate rather than silently full-scanning.
+    // anio 2017 ↔ shipyear 1997 (the +20 spine shift).
+    "mef_star_dpp_prune" -> QueryDef(
+      (s, dir) => {
+        val (factPath, tiempoPath) = starLake(s, dir)
+        val fact = s.read.parquet(factPath)
+        val dim = s.read.parquet(tiempoPath)
+          .filter(col("fecha") === to_date(lit("2017-06-01")))
+          .select(col("anio"))
+        val out = fact.join(dim, Seq("anio"))
+          .groupBy(col("mes"))
+          .agg(sum(col("monto_devengado")).as("devengado"))
+          .orderBy(col("mes"))
+        val plan = out.queryExecution.executedPlan.toString
+        require(plan.contains("dynamicpruning"),
+          "DPP did not fire: no dynamicpruningexpression on the fact scan")
+        out
+      },
+      """SELECT CAST(month(l_shipdate) AS INT) AS mes,
+        |  SUM(l_quantity) AS devengado
+        |FROM lineitem WHERE year(l_shipdate) = 1997
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // The reference's vista_agregada_mensual AS AN MV REWRITE over the
+    // persisted star fact (`sql/CreacionDeUsuariosyVistas.sql:119-179`
+    // — its pre-aggregated monthly view exists precisely to serve
+    // coarser dashboards): a (anio, mes)-grain pre-aggregate registers
+    // as an MV with SUM/COUNT/MIN/MAX partials, then the user query —
+    // written against the FACT, filtered to one year, grouped by month
+    // — must retarget onto the MV (plan-asserted). Exercises the full
+    // derivability surface: SUM partial re-sum, COUNT(*) as
+    // SUM(cnt), MIN-of-mins, MAX-of-maxs. Measures are integer-valued
+    // doubles (l_quantity), so the double re-association is exact. The
+    // oracle restates the month-grain semantics over lineitem,
+    // including the per-grain (supplier×month) min/max — proving the
+    // MV's grain really is the star's 8-FK grain.
+    "mef_star_mv_month_rollup" -> QueryDef(
+      (s, dir) => {
+        val (factPath, _) = starLake(s, dir)
+        val fact = s.read.parquet(factPath)
+        val mv = fact.groupBy(col("anio"), col("mes"))
+          .agg(sum(col("monto_devengado")).as("sum_dev"),
+            count(lit(1)).as("cnt"),
+            min(col("monto_devengado")).as("min_dev"),
+            max(col("monto_devengado")).as("max_dev"))
+          .localCheckpoint()
+        graft.plans.MvRewrite.clear() // idempotent re-runs
+        graft.plans.MvRewrite.withMv(graft.plans.MvDef(
+          srcPathTag = factPath,
+          keys = Set("anio", "mes"),
+          sums = Map("monto_devengado" -> "sum_dev"),
+          countCol = Some("cnt"),
+          freshView = () => mv.queryExecution.analyzed,
+          mins = Map("monto_devengado" -> "min_dev"),
+          maxs = Map("monto_devengado" -> "max_dev"))) {
+          val out = fact.filter(col("anio") === 2017)
+            .groupBy(col("mes"))
+            .agg(sum(col("monto_devengado")).as("devengado"),
+              min(col("monto_devengado")).as("min_dev"),
+              max(col("monto_devengado")).as("max_dev"),
+              count(lit(1)).as("n_grains"))
+            .orderBy(col("mes"))
+          val paths = graft.plans.MvRewrite
+            .scanPaths(out.queryExecution.optimizedPlan)
+          require(!paths.exists(_.contains(factPath)),
+            s"MV rewrite did not fire — the fact scan survived: $paths")
+          // materialize WHILE registered so the returned rows flowed
+          // through the MV plan (the caller's write re-optimizes)
+          out.localCheckpoint()
+        }
+      },
+      """WITH g AS (
+        |  SELECT month(l_shipdate) AS mes, l_suppkey,
+        |    SUM(l_quantity) AS dev
+        |  FROM lineitem WHERE year(l_shipdate) = 1997
+        |  GROUP BY 1, 2)
+        |SELECT CAST(mes AS INT) AS mes,
+        |  SUM(dev) AS devengado,
+        |  min(dev) AS min_dev, max(dev) AS max_dev,
+        |  CAST(count(*) AS BIGINT) AS n_grains
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -1234,23 +1234,30 @@ object ParityQueries {
             count(lit(1)).as("cnt"))
           .localCheckpoint()
         graft.plans.MvRewrite.clear() // idempotent re-runs (Bench warms ×4)
-        graft.plans.MvRewrite.register(graft.plans.MvDef(
+        // registration is SCOPED to this query (register → execute →
+        // always deregister): a global leftover could serve stale-SF
+        // MV data to a later same-JVM run over a different fixture dir
+        graft.plans.MvRewrite.withMv(graft.plans.MvDef(
           srcPathTag = "/lineitem",
           keys = Set("l_returnflag", "l_linestatus"),
           sums = Map("l_quantity" -> "sum_qty"),
           countCol = Some("cnt"),
-          freshView = () => mv.queryExecution.analyzed))
-        val out = Tables.lineitem(s, dir)
-          .filter(col("l_linestatus") === "F")
-          .groupBy(col("l_returnflag"))
-          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
-            count(lit(1)).as("n_lines"))
-          .orderBy(col("l_returnflag"))
-        val paths = graft.plans.MvRewrite
-          .scanPaths(out.queryExecution.optimizedPlan)
-        require(!paths.exists(_.contains("/lineitem")),
-          s"MV rewrite did not fire — the fact scan survived: $paths")
-        out
+          freshView = () => mv.queryExecution.analyzed)) {
+          val out = Tables.lineitem(s, dir)
+            .filter(col("l_linestatus") === "F")
+            .groupBy(col("l_returnflag"))
+            .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+              count(lit(1)).as("n_lines"))
+            .orderBy(col("l_returnflag"))
+          val paths = graft.plans.MvRewrite
+            .scanPaths(out.queryExecution.optimizedPlan)
+          require(!paths.exists(_.contains("/lineitem")),
+            s"MV rewrite did not fire — the fact scan survived: $paths")
+          // materialize WHILE the MV is registered, so the returned
+          // rows genuinely flowed through the rewritten plan (the
+          // caller's later write re-optimizes from the logical plan)
+          out.localCheckpoint()
+        }
       },
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -643,8 +643,13 @@ object QualityDriftQueries {
         val u = Tables.customer(s, dir)
           .join(co, col("o_custkey") === col("c_custkey"), "left")
           .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+            // cents shifted by 1e9 + the full custkey in the low digits:
+            // UNIQUE for any SF with custkey < 1e9 (~SF 6,600 — custkey
+            // is 150k·SF); cents ≤ 1e6 so the product tops out ~1e15,
+            // well inside Long. A collision would make the greedy
+            // nearest-below match tie-dependent across engines.
             ((col("c_acctbal").cast(DecimalType(20, 2)) * 100).cast("long") *
-              100000L + col("c_custkey") % 100000L).as("s"),
+              1000000000L + col("c_custkey") % 1000000000L).as("s"),
             coalesce(col("qty"), lit(0L)).as("qty"),
             coalesce(col("treated"), lit(0)).as("treated"))
           .localCheckpoint() // feeds both arms of the match
@@ -679,8 +684,8 @@ object QualityDriftQueries {
         |  GROUP BY 1),
         |u AS (
         |  SELECT c.c_custkey, c.c_mktsegment AS seg,
-        |    CAST(CAST(c.c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) * 100000
-        |      + c.c_custkey % 100000 AS s,
+        |    CAST(CAST(c.c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT) * 1000000000
+        |      + c.c_custkey % 1000000000 AS s,
         |    coalesce(co.qty, 0) AS qty, coalesce(co.treated, 0) AS treated
         |  FROM customer c LEFT JOIN co ON co.ck = c.c_custkey),
         |t AS (SELECT seg, s, qty FROM u WHERE treated = 1),

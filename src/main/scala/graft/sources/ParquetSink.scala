@@ -17,10 +17,19 @@ object ParquetSink {
   def writeYearly(
       df: DataFrame, outPath: String, overwrite: Boolean = false,
       codec: String = "zstd"): Unit =
+    writePartitioned(df, outPath, "ANO_EJE", overwrite, codec)
+
+  /** Hive-layout partitioned write on an arbitrary column — the
+    * warehouse fact layout (year/date partitions) that makes static
+    * AND dynamic partition pruning possible on the read side.
+    */
+  def writePartitioned(
+      df: DataFrame, outPath: String, partCol: String,
+      overwrite: Boolean = false, codec: String = "zstd"): Unit =
     df.write
       .mode(if (overwrite) "overwrite" else "ignore")
       .option("compression", codec)
-      .partitionBy("ANO_EJE")
+      .partitionBy(partCol)
       .parquet(outPath)
 
   def write(

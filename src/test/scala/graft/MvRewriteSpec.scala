@@ -17,14 +17,20 @@ class MvRewriteSpec extends SparkSuite {
     val mv = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
-        count(lit(1)).as("cnt"))
+        count(lit(1)).as("cnt"),
+        min(col("l_quantity").cast("long")).as("min_qty"),
+        max(col("l_quantity").cast("long")).as("max_qty"),
+        count(col("l_quantity").cast("long")).as("cnt_qty"))
       .localCheckpoint()
     MvRewrite.register(MvDef(
       srcPathTag = "/lineitem",
       keys = Set("l_returnflag", "l_linestatus"),
       sums = Map("l_quantity" -> "sum_qty"),
       countCol = Some("cnt"),
-      freshView = () => mv.queryExecution.analyzed))
+      freshView = () => mv.queryExecution.analyzed,
+      mins = Map("l_quantity" -> "min_qty"),
+      maxs = Map("l_quantity" -> "max_qty"),
+      valueCounts = Map("l_quantity" -> "cnt_qty")))
     try test finally MvRewrite.clear()
   }
 
@@ -91,6 +97,60 @@ class MvRewriteSpec extends SparkSuite {
         .agg(count(lit(1)).as("n"))
       assert(MvRewrite.scanPaths(q4.queryExecution.optimizedPlan)
         .exists(_.contains("/lineitem")), "non-key filter must not rewrite")
+    }
+  }
+
+  test("MIN/MAX roll up from partials and AVG derives as sum/valueCount") {
+    def q() = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity").cast("long")).as("mn"),
+        max(col("l_quantity").cast("long")).as("mx"),
+        avg(col("l_quantity").cast("long")).as("av"))
+      .orderBy(col("l_returnflag"))
+    val expected = q().collect().toSeq // registry empty: fact plan
+    withMv {
+      val r = q()
+      val paths = MvRewrite.scanPaths(r.queryExecution.optimizedPlan)
+      assert(!paths.exists(_.contains("/lineitem")),
+        s"fact scan survived the min/max/avg rewrite: $paths")
+      assert(r.collect().toSeq == expected,
+        "MV min/max/avg must equal the fact answer bit-for-bit")
+    }
+  }
+
+  test("AVG without a registered value-count partial vetoes (fail-open)") {
+    val mv = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    MvRewrite.register(MvDef(
+      srcPathTag = "/lineitem",
+      keys = Set("l_returnflag", "l_linestatus"),
+      sums = Map("l_quantity" -> "sum_qty"),
+      countCol = Some("cnt"),
+      freshView = () => mv.queryExecution.analyzed))
+    try {
+      val q = Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(avg(col("l_quantity").cast("long")).as("av"))
+      assert(MvRewrite.scanPaths(q.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")),
+        "AVG must not rewrite via COUNT(*): nullable measures would " +
+          "divide by the wrong denominator")
+    } finally MvRewrite.clear()
+  }
+
+  test("global COUNT over an MV-emptying residual filter yields 0, not NULL") {
+    withMv {
+      val q = Tables.lineitem(spark, dir)
+        .filter(col("l_returnflag") === "ZZ") // matches nothing
+        .agg(count(lit(1)).as("n"))
+      assert(!MvRewrite.scanPaths(q.queryExecution.optimizedPlan)
+        .exists(_.contains("/lineitem")), "global count must rewrite")
+      val rows = q.collect().toSeq
+      assert(rows.size == 1 && !rows.head.isNullAt(0) && rows.head.getLong(0) == 0L,
+        s"empty-child global COUNT must be 0 (got $rows)")
     }
   }
 
