@@ -79,6 +79,67 @@ object KnnGraph {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
   }
 
+  /** SKEW-ROBUST graph build: [[buildWithCentroids]] with a LIST-SIZE
+    * CAP. The IVF router assumes roughly balanced lists; a clustered
+    * corpus routes a hot region into ONE list, whose candidate join
+    * partition goes quadratic (the LSH bucket-cap lesson — except a
+    * frequency cap here would silently drop true neighbors). Instead,
+    * oversize lists SUB-SPLIT: each list of size `sz` shards into
+    * ceil(sz/listCap) sub-lists by a deterministic hash of the member
+    * id, and every probe into that list probes ALL of its shards — the
+    * candidate SET is exactly [[buildWithCentroids]]'s (recall
+    * identical by construction, spec-asserted), but no join task holds
+    * more than ~listCap corpus rows per key. This is measured-size
+    * salting: the shard table derives from a per-list count aggregate
+    * (nlist rows — broadcast), so the cap adapts to the actual skew
+    * instead of a guessed salt factor. Probe-side replication grows
+    * only into the shards of the lists a probe already probes —
+    * candidate volume is unchanged.
+    */
+  def buildWithCentroidsCapped(
+      corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      cs: Seq[Seq[Double]], nprobe: Int, listCap: Long): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cs.length, s"nprobe $nprobe out of range")
+    require(listCap >= 1, s"listCap $listCap must be positive")
+    val base = corpus.select(
+        col(idCol).as("id"), col(vecCol).as("vec"),
+        Similarity.l2Norm(col(vecCol)).as("norm"),
+        centroidIds(col(vecCol), cs, nprobe).as("probe_lists"))
+      .localCheckpoint()
+    val homes = base.select(col("id").as("neighbor_id"),
+      element_at(col("probe_lists"), 1).as("list_id"))
+    // nlist rows: the shard count per list, derived from measured sizes
+    val shardCounts = homes.groupBy(col("list_id"))
+      .agg(ceil(count(lit(1)).cast("double") / listCap).cast("int").as("n_shards"))
+    val idx = homes
+      .join(broadcast(shardCounts), Seq("list_id"))
+      .select(col("list_id"),
+        pmod(hash(col("neighbor_id")), col("n_shards")).as("shard"),
+        col("neighbor_id"))
+    // each probe replicates into every shard of each probed list
+    val probe = base.select(col("id").as("query_id"),
+        explode(col("probe_lists")).as("list_id"))
+      .join(broadcast(shardCounts), Seq("list_id"))
+      .select(col("query_id"), col("list_id"),
+        explode(sequence(lit(0), col("n_shards") - 1)).as("shard"))
+    val cand = idx.join(probe, Seq("list_id", "shard"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"))
+    val pairs = cand
+      .join(base.select(col("id").as("neighbor_id"), col("vec").as("vec_n"),
+        col("norm").as("norm_n")), "neighbor_id")
+      .join(base.select(col("id").as("query_id"), col("vec").as("vec_q"),
+        col("norm").as("norm_q")), "query_id")
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine_sim"))
+  }
+
   /** INCREMENTAL graph maintenance against a FIXED quantizer: `base`
     * nodes already hold `baseKnn` (their top-k over the base corpus,
     * built with the SAME centroids/nprobe); `fresh` vectors arrive.

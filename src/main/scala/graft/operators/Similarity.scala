@@ -144,6 +144,57 @@ object Similarity {
       .select(col("i"), col("j"), col("sim"))
   }
 
+  /** IVF-ROUTED ε-neighborhood — the PRODUCTION density-clustering
+    * candidate path (vs [[epsNeighborPairsBlocked]], the exact
+    * O(N²) eval twin): candidates come from ONE equi-join on the
+    * inverted-list id (the kNN-graph recipe — a directed pair (q, n)
+    * arises iff n's home list is among q's nprobe probe lists, at
+    * most once, so no pair dedup), exact cosine verifies against the
+    * threshold with ids-only through the join (vectors re-attach by
+    * id — the 30× shuffle-volume rule), and the surviving pairs
+    * SYMMETRIZE (distinct union with the transpose) so the ε-graph is
+    * undirected like the exact form's. Candidate volume is
+    * ≈ N²·nprobe/nlist on unclustered data and far less on clustered
+    * corpora; nlist grows √N so lists stay bounded. Recall vs exact
+    * is partial by construction (a neighbor routed to an un-probed
+    * list is missed) — `dbscan_ivf_recall` measures it; every emitted
+    * pair IS exact-verified, so routed ⊆ exact (precision 1).
+    */
+  def epsNeighborPairsIvf(
+      corpus: DataFrame, idCol: String, vecCol: String, eps: Double,
+      nlist: Int = 16, nprobe: Int = 8,
+      sampleSize: Int = 10000, iters: Int = 5, seed: Long = 42L): DataFrame = {
+    val cs = IvfIndex
+      .trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed)
+      .map(_.toIndexedSeq).toIndexedSeq
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+        l2Norm(col(vecCol)).as("norm"),
+        graft.functions.exprs.centroidIds(col(vecCol), cs, nprobe)
+          .as("probe_lists"))
+      .localCheckpoint() // feeds index, probe, and both re-attach joins
+    val idx = base.select(col("id").as("j"),
+      element_at(col("probe_lists"), 1).as("list_id"))
+    val probe = base.select(col("id").as("i"),
+      explode(col("probe_lists")).as("list_id"))
+    val cand = idx.join(probe, Seq("list_id"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"))
+    val dirPairs = cand
+      .join(base.select(col("id").as("j"), col("vec").as("vec_n"),
+        col("norm").as("norm_n")), "j")
+      .join(base.select(col("id").as("i"), col("vec").as("vec_q"),
+        col("norm").as("norm_q")), "i")
+      .withColumn("sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          vecDot(col("vec_n"), col("vec_q")) / (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+      .filter(col("sim") >= eps)
+      .select(col("i"), col("j"))
+    dirPairs
+      .unionByName(dirPairs.select(col("j").as("i"), col("i").as("j")))
+      .distinct()
+  }
+
   /** Bucket ids (one per table): deterministic Gaussian hyperplanes
     * generated inside [[graft.functions.HyperplaneBuckets]] — one
     * expression node; a Column-level formulation builds a

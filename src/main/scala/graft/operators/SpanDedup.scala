@@ -156,6 +156,74 @@ object SpanDedup {
       .select(col(idCol), col("start0"), col("span_len"), col("span_text"))
   }
 
+  /** The PERSISTED span-census artifact: distinct-document count per
+    * positional n-gram hash — the state INCREMENTAL ExactSubstr dedup
+    * probes instead of re-scanning the archive (the LshIndex /
+    * IncrementalDedup append discipline applied to span dedup). One
+    * keyed aggregation; at 100 TB this is the parquet table a daily
+    * batch job reads and folds into.
+    */
+  def spanCensus(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n > 0, "span length must be positive")
+    val text = coalesce(col(textCol), lit(""))
+    docs
+      .select(col(idCol),
+        explode(md5exprs.md5NgramHashesPos(text, n)).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  /** Fold a batch census into an archive census — counts ADD because
+    * batches carry disjoint doc ids (the loader's contract, same as
+    * IncrementalDedup's id-keyed appends): distinct-doc counts over
+    * disjoint doc sets are additive, so
+    * mergeCensus(spanCensus(A), spanCensus(B)) ≡ spanCensus(A ∪ B)
+    * exactly (spec-asserted). One keyed outer join at census grain —
+    * never touches document text.
+    */
+  def mergeCensus(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("span_hash"), col("n_docs"))
+      .unionByName(b.select(col("span_hash"), col("n_docs")))
+      .groupBy(col("span_hash"))
+      .agg(sum(col("n_docs")).as("n_docs"))
+
+  /** INCREMENTAL substring excision: clean a FRESH batch against a
+    * PERSISTED archive census without re-scanning archive text. A
+    * batch span is duplicated when its archive count plus its
+    * batch-side distinct-doc count exceeds `maxDocs` — for disjoint
+    * doc sets that sum IS the full-rebuild census, so the output
+    * EQUALS [[exciseCommonSpans]] over (archive ∪ batch) restricted
+    * to batch documents (drop-all policy; spec-asserted). Work is
+    * proportional to the batch: batch spans shuffle once on
+    * span_hash, the census probe is an equi-join on the same key,
+    * reassembly shuffles the batch token stream only.
+    */
+  def exciseAgainstCensus(
+      batch: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocs: Long, archiveCensus: DataFrame): DataFrame = {
+    require(n > 0, "span length must be positive")
+    val text = coalesce(col(textCol), lit(""))
+    val spans = batch
+      .select(col(idCol),
+        posexplode(md5exprs.md5NgramHashesPos(text, n))
+          .as(Seq("start0", "span_hash")))
+      .localCheckpoint() // feeds the batch census agg AND the probe join
+    val batchCounts = spans
+      .groupBy(col("span_hash"))
+      .agg(countDistinct(col(idCol)).as("b_docs"))
+    val blacklist = batchCounts
+      .join(archiveCensus.select(col("span_hash"), col("n_docs")),
+        Seq("span_hash"), "left")
+      .filter(col("b_docs") + coalesce(col("n_docs"), lit(0L)) > maxDocs)
+      .select(col("span_hash"))
+    val covered = spans.join(blacklist, Seq("span_hash"))
+      .select(col(idCol),
+        explode(sequence(col("start0"), col("start0") + lit(n - 1))).as("pos0"))
+      .distinct()
+    reassemble(batch, idCol, textCol, covered)
+  }
+
   /** The coverage set the excision policies share: one row per
     * (document, 0-based token position) whose token a policy would
     * drop — the union of duplicated-span hit intervals (minus each

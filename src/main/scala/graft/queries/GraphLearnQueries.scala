@@ -145,6 +145,92 @@ object GraphLearnQueries {
       (e, GraphOps.lpaCommunities(e, maxRounds = 6))
     }
 
+  /** DBSCAN chain over an ε-pair frame `(i, j)` (the full directed/
+    * symmetric adjacency): cores = degree ≥ 3, clusters = pointer-jump
+    * CC over core-core edges (isolated cores are singletons), borders
+    * take the MIN cluster among their core neighbors, everything else
+    * is the noise row (cluster −1). Shared by the exact blocked form
+    * (`dbscan_embedding_clusters`, the eval twin) and the IVF-routed
+    * production form (`dbscan_ivf_clusters`) — the pair SOURCE is the
+    * only thing that differs between eval and production.
+    */
+  private def dbscanCensus(
+      emb: org.apache.spark.sql.DataFrame,
+      pairsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pairs = pairsIn.select(col("i"), col("j"))
+      .localCheckpoint() // feeds degrees, core-core edges, borders
+    val core = pairs.groupBy(col("i")).agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 3).select(col("i").as("id"))
+      .localCheckpoint() // feeds two semi-joins, the anti-join, labels
+    val coreEdges = pairs
+      .join(core.select(col("id").as("i")), Seq("i"), "left_semi")
+      .join(core.select(col("id").as("j")), Seq("j"), "left_semi")
+      .filter(col("i") < col("j"))
+      .select(col("i").as("a"), col("j").as("b"))
+    val cc = graft.operators.Dedup.connectedComponents(coreEdges, "a", "b")
+    val coreLab = core
+      .join(cc.select(col("id"), col("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
+      .localCheckpoint() // border assignment + census
+    val border = pairs
+      .join(core.select(col("id").as("i")), Seq("i"), "left_anti")
+      .join(coreLab.select(col("id").as("j"), col("cluster")), Seq("j"))
+      .groupBy(col("i")).agg(min(col("cluster")).as("cluster"))
+      .localCheckpoint() // census + noise anti-join
+    val census = coreLab.select(col("cluster"), lit(1L).as("is_core"))
+      .unionByName(border.select(col("cluster"), lit(0L).as("is_core")))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_total"), sum(col("is_core")).as("n_core"),
+        sum(lit(1L) - col("is_core")).as("n_border"))
+    val noise = emb.select(col("vec_id"))
+      .join(coreLab.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
+      .join(border.select(col("i").as("vec_id")), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("n_total"))
+      .select(lit(-1L).as("cluster"), col("n_total"),
+        lit(0L).as("n_core"), lit(0L).as("n_border"))
+    census.select(col("cluster"), col("n_total"), col("n_core"), col("n_border"))
+      .unionByName(noise)
+      .orderBy(col("cluster"))
+  }
+
+  /** DuckDB tail of the DBSCAN census given a pair CTE `p(i, j)` —
+    * the core/CC/border/noise chain of [[dbscanCensus]], shared by
+    * the exact and IVF-routed oracles.
+    */
+  private def dbscanOracleTail: String =
+    """core AS MATERIALIZED (
+      |  SELECT i AS id FROM (SELECT i, count(*) AS d FROM p GROUP BY 1)
+      |  WHERE d >= 3),
+      |ce AS MATERIALIZED (
+      |  SELECT p.i AS u, p.j AS v FROM p
+      |  JOIN core c1 ON c1.id = p.i JOIN core c2 ON c2.id = p.j),
+      |cl AS MATERIALIZED (
+      |  SELECT n, min(r) AS cluster FROM (
+      |    WITH RECURSIVE reach(n, r) AS (
+      |      SELECT id, id FROM core
+      |      UNION
+      |      SELECT reach.n, e.v FROM reach JOIN ce e ON e.u = reach.r)
+      |    SELECT n, r FROM reach) GROUP BY 1),
+      |bl AS MATERIALIZED (
+      |  SELECT p.i, min(cl.cluster) AS cluster
+      |  FROM p JOIN cl ON cl.n = p.j
+      |  WHERE p.i NOT IN (SELECT id FROM core)
+      |  GROUP BY 1),
+      |cen AS (
+      |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(SUM(is_core) AS BIGINT) AS n_core,
+      |    CAST(SUM(1 - is_core) AS BIGINT) AS n_border
+      |  FROM (SELECT cluster, 1 AS is_core FROM cl
+      |        UNION ALL SELECT cluster, 0 AS is_core FROM bl)
+      |  GROUP BY 1),
+      |noise AS (
+      |  SELECT CAST(-1 AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_total,
+      |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border
+      |  FROM embeddings e
+      |  WHERE e.vec_id NOT IN (SELECT n FROM cl)
+      |    AND e.vec_id NOT IN (SELECT i FROM bl))
+      |SELECT * FROM cen UNION ALL SELECT * FROM noise ORDER BY cluster""".stripMargin
+
   /** DuckDB CTE chain replaying the thresholded graph + all 6 LPA
     * round budgets (12 semi-synchronous phases) to `l6b(n, lab)` —
     * identity past the fixed point, which is what lets the Spark side
@@ -1097,42 +1183,8 @@ object GraphLearnQueries {
     "dbscan_embedding_clusters" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val pairs = graft.operators.Similarity.epsNeighborPairsBlocked(
-          emb, "vec_id", "embedding", eps = 0.33)
-          .select(col("i"), col("j"))
-          .localCheckpoint() // feeds degrees, core-core edges, borders
-        val core = pairs.groupBy(col("i")).agg(count(lit(1)).as("d"))
-          .filter(col("d") >= 3).select(col("i").as("id"))
-          .localCheckpoint() // feeds two semi-joins, the anti-join, labels
-        val coreEdges = pairs
-          .join(core.select(col("id").as("i")), Seq("i"), "left_semi")
-          .join(core.select(col("id").as("j")), Seq("j"), "left_semi")
-          .filter(col("i") < col("j"))
-          .select(col("i").as("a"), col("j").as("b"))
-        val cc = graft.operators.Dedup.connectedComponents(coreEdges, "a", "b")
-        val coreLab = core
-          .join(cc.select(col("id"), col("component")), Seq("id"), "left")
-          .select(col("id"), coalesce(col("component"), col("id")).as("cluster"))
-          .localCheckpoint() // border assignment + census
-        val border = pairs
-          .join(core.select(col("id").as("i")), Seq("i"), "left_anti")
-          .join(coreLab.select(col("id").as("j"), col("cluster")), Seq("j"))
-          .groupBy(col("i")).agg(min(col("cluster")).as("cluster"))
-          .localCheckpoint() // census + noise anti-join
-        val census = coreLab.select(col("cluster"), lit(1L).as("is_core"))
-          .unionByName(border.select(col("cluster"), lit(0L).as("is_core")))
-          .groupBy(col("cluster"))
-          .agg(count(lit(1)).as("n_total"), sum(col("is_core")).as("n_core"),
-            sum(lit(1L) - col("is_core")).as("n_border"))
-        val noise = emb.select(col("vec_id"))
-          .join(coreLab.select(col("id").as("vec_id")), Seq("vec_id"), "left_anti")
-          .join(border.select(col("i").as("vec_id")), Seq("vec_id"), "left_anti")
-          .agg(count(lit(1)).as("n_total"))
-          .select(lit(-1L).as("cluster"), col("n_total"),
-            lit(0L).as("n_core"), lit(0L).as("n_border"))
-        census.select(col("cluster"), col("n_total"), col("n_core"), col("n_border"))
-          .unionByName(noise)
-          .orderBy(col("cluster"))
+        dbscanCensus(emb, graft.operators.Similarity.epsNeighborPairsBlocked(
+          emb, "vec_id", "embedding", eps = 0.33))
       },
       """WITH ev AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1146,38 +1198,90 @@ object GraphLearnQueries {
         |    AND (CASE WHEN a.n * b.n > 0
         |              THEN list_dot_product(a.v, b.v) / (a.n * b.n)
         |              ELSE CAST(0.0 AS DOUBLE) END) >= 0.33),
-        |core AS MATERIALIZED (
-        |  SELECT i AS id FROM (SELECT i, count(*) AS d FROM p GROUP BY 1)
-        |  WHERE d >= 3),
-        |ce AS MATERIALIZED (
-        |  SELECT p.i AS u, p.j AS v FROM p
-        |  JOIN core c1 ON c1.id = p.i JOIN core c2 ON c2.id = p.j),
-        |cl AS MATERIALIZED (
-        |  SELECT n, min(r) AS cluster FROM (
-        |    WITH RECURSIVE reach(n, r) AS (
-        |      SELECT id, id FROM core
-        |      UNION
-        |      SELECT reach.n, e.v FROM reach JOIN ce e ON e.u = reach.r)
-        |    SELECT n, r FROM reach) GROUP BY 1),
-        |bl AS MATERIALIZED (
-        |  SELECT p.i, min(cl.cluster) AS cluster
-        |  FROM p JOIN cl ON cl.n = p.j
-        |  WHERE p.i NOT IN (SELECT id FROM core)
-        |  GROUP BY 1),
-        |cen AS (
-        |  SELECT cluster, CAST(count(*) AS BIGINT) AS n_total,
-        |    CAST(SUM(is_core) AS BIGINT) AS n_core,
-        |    CAST(SUM(1 - is_core) AS BIGINT) AS n_border
-        |  FROM (SELECT cluster, 1 AS is_core FROM cl
-        |        UNION ALL SELECT cluster, 0 AS is_core FROM bl)
-        |  GROUP BY 1),
-        |noise AS (
-        |  SELECT CAST(-1 AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_total,
-        |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border
-        |  FROM embeddings e
-        |  WHERE e.vec_id NOT IN (SELECT n FROM cl)
-        |    AND e.vec_id NOT IN (SELECT i FROM bl))
-        |SELECT * FROM cen UNION ALL SELECT * FROM noise ORDER BY cluster""".stripMargin),
+        |""".stripMargin + dbscanOracleTail),
+
+    // ------------------------------------------------------------------
+    // DBSCAN, the PRODUCTION path: the ε-graph comes from the IVF
+    // router (one equi-join on the inverted-list id, exact-cosine
+    // verified, symmetrized — Similarity.epsNeighborPairsIvf) instead
+    // of the exact O(N²) product; the census chain is IDENTICAL
+    // (dbscanCensus). Routed pairs ⊆ exact pairs, so clusters can only
+    // split (never merge wrongly) where routing misses a neighbor —
+    // dbscan_ivf_recall quantifies the miss rate. The oracle REPLAYS
+    // the trained routing (trainedIvfRankedCtes — never brute-force
+    // truth), thresholds the rescored exact cosine with the engine's
+    // fixed-order formula, symmetrizes, and runs the same census tail.
+    "dbscan_ivf_clusters" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        dbscanCensus(emb, graft.operators.Similarity.epsNeighborPairsIvf(
+          emb, "vec_id", "embedding", eps = 0.33, nlist = 16, nprobe = 8))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |p AS MATERIALIZED (
+          |  SELECT query_id AS i, neighbor_id AS j FROM rescored WHERE sim >= 0.33
+          |  UNION
+          |  SELECT neighbor_id AS i, query_id AS j FROM rescored WHERE sim >= 0.33),
+          |""".stripMargin + dbscanOracleTail),
+
+    // ------------------------------------------------------------------
+    // Pair-recall of the routed ε-graph vs the exact one at the
+    // fixture's eps — the eval that justifies shipping the routed
+    // DBSCAN: n_meet/n_exact over canonical (i<j) pairs, plus the
+    // routed count (routed ⊆ exact because every routed pair is
+    // exact-cosine verified, so n_routed = n_meet — asserted by the
+    // oracle computing both independently). Exact side is the blocked
+    // O(N²) truth twin (disclosed eval-class cost); routed side
+    // replays the trained routing.
+    "dbscan_ivf_recall" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val exact = graft.operators.Similarity.epsNeighborPairsBlocked(
+          emb, "vec_id", "embedding", eps = 0.33)
+          .filter(col("i") < col("j")).select(col("i"), col("j"))
+          .localCheckpoint() // feeds the count AND the meet join
+        val routed = graft.operators.Similarity.epsNeighborPairsIvf(
+          emb, "vec_id", "embedding", eps = 0.33, nlist = 16, nprobe = 8)
+          .filter(col("i") < col("j"))
+          .localCheckpoint() // feeds the count AND the meet join
+        val meet = routed.join(exact, Seq("i", "j"), "left_semi")
+        exact.agg(count(lit(1)).as("n_exact"))
+          .crossJoin(broadcast(routed.agg(count(lit(1)).as("n_routed"))))
+          .crossJoin(broadcast(meet.agg(count(lit(1)).as("n_meet"))))
+          .select(col("n_exact"), col("n_routed"), col("n_meet"),
+            (col("n_meet").cast("double") / col("n_exact").cast("double"))
+              .as("recall"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |rp AS MATERIALIZED (
+          |  SELECT least(query_id, neighbor_id) AS i,
+          |         greatest(query_id, neighbor_id) AS j
+          |  FROM rescored WHERE sim >= 0.33 GROUP BY 1, 2),
+          |ev AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM embeddings),
+          |nr AS MATERIALIZED (
+          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM ev),
+          |xp AS MATERIALIZED (
+          |  SELECT a.vec_id AS i, b.vec_id AS j
+          |  FROM nr a, nr b
+          |  WHERE a.vec_id < b.vec_id
+          |    AND (CASE WHEN a.n * b.n > 0
+          |              THEN list_dot_product(a.v, b.v) / (a.n * b.n)
+          |              ELSE CAST(0.0 AS DOUBLE) END) >= 0.33),
+          |mt AS (SELECT rp.i, rp.j FROM rp JOIN xp ON xp.i = rp.i AND xp.j = rp.j)
+          |SELECT
+          |  (SELECT CAST(count(*) AS BIGINT) FROM xp) AS n_exact,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM rp) AS n_routed,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM mt) AS n_meet,
+          |  CAST((SELECT count(*) FROM mt) AS DOUBLE) /
+          |    CAST((SELECT count(*) FROM xp) AS DOUBLE) AS recall""".stripMargin),
 
     // ------------------------------------------------------------------
     // Triangle census + global clustering coefficient of the

@@ -3054,6 +3054,57 @@ object PipelineQueries {
          |ORDER BY t.doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL substring excision (SpanDedup.exciseAgainstCensus —
+    // the LshIndex/IncrementalDedup append discipline applied to
+    // ExactSubstr): the archive's span census is the PERSISTED
+    // artifact; the fresh batch (the perturbed twins) probes it and
+    // excises spans whose archive+batch distinct-doc count exceeds the
+    // cap — batch-proportional work, archive text never re-scanned.
+    // For disjoint doc ids the combined count IS the full-rebuild
+    // census, so the oracle states the full-corpus excision restricted
+    // to batch documents (equality also spec-asserted in
+    // SpanDedupSpec, plus the census-fold exactness law).
+    "dedup_span_incremental" -> QueryDef(
+      (s, dir) => {
+        val archive = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val batch = archive.select(
+          (col("doc_id") + 100000).as("doc_id"),
+          regexp_replace(col("text"), "^[^\\t\\n\\f\\r ]+[\\t\\n\\f\\r ]*", "")
+            .as("text"))
+        val census = SpanDedup.spanCensus(archive, "doc_id", "text", n = 8)
+        SpanDedup.exciseAgainstCensus(
+          batch, "doc_id", "text", n = 8, maxDocs = 1L, census)
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH corpus AS ($perturbedSql),
+         |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+         |sp AS (
+         |  SELECT doc_id, i - 1 AS start0,
+         |    ${md5_63("array_to_string(toks[i:i+7], ' ')")} AS span_hash
+         |  FROM tk, unnest(range(1, len(toks) - 6)) t(i) WHERE len(toks) >= 8),
+         |bl AS (
+         |  SELECT span_hash FROM sp
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+         |cov AS (
+         |  SELECT DISTINCT s.doc_id, s.start0 + u.j AS pos0
+         |  FROM sp s JOIN bl USING (span_hash), unnest(range(0, 8)) u(j)
+         |  WHERE s.doc_id >= 100000),
+         |btk AS (SELECT doc_id, toks FROM tk WHERE doc_id >= 100000),
+         |tok AS (
+         |  SELECT t.doc_id, u.pos0, u.token
+         |  FROM btk t LEFT JOIN (
+         |    SELECT doc_id, i - 1 AS pos0, toks[i] AS token
+         |    FROM btk, unnest(range(1, len(toks) + 1)) r(i)) u USING (doc_id))
+         |SELECT t.doc_id,
+         |  CAST(count(t.token) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (WHERE c.pos0 IS NOT NULL) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(t.token, ' ' ORDER BY t.pos0)
+         |    FILTER (WHERE c.pos0 IS NULL AND t.token IS NOT NULL), '') AS clean_text
+         |FROM tok t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos0 = t.pos0
+         |GROUP BY t.doc_id
+         |ORDER BY t.doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Repeated-span RUN-LENGTH histogram (the length statistics Lee
     // et al. report for ExactSubstr): covered positions group into
     // maximal runs via gaps-and-islands (pos0 − row_number per doc —

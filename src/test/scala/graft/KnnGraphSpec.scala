@@ -95,6 +95,59 @@ class KnnGraphSpec extends SparkSuite {
     assert(blocked == bf)
   }
 
+  test("capped build equals uncapped on a skewed corpus (recall preserved)") {
+    // deliberately clustered slice: every vector quantizes into ONE hot
+    // list (both centers sit far away), so the uncapped join has one
+    // quadratic key — exactly the skew the cap exists for
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(200).localCheckpoint()
+    val cs = graft.operators.IvfIndex.trainCentroids(
+      emb, "vec_id", "embedding", nlist = 4, sampleSize = 50, iters = 2,
+      seed = 7L).map(_.toIndexedSeq).toIndexedSeq
+    val uncapped = KnnGraph.buildWithCentroids(
+      emb, "vec_id", "embedding", k = 3, cs, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val capped = KnnGraph.buildWithCentroidsCapped(
+      emb, "vec_id", "embedding", k = 3, cs, nprobe = 2, listCap = 16L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    assert(capped == uncapped,
+      "sub-splitting must not change the candidate set: same graph, " +
+        "same similarities, same tie-breaks")
+  }
+
+  test("capped build bounds the per-join-key corpus group near listCap") {
+    val clusteredSkew = (0L until 60L).map { i =>
+      // all 60 vectors in one tight ball → one hot list under 2 centers
+      (i, Array(1.0f + (i % 7) * 1e-3f, 0.5f + (i % 5) * 1e-3f))
+    }.toDF("vec_id", "embedding")
+    val cs2 = Seq(Seq(1.0, 0.5), Seq(-1.0, -0.5))
+    val cap = 10L
+    // replicate the builder's sharding arithmetic and check the bound:
+    // hash-splitting ceil(60/10)=6 ways keeps every shard ≪ the 60-row
+    // quadratic key (probabilistic balance; 3× slack covers hash skew)
+    val homes = clusteredSkew.select(col("vec_id"),
+      element_at(
+        graft.functions.exprs.centroidIds(col("embedding"), cs2, 1), 1)
+        .as("list_id"))
+    val counts = homes.groupBy(col("list_id")).agg(count(lit(1)).as("sz"))
+      .withColumn("n_shards", ceil(col("sz").cast("double") / cap).cast("int"))
+    val maxShard = homes
+      .join(counts, Seq("list_id"))
+      .groupBy(col("list_id"), pmod(hash(col("vec_id")), col("n_shards")))
+      .agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().getLong(0)
+    assert(maxShard <= 3 * cap,
+      s"hot-list shard of $maxShard rows exceeds 3×cap — sub-split broken")
+    // and the capped graph on this fixture still matches uncapped
+    val a = KnnGraph.buildWithCentroids(
+      clusteredSkew, "vec_id", "embedding", k = 2, cs2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = KnnGraph.buildWithCentroidsCapped(
+      clusteredSkew, "vec_id", "embedding", k = 2, cs2, nprobe = 1, listCap = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("mutualEdges keeps exactly the reciprocated pairs") {
     val knn = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (4L, 3L))
       .toDF("query_id", "neighbor_id")

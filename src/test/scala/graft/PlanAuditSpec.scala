@@ -93,6 +93,7 @@ class PlanAuditSpec extends SparkSuite {
     "mann_kendall_trend", // the bounded 366-row day-grain pairwise self-join (di < dj) is the statistic
     "theil_sen_slope", // same bounded pairwise product + 1-row median/count broadcasts (J9 shape)
     "dbscan_embedding_clusters", // blocked exact eps-pairs: tiny block-id frames replicate sides via BNLJ by design
+    "dbscan_ivf_recall", // blocked exact truth twin's block-id frames + the three 1-row pair counts meeting in broadcast cross joins (J9 shape)
     "conformal_forecast_interval", // calibration size + 1-row qhat as broadcast cross joins (J9 shape)
     "runs_test_daily") // day count + 1-row median as broadcast cross joins (J9 shape)
 

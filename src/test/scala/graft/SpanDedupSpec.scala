@@ -160,4 +160,62 @@ class SpanDedupSpec extends SparkSuite {
     assert(spans.toSeq == Seq((0L, 8L), (0L, 8L), (1L, 8L), (1L, 8L)),
       "two 8-token runs per doc, not merged across the gap")
   }
+
+  // ---------------------------------------------------------------
+  // Incremental excision (the persisted-census path)
+
+  private lazy val archive = Seq(
+    (0L, s"archive one opening words here $shared archive one closing words"),
+    (1L, "archive two shares nothing with anything else at all")
+  ).toDF("doc_id", "text")
+
+  private lazy val batch = Seq(
+    (10L, s"fresh lead in tokens $shared fresh tail"),
+    (11L, "a fresh document with entirely novel content throughout"),
+    (12L, "")
+  ).toDF("doc_id", "text")
+
+  test("incremental excision equals full rebuild restricted to the batch") {
+    val census = SpanDedup.spanCensus(archive, "doc_id", "text", n = 8)
+    val inc = SpanDedup.exciseAgainstCensus(
+        batch, "doc_id", "text", n = 8, maxDocs = 1L, census)
+      .orderBy("doc_id").collect().toSeq
+    val full = SpanDedup.exciseCommonSpans(
+        archive.unionByName(batch), "doc_id", "text", n = 8, maxDocs = 1L)
+      .filter(col("doc_id") >= 10L)
+      .orderBy("doc_id").collect().toSeq
+    assert(inc == full,
+      "census probe must reproduce the full-rebuild answer on the batch")
+    // and the planted span really was excised via the ARCHIVE census
+    assert(inc.head.getAs[Long]("n_dropped") == 8L)
+    assert(inc.head.getAs[String]("clean_text") ==
+      "fresh lead in tokens fresh tail")
+  }
+
+  test("batch-internal duplicates blacklist through the combined count") {
+    // span absent from the archive but shared by two batch docs:
+    // archive count 0 + batch distinct 2 > maxDocs 1 → excised
+    val b2 = Seq(
+      (10L, s"first batch context words $shared"),
+      (11L, s"$shared second batch context words")).toDF("doc_id", "text")
+    val census = SpanDedup.spanCensus(
+      Seq((0L, "unrelated archive text entirely")).toDF("doc_id", "text"),
+      "doc_id", "text", n = 8)
+    val r = SpanDedup.exciseAgainstCensus(
+        b2, "doc_id", "text", n = 8, maxDocs = 1L, census)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_dropped") == 8L)
+    assert(r(1).getAs[Long]("n_dropped") == 8L)
+  }
+
+  test("census fold is exact: merge of batch censuses equals the union census") {
+    val merged = SpanDedup.mergeCensus(
+        SpanDedup.spanCensus(archive, "doc_id", "text", n = 8),
+        SpanDedup.spanCensus(batch, "doc_id", "text", n = 8))
+      .orderBy("span_hash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val union = SpanDedup.spanCensus(
+        archive.unionByName(batch), "doc_id", "text", n = 8)
+      .orderBy("span_hash").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(merged.toSeq == union.toSeq)
+  }
 }
