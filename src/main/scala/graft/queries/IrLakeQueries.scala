@@ -880,6 +880,77 @@ object IrLakeQueries {
         sb ++= "\nSELECT CAST(rank AS INT) AS rank, vec_id, mmr_score FROM (" +
           outs.mkString(" UNION ALL ") + ") ORDER BY rank"
         sb.toString
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // CHAMPION LISTS (impact-ordered posting truncation — Manning IR
+    // §7.1.3): per query term keep only its top-3 docs by tf; the
+    // candidate pool is the UNION of the query terms' champion lists,
+    // fully scored, and the top-5 is compared against the
+    // full-corpus evaluation (in_full_top5) — the truncation-recall
+    // eval that says whether r was big enough. Everything stays
+    // integer (tf sums); the tf frame aggregates AFTER the broadcast
+    // query-term semi-join, so a fixed query never pays the
+    // full-vocabulary aggregation; the champion cut is the native
+    // bounded-heap TopKPerGroup; the full-corpus top-5 is
+    // TakeOrderedAndProject (never a corpus-wide window).
+    "champion_lists_topk" -> QueryDef(
+      (s, dir) => {
+        val qt = broadcast {
+          import s.implicits._
+          Seq("join", "hash", "filter").toDF("t")
+        }
+        val tf = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(graft.operators.TextOps.tokens(col("text"))).as("t"))
+          .join(qt, Seq("t"))
+          .groupBy(col("doc_id"), col("t"))
+          .agg(count(lit(1)).as("tf"))
+          .localCheckpoint() // feeds champion cut, candidate score, full score
+        val champ = graft.plans.TopKPerGroup(
+          tf, Seq("t"), Seq(("tf", true), ("doc_id", false)), 3)
+        val cand = champ.select(col("doc_id")).distinct()
+        val cs = cand.join(tf, Seq("doc_id"))
+          .groupBy(col("doc_id")).agg(sum(col("tf")).as("score"))
+        val full5 = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("score"))
+          .orderBy(col("score").desc, col("doc_id")).limit(5)
+          .select(col("doc_id"), lit(1).as("in_full_top5"))
+        // rank window is global but BOUNDED: ≤ 3 docs × 3 terms candidates
+        cs.withColumn("rank",
+            row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .filter(col("rank") <= 5)
+          .join(broadcast(full5), Seq("doc_id"), "left")
+          .select(col("rank"), col("doc_id"), col("score"),
+            coalesce(col("in_full_top5"), lit(0)).as("in_full_top5"))
+          .orderBy(col("rank"))
+      },
+      s"""WITH tk AS (SELECT doc_id, unnest($toksSql) AS t FROM documents),
+         |qt AS (SELECT unnest(['join', 'hash', 'filter']) AS t),
+         |tf AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk JOIN qt USING (t) GROUP BY 1, 2),
+         |champ AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (
+         |      PARTITION BY t ORDER BY tf DESC, doc_id) AS r
+         |    FROM tf)
+         |  WHERE r <= 3),
+         |cand AS (SELECT DISTINCT doc_id FROM champ),
+         |cs AS (
+         |  SELECT c.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS score
+         |  FROM cand c JOIN tf ON tf.doc_id = c.doc_id GROUP BY 1),
+         |f5 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY SUM(tf) DESC, doc_id) AS r
+         |    FROM tf GROUP BY doc_id)
+         |  WHERE r <= 5),
+         |ct AS (
+         |  SELECT doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM cs)
+         |SELECT ct.rank, ct.doc_id, ct.score,
+         |  CAST(CASE WHEN f5.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_full_top5
+         |FROM ct LEFT JOIN f5 ON f5.doc_id = ct.doc_id
+         |WHERE ct.rank <= 5 ORDER BY ct.rank""".stripMargin)
   )
 }

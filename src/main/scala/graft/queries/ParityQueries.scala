@@ -1216,6 +1216,56 @@ object ParityQueries {
          |ORDER BY value DESC, p_partkey""".stripMargin),
 
     // ------------------------------------------------------------------
+    // RUNTIME BLOOM-FILTER semi-join reduction END TO END — the
+    // non-partitioned sibling of DPP (mef_star_dpp_prune) and the
+    // third planner-evidence gate beside the MV rewrite: with a
+    // selective dim filter and a shuffle join, Spark's
+    // InjectRuntimeFilter builds a bloom filter from the filtered
+    // creation side and pushes might_contain onto the fact scan, so
+    // at 100 TB the probe side drops non-matching rows BEFORE the
+    // exchange. Local fixtures are below the 10 GB application-side
+    // default and tiny dims would broadcast, so the thresholds are
+    // pinned for the assertion (set/restore in try/finally); the fn
+    // ASSERTS the bloom filter is in the optimized plan and
+    // materializes under it, so a planner regression fails the gate.
+    "runtime_bloom_semijoin" -> QueryDef(
+      (s, dir) => {
+        val keys = Seq(
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.optimizer.runtime.bloomFilter.enabled",
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+        val saved = keys.map(k => k -> s.conf.getOption(k))
+        s.conf.set(keys(0), "-1")   // force the shuffle join the rule targets
+        s.conf.set(keys(1), "true")
+        s.conf.set(keys(2), "0")    // fixtures are far below the 10GB default
+        try {
+          val out = Tables.lineitem(s, dir)
+            .join(Tables.orders(s, dir)
+              .filter(col("o_orderpriority") === "1-URGENT"),
+              col("l_orderkey") === col("o_orderkey"))
+            .groupBy(col("l_returnflag"))
+            .agg(count(lit(1)).as("n_lines"),
+              sum(col("l_quantity").cast("long")).as("sum_qty"))
+            .orderBy(col("l_returnflag"))
+          val plan = out.queryExecution.optimizedPlan.toString
+          require(plan.contains("might_contain"),
+            "runtime bloom filter missing from the optimized plan")
+          // materialize under the pinned confs so the returned rows
+          // flowed through the bloom-filtered plan
+          out.localCheckpoint()
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None) => s.conf.unset(k)
+        }
+      },
+      """SELECT l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Materialized-view rewrite END TO END (plans.MvRewrite — the
     // aggregate navigator; the reference's vista_agregada_mensual
     // intent as an optimizer rule): a (returnflag, linestatus) grain

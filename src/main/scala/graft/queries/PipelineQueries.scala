@@ -4396,6 +4396,63 @@ object PipelineQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ------------------------------------------------------------------
+    // KEYFRAME selection per shot — the standard summarization step on
+    // top of shot-boundary detection (the frame a thumbnail/indexing
+    // pipeline keeps): frame pairs segment into shots by the running
+    // cut count (window PER MEDIA — bounded by clip length, the
+    // SpanDedup islands rule), and each shot's keyframe is the
+    // max-SAD pair (earliest frame on ties) via ONE struct-argmax
+    // aggregate (never a when/otherwise reduce). Composes the same
+    // decode kernel as video_scene_cuts on a 60-clip slice; payload
+    // bytes never shuffle. All integers.
+    "video_keyframes" -> QueryDef(
+      (s, dir) => {
+        val d = Multimodal.sceneCuts(
+          Multimodal.videoFrom(
+            Tables.documents(s, dir).filter(col("doc_id") < 60)),
+          frameBytes = 16, threshold = 1600L)
+          .toDF()
+        val sh = d.withColumn("shot_id",
+          sum(col("is_cut").cast("long")).over(
+            Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))))
+        sh.groupBy(col("media_id"), col("shot_id"))
+          .agg(
+            count(lit(1)).as("n_frame_pairs"),
+            max(struct(col("diff"),
+              (-col("frame_idx")).cast("long").as("nf"))).as("k"))
+          .select(col("media_id"), col("shot_id"), col("n_frame_pairs"),
+            col("k.diff").as("key_diff"),
+            (-col("k.nf")).cast("long").as("key_frame"))
+          .orderBy(col("media_id"), col("shot_id"))
+      },
+      """WITH v AS (SELECT doc_id AS media_id,
+        |    list_transform(range(1, len(coalesce(text, '')) + 1),
+        |      i -> (unicode(text[i:i]) * 7) % 256) AS b
+        |  FROM documents WHERE doc_id < 60),
+        |f AS (SELECT media_id, len(b) // 16 AS nf, b FROM v),
+        |d AS (
+        |  SELECT media_id, CAST(k AS INT) AS frame_idx,
+        |    CAST(list_sum(list_transform(range(1, 17),
+        |      j -> abs(b[k*16 + j] - b[(k-1)*16 + j]))) AS BIGINT) AS diff
+        |  FROM (SELECT media_id, b, unnest(range(1, nf)) AS k FROM f)),
+        |sh AS (
+        |  SELECT media_id, frame_idx, diff,
+        |    CAST(SUM(CASE WHEN diff > 1600 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT) AS shot_id
+        |  FROM d),
+        |ks AS (
+        |  SELECT media_id, shot_id,
+        |    CAST(count(*) AS BIGINT) AS n_frame_pairs,
+        |    CAST(max(diff) AS BIGINT) AS key_diff
+        |  FROM sh GROUP BY 1, 2)
+        |SELECT s.media_id, s.shot_id, ks.n_frame_pairs, ks.key_diff,
+        |  CAST(min(s.frame_idx) AS BIGINT) AS key_frame
+        |FROM sh s JOIN ks ON ks.media_id = s.media_id AND ks.shot_id = s.shot_id
+        |  AND s.diff = ks.key_diff
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY s.media_id, s.shot_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Cross-video near-dup via sampled frame keys — the video analog
     // of line dedup: every 2nd full frame keyed by exact content
     // inside the decode kernel, candidate pairs from ONE equi-join on

@@ -985,6 +985,79 @@ object QualityDriftQueries {
         |  CAST(count(*) FILTER (WHERE canon <> raw) AS BIGINT) AS n_changed,
         |  md5(string_agg(canon, chr(10) ORDER BY canon)) AS canon_md5
         |FROM n""".stripMargin)
+    ,
+
+    // ------------------------------------------------------------------
+    // Kruskal–Wallis H across market segments on per-customer total
+    // quantity (the k-group generalization of the Mann–Whitney the
+    // family already has): pooled average ranks with ties stay
+    // INTEGRAL by doubling (avg rank of a tied value = (2·cum + t +
+    // 1)/2, so 2·R_i is an exact BIGINT), the cumulative count rides
+    // the value-bucketed PrefixSum (never a global window over the
+    // value domain), and each group emits its exact (n_i, 2R_i) plus
+    // ONE fixed-order double h_term (H = Σ h_term − 3(N+1); the
+    // chi2 per-row-term rule — never a SUM over doubles). tie_frac
+    // carries the tie correction (divide H by 1 − tie_frac).
+    "kruskal_wallis_segments" -> QueryDef(
+      (s, dir) => {
+        val cv = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir),
+            col("o_custkey") === col("c_custkey"), "left")
+          .join(Tables.lineitem(s, dir),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+          .agg(coalesce(sum(col("l_quantity").cast("long")), lit(0L)).as("v"))
+          .localCheckpoint() // feeds the value census AND the group agg
+        val n = cv.count()
+        val vr = cv.groupBy(col("v")).agg(count(lit(1)).as("t"))
+        val r2 = graft.operators.PrefixSum
+          .withExclusivePrefix(vr, Seq(col("v")), "t", "cum")
+          .select(col("v"), (lit(2L) * col("cum") + col("t") + 1).as("rank2"),
+            col("t"))
+          .localCheckpoint() // feeds the group join AND the tie total
+        val tcorr = r2.agg(
+          sum(col("t") * col("t") * col("t") - col("t"))).head().getLong(0)
+        cv.join(r2.select(col("v"), col("rank2")), Seq("v"))
+          .groupBy(col("seg"))
+          .agg(count(lit(1)).as("n_i"), sum(col("rank2")).as("r2_sum"))
+          .select(col("seg"), col("n_i"), col("r2_sum"),
+            (lit(12.0) * (col("r2_sum").cast("double") / lit(2.0)) *
+              (col("r2_sum").cast("double") / lit(2.0)) /
+              col("n_i").cast("double") / lit(n.toDouble) /
+              lit((n + 1).toDouble)).as("h_term"),
+            (lit(tcorr.toDouble) /
+              (lit(n.toDouble) * lit(n.toDouble) * lit(n.toDouble) -
+                lit(n.toDouble))).as("tie_frac"))
+          .orderBy(col("seg"))
+      },
+      """WITH cv AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg,
+        |    CAST(coalesce(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS v
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |vr AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(2*(SUM(count(*)) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS BIGINT) AS cum2
+        |  FROM cv GROUP BY v),
+        |r2 AS (SELECT v, (coalesce(cum2, 0) + t + 1) AS rank2, t FROM vr),
+        |g AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(SUM(r2.rank2) AS BIGINT) AS r2_sum
+        |  FROM cv JOIN r2 ON r2.v = cv.v GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cv),
+        |tie AS (SELECT CAST(SUM(t*t*t - t) AS BIGINT) AS tcorr FROM vr)
+        |SELECT g.seg, g.n_i, g.r2_sum,
+        |  12.0 * (CAST(g.r2_sum AS DOUBLE)/2.0) * (CAST(g.r2_sum AS DOUBLE)/2.0)
+        |    / CAST(g.n_i AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        |    / CAST(tot.n + 1 AS DOUBLE) AS h_term,
+        |  CAST(tie.tcorr AS DOUBLE) /
+        |    (CAST(tot.n AS DOUBLE)*CAST(tot.n AS DOUBLE)*CAST(tot.n AS DOUBLE)
+        |      - CAST(tot.n AS DOUBLE)) AS tie_frac
+        |FROM g CROSS JOIN tot CROSS JOIN tie
+        |ORDER BY g.seg""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

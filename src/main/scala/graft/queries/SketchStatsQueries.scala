@@ -1256,6 +1256,70 @@ object SketchStatsQueries {
         |  FROM (SELECT user_id FROM events WHERE event_type = 'click') c
         |  JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') p
         |    ON c.user_id = p.user_id)
-        |SELECT exact.join_exact, med.join_estimate FROM exact, med""".stripMargin)
+        |SELECT exact.join_exact, med.join_estimate FROM exact, med""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // COUNT-MIN SKETCH heavy hitters (Cormode & Muthukrishnan 2005)
+    // over the bigram stream — the point-query sketch beside the
+    // family's distinct-count (HLL/KMV) and second-moment (AMS)
+    // sketches: d=4 rows × w=64 counters, bucket = seeded md5 of the
+    // bigram, estimate = MIN over rows — one-sided (estimate ≥ exact;
+    // the fixture's 916-bigram domain over 64 buckets makes the
+    // overcount REAL and the min visibly tighter than any single
+    // row). The counter table is the mergeable 256-cell artifact a
+    // stream would maintain; the exact side exists only to report
+    // the top-10 truth. Bigrams via one positional self-join (the
+    // token stream shuffles once); everything integer.
+    "cms_bigram_heavyhitters" -> QueryDef(
+      (s, dir) => {
+        val tk = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+          .localCheckpoint() // both sides of the bigram join
+        val bg = tk
+          .join(tk.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("t").as("t2")), Seq("doc_id", "pos"))
+          .select(concat(col("t"), lit(" "), col("t2")).as("t"))
+        val ex = bg.groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds the sketch build AND the exact top-10
+        val hb = ex.select(col("t"), col("c"),
+            explode(sequence(lit(0), lit(3))).as("row_id"))
+          .withColumn("bucket",
+            Md5Hash.lower63Col(concat(lit("cms"), col("row_id").cast("string"),
+              lit(":"), col("t"))) % 64)
+          .localCheckpoint() // feeds the counter agg AND the estimate probe
+        val ctr = hb.groupBy(col("row_id"), col("bucket"))
+          .agg(sum(col("c")).as("cnt"))
+        val top = ex.orderBy(col("c").desc, col("t")).limit(10)
+        top
+          .join(hb.select(col("t"), col("row_id"), col("bucket")), Seq("t"))
+          .join(ctr, Seq("row_id", "bucket"))
+          .groupBy(col("t"), col("c"))
+          .agg(min(col("cnt")).as("cms_est"))
+          .select(col("t").as("bigram"), col("c").as("exact_count"),
+            col("cms_est"), (col("cms_est") - col("c")).as("overcount"))
+          .orderBy(col("exact_count").desc, col("bigram"))
+      },
+      s"""WITH tkl AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |bg AS (
+         |  SELECT toks[i] || ' ' || toks[i+1] AS t
+         |  FROM tkl, unnest(range(1, len(toks))) u(i)),
+         |ex AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1),
+         |hb AS (
+         |  SELECT ex.t, ex.c, r.r AS row_id,
+         |    ${md5_63("'cms' || CAST(r.r AS VARCHAR) || ':' || ex.t")} % 64 AS bucket
+         |  FROM ex, range(4) r(r)),
+         |ctr AS (
+         |  SELECT row_id, bucket, CAST(SUM(c) AS BIGINT) AS cnt
+         |  FROM hb GROUP BY 1, 2),
+         |top AS (SELECT t, c FROM ex ORDER BY c DESC, t LIMIT 10),
+         |est AS (
+         |  SELECT top.t, top.c, CAST(min(ctr.cnt) AS BIGINT) AS cms_est
+         |  FROM top JOIN hb ON hb.t = top.t
+         |  JOIN ctr ON ctr.row_id = hb.row_id AND ctr.bucket = hb.bucket
+         |  GROUP BY 1, 2)
+         |SELECT t AS bigram, c AS exact_count, cms_est,
+         |  cms_est - c AS overcount
+         |FROM est ORDER BY exact_count DESC, bigram""".stripMargin)
   )
 }

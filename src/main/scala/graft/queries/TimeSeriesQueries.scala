@@ -613,6 +613,76 @@ object TimeSeriesQueries {
         |  FROM j GROUP BY 1)
         |SELECT dow, n_days, sum_ae,
         |  CAST(sum_ae AS DOUBLE) / CAST(n_days AS DOUBLE) AS mae
-        |FROM wd ORDER BY dow""".stripMargin)
+        |FROM wd ORDER BY dow""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Hodges–Lehmann location + MAD scale (the robust-estimator pair
+    // beside Theil–Sen's robust slope): HL = median of the Walsh
+    // averages (pairwise means, i ≤ j) of the 1997 daily quantity
+    // totals; MAD = median absolute deviation around the exact lower
+    // median. Day-grain-first (the mann_kendall rule): the pairwise
+    // product and every rank selection run on the bounded ≤366-row
+    // statistic frame, never the fact. All exact integers — Walsh
+    // sums stay doubled (v_i + v_j) so the lower-median selection is
+    // integral; hl_location is the one single division. Global-order
+    // windows are the documented bounded-frame exception (≤67k Walsh
+    // rows at any SF).
+    "hodges_lehmann_mad" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        val day = Tables.lineitem(s, dir)
+          .filter(TimePred.inYear(col("l_shipdate"), 1997))
+          .groupBy(col("l_shipdate").cast("date").as("d"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+          .localCheckpoint() // feeds both Walsh sides, the median, the MAD
+        val nDays = day.count()
+        val walsh = day.as("a").join(day.as("b"), col("a.d") <= col("b.d"))
+          .select((col("a.v") + col("b.v")).as("w2"))
+          .localCheckpoint() // feeds the count AND the rank selection
+        val m = walsh.count()
+        val hl = walsh
+          .withColumn("r", row_number().over(Window.orderBy(col("w2"))))
+          .filter(col("r") === (m + 1) / 2)
+          .select(col("w2").as("hl2"))
+        val med = day
+          .withColumn("r", row_number().over(Window.orderBy(col("v"))))
+          .filter(col("r") === (nDays + 1) / 2)
+          .select(col("v").as("median_v"))
+          .localCheckpoint() // feeds the output row AND the MAD deviations
+        val mad = day.crossJoin(broadcast(med))
+          .select(abs(col("v") - col("median_v")).as("ad"))
+          .withColumn("r", row_number().over(Window.orderBy(col("ad"))))
+          .filter(col("r") === (nDays + 1) / 2)
+          .select(col("ad").as("mad_v"))
+        hl.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+          .select(
+            lit(nDays).as("n_days"), lit(m).as("n_walsh"), col("hl2"),
+            (col("hl2").cast("double") / lit(2.0)).as("hl_location"),
+            col("median_v"), col("mad_v"))
+      },
+      """WITH day AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+        |walsh AS (SELECT a.v + b.v AS w2 FROM day a JOIN day b ON a.d <= b.d),
+        |wn AS (SELECT CAST(count(*) AS BIGINT) AS m FROM walsh),
+        |hl AS (
+        |  SELECT w2 FROM (SELECT w2, row_number() OVER (ORDER BY w2) AS r FROM walsh)
+        |  CROSS JOIN wn WHERE r = (m + 1) // 2),
+        |med AS (
+        |  SELECT v FROM (SELECT v, row_number() OVER (ORDER BY v) AS r FROM day)
+        |  WHERE r = (SELECT (count(*) + 1) // 2 FROM day)),
+        |mad AS (
+        |  SELECT ad FROM (
+        |    SELECT abs(day.v - med.v) AS ad,
+        |      row_number() OVER (ORDER BY abs(day.v - med.v)) AS r
+        |    FROM day CROSS JOIN med)
+        |  WHERE r = (SELECT (count(*) + 1) // 2 FROM day))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM day) AS n_days,
+        |  (SELECT m FROM wn) AS n_walsh,
+        |  (SELECT CAST(w2 AS BIGINT) FROM hl) AS hl2,
+        |  CAST((SELECT w2 FROM hl) AS DOUBLE) / 2.0 AS hl_location,
+        |  (SELECT CAST(v AS BIGINT) FROM med) AS median_v,
+        |  (SELECT CAST(ad AS BIGINT) FROM mad) AS mad_v""".stripMargin)
   )
 }

@@ -92,6 +92,7 @@ class PlanAuditSpec extends SparkSuite {
     "good_turing_vocab", // corpus totals (V, N, N1, N2) as broadcast 1-row aggregates (J9 shape)
     "mann_kendall_trend", // the bounded 366-row day-grain pairwise self-join (di < dj) is the statistic
     "theil_sen_slope", // same bounded pairwise product + 1-row median/count broadcasts (J9 shape)
+    "hodges_lehmann_mad", // bounded ≤366-row day-grain Walsh pairwise product (a.d <= b.d) + 1-row median/MAD broadcasts
     "dbscan_embedding_clusters", // blocked exact eps-pairs: tiny block-id frames replicate sides via BNLJ by design
     "dbscan_ivf_recall", // blocked exact truth twin's block-id frames + the three 1-row pair counts meeting in broadcast cross joins (J9 shape)
     "conformal_forecast_interval", // calibration size + 1-row qhat as broadcast cross joins (J9 shape)
