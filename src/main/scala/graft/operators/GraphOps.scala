@@ -167,4 +167,76 @@ object GraphOps {
       .join(visited.select(col("node").as("vn")),
         col("node") === col("vn"), "left_anti")
       .withColumn("hop", lit(r))
+
+  /** STRONGLY connected components of a DIRECTED edge frame (u → v;
+    * the one operator here that does NOT want the mirrored
+    * convention) by min-label peeling (the FW-BW colorization made
+    * label-parallel — Orzan 2004 / Slota et al. 2014 shape): per
+    * peel, propagate the minimum ANCESTOR label forward and the
+    * minimum DESCENDANT label backward to fixpoint (one keyed
+    * equi-join per round each, labels-only state); a node whose two
+    * labels agree on m is mutually reachable with m, so it resolves
+    * into SCC(m) — and whole SCCs resolve together because members
+    * share ancestor and descendant sets. Resolved nodes peel off
+    * (mutual reachability among survivors never routes through a
+    * resolved SCC — it would have merged with it), and the loop
+    * repeats on the shrunken subgraph. Each peel resolves at least
+    * the minimum-node SCC of every weak component; worst case
+    * (a descending id chain) needs one peel per node, so `maxPeels`
+    * bounds the fixture and overrun THROWS (the LPA contract).
+    * Returns (n, scc) for every node incident to an edge.
+    */
+  def scc(edges: DataFrame, maxPeels: Int, maxRounds: Int): DataFrame = {
+    require(maxPeels >= 1 && maxRounds >= 1, "bounds must be positive")
+    // min-label propagation to fixpoint along `e` (l(v) ← min over
+    // in-neighbors' labels); rounds bounded, non-convergence throws
+    def minReach(e: DataFrame, nodes: DataFrame, out: String): DataFrame = {
+      var lab = nodes.select(col("n"), col("n").as(out)).localCheckpoint()
+      var r = 0
+      var done = false
+      while (r < maxRounds && !done) {
+        val prev = lab
+        val pushed = e.join(lab.select(col("n").as("u"), col(out)),
+            Seq("u"))
+          .groupBy(col("v").as("n")).agg(min(col(out)).as("pushed"))
+        lab = lab.join(pushed, Seq("n"), "left")
+          .select(col("n"), least(col(out),
+            coalesce(col("pushed"), col(out))).as(out))
+          .localCheckpoint()
+        done = prev.select(col("n"), col(out).as("old"))
+          .join(lab, Seq("n"))
+          .filter(col(out) =!= col("old")).limit(1).count() == 0L
+        r += 1
+      }
+      require(done, s"SCC label propagation did not converge within $maxRounds rounds")
+      lab
+    }
+    var e = edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var remaining = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n"))).distinct().localCheckpoint()
+    var out: Option[DataFrame] = None
+    var peel = 0
+    while (peel < maxPeels && remaining.limit(1).count() > 0) {
+      val f = minReach(e, remaining, "fl")
+      val b = minReach(e.select(col("v").as("u"), col("u").as("v")),
+        remaining, "bl")
+      val resolved = f.join(b, Seq("n"))
+        .filter(col("fl") === col("bl"))
+        .select(col("n"), col("fl").as("scc"))
+        .localCheckpoint() // feeds the output union AND both peels below
+      out = Some(out.fold(resolved)(_.unionByName(resolved)))
+      remaining = remaining
+        .join(resolved.select(col("n")), Seq("n"), "left_anti")
+        .localCheckpoint()
+      e = e
+        .join(remaining.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(remaining.select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+      peel += 1
+    }
+    require(remaining.limit(1).count() == 0L,
+      s"SCC peeling did not finish within $maxPeels peels")
+    out.get
+  }
 }

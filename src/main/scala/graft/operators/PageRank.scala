@@ -58,6 +58,34 @@ object PageRank {
     ranks
   }
 
+  /** WEIGHTED PageRank over `edges(u, v, w)` (symmetric, weights
+    * aggregated per direction — the TextRank formulation, Mihalcea &
+    * Tarau 2004): a node's mass splits proportionally to edge weight,
+    * contrib = (rank · w) div strength(u), with the same exact
+    * scaled-integer rounds as [[run]] (r′ = 150000 + (85·Σ contrib)
+    * div 100, r₀ = 1e6) so the oracle replays bit-for-bit. Weights
+    * and strengths are BIGINT co-occurrence counts; rank·w stays far
+    * under 2^63 at any corpus scale that fits a count. Same
+    * broadcast-ranks policy and caveats as [[run]].
+    */
+  def runWeighted(
+      edges: DataFrame, rounds: Int, broadcastRanks: Boolean = true): DataFrame = {
+    val st = edges.groupBy(col("u")).agg(sum(col("w")).as("s"))
+    val ed = edges.join(st, Seq("u")).localCheckpoint()
+    var ranks = st.select(col("u").as("node"), lit(1000000L).as("rank"))
+      .localCheckpoint()
+    (0 until rounds).foreach { _ =>
+      val r = if (broadcastRanks) broadcast(ranks) else ranks
+      ranks = ed
+        .join(r, ed("u") === ranks("node"))
+        .select(col("v"), expr("(rank * w) div s").as("contrib"))
+        .groupBy(col("v"))
+        .agg(expr("CAST(150000 + (85 * sum(contrib)) div 100 AS BIGINT)").as("rank"))
+        .select(col("v").as("node"), col("rank"))
+    }
+    ranks
+  }
+
   /** Personalized PageRank (random walk with restart to a SEED set —
     * Haveliwala, WWW 2002): restart mass lands only on `seeds`, so
     * ranks measure graph PROXIMITY to the seeds rather than global

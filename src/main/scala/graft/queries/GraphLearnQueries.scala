@@ -1284,6 +1284,58 @@ object GraphLearnQueries {
           |    CAST((SELECT count(*) FROM xp) AS DOUBLE) AS recall""".stripMargin),
 
     // ------------------------------------------------------------------
+    // STRONGLY connected components of the DIRECTED nation trade-flow
+    // graph (supplier nation → customer nation per order line) — the
+    // directed complement of the family's undirected CC: cycles =
+    // mutual trade dependence, sources/sinks = one-way flows. Spark
+    // side is GraphOps.scc (min-label FW/BW peeling — labels-only
+    // state, bounded peels, overrun throws); the oracle computes
+    // mutual reachability DIRECTLY via one recursive closure over the
+    // bounded nation graph and takes min over each mutual set — a
+    // structurally independent construction that must agree
+    // component-for-component. At sf0.001 the graph splits into a
+    // 10-nation SCC + 15 one-way nations (real peeling work); at
+    // sf0.01+ trade saturates into one 25-nation SCC.
+    "scc_nation_flows" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .select(col("s_nationkey").cast("long").as("u"),
+            col("c_nationkey").cast("long").as("v"))
+          .filter(col("u") =!= col("v"))
+          .distinct()
+        GraphOps.scc(e, maxPeels = 8, maxRounds = 30)
+          .groupBy(col("scc"))
+          .agg(count(lit(1)).as("n_members"),
+            min(col("n")).as("min_n"), max(col("n")).as("max_n"))
+          .orderBy(col("n_members").desc, col("scc"))
+      },
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(s.s_nationkey AS BIGINT) AS u,
+        |    CAST(c.c_nationkey AS BIGINT) AS v
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey),
+        |nodes AS (SELECT u AS n FROM e UNION SELECT v FROM e),
+        |reach AS MATERIALIZED (
+        |  WITH RECURSIVE r(a, b) AS (
+        |    SELECT n, n FROM nodes
+        |    UNION
+        |    SELECT r.a, e.v FROM r JOIN e ON e.u = r.b)
+        |  SELECT a, b FROM r),
+        |mutual AS (
+        |  SELECT r1.a AS n, r1.b AS m
+        |  FROM reach r1 JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a),
+        |scc AS (SELECT n, CAST(min(m) AS BIGINT) AS scc FROM mutual GROUP BY 1)
+        |SELECT scc, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n
+        |FROM scc GROUP BY 1 ORDER BY n_members DESC, scc""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Triangle census + global clustering coefficient of the
     // mutual-kNN semantic graph — the compact-forward / degree-ordered
     // node-iterator (Latapy 2008): orient every edge from the

@@ -1320,6 +1320,60 @@ object SketchStatsQueries {
          |  GROUP BY 1, 2)
          |SELECT t AS bigram, c AS exact_count, cms_est,
          |  cms_est - c AS overcount
-         |FROM est ORDER BY exact_count DESC, bigram""".stripMargin)
+         |FROM est ORDER BY exact_count DESC, bigram""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // TextRank keyword extraction (Mihalcea & Tarau 2004): WEIGHTED
+    // PageRank over the word co-occurrence graph (adjacent-token
+    // pairs, weights = co-occurrence counts — the unweighted graph is
+    // complete on this vocabulary and degenerates to uniform rank).
+    // Mass splits by weight/strength in the same exact scaled-integer
+    // rounds as pagerank_supplier_customer (floor division, never a
+    // double SUM), 4 rounds unrolled by the oracle; top-10 keywords.
+    // One token-stream shuffle builds the weighted edges; each round
+    // is one broadcast-rank equi-join.
+    "textrank_keywords" -> QueryDef(
+      (s, dir) => {
+        val tk = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "t")))
+          .localCheckpoint() // both sides of the adjacency join
+        val e0 = tk
+          .join(tk.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("t").as("t2")), Seq("doc_id", "pos"))
+          .filter(col("t") =!= col("t2"))
+          .groupBy(col("t").as("u"), col("t2").as("v"))
+          .agg(count(lit(1)).as("w"))
+        val edges = e0
+          .unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+          .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w"))
+        PageRank.runWeighted(edges, rounds = 4)
+          .select(col("node").as("token"), col("rank"))
+          .orderBy(col("rank").desc, col("token"))
+          .limit(10)
+      }, {
+        val rounds = (0 until 4).map { i =>
+          s""",
+             |r${i + 1} AS MATERIALIZED (
+             |  SELECT e.v AS node,
+             |    CAST(150000 + (85 * SUM((r.rank * e.w) // e.s)) // 100 AS BIGINT) AS rank
+             |  FROM ed e JOIN r$i r ON r.node = e.u
+             |  GROUP BY e.v)""".stripMargin
+        }.mkString
+        s"""WITH tkl AS (SELECT doc_id, $toksSql AS toks FROM documents),
+           |e0 AS MATERIALIZED (
+           |  SELECT toks[i] AS u, toks[i+1] AS v, CAST(count(*) AS BIGINT) AS w
+           |  FROM tkl, unnest(range(1, len(toks))) x(i)
+           |  WHERE toks[i] <> toks[i+1] GROUP BY 1, 2),
+           |e AS MATERIALIZED (
+           |  SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+           |    SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0)
+           |  GROUP BY 1, 2),
+           |st AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM e GROUP BY 1),
+           |ed AS MATERIALIZED (SELECT e.u, e.v, e.w, st.s FROM e JOIN st ON e.u = st.u),
+           |r0 AS MATERIALIZED (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM st)$rounds
+           |SELECT node AS token, rank FROM r4
+           |ORDER BY rank DESC, token LIMIT 10""".stripMargin
+      })
   )
 }

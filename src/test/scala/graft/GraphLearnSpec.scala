@@ -207,4 +207,33 @@ class GraphLearnSpec extends SparkSuite {
     assert(curve.head == 500L, "round 1 sees the zero model")
     assert(curve.last < 50L, s"teacher concept is learned: $curve")
   }
+
+  test("scc resolves cycles, singletons, and multi-peel chains") {
+    // two 3-cycles bridged one-way, plus a pure source and a pure
+    // sink: {1,2,3} and {4,5,6} are SCCs; 0 (source into 1) and 9
+    // (sink from 6) are singletons
+    val e = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 6L), (6L, 4L),
+      (3L, 4L), // one-way bridge: the two cycles must NOT merge
+      (0L, 1L), (6L, 9L)).toDF("u", "v")
+    val r = GraphOps.scc(e, maxPeels = 8, maxRounds = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L, 9L -> 9L))
+  }
+
+  test("scc needs multiple peels on an ascending id chain") {
+    // 1 -> 2 -> 3 -> 4: all singleton SCCs, but node k's min ancestor
+    // is 1 while its min descendant is k, so only the head resolves
+    // per peel — the worst-case one-SCC-per-peel chain
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val r = GraphOps.scc(e, maxPeels = 8, maxRounds = 20)
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+    // and a too-small peel budget throws instead of truncating
+    intercept[IllegalArgumentException] {
+      GraphOps.scc(e, maxPeels = 1, maxRounds = 20).collect()
+    }
+  }
 }
