@@ -264,7 +264,19 @@ object Explain {
     "dbscan_embedding_clusters" ->
       "DBSCAN: blocked exact ε-pairs (eval-class; production candidates ride IVF/LSH), core filter, pointer-jump CC on core-core edges, min-cluster border assignment, noise as a census row — every stage keyed on ids.",
     "conformal_forecast_interval" ->
-      "Conformal: lag-7 residuals on the checkpointed day frame, exact integer rank for q̂, single coverage division; the 1-row q̂ broadcasts onto the test scan (J9).")
+      "Conformal: lag-7 residuals on the checkpointed day frame, exact integer rank for q̂, single coverage division; the 1-row q̂ broadcasts onto the test scan (J9).",
+    "mef_star_dpp_prune" ->
+      "Dynamic partition pruning over the persisted star lake: the fact scan's PartitionFilters must carry a dynamicpruningexpression fed by the filtered file-based spine — only the matched anio directory is read (the fn's require() gates it).",
+    "mef_star_mv_month_rollup" ->
+      "MEF monthly MV rewrite: the month rollup written against the parquet fact retargets onto the (anio, mes) pre-aggregate with SUM/COUNT/MIN/MAX partial derivation — no fact-path scan survives (plan-asserted).",
+    "runtime_bloom_semijoin" ->
+      "Runtime bloom filter: InjectRuntimeFilter pushes might_contain from the filtered dim onto the fact scan BEFORE the shuffle join — the non-partitioned sibling of DPP (thresholds pinned for the fixture; the require() gates the injection).",
+    "dbscan_ivf_clusters" ->
+      "Routed DBSCAN: ε-candidates from ONE equi-join on the IVF home-list id (ids-only; vectors re-attach for the exact-cosine verify), symmetrized; the census chain is shared with the exact eval form.",
+    "cms_bigram_heavyhitters" ->
+      "Count-min: the 4×64 counter table is one keyed aggregation over seeded md5 buckets; estimates probe it with an equi-join + min — the sketch is map-side mergeable at stream scale.",
+    "hodges_lehmann_mad" ->
+      "HL/MAD: day-grain consolidation first, bounded Walsh pairwise product, exact integer rank selections; the medians ride 1-row broadcasts (J9).")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds

@@ -1216,6 +1216,43 @@ object ParityQueries {
          |ORDER BY value DESC, p_partkey""".stripMargin),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL MV MAINTENANCE (operators.MvMaintain — the data
+    // side of the MV story whose read side is MvRewrite): the stored
+    // (returnflag, linestatus) partials fold a second batch's partials
+    // without touching base fact rows — SUM/COUNT/MIN/MAX are
+    // commutative monoids, so fold(mv(F), mv(B)) ≡ mv(F ∪ B) exactly
+    // (Gupta & Mumick 1995 self-maintainability for inserts). The
+    // batches split on a sargable shipdate boundary (the reference's
+    // monthly-file cadence); the oracle states the one-shot full
+    // rollup, so a fold that double-counted or dropped a group
+    // hash-mismatches.
+    "mv_incremental_maintenance" -> QueryDef(
+      (s, dir) => {
+        def partial(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+            count(lit(1)).as("cnt"),
+            min(col("l_quantity").cast("long")).as("min_qty"),
+            max(col("l_quantity").cast("long")).as("max_qty"))
+        val li = Tables.lineitem(s, dir)
+        val cut = to_date(lit("1997-01-01"))
+        val stored = partial(li.filter(col("l_shipdate") < cut))
+        val delta = partial(li.filter(col("l_shipdate") >= cut))
+        graft.operators.MvMaintain.fold(
+          stored, delta, keys = Seq("l_returnflag", "l_linestatus"),
+          sums = Seq("sum_qty"), counts = Seq("cnt"),
+          mins = Seq("min_qty"), maxs = Seq("max_qty"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |  CAST(max(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty
+        |FROM lineitem
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // ------------------------------------------------------------------
     // RUNTIME BLOOM-FILTER semi-join reduction END TO END — the
     // non-partitioned sibling of DPP (mef_star_dpp_prune) and the
     // third planner-evidence gate beside the MV rewrite: with a

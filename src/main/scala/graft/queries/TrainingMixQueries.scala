@@ -1101,6 +1101,58 @@ object TrainingMixQueries {
     // driver participation), and the covered set is localCheckpoint'd
     // per round (the deep-lineage rule: round r+1 must not re-derive
     // rounds 1..r).
+
+    // ------------------------------------------------------------------
+    // EPOCH-DETERMINISTIC training order: each epoch's global document
+    // permutation is the md5('ep<k>:' || doc_id) sort — reproducible
+    // across reruns/engines, uncorrelated between epochs — striped
+    // round-robin onto 8 shards. DenseId ranks the permutation (range
+    // shuffle + per-partition offsets — never a global window); the
+    // per-(epoch, shard) digest folds doc ids in rank order, so ANY
+    // ordering deviation (a nondeterministic shuffle, a changed hash)
+    // hash-mismatches. The reproducible-data-order primitive training
+    // jobs need for exact restart/ablation comparisons.
+    "epoch_shuffle_order" -> QueryDef(
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_toks"))
+        val epochs = (0 to 1).map { ep =>
+          graft.operators.DenseId.withDenseId(
+            docs.withColumn("k",
+              md5(concat(lit(s"ep$ep:"), col("doc_id").cast("string")))),
+            Seq(col("k"), col("doc_id")), "rank")
+            .select(lit(ep).as("epoch"), ((col("rank") - 1) % 8).as("shard"),
+              col("doc_id"), col("n_toks"), col("rank"))
+        }.reduce(_ unionByName _)
+        epochs.groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+            md5(concat_ws(",",
+              transform(
+                array_sort(collect_list(struct(col("rank"), col("doc_id")))),
+                x => x.getField("doc_id").cast("string")))).as("order_md5"))
+          .orderBy(col("epoch"), col("shard"))
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT 0 AS epoch, doc_id, n_toks,
+         |    row_number() OVER (
+         |      ORDER BY md5('ep0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rank
+         |  FROM d
+         |  UNION ALL
+         |  SELECT 1, doc_id, n_toks,
+         |    row_number() OVER (
+         |      ORDER BY md5('ep1:' || CAST(doc_id AS VARCHAR)), doc_id)
+         |  FROM d)
+         |SELECT CAST(epoch AS INT) AS epoch,
+         |  CAST((rank - 1) % 8 AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rank)) AS order_md5
+         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "submodular_source_select" -> submodularDef)
 
   /** Distinct (source, bigram) universe of the submodular selection,
