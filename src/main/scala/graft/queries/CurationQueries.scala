@@ -507,6 +507,53 @@ object CurationQueries {
       }),
 
     // ------------------------------------------------------------------
+    // BYTE-GINI compressibility proxy (the rational stand-in for the
+    // compression-ratio quality gate crawls use — low character
+    // diversity = repetitive/low-quality text): per document, the
+    // Gini impurity of its character histogram is (n² − Σc²)/n² —
+    // exact integers to one division — and per-source the WEIGHTED
+    // gini folds as Σ(n² − Σc²)/Σn² (integer numerator and
+    // denominator sums, so no double ever accumulates). One
+    // (doc, char) aggregation + one doc rollup + one source rollup;
+    // no log/entropy anywhere (the transcendental-free rule).
+    "byte_gini_quality" -> QueryDef(
+      (s, dir) => {
+        val cc = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            explode(split(coalesce(col("text"), lit("")), "")).as("c"))
+          .filter(col("c") =!= "")
+          .groupBy(col("doc_id"), col("source"), col("c"))
+          .agg(count(lit(1)).as("n"))
+        val dg = cc.groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("n")).as("len"), sum(col("n") * col("n")).as("sq"))
+        dg.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("len") * col("len") - col("sq")).as("gini_num"),
+            sum(col("len") * col("len")).as("n2_sum"))
+          .withColumn("gini_w",
+            col("gini_num").cast("double") / col("n2_sum").cast("double"))
+          .orderBy(col("source"))
+      },
+      """WITH ch AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(coalesce(text, ''), '')) AS c
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, source, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM ch WHERE c <> '' GROUP BY 1, 2, 3),
+        |dg AS (
+        |  SELECT doc_id, source,
+        |    CAST(SUM(n) AS BIGINT) AS len,
+        |    CAST(SUM(n * n) AS BIGINT) AS sq
+        |  FROM cc GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len * len - sq) AS BIGINT) AS gini_num,
+        |  CAST(SUM(len * len) AS BIGINT) AS n2_sum,
+        |  CAST(SUM(len * len - sq) AS DOUBLE) / CAST(SUM(len * len) AS DOUBLE) AS gini_w
+        |FROM dg GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Image near-dup via dHash perceptual fingerprints: the corpus's
     // real BMP/PNG images plus planted variants (first two pixels
     // overwritten — id+100000) are decoded with javax.imageio, dHashed

@@ -1336,6 +1336,64 @@ object GraphLearnQueries {
         |FROM scc GROUP BY 1 ORDER BY n_members DESC, scc""".stripMargin),
 
     // ------------------------------------------------------------------
+    // LSH S-CURVE PLANNER: for candidate (rows-per-band r, bands b)
+    // splits of a 64-bit signature budget, the collision probability
+    // p(s) = 1 − (1 − s^r)^b is evaluated against the FIXTURE's own
+    // pair-similarity histogram (exact cosine pairs ≥ 0.2, bucketed
+    // at 0.05) — the parameter-selection table that says which (r, b)
+    // passes the dedup threshold band and suppresses the sub-threshold
+    // mass. Integer-exponent powers unroll as fixed left-associated
+    // multiply chains (IEEE-deterministic — no pow/log), one row per
+    // (config, bucket); the analyst folds expected FP/FN from n_pairs
+    // × p however they weight them (the per-row-term rule). The exact
+    // pair base is the disclosed eval-class cost.
+    "lsh_scurve_planner" -> QueryDef(
+      (s, dir) => {
+        def powChain(c: org.apache.spark.sql.Column, k: Int) =
+          (1 until k).foldLeft(c)((acc, _) => acc * c)
+        val bk = graft.operators.Similarity.epsNeighborPairsBlocked(
+            Tables.embeddings(s, dir), "vec_id", "embedding", eps = 0.2)
+          .filter(col("i") < col("j"))
+          .groupBy(floor(col("sim") * 20.0).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("s_mid",
+            col("bucket").cast("double") / lit(20.0) + lit(0.025))
+          .localCheckpoint() // one histogram feeds all four configs
+        Seq((2, 32), (4, 16), (8, 8), (16, 4)).map { case (r, b) =>
+          bk.select(lit(r).as("r"), lit(b).as("b"), col("bucket"),
+            col("n_pairs"), col("s_mid"),
+            (lit(1.0) - powChain(lit(1.0) - powChain(col("s_mid"), r), b))
+              .as("p_collide"))
+        }.reduce(_ unionByName _)
+          .orderBy(col("r"), col("bucket"))
+      }, {
+        def powChain(e: String, k: Int) =
+          "(" + Seq.fill(k)(e).mkString(" * ") + ")"
+        val parts = Seq((2, 32), (4, 16), (8, 8), (16, 4)).map { case (r, b) =>
+          val p = s"1.0 - ${powChain(s"(1.0 - ${powChain("s_mid", r)})", b)}"
+          s"SELECT $r AS r, $b AS b, bucket, n_pairs, s_mid, $p AS p_collide FROM bk"
+        }
+        s"""WITH ev AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           |  FROM embeddings),
+           |nr AS MATERIALIZED (
+           |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM ev),
+           |p AS (
+           |  SELECT (CASE WHEN a.n * b.n > 0
+           |          THEN list_dot_product(a.v, b.v) / (a.n * b.n)
+           |          ELSE CAST(0.0 AS DOUBLE) END) AS sim
+           |  FROM nr a, nr b WHERE a.vec_id < b.vec_id),
+           |bk AS (
+           |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    CAST(bucket AS DOUBLE) / 20.0 + 0.025 AS s_mid
+           |  FROM (SELECT CAST(floor(sim * 20.0) AS INT) AS bucket
+           |        FROM p WHERE sim >= 0.2)
+           |  GROUP BY 1)
+           |${parts.mkString(" UNION ALL ")}
+           |ORDER BY r, bucket""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Triangle census + global clustering coefficient of the
     // mutual-kNN semantic graph — the compact-forward / degree-ordered
     // node-iterator (Latapy 2008): orient every edge from the

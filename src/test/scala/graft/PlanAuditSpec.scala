@@ -95,6 +95,7 @@ class PlanAuditSpec extends SparkSuite {
     "hodges_lehmann_mad", // bounded ≤366-row day-grain Walsh pairwise product (a.d <= b.d) + 1-row median/MAD broadcasts
     "dbscan_embedding_clusters", // blocked exact eps-pairs: tiny block-id frames replicate sides via BNLJ by design
     "dbscan_ivf_recall", // blocked exact truth twin's block-id frames + the three 1-row pair counts meeting in broadcast cross joins (J9 shape)
+    "lsh_scurve_planner", // blocked exact pair histogram (disclosed eval-class base): tiny block-id frames replicate sides via BNLJ by design
     "conformal_forecast_interval", // calibration size + 1-row qhat as broadcast cross joins (J9 shape)
     "runs_test_daily") // day count + 1-row median as broadcast cross joins (J9 shape)
 
