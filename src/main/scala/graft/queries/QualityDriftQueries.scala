@@ -1057,7 +1057,64 @@ object QualityDriftQueries {
         |    (CAST(tot.n AS DOUBLE)*CAST(tot.n AS DOUBLE)*CAST(tot.n AS DOUBLE)
         |      - CAST(tot.n AS DOUBLE)) AS tie_frac
         |FROM g CROSS JOIN tot CROSS JOIN tie
-        |ORDER BY g.seg""".stripMargin)
+        |ORDER BY g.seg""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // K-ANONYMITY / L-DIVERSITY audit (Sweeney 2002; Machanavajjhala
+    // 2007) — the governance gate a training-data release runs before
+    // shipping records keyed by quasi-identifiers: group customers by
+    // the QI tuple (segment, nation, 1000-unit balance bucket), band
+    // group sizes at k=5, and count rows in groups whose SENSITIVE
+    // attribute (top order priority) shows no diversity (l < 2 —
+    // membership discloses the value). All exact integers; one QI
+    // aggregation + one band rollup.
+    "k_anonymity_audit" -> QueryDef(
+      (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val qi = Tables.customer(s, dir).select(
+          col("c_custkey"),
+          col("c_mktsegment").as("seg"),
+          col("c_nationkey").as("nat"),
+          floor((col("c_acctbal").cast(DecimalType(20, 2)) * 100)
+            .cast("long") / lit(100000)).cast("long").as("bal_kbucket"))
+        val sens = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("c_custkey"))
+          .agg(min(col("o_orderpriority")).as("sensitive"))
+        val g = qi.join(sens, Seq("c_custkey"), "left")
+          .select(col("seg"), col("nat"), col("bal_kbucket"),
+            coalesce(col("sensitive"), lit("NONE")).as("sensitive"))
+          .groupBy(col("seg"), col("nat"), col("bal_kbucket"))
+          .agg(count(lit(1)).as("grp_n"),
+            countDistinct(col("sensitive")).as("l_div"))
+        g.groupBy(
+            when(col("grp_n") >= 5, lit(5L)).otherwise(col("grp_n"))
+              .as("k_band"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(col("grp_n")).as("n_rows"),
+            sum(when(col("l_div") < 2, col("grp_n")).otherwise(0L))
+              .as("rows_low_ldiv"))
+          .orderBy(col("k_band"))
+      },
+      """WITH qi AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg, c.c_nationkey AS nat,
+        |    CAST(floor(CAST(CAST(c.c_acctbal AS DECIMAL(20,2)) * 100 AS BIGINT)
+        |      / 100000) AS BIGINT) AS bal_kbucket
+        |  FROM customer c),
+        |sens AS (
+        |  SELECT o_custkey AS c_custkey, min(o_orderpriority) AS sensitive
+        |  FROM orders GROUP BY 1),
+        |g AS (
+        |  SELECT seg, nat, bal_kbucket,
+        |    CAST(count(*) AS BIGINT) AS grp_n,
+        |    CAST(count(DISTINCT coalesce(sens.sensitive, 'NONE')) AS BIGINT) AS l_div
+        |  FROM qi LEFT JOIN sens USING (c_custkey)
+        |  GROUP BY 1, 2, 3)
+        |SELECT
+        |  CAST(CASE WHEN grp_n >= 5 THEN 5 ELSE grp_n END AS BIGINT) AS k_band,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN l_div < 2 THEN grp_n ELSE 0 END) AS BIGINT) AS rows_low_ldiv
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

@@ -683,6 +683,58 @@ object TimeSeriesQueries {
         |  (SELECT CAST(w2 AS BIGINT) FROM hl) AS hl2,
         |  CAST((SELECT w2 FROM hl) AS DOUBLE) / 2.0 AS hl_location,
         |  (SELECT CAST(v AS BIGINT) FROM med) AS median_v,
-        |  (SELECT CAST(ad AS BIGINT) FROM mad) AS mad_v""".stripMargin)
+        |  (SELECT CAST(ad AS BIGINT) FROM mad) AS mad_v""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ROBUST outlier days via the MAD rule (|v − median| > 3·MAD —
+    // the estimator pair hodges_lehmann_mad computes, applied as a
+    // GATE): immune to the outliers it hunts, unlike z-scores whose
+    // mean/stddev the outliers themselves drag. Day-grain first; the
+    // median and MAD ride 1-row broadcasts onto the bounded day frame;
+    // the comparison is pure integers (3·MAD exact).
+    "mad_outlier_days" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        val day = Tables.lineitem(s, dir)
+          .filter(TimePred.inYear(col("l_shipdate"), 1997))
+          .groupBy(col("l_shipdate").cast("date").as("d"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+          .localCheckpoint() // feeds the median, the MAD, and the gate scan
+        val nDays = day.count()
+        val med = day
+          .withColumn("r", row_number().over(Window.orderBy(col("v"))))
+          .filter(col("r") === (nDays + 1) / 2)
+          .select(col("v").as("median_v"))
+          .localCheckpoint() // feeds the MAD deviations AND the gate
+        val mad = day.crossJoin(broadcast(med))
+          .select(abs(col("v") - col("median_v")).as("ad"))
+          .withColumn("r", row_number().over(Window.orderBy(col("ad"))))
+          .filter(col("r") === (nDays + 1) / 2)
+          .select(col("ad").as("mad_v"))
+        day.crossJoin(broadcast(med)).crossJoin(broadcast(mad))
+          .filter(abs(col("v") - col("median_v")) > lit(3L) * col("mad_v"))
+          .select(col("d"), col("v"), col("median_v"), col("mad_v"),
+            abs(col("v") - col("median_v")).as("abs_dev"))
+          .orderBy(col("d"))
+      },
+      """WITH day AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+        |med AS (
+        |  SELECT v AS median_v FROM (
+        |    SELECT v, row_number() OVER (ORDER BY v) AS r FROM day)
+        |  WHERE r = (SELECT (count(*) + 1) // 2 FROM day)),
+        |mad AS (
+        |  SELECT ad AS mad_v FROM (
+        |    SELECT abs(day.v - med.median_v) AS ad,
+        |      row_number() OVER (ORDER BY abs(day.v - med.median_v)) AS r
+        |    FROM day CROSS JOIN med)
+        |  WHERE r = (SELECT (count(*) + 1) // 2 FROM day))
+        |SELECT day.d, day.v, med.median_v, mad.mad_v,
+        |  abs(day.v - med.median_v) AS abs_dev
+        |FROM day CROSS JOIN med CROSS JOIN mad
+        |WHERE abs(day.v - med.median_v) > 3 * mad.mad_v
+        |ORDER BY day.d""".stripMargin)
   )
 }
