@@ -163,10 +163,20 @@ object Similarity {
   def epsNeighborPairsIvf(
       corpus: DataFrame, idCol: String, vecCol: String, eps: Double,
       nlist: Int = 16, nprobe: Int = 8,
-      sampleSize: Int = 10000, iters: Int = 5, seed: Long = 42L): DataFrame = {
-    val cs = IvfIndex
-      .trainCentroids(corpus, idCol, vecCol, nlist, sampleSize, iters, seed)
-      .map(_.toIndexedSeq).toIndexedSeq
+      sampleSize: Int = 10000, iters: Int = 5, seed: Long = 42L): DataFrame =
+    epsNeighborPairsIvfWithCentroids(corpus, idCol, vecCol, eps,
+      IvfIndex.trainCentroids(corpus, idCol, vecCol, nlist, sampleSize,
+        iters, seed).map(_.toIndexedSeq).toIndexedSeq,
+      nprobe)
+
+  /** [[epsNeighborPairsIvf]] against a FIXED (pre-trained) quantizer —
+    * the production contract: the index artifact trains once per
+    * corpus version and every consumer routes with it.
+    */
+  def epsNeighborPairsIvfWithCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String, eps: Double,
+      cs: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cs.length, s"nprobe $nprobe out of range")
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
         l2Norm(col(vecCol)).as("norm"),
         graft.functions.exprs.centroidIds(col(vecCol), cs, nprobe)

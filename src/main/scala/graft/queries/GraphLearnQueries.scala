@@ -762,9 +762,9 @@ object GraphLearnQueries {
     // The backbone of SemDeDup clustering and graph-based curation.
     "knn_graph_topk" -> QueryDef(
       (s, dir) =>
-        graft.operators.KnnGraph.buildIvf(
+        graft.operators.KnnGraph.buildWithCentroids(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 8)
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
           .select(col("query_id"), col("neighbor_id"), col("rank"))
           .orderBy(col("query_id"), col("rank")),
       PipelineQueries.trainedIvfRankedCtes(
@@ -781,9 +781,9 @@ object GraphLearnQueries {
     "knn_graph_mutual" -> QueryDef(
       (s, dir) =>
         graft.operators.KnnGraph.mutualEdges(
-          graft.operators.KnnGraph.buildIvf(
+          graft.operators.KnnGraph.buildWithCentroids(
             Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
-            nlist = 16, nprobe = 8))
+            IvfArtifacts.centroids(s, dir), nprobe = 8))
           .orderBy(col("a"), col("b")),
       PipelineQueries.trainedIvfRankedCtes(
         dim = 64, nlist = 16, nprobe = 8,
@@ -842,8 +842,9 @@ object GraphLearnQueries {
     "knn_graph_recall" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val knn = graft.operators.KnnGraph.buildIvf(
-          emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
+          emb, "vec_id", "embedding", k = 5,
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
           .select(col("query_id").as("kq"), col("neighbor_id").as("kn"),
             lit(1).as("hit"))
         val truth = graft.operators.Similarity.bruteForceTopKBlocked(
@@ -910,10 +911,7 @@ object GraphLearnQueries {
           base, fresh, "vec_id", "embedding", k = 5, csOld, nprobe = 8)
           .select(col("query_id"), col("neighbor_id"))
           .localCheckpoint() // feeds edge count, churn join, recall join
-        val csNew = graft.operators.IvfIndex.trainCentroids(
-          emb, "vec_id", "embedding", nlist = 16,
-          sampleSize = 10000, iters = 5, seed = 42L)
-          .map(_.toIndexedSeq).toIndexedSeq
+        val csNew = IvfArtifacts.centroids(s, dir) // the standard quantizer
         val gNew = graft.operators.KnnGraph.buildWithCentroids(
           emb, "vec_id", "embedding", k = 5, csNew, nprobe = 8)
           .select(col("query_id"), col("neighbor_id"))
@@ -1036,8 +1034,9 @@ object GraphLearnQueries {
     "knn_graph_nndescent" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val knn = graft.operators.KnnGraph.buildIvf(
-          emb, "vec_id", "embedding", k = 5, nlist = 16, nprobe = 8)
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
+          emb, "vec_id", "embedding", k = 5,
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
           .localCheckpoint()
         val refined = graft.operators.KnnGraph.refine(
           knn, emb, "vec_id", "embedding", k = 5)
@@ -1127,9 +1126,9 @@ object GraphLearnQueries {
     // min-propagation labels).
     "semdedup_knn_clusters" -> QueryDef(
       (s, dir) => {
-        val knn = graft.operators.KnnGraph.buildIvf(
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 8)
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
         val mutual = graft.operators.KnnGraph.mutualEdges(knn)
         val cc = graft.operators.Dedup.connectedComponents(mutual, "a", "b")
         val labeled = Tables.embeddings(s, dir).select(col("vec_id"))
@@ -1214,8 +1213,10 @@ object GraphLearnQueries {
     "dbscan_ivf_clusters" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        dbscanCensus(emb, graft.operators.Similarity.epsNeighborPairsIvf(
-          emb, "vec_id", "embedding", eps = 0.33, nlist = 16, nprobe = 8))
+        dbscanCensus(emb,
+          graft.operators.Similarity.epsNeighborPairsIvfWithCentroids(
+            emb, "vec_id", "embedding", eps = 0.33,
+            IvfArtifacts.centroids(s, dir), nprobe = 8))
       },
       PipelineQueries.trainedIvfRankedCtes(
         dim = 64, nlist = 16, nprobe = 8,
@@ -1243,8 +1244,10 @@ object GraphLearnQueries {
           emb, "vec_id", "embedding", eps = 0.33)
           .filter(col("i") < col("j")).select(col("i"), col("j"))
           .localCheckpoint() // feeds the count AND the meet join
-        val routed = graft.operators.Similarity.epsNeighborPairsIvf(
-          emb, "vec_id", "embedding", eps = 0.33, nlist = 16, nprobe = 8)
+        val routed = graft.operators.Similarity
+          .epsNeighborPairsIvfWithCentroids(
+            emb, "vec_id", "embedding", eps = 0.33,
+            IvfArtifacts.centroids(s, dir), nprobe = 8)
           .filter(col("i") < col("j"))
           .localCheckpoint() // feeds the count AND the meet join
         val meet = routed.join(exact, Seq("i", "j"), "left_semi")
@@ -1407,9 +1410,9 @@ object GraphLearnQueries {
     // curation reads off the semantic graph.
     "triangle_count_semantic" -> QueryDef(
       (s, dir) => {
-        val knn = graft.operators.KnnGraph.buildIvf(
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 8)
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
         val mutual = graft.operators.KnnGraph.mutualEdges(knn)
           .localCheckpoint() // feeds degrees + orientation + closure
         val sym = mutual.select(col("a").as("u"), col("b").as("v"))
@@ -1495,9 +1498,9 @@ object GraphLearnQueries {
     // semantic clique?" signal curation reads per document.
     "triangle_local_cc" -> QueryDef(
       (s, dir) => {
-        val knn = graft.operators.KnnGraph.buildIvf(
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 8)
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
         val mutual = graft.operators.KnnGraph.mutualEdges(knn)
           .localCheckpoint()
         val sym = mutual.select(col("a").as("u"), col("b").as("v"))
@@ -1578,9 +1581,9 @@ object GraphLearnQueries {
     // neighbor index keyed by the current node.
     "knn_graph_deepwalk" -> QueryDef(
       (s, dir) => {
-        val knn = graft.operators.KnnGraph.buildIvf(
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
           Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
-          nlist = 16, nprobe = 8)
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
         val mutual = graft.operators.KnnGraph.mutualEdges(knn)
         val e = mutual.select(col("a").as("u"), col("b").as("v"))
           .unionByName(mutual.select(col("b").as("u"), col("a").as("v")))

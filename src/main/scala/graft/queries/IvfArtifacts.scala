@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Tables
+
+/** Session-scoped TRAINED COARSE QUANTIZER for the embeddings corpus —
+  * the artifact rule applied to IVF training: ~10 queries (the
+  * kNN-graph family, SemDeDup, triangles, routed DBSCAN, the retrain
+  * eval's "new" quantizer) each re-ran the identical deterministic
+  * k-means (same corpus, nlist=16, sample 10000, 5 iters, seed 42) —
+  * a corpus-scale training job per query. The index a production
+  * pipeline trains once per corpus version trains once per
+  * (session, corpus dir) here; the oracles are unaffected because
+  * they replay training from the table (trainedIvfRankedCtes), which
+  * is identical no matter how many times the engine evaluates it.
+  * Queries with NON-standard training (subset corpora, other seeds —
+  * e.g. the retrain eval's "old" quantizer over the base slice) keep
+  * calling IvfIndex.trainCentroids directly.
+  */
+object IvfArtifacts {
+
+  private val cache = new SessionScopedCache[IndexedSeq[IndexedSeq[Double]]]
+
+  def centroids(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Double]] =
+    cache.getOrElseUpdate(s, dir) {
+      graft.operators.IvfIndex.trainCentroids(
+        Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16,
+        sampleSize = 10000, iters = 5, seed = 42L)
+        .map(_.toIndexedSeq).toIndexedSeq
+    }
+}

@@ -1114,7 +1114,117 @@ object QualityDriftQueries {
         |  CAST(count(*) AS BIGINT) AS n_groups,
         |  CAST(SUM(grp_n) AS BIGINT) AS n_rows,
         |  CAST(SUM(CASE WHEN l_div < 2 THEN grp_n ELSE 0 END) AS BIGINT) AS rows_low_ldiv
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // pass@k (Chen et al. 2021, Codex eval) — THE LLM-eval statistic,
+    // computed EXACTLY: per task (customers as tasks, orders as
+    // attempts, urgent priority as a pass), pass@k = 1 − C(n−c,k)/C(n,k)
+    // evaluated as the k-term product Π (n−c−i)/(n−i) — every factor a
+    // single exact-integer division, the product a fixed
+    // left-associated IEEE chain (no factorials, no lgamma). n−c < k
+    // short-circuits to 1.0 (a pass is guaranteed in k draws). Top-20
+    // attempt-heavy tasks; per-task rows (the per-row-term rule — the
+    // analyst averages however they weight tasks).
+    "pass_at_k_eval" -> QueryDef(
+      (s, dir) => {
+        def passAt(k: Int): org.apache.spark.sql.Column = {
+          val prod = (0 until k).map(i =>
+            (col("n") - col("c") - lit(i)).cast("double") /
+              (col("n") - lit(i)).cast("double"))
+            .reduceLeft(_ * _)
+          when(col("n") - col("c") < k, lit(1.0))
+            .otherwise(lit(1.0) - prod)
+        }
+        val t = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("task"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L))
+              .as("c"))
+        t.filter(col("n") >= 5)
+          .orderBy(col("n").desc, col("task")).limit(20)
+          .select(col("task"), col("n"), col("c"),
+            passAt(1).as("pass_at_1"), passAt(5).as("pass_at_5"))
+          .orderBy(col("n").desc, col("task"))
+      }, {
+        def passAt(k: Int): String = {
+          val prod = (0 until k).map(i =>
+            s"(CAST(n - c - $i AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+            .mkString(" * ")
+          s"CASE WHEN n - c < $k THEN 1.0 ELSE 1.0 - $prod END"
+        }
+        s"""WITH t AS (
+           |  SELECT o_custkey AS task, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS c
+           |  FROM orders GROUP BY 1),
+           |e AS (SELECT task, n, c FROM t WHERE n >= 5
+           |      ORDER BY n DESC, task LIMIT 20)
+           |SELECT task, n, c,
+           |  ${passAt(1)} AS pass_at_1,
+           |  ${passAt(5)} AS pass_at_5
+           |FROM e ORDER BY n DESC, task""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Wilson score interval per source on the share of above-median-
+    // length documents — the CI that behaves at small n and extreme p̂
+    // (unlike the Wald interval): low/high = (p̂ + z²/2n ∓
+    // z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) with z = 1.96 and z²
+    // spelled as 1.96·1.96 so both engines compute the same bits; the
+    // one √ is correctly rounded (IEEE), every other op is ±×÷ in
+    // identical textual order. The corpus median rides a 1-row
+    // broadcast (J9).
+    "wilson_ci_quality" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("source"),
+            TextOps.tokenCount(col("text")).cast("long").as("nt"))
+          .localCheckpoint() // feeds the median rank AND the share agg
+        val nDocs = d.count()
+        val med = d
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("nt"), col("doc_id"))))
+          .filter(col("r") === (nDocs + 1) / 2)
+          .select(col("nt").as("m"))
+        val g = d.crossJoin(broadcast(med))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("nt") > col("m"), 1L).otherwise(0L)).as("w"))
+        val nD = col("n").cast("double")
+        val p = col("w").cast("double") / nD
+        val z2 = lit(1.96) * lit(1.96)
+        val center = p + z2 / (lit(2.0) * nD)
+        val rad = lit(1.96) *
+          sqrt(p * (lit(1.0) - p) / nD + z2 / (lit(4.0) * nD * nD))
+        val denom = lit(1.0) + z2 / nD
+        g.select(col("source"), col("n"), col("w"),
+            p.as("p_hat"),
+            ((center - rad) / denom).as("wilson_low"),
+            ((center + rad) / denom).as("wilson_high"))
+          .orderBy(col("source"))
+      },
+      s"""WITH d AS (
+         |  SELECT doc_id, source, CAST(len($toksSql) AS BIGINT) AS nt
+         |  FROM documents),
+         |med AS (
+         |  SELECT nt AS m FROM (
+         |    SELECT nt, row_number() OVER (ORDER BY nt, doc_id) AS r FROM d)
+         |  WHERE r = (SELECT (count(*) + 1) // 2 FROM d)),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN d.nt > med.m THEN 1 ELSE 0 END) AS BIGINT) AS w
+         |  FROM d CROSS JOIN med GROUP BY 1)
+         |SELECT source, n, w,
+         |  CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+         |  ((CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+         |   - 1.96 * sqrt((CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+         |       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         |  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_low,
+         |  ((CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+         |   + 1.96 * sqrt((CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+         |       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+         |  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_high
+         |FROM g ORDER BY source""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */
