@@ -54,6 +54,102 @@ object IncrementalQueries {
         |ORDER BY o_custkey, valid_from, o_orderpriority""".stripMargin),
 
     // ------------------------------------------------------------------
+    // POINT-IN-TIME join over the SCD2 dimension — THE warehouse read
+    // pattern SCD2 exists for: each shipment looks up the customer's
+    // priority version IN FORCE on its ship date (orders change
+    // priority between order and ship, so this is a real temporal
+    // lookup, not the defining row). One AsOfJoin (union +
+    // carry-forward window — a single exchange, no range join);
+    // same-day version collisions collapse to max-priority FIRST so
+    // the as-of key is unique and the match engine-independent.
+    // DuckDB replays with its native ASOF LEFT JOIN (the psm recipe).
+    "scd2_point_in_time_join" -> QueryDef(
+      (s, dir) => {
+        val versions = Scd2.fromChangeLog(
+            Tables.orders(s, dir),
+            keyCols = Seq("o_custkey"),
+            attrCols = Seq("o_orderpriority"),
+            tsCol = "o_orderdate",
+            tieBreak = Seq("o_orderkey"))
+          .groupBy(col("o_custkey"), col("valid_from").as("ts"))
+          .agg(max(col("o_orderpriority")).as("prio"))
+        val shipments = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey"), col("l_shipdate").cast("date").as("ts"),
+            col("l_quantity").cast("long").as("q"))
+        graft.operators.AsOfJoin
+          .backward(shipments, versions, "o_custkey", "ts", Seq("prio"))
+          .groupBy(coalesce(col("prio"), lit("NONE")).as("prio_in_force"))
+          .agg(count(lit(1)).as("n_items"), sum(col("q")).as("sum_qty"))
+          .orderBy(col("prio_in_force"))
+      },
+      """WITH ordered AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+        |    lag(o_orderpriority) OVER w AS prev
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |changes AS (
+        |  SELECT o_custkey, o_orderdate, o_orderpriority
+        |  FROM ordered WHERE prev IS NULL OR o_orderpriority <> prev),
+        |v AS (
+        |  SELECT o_custkey, o_orderdate AS vf,
+        |    max(o_orderpriority) AS prio
+        |  FROM changes GROUP BY 1, 2),
+        |li AS (
+        |  SELECT o.o_custkey AS ck, CAST(l.l_shipdate AS DATE) AS ts,
+        |    CAST(l.l_quantity AS BIGINT) AS q
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |m AS (
+        |  SELECT li.q, v.prio
+        |  FROM li ASOF LEFT JOIN v ON li.ck = v.o_custkey AND li.ts >= v.vf)
+        |SELECT coalesce(prio, 'NONE') AS prio_in_force,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(q) AS BIGINT) AS sum_qty
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // COHORT RETENTION MATRIX — the product-analytics read every
+    // event warehouse serves: users cohort by FIRST-ACTIVE day, and
+    // each (cohort, weeks-since) cell counts distinct still-active
+    // users over the cohort's size (exact integers; one division per
+    // cell). Two aggregations + one join, all keyed on user/cohort —
+    // the same shape at any event volume.
+    "cohort_retention_matrix" -> QueryDef(
+      (s, dir) => {
+        val ue = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+          .localCheckpoint() // feeds the cohort min AND the activity join
+        val coh = ue.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+          .localCheckpoint() // feeds the activity join AND the size agg
+        val r = ue.join(coh, Seq("user_id"))
+          .groupBy(col("cohort"),
+            (datediff(col("d"), col("cohort")) / 7).cast("long").as("offs_week"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+        val cs = coh.groupBy(col("cohort")).agg(count(lit(1)).as("n_cohort"))
+        r.join(cs, Seq("cohort"))
+          .select(col("cohort"), col("offs_week"), col("n_active"),
+            col("n_cohort"),
+            (col("n_active").cast("double") / col("n_cohort").cast("double"))
+              .as("retention"))
+          .orderBy(col("cohort"), col("offs_week"))
+      },
+      """WITH ue AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cohort FROM ue GROUP BY 1),
+        |r AS (
+        |  SELECT coh.cohort,
+        |    CAST((ue.d - coh.cohort) // 7 AS BIGINT) AS offs_week,
+        |    CAST(count(DISTINCT ue.user_id) AS BIGINT) AS n_active
+        |  FROM ue JOIN coh USING (user_id) GROUP BY 1, 2),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_cohort
+        |       FROM coh GROUP BY 1)
+        |SELECT r.cohort, r.offs_week, r.n_active, cs.n_cohort,
+        |  CAST(r.n_active AS DOUBLE) / CAST(cs.n_cohort AS DOUBLE) AS retention
+        |FROM r JOIN cs USING (cohort)
+        |ORDER BY r.cohort, r.offs_week""".stripMargin),
+
+    // ------------------------------------------------------------------
     // CDC snapshot diff: old = orders through 1996; new = through 1997
     // with deterministic updates (price+1 where key%7=0) and deletes
     // (key%13=0 dropped). Inserted/updated/deleted keys classified via

@@ -735,6 +735,51 @@ object TimeSeriesQueries {
         |  abs(day.v - med.median_v) AS abs_dev
         |FROM day CROSS JOIN med CROSS JOIN mad
         |WHERE abs(day.v - med.median_v) > 3 * mad.mad_v
-        |ORDER BY day.d""".stripMargin)
+        |ORDER BY day.d""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // 10%-TRIMMED MEAN of the 1997 daily totals beside the plain mean
+    // — the robust location estimate that tolerates up to 10% junk
+    // days per tail: drop the ⌊n/10⌋ lowest- and highest-ranked days
+    // (exact rank cutoffs under the total (v, d) order), average the
+    // middle — integer sums to ONE division each. Day-grain first;
+    // the global-order window is the documented bounded-frame
+    // exception.
+    "trimmed_mean_daily" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        val day = Tables.lineitem(s, dir)
+          .filter(TimePred.inYear(col("l_shipdate"), 1997))
+          .groupBy(col("l_shipdate").cast("date").as("d"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+          .localCheckpoint() // feeds the rank scan AND the full-mean agg
+        val n = day.count()
+        val t = n / 10
+        val kept = day
+          .withColumn("r", row_number().over(Window.orderBy(col("v"), col("d"))))
+          .filter(col("r") > t && col("r") <= n - t)
+          .agg(count(lit(1)).as("n_kept"), sum(col("v")).as("kept_total"))
+        val full = day.agg(sum(col("v")).as("full_total"))
+        kept.crossJoin(broadcast(full))
+          .select(lit(n).as("n_days"), col("n_kept"), col("kept_total"),
+            (col("kept_total").cast("double") / col("n_kept").cast("double"))
+              .as("trimmed_mean"),
+            (col("full_total").cast("double") / lit(n.toDouble)).as("mean"))
+      },
+      """WITH day AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(*) // 10 AS BIGINT) AS t FROM day),
+        |kept AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(SUM(v) AS BIGINT) AS kept_total
+        |  FROM (SELECT v, row_number() OVER (ORDER BY v, d) AS r FROM day)
+        |  CROSS JOIN nn WHERE r > t AND r <= n - t),
+        |fl AS (SELECT CAST(SUM(v) AS BIGINT) AS full_total FROM day)
+        |SELECT nn.n AS n_days, kept.n_kept, kept.kept_total,
+        |  CAST(kept.kept_total AS DOUBLE) / CAST(kept.n_kept AS DOUBLE) AS trimmed_mean,
+        |  CAST(fl.full_total AS DOUBLE) / CAST(nn.n AS DOUBLE) AS mean
+        |FROM kept CROSS JOIN fl CROSS JOIN nn""".stripMargin)
   )
 }

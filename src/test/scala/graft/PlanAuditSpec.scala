@@ -93,6 +93,9 @@ class PlanAuditSpec extends SparkSuite {
     "mann_kendall_trend", // the bounded 366-row day-grain pairwise self-join (di < dj) is the statistic
     "theil_sen_slope", // same bounded pairwise product + 1-row median/count broadcasts (J9 shape)
     "hodges_lehmann_mad", // bounded ≤366-row day-grain Walsh pairwise product (a.d <= b.d) + 1-row median/MAD broadcasts
+    "mad_outlier_days", // the 1-row median and MAD frames broadcast onto the bounded day frame (J9 shape)
+    "trimmed_mean_daily", // the 1-row kept/full totals meet in broadcast cross joins (J9 shape)
+    "wilson_ci_quality", // the 1-row corpus median broadcasts onto the doc frame (J9 shape)
     "dbscan_embedding_clusters", // blocked exact eps-pairs: tiny block-id frames replicate sides via BNLJ by design
     "dbscan_ivf_recall", // blocked exact truth twin's block-id frames + the three 1-row pair counts meeting in broadcast cross joins (J9 shape)
     "lsh_scurve_planner", // blocked exact pair histogram (disclosed eval-class base): tiny block-id frames replicate sides via BNLJ by design
