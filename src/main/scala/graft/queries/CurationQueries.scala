@@ -554,6 +554,65 @@ object CurationQueries {
         |FROM dg GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ------------------------------------------------------------------
+    // PII REDACTION with byte-exact output (the scrub step beside the
+    // Luhn FILTER the family already has — redaction keeps the
+    // document, the filter drops it): emails and 6+-digit runs
+    // (planted deterministically — the word-soup corpus carries none)
+    // replace with typed placeholders; per-source counts plus a
+    // rolled digest over the per-doc redacted texts, so one wrong
+    // byte anywhere in the corpus mismatches. Plain character-class
+    // regexes only (identical Java/RE2 semantics); map-side except
+    // the source rollup.
+    "pii_redact_emails" -> QueryDef(
+      (s, dir) => {
+        val t = Tables.documents(s, dir).select(
+          col("doc_id"), col("source"),
+          concat(coalesce(col("text"), lit("")),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com or call 555"),
+            (col("doc_id") * 7919).cast("string"), lit(" now")).as("text"))
+        val emailRe = "[a-z0-9._]+@[a-z0-9.]+[a-z]"
+        val numRe = "[0-9]{6,}"
+        val r = t.select(col("doc_id"), col("source"),
+          size(expr(s"regexp_extract_all(text, '$emailRe', 0)"))
+            .cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(text, '$numRe', 0)"))
+            .cast("long").as("n_longnums"),
+          md5(regexp_replace(
+            regexp_replace(col("text"), emailRe, "<EMAIL>"),
+            numRe, "<NUM>")).as("rm"))
+        r.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_emails")).as("n_emails"),
+            sum(col("n_longnums")).as("n_longnums"),
+            md5(concat_ws(",",
+              transform(
+                array_sort(collect_list(struct(col("doc_id"), col("rm")))),
+                x => x.getField("rm")))).as("redacted_md5"))
+          .orderBy(col("source"))
+      },
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    coalesce(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |      '@example.com or call 555' || CAST(doc_id * 7919 AS VARCHAR) ||
+        |      ' now' AS text
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+[a-z]')) AS BIGINT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_longnums,
+        |    md5(regexp_replace(
+        |      regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |      '[0-9]{6,}', '<NUM>', 'g')) AS rm
+        |  FROM t)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(SUM(n_longnums) AS BIGINT) AS n_longnums,
+        |  md5(string_agg(rm, ',' ORDER BY doc_id)) AS redacted_md5
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Image near-dup via dHash perceptual fingerprints: the corpus's
     // real BMP/PNG images plus planted variants (first two pixels
     // overwritten — id+100000) are decoded with javax.imageio, dHashed

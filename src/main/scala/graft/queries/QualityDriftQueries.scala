@@ -1224,7 +1224,67 @@ object QualityDriftQueries {
          |   + 1.96 * sqrt((CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
          |       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
          |  / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_high
-         |FROM g ORDER BY source""".stripMargin)
+         |FROM g ORDER BY source""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // CUPED variance reduction (Deng et al. 2013, the experimentation
+    // workhorse): per segment, the pre-period covariate (1996
+    // quantity) explains ρ² of the post-period metric's (1997)
+    // variance, so a CUPED-adjusted experiment needs only (1 − ρ²) of
+    // the samples. Exact BIGINT moment sums (the corr recipe — small
+    // integral measures keep n·sxy under 2^53 at tested SFs); ρ² is
+    // squared AFTER the cast so both engines square the same double;
+    // one subtraction finishes var_ratio.
+    "cuped_variance_reduction" -> QueryDef(
+      (s, dir) => {
+        val cy = Tables.customer(s, dir)
+          .join(Tables.orders(s, dir),
+            col("o_custkey") === col("c_custkey"), "left")
+          .join(Tables.lineitem(s, dir),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .groupBy(col("c_custkey"), col("c_mktsegment").as("seg"))
+          .agg(
+            coalesce(sum(when(year(col("l_shipdate")) === 1996,
+              col("l_quantity").cast("long"))), lit(0L)).as("x"),
+            coalesce(sum(when(year(col("l_shipdate")) === 1997,
+              col("l_quantity").cast("long"))), lit(0L)).as("y"))
+        val m = cy.groupBy(col("seg"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+          (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+        m.select(col("seg"), col("n"), col("sx"), col("sy"),
+            col("sxy"), col("sxx"), col("syy"),
+            (num * num / den).as("rho2"),
+            (lit(1.0) - num * num / den).as("var_ratio"))
+          .orderBy(col("seg"))
+      },
+      """WITH cy AS (
+        |  SELECT c.c_custkey, c.c_mktsegment AS seg,
+        |    CAST(coalesce(SUM(CASE WHEN year(l.l_shipdate) = 1996
+        |      THEN CAST(l.l_quantity AS BIGINT) END), 0) AS BIGINT) AS x,
+        |    CAST(coalesce(SUM(CASE WHEN year(l.l_shipdate) = 1997
+        |      THEN CAST(l.l_quantity AS BIGINT) END), 0) AS BIGINT) AS y
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |m AS (
+        |  SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy
+        |  FROM cy GROUP BY 1)
+        |SELECT seg, n, sx, sy, sxy, sxx, syy,
+        |  CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS rho2,
+        |  1.0 - CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS var_ratio
+        |FROM m ORDER BY seg""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */
