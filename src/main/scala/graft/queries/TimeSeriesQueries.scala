@@ -780,6 +780,39 @@ object TimeSeriesQueries {
         |SELECT nn.n AS n_days, kept.n_kept, kept.kept_total,
         |  CAST(kept.kept_total AS DOUBLE) / CAST(kept.n_kept AS DOUBLE) AS trimmed_mean,
         |  CAST(fl.full_total AS DOUBLE) / CAST(nn.n AS DOUBLE) AS mean
-        |FROM kept CROSS JOIN fl CROSS JOIN nn""".stripMargin)
+        |FROM kept CROSS JOIN fl CROSS JOIN nn""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // OVERDISPERSION index per event type (variance-to-mean ratio of
+    // daily counts — Poisson ⇒ D ≈ 1, bursty/clustered arrivals ⇒
+    // D > 1): the model-selection check run before fitting count
+    // models or alerting on rate drift. Exact BIGINT moments on the
+    // bounded day grain; D = (n·Σx² − (Σx)²)/n/Σx — two single
+    // divisions in identical textual order.
+    "overdispersion_events" -> QueryDef(
+      (s, dir) => {
+        val dc = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("x"))
+        dc.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("event_type"), col("n"), col("sx"), col("sxx"),
+            ((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") /
+              col("n").cast("double") / col("sx").cast("double"))
+              .as("dispersion"))
+          .orderBy(col("event_type"))
+      },
+      """WITH dc AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx
+        |  FROM dc GROUP BY 1)
+        |SELECT event_type, n, sx, sxx,
+        |  CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(sx AS DOUBLE) AS dispersion
+        |FROM m ORDER BY event_type""".stripMargin)
   )
 }

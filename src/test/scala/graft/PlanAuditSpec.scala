@@ -96,6 +96,7 @@ class PlanAuditSpec extends SparkSuite {
     "mad_outlier_days", // the 1-row median and MAD frames broadcast onto the bounded day frame (J9 shape)
     "trimmed_mean_daily", // the 1-row kept/full totals meet in broadcast cross joins (J9 shape)
     "wilson_ci_quality", // the 1-row corpus median broadcasts onto the doc frame (J9 shape)
+    "skew_advisor_tokens", // the 1-row stats and median frames meet in a broadcast cross join (J9 shape)
     "dbscan_embedding_clusters", // blocked exact eps-pairs: tiny block-id frames replicate sides via BNLJ by design
     "dbscan_ivf_recall", // blocked exact truth twin's block-id frames + the three 1-row pair counts meeting in broadcast cross joins (J9 shape)
     "lsh_scurve_planner", // blocked exact pair histogram (disclosed eval-class base): tiny block-id frames replicate sides via BNLJ by design
