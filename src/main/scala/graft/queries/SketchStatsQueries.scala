@@ -1441,6 +1441,51 @@ object SketchStatsQueries {
          |SELECT s.n_keys, s.total, s.max_c, med.med_c,
          |  CAST(s.max_c AS DOUBLE) / CAST(med.med_c AS DOUBLE) AS skew_ratio,
          |  CAST((s.max_c * 32 + s.total - 1) // s.total AS BIGINT) AS salt_factor
-         |FROM s CROSS JOIN med""".stripMargin)
+         |FROM s CROSS JOIN med""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // MARKOV stationary profile of the event-type transition chain:
+    // per-user event sequences (lag window per user — bounded state)
+    // give the directed transition counts, and the damped stationary
+    // vector is 4 unrolled rounds of the SAME exact scaled-integer
+    // weighted-PageRank arithmetic (contrib = rank·w div strength) —
+    // so 'which state does the session process spend its time in'
+    // comes out engine-exact with no matrix library. The damping is
+    // the standard teleport regularizer for reducible chains.
+    "event_markov_stationary" -> QueryDef(
+      (s, dir) => {
+        val seq = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("prev", lag(col("event_type"), 1).over(
+            Window.partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))))
+        val e = seq.filter(col("prev").isNotNull)
+          .groupBy(col("prev").as("u"), col("event_type").as("v"))
+          .agg(count(lit(1)).as("w"))
+        PageRank.runWeighted(e, rounds = 4)
+          .select(col("node").as("event_type"), col("rank"))
+          .orderBy(col("rank").desc, col("event_type"))
+      }, {
+        val rounds = (0 until 4).map { i =>
+          s""",
+             |r${i + 1} AS MATERIALIZED (
+             |  SELECT e.v AS node,
+             |    CAST(150000 + (85 * SUM((r.rank * e.w) // e.s)) // 100 AS BIGINT) AS rank
+             |  FROM ed e JOIN r$i r ON r.node = e.u
+             |  GROUP BY e.v)""".stripMargin
+        }.mkString
+        s"""WITH seq AS (
+           |  SELECT user_id, event_type, ts, event_id,
+           |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+           |  FROM events),
+           |e AS MATERIALIZED (
+           |  SELECT prev AS u, event_type AS v, CAST(count(*) AS BIGINT) AS w
+           |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+           |st AS MATERIALIZED (SELECT u, CAST(SUM(w) AS BIGINT) AS s FROM e GROUP BY 1),
+           |ed AS MATERIALIZED (SELECT e.u, e.v, e.w, st.s FROM e JOIN st ON e.u = st.u),
+           |r0 AS MATERIALIZED (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM st)$rounds
+           |SELECT node AS event_type, rank FROM r4
+           |ORDER BY rank DESC, node""".stripMargin
+      })
   )
 }

@@ -813,6 +813,65 @@ object TimeSeriesQueries {
         |  FROM dc GROUP BY 1)
         |SELECT event_type, n, sx, sxx,
         |  CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n AS DOUBLE) / CAST(sx AS DOUBLE) AS dispersion
-        |FROM m ORDER BY event_type""".stripMargin)
+        |FROM m ORDER BY event_type""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // CHANGEPOINT by binary segmentation (one split — the greedy seed
+    // of the full CUSUM/BinSeg family): the split maximizing the SSE
+    // reduction Δ(k) = (n·S₁ − k·S)² / (n·k·(n−k)) over the 1997
+    // daily totals. Prefix sums from exact integers on the bounded
+    // day frame (global-order window: the documented bounded
+    // exception); every Δ is one division of exact-integer products
+    // below 2^63, so the argmax compares identical doubles on both
+    // engines. Complements cusum_drift_orders, which assumes a KNOWN
+    // reference level — this finds the level shift.
+    "changepoint_binary_seg" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        val day = Tables.lineitem(s, dir)
+          .filter(TimePred.inYear(col("l_shipdate"), 1997))
+          .groupBy(col("l_shipdate").cast("date").as("d"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+        val w = Window.orderBy(col("d"))
+        val n = day.count()
+        val tot = day.agg(sum(col("v"))).head().getLong(0)
+        val o = day.select(col("d"),
+          row_number().over(w).cast("long").as("k"),
+          sum(col("v")).over(w).as("s1"))
+        o.filter(col("k") < n)
+          .select(col("d").as("split_day"), col("k").as("n1"),
+            (lit(n) - col("k")).as("n2"), col("s1"),
+            (lit(tot) - col("s1")).as("s2"),
+            (((lit(n) * col("s1") - col("k") * lit(tot)) *
+              (lit(n) * col("s1") - col("k") * lit(tot))).cast("double") /
+              (lit(n) * col("k") * (lit(n) - col("k"))).cast("double"))
+              .as("delta"))
+          .withColumn("mean_left",
+            col("s1").cast("double") / col("n1").cast("double"))
+          .withColumn("mean_right",
+            col("s2").cast("double") / col("n2").cast("double"))
+          .orderBy(col("delta").desc, col("split_day"))
+          .limit(1)
+      },
+      """WITH day AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1),
+        |o AS (
+        |  SELECT d, v,
+        |    CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k,
+        |    CAST(SUM(v) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s1,
+        |    CAST(count(*) OVER () AS BIGINT) AS n,
+        |    CAST(SUM(v) OVER () AS BIGINT) AS s
+        |  FROM day),
+        |sc AS (
+        |  SELECT d, k, s1, n - k AS n2, s - s1 AS s2, n, s,
+        |    CAST((n * s1 - k * s) * (n * s1 - k * s) AS DOUBLE)
+        |      / CAST(n * k * (n - k) AS DOUBLE) AS delta
+        |  FROM o WHERE k < n)
+        |SELECT d AS split_day, k AS n1, n2, s1, s2, delta,
+        |  CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
+        |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_right
+        |FROM sc ORDER BY delta DESC, split_day LIMIT 1""".stripMargin)
   )
 }
