@@ -872,6 +872,80 @@ object TimeSeriesQueries {
         |SELECT d AS split_day, k AS n1, n2, s1, s2, delta,
         |  CAST(s1 AS DOUBLE) / CAST(k AS DOUBLE) AS mean_left,
         |  CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS mean_right
-        |FROM sc ORDER BY delta DESC, split_day LIMIT 1""".stripMargin)
+        |FROM sc ORDER BY delta DESC, split_day LIMIT 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // NEW vs RETURNING daily active users — the growth-accounting
+    // split every activity dashboard leads with: a user is NEW on
+    // their first-ever active day and RETURNING after. One distinct
+    // (user, day) pass + one first-day aggregate + one join, exact
+    // integers, bounded by the day grain.
+    "new_vs_returning_daily" -> QueryDef(
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+          .distinct()
+          .localCheckpoint() // feeds the first-day agg AND the day rollup
+        val fst = ud.groupBy(col("user_id")).agg(min(col("d")).as("f"))
+        ud.join(fst, Seq("user_id"))
+          .groupBy(col("d").as("day"))
+          .agg(count(lit(1)).as("n_active"),
+            sum(when(col("d") === col("f"), 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("d") > col("f"), 1L).otherwise(0L)).as("n_returning"))
+          .orderBy(col("day"))
+      },
+      """WITH ud AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events GROUP BY 1, 2),
+        |fst AS (SELECT user_id, min(d) AS f FROM ud GROUP BY 1)
+        |SELECT ud.d AS day,
+        |  CAST(count(*) AS BIGINT) AS n_active,
+        |  CAST(SUM(CASE WHEN ud.d = fst.f THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(SUM(CASE WHEN ud.d > fst.f THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+        |FROM ud JOIN fst USING (user_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // PAIRED SIGN TEST, year over year (the distribution-free
+    // complement to mcnemar/runs: no normality, no symmetry — only
+    // exchangeability of signs under H0): 1996 vs 1997 daily totals
+    // paired on (month, day-of-month), counting strict
+    // increases/decreases/ties; the test statistic is min(n+, n−) —
+    // all exact integers, one inner join on the bounded calendar
+    // grain.
+    "sign_test_yoy" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        def yearDay(y: Int) = Tables.lineitem(s, dir)
+          .filter(TimePred.inYear(col("l_shipdate"), y))
+          .groupBy(month(col("l_shipdate")).as("m"),
+            dayofmonth(col("l_shipdate")).as("dd"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+        val j = yearDay(1996).withColumnRenamed("v", "va")
+          .join(yearDay(1997).withColumnRenamed("v", "vb"), Seq("m", "dd"))
+        j.agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("vb") > col("va"), 1L).otherwise(0L)).as("n_plus"),
+            sum(when(col("vb") < col("va"), 1L).otherwise(0L)).as("n_minus"),
+            sum(when(col("vb") === col("va"), 1L).otherwise(0L)).as("n_ties"))
+          .select(col("n_pairs"), col("n_plus"), col("n_minus"), col("n_ties"),
+            least(col("n_plus"), col("n_minus")).as("sign_stat"))
+      },
+      """WITH a AS (
+        |  SELECT month(l_shipdate) AS m, day(l_shipdate) AS dd,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1, 2),
+        |b AS (
+        |  SELECT month(l_shipdate) AS m, day(l_shipdate) AS dd,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1, 2),
+        |j AS (SELECT a.v AS va, b.v AS vb FROM a JOIN b USING (m, dd)),
+        |c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN vb > va THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+        |    CAST(SUM(CASE WHEN vb < va THEN 1 ELSE 0 END) AS BIGINT) AS n_minus,
+        |    CAST(SUM(CASE WHEN vb = va THEN 1 ELSE 0 END) AS BIGINT) AS n_ties
+        |  FROM j)
+        |SELECT n_pairs, n_plus, n_minus, n_ties,
+        |  CAST(least(n_plus, n_minus) AS BIGINT) AS sign_stat
+        |FROM c""".stripMargin)
   )
 }
