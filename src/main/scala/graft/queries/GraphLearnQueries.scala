@@ -773,6 +773,28 @@ object GraphLearnQueries {
         "\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
 
     // ------------------------------------------------------------------
+    // The SKEW-CAPPED build, oracle-gated: buildWithCentroidsCapped
+    // sub-splits oversize inverted lists (probes fan to ALL shards of
+    // each probed list), so the candidate set — and therefore the
+    // graph — is IDENTICAL to the uncapped build while no join task
+    // holds more than ~listCap corpus rows per key. The oracle is the
+    // same trained-routing replay as knn_graph_topk: a capped build
+    // that lost (or duplicated) a candidate hash-mismatches. listCap
+    // is set well below the fixture's list sizes so the sub-split
+    // genuinely engages at every SF.
+    "knn_graph_capped" -> QueryDef(
+      (s, dir) =>
+        graft.operators.KnnGraph.buildWithCentroidsCapped(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          IvfArtifacts.centroids(s, dir), nprobe = 8, listCap = 16L)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank")),
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        "\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // ------------------------------------------------------------------
     // Mutual-kNN sparsification of the same graph: an undirected edge
     // survives iff BOTH endpoints rank each other in their top-5 — the
     // high-precision core that cluster/community rollups consume. One
