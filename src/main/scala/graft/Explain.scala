@@ -276,7 +276,9 @@ object Explain {
     "cms_bigram_heavyhitters" ->
       "Count-min: the 4×64 counter table is one keyed aggregation over seeded md5 buckets; estimates probe it with an equi-join + min — the sketch is map-side mergeable at stream scale.",
     "hodges_lehmann_mad" ->
-      "HL/MAD: day-grain consolidation first, bounded Walsh pairwise product, exact integer rank selections; the medians ride 1-row broadcasts (J9).")
+      "HL/MAD: day-grain consolidation first, bounded Walsh pairwise product, exact integer rank selections; the medians ride 1-row broadcasts (J9).",
+    "knn_graph_capped" ->
+      "Skew-capped kNN build: the candidate join keys on (list_id, shard) with probes fanned to every shard of each probed list — identical candidate set to the uncapped build, but no join key exceeds ~listCap corpus rows (the measured-size salt).")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds

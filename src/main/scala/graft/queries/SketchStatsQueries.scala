@@ -1486,6 +1486,41 @@ object SketchStatsQueries {
            |r0 AS MATERIALIZED (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM st)$rounds
            |SELECT node AS event_type, rank FROM r4
            |ORDER BY rank DESC, node""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // GINI COEFFICIENT of supplier volume concentration (the
+    // inequality index — distinct from byte_gini_quality's impurity):
+    // G = (2·Σ i·x₍ᵢ₎ − (n+1)·Σx) / (n·Σx) over rank-ordered supplier
+    // totals — exact integers to ONE division (TPC-H's uniform
+    // generator shows a near-zero G; a real supply chain's long tail
+    // would push it toward 1 — the concentration alarm supply-risk
+    // dashboards watch). The rank is the bounded-supplier-frame
+    // exception; at an unbounded grain the i·x sum would ride the
+    // value-bucketed PrefixSum.
+    "gini_concentration_suppliers" -> QueryDef(
+      (s, dir) => {
+        val sv = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+        val r = sv.withColumn("i",
+          row_number().over(Window.orderBy(col("v"), col("l_suppkey")))
+            .cast("long"))
+        r.agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            sum(col("i") * col("v")).as("siv"))
+          .select(col("n"), col("s"), col("siv"),
+            ((lit(2L) * col("siv") - (col("n") + 1) * col("s")).cast("double") /
+              (col("n") * col("s")).cast("double")).as("gini"))
+      },
+      """WITH sv AS (
+         |  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+         |  FROM lineitem GROUP BY 1),
+         |r AS (SELECT v,
+         |  CAST(row_number() OVER (ORDER BY v, l_suppkey) AS BIGINT) AS i FROM sv),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS s,
+         |  CAST(SUM(i * v) AS BIGINT) AS siv FROM r)
+         |SELECT n, s, siv,
+         |  CAST(2 * siv - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+         |FROM m""".stripMargin)
   )
 }
