@@ -1521,6 +1521,39 @@ object SketchStatsQueries {
          |  CAST(SUM(i * v) AS BIGINT) AS siv FROM r)
          |SELECT n, s, siv,
          |  CAST(2 * siv - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+         |FROM m""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // HERFINDAHL–HIRSCHMAN INDEX of supplier volume — Gini's
+    // regulatory sibling (the DOJ merger-screen statistic): HHI =
+    // Σ xᵢ² / (Σx)², rank-free so it needs NO ordered window at all —
+    // one aggregation, exact integers, one division. The 10000-scaled
+    // convention is emitted too (markets read <1500 unconcentrated).
+    "hhi_concentration_suppliers" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+          // svv/sv/sv (two divisions) — sv² would overflow BIGINT near
+          // SF 100 (total quantity ~1.5e10); dividing twice keeps every
+          // operand in range at any SF, identical order both engines
+          .select(col("n"), col("sv"), col("svv"),
+            (col("svv").cast("double") / col("sv").cast("double") /
+              col("sv").cast("double")).as("hhi"),
+            (lit(10000.0) * col("svv").cast("double") /
+              col("sv").cast("double") / col("sv").cast("double"))
+              .as("hhi_10000"))
+      },
+      """WITH sv AS (
+         |  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+         |  FROM lineitem GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(SUM(v) AS BIGINT) AS sv,
+         |  CAST(SUM(v * v) AS BIGINT) AS svv FROM sv)
+         |SELECT n, sv, svv,
+         |  CAST(svv AS DOUBLE) / CAST(sv AS DOUBLE) / CAST(sv AS DOUBLE) AS hhi,
+         |  10000.0 * CAST(svv AS DOUBLE) / CAST(sv AS DOUBLE) / CAST(sv AS DOUBLE) AS hhi_10000
          |FROM m""".stripMargin)
   )
 }
