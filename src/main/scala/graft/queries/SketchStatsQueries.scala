@@ -1554,6 +1554,59 @@ object SketchStatsQueries {
          |SELECT n, sv, svv,
          |  CAST(svv AS DOUBLE) / CAST(sv AS DOUBLE) / CAST(sv AS DOUBLE) AS hhi,
          |  10000.0 * CAST(svv AS DOUBLE) / CAST(sv AS DOUBLE) / CAST(sv AS DOUBLE) AS hhi_10000
-         |FROM m""".stripMargin)
+         |FROM m""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // LORENZ CURVE by supplier decile — the picture behind the Gini
+    // number (cumulative volume share vs cumulative population share;
+    // the diagonal = perfect equality): exact ceiling-division decile
+    // assignment over the ranked supplier frame (the ExactNtile
+    // arithmetic), integer cumulative sums over the bounded 10-row
+    // decile grain, one division per point. Completes the
+    // concentration trio (gini / hhi / lorenz).
+    "lorenz_curve_suppliers" -> QueryDef(
+      (s, dir) => {
+        val sv = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("v"))
+          .localCheckpoint() // feeds the totals AND the ranked scan
+        val n = sv.count()
+        val tot = sv.agg(sum(col("v"))).head().getLong(0)
+        val dec = sv
+          .withColumn("i", row_number().over(
+            Window.orderBy(col("v"), col("l_suppkey"))).cast("long"))
+          .select(((lit(10L) * col("i") + lit(n - 1)) / lit(n))
+            .cast("long").as("decile"), col("v"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n_suppliers"), sum(col("v")).as("v_sum"))
+        dec
+          .withColumn("cum_v", sum(col("v_sum")).over(
+            Window.orderBy(col("decile"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("decile"), col("n_suppliers"), col("v_sum"),
+            col("cum_v"),
+            (col("cum_v").cast("double") / lit(tot.toDouble)).as("cum_share"))
+          .orderBy(col("decile"))
+      },
+      """WITH sv AS (
+         |  SELECT l_suppkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+         |  FROM lineitem GROUP BY 1),
+         |r AS (SELECT v,
+         |  CAST(row_number() OVER (ORDER BY v, l_suppkey) AS BIGINT) AS i,
+         |  CAST(count(*) OVER () AS BIGINT) AS n,
+         |  CAST(SUM(v) OVER () AS BIGINT) AS s
+         |  FROM sv),
+         |g AS (
+         |  SELECT (10 * i + n - 1) // n AS decile,
+         |    CAST(count(*) AS BIGINT) AS n_suppliers,
+         |    CAST(SUM(v) AS BIGINT) AS v_sum, CAST(min(s) AS BIGINT) AS s
+         |  FROM r GROUP BY 1),
+         |c AS (
+         |  SELECT decile, n_suppliers, v_sum, s,
+         |    CAST(SUM(v_sum) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_v
+         |  FROM g)
+         |SELECT decile, n_suppliers, v_sum, cum_v,
+         |  CAST(cum_v AS DOUBLE) / CAST(s AS DOUBLE) AS cum_share
+         |FROM c ORDER BY decile""".stripMargin)
   )
 }
