@@ -237,6 +237,7 @@ object GraphOps {
     }
     require(remaining.limit(1).count() == 0L,
       s"SCC peeling did not finish within $maxPeels peels")
-    out.get
+    // empty edge frame: no node is incident to an edge → empty (n, scc)
+    out.getOrElse(remaining.select(col("n"), col("n").as("scc")).limit(0))
   }
 }

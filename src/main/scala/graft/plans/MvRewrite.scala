@@ -78,16 +78,18 @@ object MvRewrite extends Rule[LogicalPlan] {
   private val registry = new CopyOnWriteArrayList[MvDef]()
 
   def register(d: MvDef): Unit = registry.add(d)
+  def deregister(d: MvDef): Unit = registry.remove(d)
   def clear(): Unit = registry.clear()
 
-  /** Run `body` with `d` registered, then ALWAYS deregister — scopes
-    * the rewrite to one query so the global registry can't serve a
-    * later query (or a different fixture dir in the same JVM) stale
-    * MV data.
+  /** Run `body` with `d` registered, then ALWAYS deregister exactly
+    * `d` (not the whole registry) — scopes the rewrite to one query so
+    * the global registry can't serve a later query (or a different
+    * fixture dir in the same JVM) stale MV data, while composing with
+    * nested/concurrent `withMv` blocks registering other MVs.
     */
   def withMv[T](d: MvDef)(body: => T): T = {
     register(d)
-    try body finally clear()
+    try body finally deregister(d)
   }
 
   /** Root paths of all V1 file relations in `plan` — lets callers

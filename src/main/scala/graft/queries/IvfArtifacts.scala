@@ -21,6 +21,7 @@ import graft.Tables
 object IvfArtifacts {
 
   private val cache = new SessionScopedCache[IndexedSeq[IndexedSeq[Double]]]
+  private val lakeCache = new SessionScopedCache[String]
 
   def centroids(s: SparkSession, dir: String): IndexedSeq[IndexedSeq[Double]] =
     cache.getOrElseUpdate(s, dir) {
@@ -28,5 +29,23 @@ object IvfArtifacts {
         Tables.embeddings(s, dir), "vec_id", "embedding", nlist = 16,
         sampleSize = 10000, iters = 5, seed = 42L)
         .map(_.toIndexedSeq).toIndexedSeq
+    }
+
+  /** The trained index PERSISTED as a lake artifact
+    * ([[graft.operators.IvfStore]]: centroids + inverted lists as
+    * parquet) — the star-lake pattern extended to the vector tier.
+    * Built once per (session, corpus dir); serving loads the store
+    * fresh from disk, so a consumer query exercises the full
+    * cross-job round-trip: train → persist → load → route, with
+    * routing bit-identical to the in-memory trained path.
+    */
+  def lakePath(s: SparkSession, dir: String): String =
+    lakeCache.getOrElseUpdate(s, dir) {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_lake/" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      graft.operators.IvfStore.build(
+        Tables.embeddings(s, dir), "vec_id", "embedding", path,
+        centroids(s, dir))
+      path
     }
 }

@@ -3479,6 +3479,31 @@ object PipelineQueries {
         sampleSize = 10000, iters = 5, seed = 42L, k = 5)),
 
     // ------------------------------------------------------------------
+    // IVF ANN served from the PERSISTED index (IvfStore): train →
+    // write centroids+inverted lists as parquet → LOAD the store from
+    // disk → route probes against the stored lists, never re-training
+    // or re-assigning the corpus — the cross-job lake round-trip a
+    // production ANN stack ships (the star-lake pattern on the vector
+    // tier). nprobe=8 (vs ann_ivf_topk's 4) exercises the store's fan
+    // path distinctly. Oracle = the same end-to-end training+routing
+    // replay: DuckDB re-derives the identical quantizer from the
+    // table, so loaded routing must match it bit-for-bit.
+    "ann_ivf_lake_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        graft.operators.IvfStore.probe(
+          s, IvfArtifacts.lakePath(s, dir), emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L,
+        probeFilter = "p.vec_id < 10") +
+        "\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
+
+    // ------------------------------------------------------------------
     // IVF ANN against a FIXED (pre-trained) coarse quantizer — the
     // production serve path (train and serve are separate; the
     // quantizer ships as an index artifact). Seed-derived centroids

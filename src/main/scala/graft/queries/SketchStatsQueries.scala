@@ -1428,8 +1428,10 @@ object SketchStatsQueries {
           .select(col("n_keys"), col("total"), col("max_c"), col("med_c"),
             (col("max_c").cast("double") / col("med_c").cast("double"))
               .as("skew_ratio"),
-            ((col("max_c") * 32 + col("total") - 1) / col("total"))
-              .cast("long").as("salt_factor"))
+            // exact integer ceiling division — `div`, matching the
+            // oracle's `//` (never double `/` + cast, which can round
+            // differently at extreme magnitudes)
+            expr("(max_c * 32 + total - 1) div total").as("salt_factor"))
       },
       s"""WITH tk AS (SELECT unnest($toksSql) AS t FROM documents),
          |f AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
@@ -1575,8 +1577,8 @@ object SketchStatsQueries {
         val dec = sv
           .withColumn("i", row_number().over(
             Window.orderBy(col("v"), col("l_suppkey"))).cast("long"))
-          .select(((lit(10L) * col("i") + lit(n - 1)) / lit(n))
-            .cast("long").as("decile"), col("v"))
+          .select(expr(s"(10 * i + ${n - 1}) div ${n}").as("decile"),
+            col("v"))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n_suppliers"), sum(col("v")).as("v_sum"))
         dec

@@ -31,18 +31,39 @@ object StreamingNgramGate {
       total_bits: Long, mean_bits: Double, keep: Boolean)
 
   /** Reference bigram counts: c12 keyed "w1 w2", c1 keyed w1, n = total
-    * reference bigrams. Built by [[trainModel]]; bounded by the
-    * reference vocabulary.
+    * reference bigrams. Built by [[trainModel]]; HARD-BOUNDED at
+    * `topK` bigram entries regardless of corpus size.
     */
   final case class BigramModel(
       c12: Map[String, Long], c1: Map[String, Long], n: Long)
 
-  /** Train on the `isTrain` slice of a batch frame — two keyed
-    * aggregations, collected as the bounded model artifact.
+  /** Default model cap: 2^20 bigram entries (~100-200 MB as a JVM map)
+    * — comfortably executor-broadcast-sized, and far above the bigram
+    * vocabulary of any clean REFERENCE slice a CCNet-style gate trains
+    * on (the reference slice is curated and small by design; it is the
+    * SCORED stream that is 100 TB).
+    */
+  val DefaultTopK: Int = 1 << 20
+
+  /** Train on the `isTrain` slice of a batch frame. All aggregation is
+    * cluster-side; the only driver materialization is the CAPPED model
+    * artifact — top-`topK` bigrams by count (ties broken by (w1, w2),
+    * deterministic), the LineDedup broadcast-blacklist cap recipe.
+    * Bigram *types* grow ~linearly with training-corpus size (Heaps'
+    * law), so an uncapped collect is not driver-sized at scale; the cap
+    * makes the artifact O(topK) no matter the corpus.
+    *
+    * Bit-exactness under the cap: `n` and the prefix masses `c1` are
+    * computed over the FULL bigram table BEFORE capping, so every
+    * bigram that survives the cap scores exactly as it would uncapped;
+    * a dropped bigram scores as unseen (the model's own semantics for
+    * below-resolution transitions). When the training slice has at most
+    * `topK` bigram types — every fixture here — the cap is a no-op and
+    * scores are bit-identical to the uncapped model.
     */
   def trainModel(
       docs: DataFrame, idCol: String, textCol: String,
-      isTrain: Column): BigramModel = {
+      isTrain: Column, topK: Int = DefaultTopK): BigramModel = {
     val big = docs
       .filter(isTrain)
       .select(TextOps.tokens(col(textCol)).as("toks"))
@@ -51,11 +72,19 @@ object StreamingNgramGate {
         "transform(sequence(1, size(toks) - 1), j -> " +
           "named_struct('w1', toks[j-1], 'w2', toks[j]))")).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val c12 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .collect().map(r =>
-        (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
-    val c1 = c12.groupBy(_._1.split(' ')(0)).map { case (w, m) => w -> m.values.sum }
-    BigramModel(c12, c1, c12.values.sum)
+    // exploded frame feeds total, prefix masses, and the capped head —
+    // truncate lineage once (the measured broadcast-blacklist rule)
+    val c12Frame = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c")).localCheckpoint()
+    val n = c12Frame.agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val capped = c12Frame
+      .orderBy(col("c").desc, col("w1"), col("w2")).limit(topK)
+    val c1Frame = c12Frame.groupBy(col("w1")).agg(sum(col("c")).as("c1"))
+      .join(capped.select(col("w1")).distinct(), Seq("w1"), "semi")
+    val c12 = capped.collect().map(r =>
+      (r.getString(0) + " " + r.getString(1)) -> r.getLong(2)).toMap
+    val c1 = c1Frame.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    BigramModel(c12, c1, n)
   }
 
   @inline private def bitlen(x: Long): Int =
