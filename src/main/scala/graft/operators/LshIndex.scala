@@ -42,32 +42,56 @@ object LshIndex {
 
   /** Hash parameters an index was built with. Persisted at build time
     * and read back by probe/append — signatures hashed under different
-    * (shingleN, numHashes, bands) are silently incomparable, so the
-    * parameters live IN the index, not in call sites.
+    * (shingleN, numHashes, bands, family) are silently incomparable,
+    * so the parameters live IN the index, not in call sites.
     */
-  final case class Params(shingleN: Int, numHashes: Int, bands: Int)
+  final case class Params(
+      shingleN: Int, numHashes: Int, bands: Int,
+      family: MinHashLsh.Family = MinHashLsh.Family.XxChain)
+
+  private def familyTag(f: MinHashLsh.Family): (String, Long) = f match {
+    case MinHashLsh.Family.XxChain => ("xx", 0L)
+    case MinHashLsh.Family.Md5Mod(seed) => ("md5", seed)
+  }
 
   private def writeMeta(spark: SparkSession, path: String, p: Params): Unit = {
     import spark.implicits._
-    Seq((p.shingleN, p.numHashes, p.bands))
-      .toDF("shingle_n", "num_hashes", "bands")
+    val (fam, seed) = familyTag(p.family)
+    Seq((p.shingleN, p.numHashes, p.bands, fam, seed))
+      .toDF("shingle_n", "num_hashes", "bands", "family", "fam_seed")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(path))
   }
 
   /** The parameters the index at `path` was built with. */
   def params(spark: SparkSession, path: String): Params = {
     val r = spark.read.parquet(metaPath(path))
-      .select("shingle_n", "num_hashes", "bands").head()
-    Params(r.getInt(0), r.getInt(1), r.getInt(2))
+      .select("shingle_n", "num_hashes", "bands", "family", "fam_seed").head()
+    val fam = r.getString(3) match {
+      case "xx" => MinHashLsh.Family.XxChain
+      case "md5" => MinHashLsh.Family.Md5Mod(r.getLong(4))
+      case other => sys.error(s"unknown LSH index family: $other")
+    }
+    Params(r.getInt(0), r.getInt(1), r.getInt(2), fam)
   }
 
+  /** Band the signatures under the family's bucket key — XxChain
+    * compresses each slice to one 64-bit hash; Md5Mod keys on the
+    * slice itself so the bucket join replays bit-exactly in the SQL
+    * oracle (the [[MinHashLsh.nearDupPairs]] convention).
+    */
   private def banded(
-      sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+      sigs: DataFrame, numHashes: Int, bands: Int,
+      family: MinHashLsh.Family): DataFrame = {
     val rows = numHashes / bands
+    val bandKey: Int => org.apache.spark.sql.Column = family match {
+      case MinHashLsh.Family.XxChain =>
+        b => xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))
+      case MinHashLsh.Family.Md5Mod(_) =>
+        b => slice(col("sig"), b * rows + 1, rows)
+    }
     sigs.select(
       col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * rows + 1, rows), lit(b))): _*)))
+      posexplode(array((0 until bands).map(bandKey): _*)))
       .withColumnRenamed("pos", "band_idx")
       .withColumnRenamed("col", "bucket")
   }
@@ -78,14 +102,15 @@ object LshIndex {
     */
   def build(
       df: DataFrame, idCol: String, textCol: String, path: String,
-      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16): Unit = {
+      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      family: MinHashLsh.Family = MinHashLsh.Family.XxChain): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val sigs = MinHashLsh.signatures(df, idCol, textCol, shingleN, numHashes)
+    val sigs = MinHashLsh.signatures(df, idCol, textCol, shingleN, numHashes, family)
       .localCheckpoint() // one kernel pass feeds both datasets
     sigs.write.mode(SaveMode.Overwrite).parquet(sigsPath(path))
-    banded(sigs, numHashes, bands)
+    banded(sigs, numHashes, bands, family)
       .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
-    writeMeta(df.sparkSession, path, Params(shingleN, numHashes, bands))
+    writeMeta(df.sparkSession, path, Params(shingleN, numHashes, bands, family))
   }
 
   /** Near-dup matches of `batch` against the index:
@@ -96,10 +121,10 @@ object LshIndex {
       spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7): DataFrame = {
-    val Params(shingleN, numHashes, bands) = params(spark, path)
-    val batchSigs = MinHashLsh.signatures(batch, idCol, textCol, shingleN, numHashes)
+    val Params(shingleN, numHashes, bands, family) = params(spark, path)
+    val batchSigs = MinHashLsh.signatures(batch, idCol, textCol, shingleN, numHashes, family)
       .localCheckpoint() // feeds banding AND verification
-    val probeB = banded(batchSigs, numHashes, bands)
+    val probeB = banded(batchSigs, numHashes, bands, family)
       .select(col("band_idx"), col("bucket"), col("doc_id").as("batch_id"))
 
     val idxBuckets = spark.read.parquet(bucketsPath(path))
@@ -128,13 +153,33 @@ object LshIndex {
   def append(
       spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, textCol: String): Unit = {
-    val Params(shingleN, numHashes, bands) = params(spark, path)
-    val sigs = MinHashLsh.signatures(batch, idCol, textCol, shingleN, numHashes)
+    val Params(shingleN, numHashes, bands, family) = params(spark, path)
+    val sigs = MinHashLsh.signatures(batch, idCol, textCol, shingleN, numHashes, family)
       .localCheckpoint()
     graft.sources.ParquetMerge.upsert(
       spark, sigsPath(path), sigs, Seq("doc_id"))
     graft.sources.ParquetMerge.upsert(
-      spark, bucketsPath(path), banded(sigs, numHashes, bands),
+      spark, bucketsPath(path), banded(sigs, numHashes, bands, family),
       Seq("doc_id", "band_idx"))
+  }
+
+  /** Compact the index at `path` into ONE artifact at `out`: K
+    * appended deltas' worth of small files rewrite to ≈targetBytes
+    * files per dataset ([[graft.sources.Compactor]]), the meta copies
+    * verbatim — and because compaction only re-lays files (row set
+    * untouched), probing the compacted index yields the IDENTICAL
+    * candidate and match sets (`dedup_index_compact` oracles it;
+    * LshIndexSpec asserts row-level equality). This is the 100 TB
+    * housekeeping pass that follows a week of streaming appends.
+    */
+  def compact(
+      spark: SparkSession, path: String, out: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    require(out != path, "compact to a fresh path, then swap")
+    graft.sources.Compactor.compact(
+      spark.read.parquet(sigsPath(path)), sigsPath(out), targetBytes)
+    graft.sources.Compactor.compact(
+      spark.read.parquet(bucketsPath(path)), bucketsPath(out), targetBytes)
+    writeMeta(spark, out, params(spark, path))
   }
 }

@@ -2774,6 +2774,82 @@ object PipelineQueries {
          |FROM c""".stripMargin),
 
     // ------------------------------------------------------------------
+    // LSH-index lifecycle fold: build over a quarter of the corpus,
+    // append three delta batches (one re-delivered — upsert makes it
+    // an exact no-op), COMPACT the accumulated small files into one
+    // artifact (Compactor re-lays bytes, row set untouched), then
+    // probe the held-out quarter against the COMPACTED index. The
+    // oracle replays the whole thing value-level — signatures, band
+    // slices, candidate join, verification — so any compaction bug
+    // that drops or duplicates an index row fails the gate. Md5Mod
+    // family: every stage bit-exact in DuckDB.
+    "dedup_index_compact" -> QueryDef(
+      (s, dir) => {
+        val docs = perturbedDocs(s, dir)
+        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index/" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val raw = s"$base/raw"
+        val compacted = s"$base/compact"
+        LshIndex.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
+          raw, family = MinHashLsh.Family.Md5Mod(7L))
+        LshIndex.append(s, raw, docs.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+        LshIndex.append(s, raw, docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+        // re-delivery of an already-appended batch: exact no-op
+        LshIndex.append(s, raw, docs.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+        LshIndex.compact(s, raw, compacted)
+        LshIndex.probe(s, compacted, docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", threshold = 0.5)
+          .orderBy(col("batch_id"), col("index_id"))
+      }, {
+        val numHashes = 64
+        val bands = 16
+        val rows = numHashes / bands
+        val (as, bs) = ModPrime.coeffs(7L, numHashes)
+        val famRows = (0 until numHashes)
+          .map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(",\n    ")
+        val p = ModPrime.P
+        s"""WITH corpus AS ($perturbedSql),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(range(1, len(toks) - 1),
+           |      i -> ${md5_63("array_to_string(toks[i:i+2], ' ')")})) AS hs
+           |  FROM tk WHERE len(toks) >= 3
+           |),
+           |shx AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+           |fam AS (
+           |  SELECT * FROM (VALUES
+           |    $famRows) f(i, a, b)
+           |),
+           |mins AS (
+           |  SELECT doc_id, f.i,
+           |    (min((f.a::HUGEINT * (h % $p) + f.b) % $p))::BIGINT AS mh
+           |  FROM shx, fam f GROUP BY doc_id, f.i
+           |),
+           |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+           |banded AS MATERIALIZED (
+           |  SELECT doc_id, band_idx, sig[band_idx*$rows+1 : band_idx*$rows+$rows] AS bkey
+           |  FROM (SELECT doc_id, sig, unnest(range(0, $bands)) AS band_idx FROM sig)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+           |  WHERE a.doc_id % 4 < 3 AND b.doc_id % 4 = 3 AND a.doc_id <> b.doc_id
+           |),
+           |v AS (
+           |  SELECT batch_id, index_id,
+           |    CAST(len(list_filter(range(1, ${numHashes + 1}),
+           |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
+           |  FROM cand
+           |  JOIN sig sa ON sa.doc_id = cand.index_id
+           |  JOIN sig sb ON sb.doc_id = cand.batch_id
+           |)
+           |SELECT batch_id, index_id, est_jaccard FROM v WHERE est_jaccard >= 0.5
+           |ORDER BY batch_id, index_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Exact substring-span dedup signal (the "dedup training data at
     // the substring level" shape): every 8-token span hashed per doc
     // (distinct within doc), inverted, spans appearing in ≥2 docs

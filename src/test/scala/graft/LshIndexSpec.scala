@@ -63,6 +63,35 @@ class LshIndexSpec extends SparkSuite {
     assert(hits.forall { case (b, ix) => b != ix }, "self-matches leaked")
   }
 
+  test("compact preserves the index exactly: probe rows identical, meta verbatim") {
+    val base = Files.createTempDirectory("lshindex_cmp").toString
+    val raw = s"$base/idx"
+    val out = s"$base/compacted"
+    // build + 3 appends (one re-delivered) under a NON-default family,
+    // then compact — the appended small files become one artifact
+    LshIndex.build(corpus.filter($"doc_id" < 20), "doc_id", "text", raw,
+      family = graft.operators.MinHashLsh.Family.Md5Mod(7L))
+    LshIndex.append(spark, raw, corpus.filter($"doc_id" >= 20 && $"doc_id" < 30), "doc_id", "text")
+    LshIndex.append(spark, raw, corpus.filter($"doc_id" >= 30), "doc_id", "text")
+    LshIndex.append(spark, raw, corpus.filter($"doc_id" >= 20 && $"doc_id" < 30), "doc_id", "text")
+    LshIndex.compact(spark, raw, out)
+
+    assert(LshIndex.params(spark, out) == LshIndex.params(spark, raw))
+    assert(spark.read.parquet(s"$out/sigs").count() == corpus.count())
+    // row sets identical dataset-by-dataset (compaction re-lays bytes only)
+    Seq("sigs", "buckets").foreach { d =>
+      val a = spark.read.parquet(s"$raw/$d")
+      val b = spark.read.parquet(s"$out/$d")
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, s"$d diverged")
+    }
+    // probing the compacted index == probing the uncompacted one
+    val pa = LshIndex.probe(spark, raw, batch, "doc_id", "text", 0.5)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    val pb = LshIndex.probe(spark, out, batch, "doc_id", "text", 0.5)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getLong(1)))
+    assert(pa == pb && pa.nonEmpty)
+  }
+
   test("probe plan never shuffles the index: broadcast joins, no SMJ") {
     val path = Files.createTempDirectory("lshindex_plan").toString + "/idx"
     LshIndex.build(corpus, "doc_id", "text", path)
