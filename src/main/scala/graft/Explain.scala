@@ -278,7 +278,11 @@ object Explain {
     "hodges_lehmann_mad" ->
       "HL/MAD: day-grain consolidation first, bounded Walsh pairwise product, exact integer rank selections; the medians ride 1-row broadcasts (J9).",
     "knn_graph_capped" ->
-      "Skew-capped kNN build: the candidate join keys on (list_id, shard) with probes fanned to every shard of each probed list — identical candidate set to the uncapped build, but no join key exceeds ~listCap corpus rows (the measured-size salt).")
+      "Skew-capped kNN build: the candidate join keys on (list_id, shard) with probes fanned to every shard of each probed list — identical candidate set to the uncapped build, but no join key exceeds ~listCap corpus rows (the measured-size salt).",
+    "mef_star_incremental_ytd" ->
+      "YTD over a build+append star: the fact is a UNION of checkpointed delta scans (r12 delta-only appends — a load writes its delta, never rewrites the table), the sector dim broadcasts, one partial+final agg. Nothing in the plan re-derives either load's resolution subtree.",
+    "mef_star_append_fold" ->
+      "Three loads + a re-delivered batch deep: the final YTD plan reads the fact as build-fact ∪ delta₁ ∪ delta₂ ∪ delta₃(empty — the no-op re-delivery appended an empty checkpointed delta, costing one union node, no rewrite). Per-load internals (batch grain shuffle, 7 concurrent dim-delta anti-joins, fresh-fact anti-join) are lineage-truncated behind the checkpointed scans; at fixture scale the fold's cost is the fixed ~9-job floor per load (SCALE.md §Incremental loads).")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
@@ -354,6 +358,43 @@ object Explain {
             .select(col("term")).distinct().localCheckpoint()
           bg.join(covered, Seq("term"), "left_anti")
             .groupBy(col("source")).agg(count(lit(1)).as("gain"))
+        }),
+      ("ppr_supplier_seeds — round 1 (PageRank.runPersonalized body)",
+        "One personalized-PageRank round on the checkpointed (edge,deg) frame and the checkpointed seed-folded universe: ranks BROADCAST into the edge join (A/B'd — the O(nodes) rank frame never shuffles the O(edges) frame), one v-keyed agg for the damped mass, then the restart fold is a broadcast left-join onto the universe — the seed frame is joined ONCE before the loop (the re-join-seeds-per-round form measured 8.8 s vs 4.4-5.3 folded, CLAUDE.md). Loop invariant: k=5 rounds nest in one action, deliberately NO per-round checkpoint (A/B'd: AQE reuses the exchanges; checkpointing measured slower).",
+        s => {
+          val e0 = Tables.lineitem(s, dir)
+            .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+            .select((col("l_suppkey") * 2).as("u"), (col("o_custkey") * 2 + 1).as("v"))
+            .distinct()
+          val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+          val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+          val ed = edges.join(deg, Seq("u")).localCheckpoint()
+          val seed = s.range(1, 4).select((col("id") * 2).as("node")).distinct()
+            .withColumn("is_seed", lit(1))
+          val uni = deg.select(col("u").as("node"))
+            .join(broadcast(seed), Seq("node"), "left")
+            .select(col("node"),
+              when(col("is_seed").isNotNull, 150000L).otherwise(0L).as("restart"))
+            .localCheckpoint()
+          val ranks = uni.select(col("node"),
+            when(col("restart") > 0, 1000000L).otherwise(0L).as("rank"))
+          val damped = ed.join(broadcast(ranks), ed("u") === ranks("node"))
+            .select(col("v"), org.apache.spark.sql.functions.expr("rank div deg").as("contrib"))
+            .groupBy(col("v"))
+            .agg(org.apache.spark.sql.functions
+              .expr("CAST((85 * sum(contrib)) div 100 AS BIGINT)").as("damped"))
+            .select(col("v").as("node"), col("damped"))
+          uni.join(broadcast(damped), Seq("node"), "left")
+            .select(col("node"),
+              (coalesce(col("damped"), lit(0L)) + col("restart")).as("rank"))
+        }),
+      ("semdedup_knn_clusters — mutual-kNN sparsification + census (post-CC stage)",
+        "The kNN build is ONE ids-only equi-join on the IVF home-list id (each candidate pair arises once — no dedup stage) over the session-cached trained quantizer; shown here: the mutual-kNN reciprocation self-join on the checkpointed kNN edge frame, which feeds pointer-jump CC (O(log d) rounds, audited under er_resolved_entities' class). Loop invariant: CC labels checkpoint per round; the final census is one cluster-keyed agg + a left join for singleton clusters — nothing re-derives the routing.",
+        s => {
+          val knn = operators.KnnGraph.buildWithCentroids(
+            Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+            queries.IvfArtifacts.centroids(s, dir), nprobe = 8)
+          operators.KnnGraph.mutualEdges(knn)
         }))
   }
 
