@@ -75,7 +75,7 @@ object MefStarQueries {
   private[queries] def syntheticRaw(s: SparkSession, dir: String): DataFrame =
     syntheticRawFrom(Tables.lineitem(s, dir), s, dir)
 
-  private def syntheticRawFrom(li: DataFrame, s: SparkSession, dir: String): DataFrame =
+  private[queries] def syntheticRawFrom(li: DataFrame, s: SparkSession, dir: String): DataFrame =
     li
       .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
