@@ -39,4 +39,23 @@ object MvMaintain {
       .groupBy(keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Incremental maintenance of a JOIN view V = A ⋈ B under
+    * insert-only deltas (the other self-maintainable case of Gupta &
+    * Mumick 1995): ΔV = ΔA ⋈ (B ∪ ΔB)  ∪  A ⋈ ΔB — the three delta
+    * terms (ΔA⋈B, ΔA⋈ΔB, A⋈ΔB) with the first two folded into one
+    * join. Returns V_old ∪ ΔV ≡ (A ∪ ΔA) ⋈ (B ∪ ΔB) exactly
+    * (spec- and oracle-asserted).
+    *
+    * 100 TB shape: the stored view is NEVER re-joined — both delta
+    * joins are driven by batch-sized probes against the base tables,
+    * so a monthly load costs O(Δ ⋈ base), not O(base ⋈ base).
+    */
+  def joinDelta(
+      stored: DataFrame, aOld: DataFrame, aDelta: DataFrame,
+      bOld: DataFrame, bDelta: DataFrame,
+      aKey: String, bKey: String): DataFrame =
+    stored
+      .unionByName(aDelta.join(bOld.unionByName(bDelta), col(aKey) === col(bKey)))
+      .unionByName(aOld.join(bDelta, col(aKey) === col(bKey)))
 }

@@ -1188,6 +1188,150 @@ object GraphLearnQueries {
           |FROM cl GROUP BY 1 ORDER BY n_members DESC, cluster""".stripMargin),
 
     // ------------------------------------------------------------------
+    // k-truss (k=3, Cohen 2008) of the mutual-kNN semantic graph: every
+    // surviving edge sits in ≥ k−2 = 1 triangle WITHIN the truss —
+    // the triangle-reinforced core that is to edges what k-core is to
+    // nodes, and the denser-than-mutual cluster signal a SemDeDup-style
+    // pruner can trust. Per round: support = ONE triangle count per
+    // edge (edge ⋈ adjacency on u, closing join on (v, w)), drop
+    // edges below support, repeat to fixpoint (budgeted; overrun
+    // throws). The oracle replays training + routing + mutual join
+    // (the semdedup chain) and unrolls the full round budget, relying
+    // on fixpoint idempotence for the early-stopping Spark side.
+    "ktruss_semantic_graph" -> QueryDef(
+      (s, dir) => {
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
+        val mutual = graft.operators.KnnGraph.mutualEdges(knn)
+        var e = mutual.select(col("a").as("u"), col("b").as("v")).localCheckpoint()
+        var nEdges = e.count()
+        val maxRounds = 12
+        var out: org.apache.spark.sql.DataFrame = null
+        var r = 0
+        while (r < maxRounds && out == null) {
+          val adj = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+          val sup = e
+            .join(adj.select(col("u"), col("v").as("w")), Seq("u"))
+            .join(adj.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+            .groupBy(col("u"), col("v")).agg(count(lit(1)).as("support"))
+            .filter(col("support") >= 1)
+            .localCheckpoint() // feeds the convergence probe AND next round
+          val kept = sup.count()
+          if (kept == nEdges) out = sup
+          else { e = sup.select(col("u"), col("v")).localCheckpoint(); nEdges = kept }
+          r += 1
+        }
+        require(out != null, s"k-truss did not converge within $maxRounds rounds")
+        out.select(col("u"), col("v"), col("support")).orderBy(col("u"), col("v"))
+      }, {
+        val rounds = (0 until 12).map { r =>
+          s""",
+             |a$r AS (SELECT u, v FROM e$r UNION ALL SELECT v AS u, u AS v FROM e$r),
+             |s$r AS MATERIALIZED (
+             |  SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS support
+             |  FROM e$r e
+             |  JOIN a$r x ON x.u = e.u
+             |  JOIN a$r y ON y.u = e.v AND y.v = x.v
+             |  GROUP BY e.u, e.v),
+             |e${r + 1} AS MATERIALIZED (SELECT u, v FROM s$r WHERE support >= 1)""".stripMargin
+        }.mkString
+        PipelineQueries.trainedIvfRankedCtes(
+          dim = 64, nlist = 16, nprobe = 8,
+          sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+          s""",
+             |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+             |e0 AS MATERIALIZED (
+             |  SELECT e1.query_id AS u, e1.neighbor_id AS v
+             |  FROM knn e1 JOIN knn e2
+             |    ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+             |  WHERE e1.query_id < e1.neighbor_id)$rounds
+             |SELECT u, v, support FROM s11 WHERE support >= 1
+             |ORDER BY u, v""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Closeness centrality of 3 seed suppliers on the bipartite
+    // supplier↔customer trade graph, within an 8-hop budget: per-seed
+    // labeled BFS (the multi-source frontier carries (seed, node) so
+    // three searches share every round's single edge join), then
+    // closeness = reached / Σhops — two exact BIGINTs through one
+    // division. Both engines run the SAME fixed budget; Spark
+    // early-stops when a frontier empties (identical by idempotence —
+    // an empty frontier adds nothing), the oracle unrolls all 8
+    // rounds. Frontier and visited checkpoint per round (the measured
+    // bfs_hops rule: both feed two consumers).
+    "closeness_centrality_seeds" -> QueryDef(
+      (s, dir) => {
+        val e0 = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select((col("l_suppkey") * 2).as("u"), (col("o_custkey") * 2 + 1).as("v"))
+          .distinct()
+        val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+          .distinct().localCheckpoint()
+        val seeds = s.range(1, 4).select((col("id") * 2).as("seed"))
+        var visited = seeds
+          .select(col("seed"), col("seed").as("node"), lit(0).as("hop"))
+          .localCheckpoint()
+        var frontier = visited.select(col("seed"), col("node"))
+        var r = 1
+        var empty = false
+        while (r <= 8 && !empty) {
+          val next = frontier
+            .join(e, col("node") === col("u"))
+            .select(col("seed"), col("v").as("node")).distinct()
+            .join(visited.select(col("seed"), col("node")),
+              Seq("seed", "node"), "left_anti")
+            .localCheckpoint() // feeds the union AND the next expansion
+          if (next.isEmpty) empty = true
+          else {
+            visited = visited
+              .unionByName(next.withColumn("hop", lit(r)))
+              .localCheckpoint()
+            frontier = next
+          }
+          r += 1
+        }
+        visited.filter(col("hop") > 0)
+          .groupBy(col("seed"))
+          .agg(count(lit(1)).as("n_reached"),
+            sum(col("hop").cast("long")).as("total_hops"))
+          .select(
+            expr("CAST(seed div 2 AS BIGINT)").as("supplier_id"),
+            col("n_reached"), col("total_hops"),
+            (col("n_reached").cast("double") / col("total_hops").cast("double"))
+              .as("closeness"))
+          .orderBy(col("supplier_id"))
+      }, {
+        val rounds = (1 to 8).map { r =>
+          s""",
+             |f$r AS MATERIALIZED (
+             |  SELECT seed, node FROM (
+             |    SELECT DISTINCT f.seed, e.v AS node
+             |    FROM f${r - 1} f JOIN e ON e.u = f.node) p
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM v${r - 1} vv
+             |    WHERE vv.seed = p.seed AND vv.node = p.node)),
+             |v$r AS MATERIALIZED (
+             |  SELECT seed, node, hop FROM v${r - 1}
+             |  UNION ALL SELECT seed, node, $r AS hop FROM f$r)""".stripMargin
+        }.mkString
+        s"""WITH e0 AS MATERIALIZED (
+           |  SELECT DISTINCT l.l_suppkey * 2 AS u, o.o_custkey * 2 + 1 AS v
+           |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+           |e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+           |sd AS (SELECT * FROM (VALUES (2), (4), (6)) s(seed)),
+           |v0 AS (SELECT seed, seed AS node, 0 AS hop FROM sd),
+           |f0 AS (SELECT seed, node FROM v0)$rounds
+           |SELECT CAST(seed // 2 AS BIGINT) AS supplier_id,
+           |  CAST(count(*) AS BIGINT) AS n_reached,
+           |  CAST(SUM(hop) AS BIGINT) AS total_hops,
+           |  CAST(count(*) AS DOUBLE) / CAST(SUM(hop) AS DOUBLE) AS closeness
+           |FROM v8 WHERE hop > 0
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // DBSCAN over the embedding corpus (Ester et al. 1996): exact
     // ε-neighborhood graph (cosine ≥ 0.33 — the fixture's top-neighbor
     // band) via the BLOCKED all-pairs shape, core points = ≥3

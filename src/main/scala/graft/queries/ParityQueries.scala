@@ -1253,6 +1253,38 @@ object ParityQueries {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // ------------------------------------------------------------------
+    // INCREMENTAL JOIN-VIEW MAINTENANCE (MvMaintain.joinDelta) — the
+    // join sibling of the rollup fold above: a denormalized
+    // orders⋈customer view maintained through insert-only deltas on
+    // BOTH sides (new orders by date, new customers by key parity)
+    // via ΔV = ΔA⋈(B∪ΔB) ∪ A⋈ΔB. The stored view is never re-joined
+    // — both delta terms probe with batch-sized sides. The oracle
+    // states the one-shot full join, so a delta algebra that dropped
+    // or double-counted any term hash-mismatches on the segment
+    // rollup over the maintained view.
+    "mv_join_delta_maintenance" -> QueryDef(
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val cut = to_date(lit("1997-01-01"))
+        val oOld = o.filter(col("o_orderdate") < cut)
+        val oNew = o.filter(col("o_orderdate") >= cut)
+        val cOld = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        val cNew = c.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        val vOld = oOld.join(cOld, col("o_custkey") === col("c_custkey"))
+        graft.operators.MvMaintain
+          .joinDelta(vOld, oOld, oNew, cOld, cNew, "o_custkey", "c_custkey")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            decSum(col("o_totalprice")).as("revenue"))
+          .orderBy(col("c_mktsegment"))
+      },
+      s"""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |  ${decSumSql("o_totalprice")} AS revenue
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // RUNTIME BLOOM-FILTER semi-join reduction END TO END — the
     // non-partitioned sibling of DPP (mef_star_dpp_prune) and the
     // third planner-evidence gate beside the MV rewrite: with a

@@ -2706,6 +2706,90 @@ object PipelineQueries {
         threshold = 0.5, maxBucket = 1000, seed = 7L)),
 
     // ------------------------------------------------------------------
+    // b-bit MinHash (Li & König, WWW 2010, b=1): store only the LOWEST
+    // BIT of each of the 64 MinHash values — a 64× signature-storage
+    // cut (8 bytes/doc vs 512), the shape that matters when the dedup
+    // index itself is the 100 TB artifact. A low-bit collision happens
+    // with probability J + (1−J)/2, so Ĵ₁ = 2·frac − 1 debiases it.
+    // This query reports, per LSH candidate pair, the full-signature
+    // estimate next to the 1-bit estimate and its raw bit-match count
+    // — the calibration a team runs before switching storage tiers.
+    // Same Md5Mod chain as dedup_minhash_lsh; the bit extraction is
+    // sig[i] % 2 on both engines (mod-prime values are non-negative).
+    "dedup_bbit_minhash" -> QueryDef(
+      (s, dir) => {
+        val docs = perturbedDocs(s, dir)
+        val pairs = MinHashLsh.nearDupPairs(
+          docs, "doc_id", "text", threshold = 0.5,
+          family = MinHashLsh.Family.Md5Mod(7L))
+        val sigs = MinHashLsh.signatures(
+          docs, "doc_id", "text", 3, 64, MinHashLsh.Family.Md5Mod(7L))
+        pairs
+          .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .withColumn("n_bit_matches",
+            graft.functions.exprs.longArrayMatchCount(
+              expr("transform(sig_a, x -> x % 2)"),
+              expr("transform(sig_b, x -> x % 2)")).cast("long"))
+          .select(col("id_a"), col("id_b"), col("est_jaccard"),
+            col("n_bit_matches"),
+            ((lit(2L) * col("n_bit_matches") - lit(64L)).cast("double") / lit(64.0))
+              .as("est_1bit"))
+          .orderBy(col("id_a"), col("id_b"))
+      }, {
+        val numHashes = 64
+        val (as, bs) = ModPrime.coeffs(7L, numHashes)
+        val famRows = (0 until numHashes)
+          .map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(",\n    ")
+        val p = ModPrime.P
+        s"""WITH corpus AS ($perturbedSql),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(range(1, len(toks) - 1),
+           |      i -> ${md5_63("array_to_string(toks[i:i+2], ' ')")})) AS hs
+           |  FROM tk WHERE len(toks) >= 3
+           |),
+           |shx AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+           |fam AS (SELECT * FROM (VALUES
+           |    $famRows) f(i, a, b)),
+           |mins AS (
+           |  SELECT doc_id, f.i,
+           |    (min((f.a::HUGEINT * (h % $p) + f.b) % $p))::BIGINT AS mh
+           |  FROM shx, fam f GROUP BY doc_id, f.i
+           |),
+           |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+           |banded AS (
+           |  SELECT doc_id, band_idx, sig[band_idx*4+1 : band_idx*4+4] AS bkey
+           |  FROM (SELECT doc_id, sig, unnest(range(0, 16)) AS band_idx FROM sig)
+           |),
+           |capped AS (
+           |  SELECT doc_id, band_idx, bkey FROM (
+           |    SELECT *, count(*) OVER (PARTITION BY band_idx, bkey) AS bsz FROM banded)
+           |  WHERE bsz <= 1000
+           |),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM capped a JOIN capped b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+           |),
+           |v AS (
+           |  SELECT id_a, id_b,
+           |    CAST(len(list_filter(range(1, ${numHashes + 1}),
+           |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard,
+           |    CAST(len(list_filter(range(1, ${numHashes + 1}),
+           |      i -> (sa.sig[i] % 2) = (sb.sig[i] % 2))) AS BIGINT) AS n_bit_matches
+           |  FROM cand
+           |  JOIN sig sa ON sa.doc_id = cand.id_a
+           |  JOIN sig sb ON sb.doc_id = cand.id_b
+           |)
+           |SELECT id_a, id_b, est_jaccard, n_bit_matches,
+           |  CAST(2 * n_bit_matches - 64 AS DOUBLE) / 64 AS est_1bit
+           |FROM v WHERE est_jaccard >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Dedup-quality eval harness (the ann_pq_recall analog for the
     // dedup tier): MinHash-LSH candidate pairs scored against the
     // EXACT 3-gram Jaccard ground truth at the same threshold, in one
@@ -3409,6 +3493,96 @@ object PipelineQueries {
         |SELECT query_id, neighbor_id, rank FROM ranked
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Matryoshka retrieval (Kusupati et al., NeurIPS 2022): shortlist
+    // with the PREFIX 16 of 64 dims (MRL-trained embeddings nest their
+    // coarse representation in the prefix), rerank the 50-candidate
+    // shortlist with the full vector. The 100 TB read: stage 1 scans
+    // 1/4 of the vector bytes (a column-pruned prefix scan in a real
+    // layout), stage 2 touches full vectors for shortK×probes rows
+    // only — the pq_rerank shape with a prefix slice instead of codes.
+    // Shortlist carries ids only; vectors re-attach for the rerank.
+    // Oracle: both stages as the proven unrolled-IEEE double chains
+    // (16-term prefix, 64-term full).
+    "ann_matryoshka_topk" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        def pre(c: org.apache.spark.sql.Column) = slice(c, 1, 16)
+        val cPre = emb.select(col("vec_id").as("neighbor_id"),
+          pre(col("embedding")).as("v16"),
+          Similarity.l2Norm(pre(col("embedding"))).as("n16"))
+        val pPre = emb.filter(col("vec_id") < 10).select(
+          col("vec_id").as("query_id"),
+          pre(col("embedding")).as("q16"),
+          Similarity.l2Norm(pre(col("embedding"))).as("q16n"))
+        val short = graft.plans.TopKPerGroup(
+          cPre.crossJoin(broadcast(pPre))
+            .filter(col("neighbor_id") =!= col("query_id"))
+            .withColumn("pre_sim",
+              when(col("n16") * col("q16n") > 0,
+                graft.functions.exprs.vecDot(col("v16"), col("q16")) /
+                  (col("n16") * col("q16n")))
+                .otherwise(lit(0.0)))
+            .select(col("query_id"), col("neighbor_id"), col("pre_sim")),
+          Seq("query_id"), Seq(("pre_sim", true), ("neighbor_id", false)), 50)
+          .select(col("query_id"), col("neighbor_id"))
+        val full = emb.select(col("vec_id"), col("embedding"),
+          Similarity.l2Norm(col("embedding")).as("nrm"))
+        val rescored = short
+          .join(full.select(col("vec_id").as("neighbor_id"),
+            col("embedding").as("vec_n"), col("nrm").as("norm_n")), Seq("neighbor_id"))
+          .join(full.select(col("vec_id").as("query_id"),
+            col("embedding").as("vec_q"), col("nrm").as("norm_q")), Seq("query_id"))
+          .withColumn("cosine_sim",
+            when(col("norm_n") * col("norm_q") > 0,
+              graft.functions.exprs.vecDot(col("vec_n"), col("vec_q")) /
+                (col("norm_n") * col("norm_q")))
+              .otherwise(lit(0.0)))
+        graft.plans.TopKPerGroup(
+          rescored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")),
+          Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), 5)
+          .withColumnRenamed("topk_rank", "rank")
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      }, {
+        def chain(n: Int, a: String, b: String) = (0 until n)
+          .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*CAST($b[${i + 1}] AS DOUBLE)")
+          .mkString(" + ")
+        s"""WITH n16 AS (SELECT vec_id, sqrt(${chain(16, "embedding", "embedding")}) AS n FROM embeddings),
+           |nfull AS (SELECT vec_id, sqrt(${chain(64, "embedding", "embedding")}) AS n FROM embeddings),
+           |pre AS (
+           |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    CASE WHEN nn.n * nq.n > 0 THEN (${chain(16, "c.embedding", "p.embedding")}) / (nn.n * nq.n)
+           |         ELSE 0.0 END AS pre_sim
+           |  FROM embeddings c
+           |  CROSS JOIN embeddings p
+           |  JOIN n16 nn ON nn.vec_id = c.vec_id
+           |  JOIN n16 nq ON nq.vec_id = p.vec_id
+           |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+           |short AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |      row_number() OVER (PARTITION BY query_id
+           |        ORDER BY pre_sim DESC, neighbor_id) AS rk
+           |    FROM pre) t WHERE rk <= 50),
+           |rescored AS (
+           |  SELECT s.query_id, s.neighbor_id,
+           |    CASE WHEN nn.n * nq.n > 0 THEN (${chain(64, "e_n", "e_q")}) / (nn.n * nq.n)
+           |         ELSE 0.0 END AS sim
+           |  FROM short s
+           |  JOIN (SELECT vec_id, embedding AS e_n FROM embeddings) en ON en.vec_id = s.neighbor_id
+           |  JOIN (SELECT vec_id, embedding AS e_q FROM embeddings) eq ON eq.vec_id = s.query_id
+           |  JOIN nfull nn ON nn.vec_id = s.neighbor_id
+           |  JOIN nfull nq ON nq.vec_id = s.query_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+           |  FROM rescored)
+           |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }),
 
     // ------------------------------------------------------------------
     // Late-interaction (ColBERT MaxSim) retrieval: each 64-d embedding

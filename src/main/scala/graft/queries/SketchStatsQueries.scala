@@ -502,6 +502,50 @@ object SketchStatsQueries {
          |FROM c, t GROUP BY t.na, t.nb""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Simple exponential smoothing over the 1997 daily order series
+    // with α = 1/2 (a one-day half-life): s_t = (x_t + s_{t-1})/2.
+    // Halving is EXACT in IEEE and the recurrence is a fixed-order
+    // chain, so both engines produce bit-identical smoothed states —
+    // the transcendental-free member of the Holt-Winters family (a
+    // general α needs pow). The day grain is calendar-bounded (≤365
+    // rows at any SF), so the fold is a bounded in-expression
+    // aggregate over the sorted day list (no driver loop, no window
+    // recursion); the oracle is the same chain as a recursive CTE.
+    "exp_smoothing_orders" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        val days = Tables.orders(s, dir)
+          .filter(TimePred.inYear(col("o_orderdate"), 1997))
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("x"))
+        days
+          .agg(sort_array(collect_list(struct(col("d"), col("x")))).as("xs"))
+          .select(explode(expr(
+            """slice(aggregate(xs,
+              |  array(named_struct('d', DATE '1900-01-01', 'x', CAST(0 AS BIGINT), 's', CAST(0.0 AS DOUBLE))),
+              |  (acc, e) -> concat(acc, array(named_struct('d', e.d, 'x', e.x,
+              |    's', CASE WHEN size(acc) = 1 THEN CAST(e.x AS DOUBLE)
+              |              ELSE (CAST(e.x AS DOUBLE) + element_at(acc, -1).s) / 2 END)))),
+              |  2, 100000)""".stripMargin)).as("r"))
+          .select(col("r.d").as("d"), col("r.x").as("x"), col("r.s").as("s"))
+          .orderBy(col("d"))
+      },
+      """WITH dd AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |r AS (SELECT d, x, row_number() OVER (ORDER BY d) AS rn FROM dd),
+        |sm AS (
+        |  WITH RECURSIVE chain(rn, d, x, s) AS (
+        |    SELECT rn, d, x, CAST(x AS DOUBLE) FROM r WHERE rn = 1
+        |    UNION ALL
+        |    SELECT r.rn, r.d, r.x, (CAST(r.x AS DOUBLE) + chain.s) / 2
+        |    FROM chain JOIN r ON r.rn = chain.rn + 1)
+        |  SELECT d, x, s FROM chain)
+        |SELECT d, x, s FROM sm ORDER BY d""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Mann–Whitney U (Wilcoxon rank-sum) with midrank tie handling,
     // same two samples. Midranks are half-integers, so the query
     // carries 2·R_A: for a value with cumbefore items below and t tied,

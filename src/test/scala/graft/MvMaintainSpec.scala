@@ -41,4 +41,25 @@ class MvMaintainSpec extends SparkSuite {
     assert(r == Seq(("both", 3L, 2L, 1L, 2L), ("new", 9L, 1L, 9L, 9L),
       ("old", 5L, 1L, 5L, 5L)))
   }
+
+  test("joinDelta over insert-only deltas equals the full join, row for row") {
+    val a = Seq((1L, "a1"), (2L, "a2"), (3L, "a3")).toDF("ka", "pa")
+    val da = Seq((4L, "a4"), (2L, "a2b")).toDF("ka", "pa")
+    val b = Seq((1L, "b1"), (2L, "b2"), (5L, "b5")).toDF("kb", "pb")
+    val db = Seq((3L, "b3"), (4L, "b4")).toDF("kb", "pb")
+    val vOld = a.join(b, org.apache.spark.sql.functions.col("ka") ===
+      org.apache.spark.sql.functions.col("kb"))
+    val got = MvMaintain.joinDelta(vOld, a, da, b, db, "ka", "kb")
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    val want = a.unionByName(da).join(b.unionByName(db),
+        org.apache.spark.sql.functions.col("ka") ===
+          org.apache.spark.sql.functions.col("kb"))
+      .collect().map(_.toSeq).toSeq
+      .sortBy(_.mkString("|"))
+    assert(got == want && got.nonEmpty)
+    // every delta term is exercised: ΔA⋈B (4→nothing old... 2 matches b2),
+    // ΔA⋈ΔB (4↔4), A⋈ΔB (3↔3)
+    assert(got.size == vOld.count() + 3)
+  }
 }
