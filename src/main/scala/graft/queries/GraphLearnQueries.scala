@@ -1251,6 +1251,63 @@ object GraphLearnQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Single-source shortest paths (Bellman–Ford, 8 relaxation rounds)
+    // on the DIRECTED nation trade graph weighted by the fastest
+    // observed shipment (min days from order to ship per nation pair)
+    // — "how quickly can goods reach nation X from nation 0". Exact
+    // integer distances; one round = one edge join + a min merge, the
+    // min-plus analog of the BFS frontier. BOTH engines run the same
+    // fixed budget (no convergence probe — the frames are
+    // nation-sized), so the result is well-defined even pre-fixpoint.
+    "sssp_nation_latency" -> QueryDef(
+      (s, dir) => {
+        val e = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(col("s_nationkey").cast("long").as("u"),
+            col("c_nationkey").cast("long").as("v"))
+          .agg(min(datediff(col("l_shipdate"), col("o_orderdate")))
+            .cast("long").as("w"))
+          .localCheckpoint() // scanned every round
+        var dist = s.range(1).select(lit(0L).as("node"), lit(0L).as("dist"))
+          .localCheckpoint()
+        (1 to 8).foreach { _ =>
+          dist = dist
+            .unionByName(dist.join(e, col("node") === col("u"))
+              .select(col("v").as("node"), (col("dist") + col("w")).as("dist")))
+            .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+            .localCheckpoint()
+        }
+        dist.orderBy(col("node"))
+      }, {
+        val rounds = (1 to 8).map { r =>
+          s""",
+             |d$r AS MATERIALIZED (
+             |  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+             |    SELECT node, dist FROM d${r - 1}
+             |    UNION ALL
+             |    SELECT e.v AS node, d.dist + e.w AS dist
+             |    FROM d${r - 1} d JOIN e ON e.u = d.node)
+             |  GROUP BY node)""".stripMargin
+        }.mkString
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT CAST(s.s_nationkey AS BIGINT) AS u,
+           |    CAST(c.c_nationkey AS BIGINT) AS v,
+           |    CAST(min(datediff('day', CAST(o.o_orderdate AS DATE),
+           |                      CAST(l.l_shipdate AS DATE))) AS BIGINT) AS w
+           |  FROM lineitem l
+           |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+           |  JOIN customer c ON c.c_custkey = o.o_custkey
+           |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           |  WHERE s.s_nationkey <> c.c_nationkey
+           |  GROUP BY 1, 2),
+           |d0 AS (SELECT CAST(0 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)$rounds
+           |SELECT node, dist FROM d8 ORDER BY node""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Closeness centrality of 3 seed suppliers on the bipartite
     // supplier↔customer trade graph, within an 8-hop budget: per-seed
     // labeled BFS (the multi-source frontier carries (seed, node) so
