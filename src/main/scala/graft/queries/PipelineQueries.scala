@@ -2706,6 +2706,49 @@ object PipelineQueries {
         threshold = 0.5, maxBucket = 1000, seed = 7L)),
 
     // ------------------------------------------------------------------
+    // Data Shapley for the coverage game (Ghorbani & Zou, ICML 2019 —
+    // here the game is exact, so no Monte Carlo): value(S) = # of
+    // DISTINCT 3-gram shingles the source set S covers, for which the
+    // Shapley value has the closed form φ(src) = Σ_{sh ∋ src} 1/|owners(sh)|
+    // (each shingle splits its unit of value equally among the sources
+    // containing it). With ≤20 sources every term is k/lcm(1..20), so
+    // φ·lcm is an exact BIGINT on both engines and the reported φ is
+    // ONE division by the lcm constant. This is the "which source
+    // actually contributes novel content" number a curation team uses
+    // to price data — exact, not sampled. One shingle explode + two
+    // keyed aggregations; nothing quadratic in sources.
+    "shapley_source_shingles" -> QueryDef(
+      (s, dir) => {
+        val lcm = 232792560L // lcm(1..20); source count is ≤ 20 by schema
+        val sh = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(graft.functions.md5exprs.md5NgramHashes(col("text"), 3)).as("h"))
+          .distinct()
+        val owners = sh.groupBy(col("h"))
+          .agg(count(lit(1)).as("m")) // (source,h) distinct → count = owners
+        sh.join(owners, Seq("h"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(expr(s"$lcm div m")).as("shapley_scaled"))
+          .select(col("source"), col("n_shingles"), col("shapley_scaled"),
+            (col("shapley_scaled").cast("double") / lit(lcm.toDouble)).as("shapley"))
+          .orderBy(col("source"))
+      },
+      s"""WITH sh AS (
+         |  SELECT DISTINCT source, h FROM (
+         |    SELECT source, unnest(list_distinct(list_transform(
+         |      range(1, len(toks) - 1),
+         |      i -> ${md5_63("array_to_string(toks[i:i+2], ' ')")}))) AS h
+         |    FROM (SELECT source, $toksSql AS toks FROM documents)
+         |    WHERE len(toks) >= 3)),
+         |own AS (SELECT h, CAST(count(*) AS BIGINT) AS m FROM sh GROUP BY 1)
+         |SELECT sh.source, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(SUM(232792560 // own.m) AS BIGINT) AS shapley_scaled,
+         |  CAST(SUM(232792560 // own.m) AS DOUBLE) / 232792560 AS shapley
+         |FROM sh JOIN own ON own.h = sh.h
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // b-bit MinHash (Li & König, WWW 2010, b=1): store only the LOWEST
     // BIT of each of the 64 MinHash values — a 64× signature-storage
     // cut (8 bytes/doc vs 512), the shape that matters when the dedup
