@@ -1251,6 +1251,73 @@ object GraphLearnQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Rich-club coefficients (Zhou & Mondragón 2004) of the mutual-kNN
+    // semantic graph at k ∈ {2,4,8}: among nodes of degree > k, what
+    // fraction of possible edges exist? φ(k) = 2·E_k / (N_k·(N_k−1)) —
+    // exact integer counts through one guarded division per k. Rising
+    // φ(k) means semantic hubs interconnect (one dense topic core);
+    // flat φ means hubs spread across topics — a structure check on
+    // the kNN graph before trusting cluster-grain curation decisions.
+    "rich_club_semantic" -> QueryDef(
+      (s, dir) => {
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
+          Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
+          IvfArtifacts.centroids(s, dir), nprobe = 8)
+        val mutual = graft.operators.KnnGraph.mutualEdges(knn).localCheckpoint()
+        val sym = mutual.select(col("a").as("u"), col("b").as("v"))
+          .unionByName(mutual.select(col("b").as("u"), col("a").as("v")))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        val ks = array(lit(2L), lit(4L), lit(8L))
+        val nodesK = deg.select(explode(ks).as("k"), col("d"))
+          .groupBy(col("k"))
+          .agg(sum(when(col("d") > col("k"), 1L).otherwise(0L)).as("n_nodes"))
+        val edgesK = mutual
+          .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+          .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+          .select(explode(ks).as("k"), col("da"), col("db"))
+          .groupBy(col("k"))
+          .agg(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+            .otherwise(0L)).as("n_edges"))
+        nodesK.join(edgesK, Seq("k"))
+          .select(col("k"), col("n_nodes"), col("n_edges"),
+            when(col("n_nodes") > 1,
+              (lit(2L) * col("n_edges")).cast("double") /
+                (col("n_nodes") * (col("n_nodes") - 1)).cast("double"))
+              .otherwise(lit(0.0)).as("phi"))
+          .orderBy(col("k"))
+      },
+      PipelineQueries.trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L, probeFilter = "TRUE") +
+        """,
+          |knn AS MATERIALIZED (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+          |mutual AS MATERIALIZED (
+          |  SELECT e1.query_id AS a, e1.neighbor_id AS b
+          |  FROM knn e1 JOIN knn e2
+          |    ON e1.query_id = e2.neighbor_id AND e1.neighbor_id = e2.query_id
+          |  WHERE e1.query_id < e1.neighbor_id),
+          |sym AS (SELECT a AS u, b AS v FROM mutual
+          |        UNION ALL SELECT b AS u, a AS v FROM mutual),
+          |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+          |ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (2), (4), (8)) t(k)),
+          |nk AS (
+          |  SELECT ks.k, CAST(SUM(CASE WHEN deg.d > ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_nodes
+          |  FROM deg CROSS JOIN ks GROUP BY 1),
+          |ek AS (
+          |  SELECT ks.k,
+          |    CAST(SUM(CASE WHEN da.d > ks.k AND db.d > ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+          |  FROM mutual m
+          |  JOIN deg da ON da.u = m.a
+          |  JOIN deg db ON db.u = m.b
+          |  CROSS JOIN ks GROUP BY 1)
+          |SELECT nk.k, nk.n_nodes, ek.n_edges,
+          |  CASE WHEN nk.n_nodes > 1
+          |       THEN CAST(2 * ek.n_edges AS DOUBLE) / CAST(nk.n_nodes * (nk.n_nodes - 1) AS DOUBLE)
+          |       ELSE 0.0 END AS phi
+          |FROM nk JOIN ek ON ek.k = nk.k
+          |ORDER BY nk.k""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Single-source shortest paths (Bellman–Ford, 8 relaxation rounds)
     // on the DIRECTED nation trade graph weighted by the fastest
     // observed shipment (min days from order to ship per nation pair)

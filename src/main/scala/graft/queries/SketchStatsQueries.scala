@@ -502,6 +502,57 @@ object SketchStatsQueries {
          |FROM c, t GROUP BY t.na, t.nb""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Cochran–Armitage trend test: is the RETURN RATE monotonically
+    // related to order size? Quantity buckets score s_i = (q−1) div 10
+    // (0..4), successes = returned lines. T·N = N·Σsᵢrᵢ − R·Σsᵢnᵢ,
+    // R(N−R), and D = N·Σnᵢsᵢ² − (Σnᵢsᵢ)² are exact BIGINTs (the
+    // single product R(N−R)·D would overflow int64 at sf0.1, so the
+    // variance stays FACTORED and the sqrt splits):
+    // z = (T·N)·sqrt(N) / (sqrt(R(N−R))·sqrt(D)) — three correctly-
+    // rounded sqrts, two multiplies, one divide, in IDENTICAL textual
+    // order on both engines. The dose-response sibling of the chi2/MK
+    // tests: trend, not just association.
+    "cochran_armitage_trend" -> QueryDef(
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .select(expr("CAST((CAST(l_quantity AS BIGINT) - 1) div 10 AS BIGINT)").as("s_i"),
+            when(col("l_returnflag") === "R", 1L).otherwise(0L).as("r"))
+          .groupBy(col("s_i"))
+          .agg(count(lit(1)).as("n_i"), sum(col("r")).as("r_i"))
+        b.agg(
+          sum(col("n_i")).as("n"), sum(col("r_i")).as("rr"),
+          sum(col("s_i") * col("r_i")).as("sr"),
+          sum(col("s_i") * col("n_i")).as("sn"),
+          sum(col("s_i") * col("s_i") * col("n_i")).as("ssn"))
+          .select(col("n"), col("rr"),
+            (col("n") * col("sr") - col("rr") * col("sn")).as("t_scaled"),
+            (col("rr") * (col("n") - col("rr"))).as("rnr"),
+            (col("n") * col("ssn") - col("sn") * col("sn")).as("d"))
+          .select(col("n"), col("rr"), col("t_scaled"), col("rnr"), col("d"),
+            ((col("t_scaled").cast("double") * sqrt(col("n").cast("double"))) /
+              (sqrt(col("rnr").cast("double")) * sqrt(col("d").cast("double"))))
+              .as("z"))
+      },
+      """WITH b AS (
+        |  SELECT (CAST(l_quantity AS BIGINT) - 1) // 10 AS s_i,
+        |    CAST(count(*) AS BIGINT) AS n_i,
+        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT CAST(SUM(n_i) AS BIGINT) AS n, CAST(SUM(r_i) AS BIGINT) AS rr,
+        |    CAST(SUM(s_i * r_i) AS BIGINT) AS sr,
+        |    CAST(SUM(s_i * n_i) AS BIGINT) AS sn,
+        |    CAST(SUM(s_i * s_i * n_i) AS BIGINT) AS ssn
+        |  FROM b)
+        |SELECT n, rr,
+        |  CAST(n * sr - rr * sn AS BIGINT) AS t_scaled,
+        |  CAST(rr * (n - rr) AS BIGINT) AS rnr,
+        |  CAST(n * ssn - sn * sn AS BIGINT) AS d,
+        |  (CAST(n * sr - rr * sn AS DOUBLE) * sqrt(CAST(n AS DOUBLE))) /
+        |    (sqrt(CAST(rr * (n - rr) AS DOUBLE)) * sqrt(CAST(n * ssn - sn * sn AS DOUBLE))) AS z
+        |FROM m""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Simple exponential smoothing over the 1997 daily order series
     // with α = 1/2 (a one-day half-life): s_t = (x_t + s_{t-1})/2.
     // Halving is EXACT in IEEE and the recurrence is a fixed-order
