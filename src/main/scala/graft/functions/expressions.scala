@@ -799,6 +799,70 @@ case class PqCodes(child: Expression, codebooks: Seq[Seq[Seq[Long]]])
     copy(child = newChild)
 }
 
+/** Residual-quantization codes (Chen, Guan & Wang 2010; the RVQ/RQ
+  * member of the quantization family next to [[PqCodes]]): the vector
+  * quantizes to the exact w grid, level 1 emits the nearest codeword
+  * of `cb1` by exact integer squared distance, and level 2 encodes
+  * the RESIDUAL w − cb1(c1) against `cb2` — the SEQUENTIAL greedy
+  * argmin that distinguishes RQ from flat VQ over the 256 combined
+  * codewords. Both codebooks are full-dimension (no subspace split);
+  * `cb2` lives on the residual scale (centered near 0, so entries may
+  * be negative — everything stays exact Long). Ties → lower id, the
+  * family rule. Output: array<int> of [c1, c2]; scoring rides the
+  * COMBINED codebook cb1(i)+cb2(j) through the existing
+  * [[PqAdcTable]]/[[AdcDistance]] path with M=1, ksub=|cb1|·|cb2|.
+  */
+case class RqCodes(
+    child: Expression, cb1: Seq[Seq[Long]], cb2: Seq[Seq[Long]])
+    extends UnaryExpression with CodegenFallback {
+  require(cb1.nonEmpty && cb2.nonEmpty && cb1.head.length == cb2.head.length)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "rq_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rq_codes requires array<float|double>, got $other")
+  }
+
+  @transient private lazy val c1s: Array[Array[Long]] = cb1.map(_.toArray).toArray
+  @transient private lazy val c2s: Array[Array[Long]] = cb2.map(_.toArray).toArray
+
+  private def elemIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def argmin(v: Array[Long], cbs: Array[Array[Long]]): Int = {
+    var best = 0
+    var bestD = Long.MaxValue
+    var j = 0
+    while (j < cbs.length) {
+      val c = cbs(j)
+      var s = 0L
+      var i = 0
+      while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = j } // strict <: ties keep lower id
+      j += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val w = PqKernels.gridVec(input.asInstanceOf[ArrayData], elemIsFloat)
+    require(w.length == c1s(0).length, s"dim ${w.length} != ${c1s(0).length}")
+    val c1 = argmin(w, c1s)
+    val r = new Array[Long](w.length)
+    var i = 0
+    while (i < r.length) { r(i) = w(i) - c1s(c1)(i); i += 1 }
+    val c2 = argmin(r, c2s)
+    new GenericArrayData(Array(c1, c2))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RqCodes =
+    copy(child = newChild)
+}
+
 /** ADC lookup table of a PROBE vector against the same codebooks as
   * [[PqCodes]]: array<long> of length M·ksub where entry m·ksub + j
   * is the exact integer squared w-grid distance of the probe's m-th
@@ -2361,6 +2425,10 @@ object exprs {
   def adcDistance(codes: Column, table: Column, ksub: Int): Column =
     GraftShim.column(AdcDistance(
       GraftShim.expression(codes), GraftShim.expression(table), ksub))
+
+  /** Residual-quantization codes [c1, c2] (sequential two-level). */
+  def rqCodes(vec: Column, cb1: Seq[Seq[Long]], cb2: Seq[Seq[Long]]): Column =
+    GraftShim.column(RqCodes(GraftShim.expression(vec), cb1, cb2))
 
   /** Distinct word n-gram hashes of a text column. */
   def ngramHashes(text: Column, n: Int): Column =

@@ -155,4 +155,48 @@ object PqIndex {
       .withColumnRenamed("topk_rank", "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Seeded RESIDUAL-scale codebook for RQ level 2: Gaussian·256
+    * centered at zero (residuals live around 0, unlike the w grid).
+    */
+  def seededResidualCodebook(dim: Int, k: Int, seed: Long): Seq[Seq[Long]] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(k)(IndexedSeq.fill(dim)(
+      math.floor(rng.nextGaussian() * 256.0).toLong))
+  }
+
+  /** Residual-quantization ADC top-k (Chen, Guan & Wang, Sensors
+    * 2010) — the RQ member of the quantization family: level 1
+    * quantizes the full vector, level 2 quantizes the RESIDUAL
+    * (sequential greedy encode — [[graft.functions.RqCodes]]), so two
+    * 4-bit codes span |cb1|·|cb2| effective cells at additive (not
+    * multiplicative-in-dim) codebook cost. Scoring rides the existing
+    * integer ADC path over the COMBINED codebook cb1(i)+cb2(j) with
+    * M=1: exact ||w_q − (c1+c2)||², one table lookup per candidate —
+    * so the whole search is bit-replayable by the SQL oracle
+    * (`ann_rq_topk`). Output: (query_id, neighbor_id, rank, adc_dist).
+    */
+  def rqTopK(
+      corpus: DataFrame, probes: DataFrame, idCol: String, vecCol: String,
+      k: Int, cb1: Seq[Seq[Long]], cb2: Seq[Seq[Long]]): DataFrame = {
+    import graft.functions.exprs.rqCodes
+    val n2 = cb2.length
+    val combined: Seq[Seq[Long]] =
+      for (a <- cb1; b <- cb2) yield a.zip(b).map { case (x, y) => x + y }
+    val coded = corpus.select(
+      col(idCol).as("neighbor_id"),
+      rqCodes(col(vecCol), cb1, cb2).as("codes"))
+    val tabled = probes.select(
+      col(idCol).as("query_id"),
+      pqAdcTable(col(vecCol), Seq(combined)).as("tbl"))
+    val pairs = coded.crossJoin(broadcast(tabled))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc_dist", adcDistance(
+        array(element_at(col("codes"), 1) * n2 + element_at(col("codes"), 2)),
+        col("tbl"), cb1.length * n2))
+    graft.plans.TopKPerGroup(
+      pairs, Seq("query_id"), Seq(("adc_dist", false), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adc_dist"))
+  }
 }

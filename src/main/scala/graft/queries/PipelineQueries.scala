@@ -3854,6 +3854,75 @@ object PipelineQueries {
       pqOracleSql(dim = 64, m = 8, ksub = 8, seed = 7L, k = 5)),
 
     // ------------------------------------------------------------------
+    // RESIDUAL QUANTIZATION ADC top-k (Chen, Guan & Wang 2010) — the
+    // RQ member of the quantization family next to PQ/IVFPQ: level 1
+    // quantizes the full vector, level 2 the residual (sequential
+    // greedy encode — RqCodes kernel, what distinguishes RQ from flat
+    // 256-way VQ), and scoring rides the EXISTING integer ADC path
+    // over the combined codebook cb1(i)+cb2(j) with M=1. The oracle
+    // replays quantize → two argmin levels → combined-table ADC in
+    // exact BIGINTs.
+    "ann_rq_topk" -> QueryDef(
+      (s, dir) => {
+        val cb1 = PqIndex.seededCodebooks(dim = 64, m = 1, ksub = 16, seed = 31L).head
+        val cb2 = PqIndex.seededResidualCodebook(dim = 64, k = 16, seed = 33L)
+        val emb = Tables.embeddings(s, dir)
+        PqIndex.rqTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, cb1, cb2)
+          .orderBy(col("query_id"), col("rank"))
+      }, {
+        val cb1 = PqIndex.seededCodebooks(dim = 64, m = 1, ksub = 16, seed = 31L).head
+        val cb2 = PqIndex.seededResidualCodebook(dim = 64, k = 16, seed = 33L)
+        def cbRows(cb: Seq[Seq[Long]]) = cb.zipWithIndex
+          .map { case (cw, j) => s"($j, [${cw.mkString(", ")}])" }.mkString(",\n  ")
+        def distW(a: String, b: String) =
+          s"CAST(list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+        val n2 = cb2.length
+        s"""WITH wq AS MATERIALIZED (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(floor(CAST(x AS DOUBLE)*1024.0) AS BIGINT) + 4096) AS w
+           |  FROM embeddings),
+           |cb1(j, cw) AS (VALUES
+           |  ${cbRows(cb1)}),
+           |cb2(j, cw) AS (VALUES
+           |  ${cbRows(cb2)}),
+           |a1 AS MATERIALIZED (
+           |  SELECT vec_id, j AS c1 FROM (
+           |    SELECT w.vec_id, cb1.j,
+           |      row_number() OVER (PARTITION BY w.vec_id
+           |        ORDER BY ${distW("w.w", "cb1.cw")}, cb1.j) AS rn
+           |    FROM wq w CROSS JOIN cb1) WHERE rn = 1),
+           |res AS MATERIALIZED (
+           |  SELECT w.vec_id, a1.c1,
+           |    list_transform(list_zip(w.w, cb1.cw), p -> p[1] - p[2]) AS r
+           |  FROM wq w JOIN a1 ON a1.vec_id = w.vec_id JOIN cb1 ON cb1.j = a1.c1),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, c1, j AS c2 FROM (
+           |    SELECT res.vec_id, res.c1, cb2.j,
+           |      row_number() OVER (PARTITION BY res.vec_id
+           |        ORDER BY ${distW("res.r", "cb2.cw")}, cb2.j) AS rn
+           |    FROM res CROSS JOIN cb2) WHERE rn = 1),
+           |cmb AS MATERIALIZED (
+           |  SELECT a.j * $n2 + b.j AS cj,
+           |    list_transform(list_zip(a.cw, b.cw), p -> p[1] + p[2]) AS cw
+           |  FROM cb1 a CROSS JOIN cb2 b),
+           |scored AS (
+           |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ${distW("p.w", "cmb.cw")} AS adc_dist
+           |  FROM codes c
+           |  JOIN cmb ON cmb.cj = c.c1 * $n2 + c.c2
+           |  CROSS JOIN wq p
+           |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, adc_dist,
+           |    CAST(row_number() OVER (PARTITION BY query_id
+           |      ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, rank, adc_dist FROM ranked WHERE rank <= 5
+           |ORDER BY query_id, rank""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // TRAINED PQ — per-subspace codebooks from the deterministic
     // sample + exact-integer Lloyd (the same core the trained-IVF
     // oracle already replays, once per subspace with seed+m); DuckDB

@@ -502,6 +502,82 @@ object SketchStatsQueries {
          |FROM c, t GROUP BY t.na, t.nb""".stripMargin),
 
     // ------------------------------------------------------------------
+    // RANSAC consensus line (Fischler & Bolles 1981) over the 1997
+    // daily return-rate series — the robust-fit sibling of Theil–Sen:
+    // 8 candidate lines from md5-seeded day pairs (deterministic "
+    // random" sampling, the hash_sample rule), each scored by its
+    // inlier count where the inlier test cross-multiplies to exact
+    // integers (|(yⱼ−yₐ)·dx − (dⱼ−dₐ)·dy| ≤ tol·dx, tol = 50 rate
+    // mils), winner by (inliers DESC, dx, dy) total order. The rate
+    // itself is integer mils ((1000·returned) div lines) so the whole
+    // pipeline is exact; the reported slope is the single final
+    // division dy/dx.
+    "ransac_rate_trend" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.TimePred
+        val days = Tables.lineitem(s, dir)
+          .filter(TimePred.inYear(col("l_shipdate"), 1997))
+          .groupBy(col("l_shipdate").cast("date").as("d"))
+          .agg(expr("CAST((1000 * sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)) div count(*) AS BIGINT)").as("y"))
+          .select(datediff(col("d"), lit("1997-01-01").cast("date")).cast("long").as("t"),
+            col("y"))
+          .localCheckpoint() // feeds anchors AND the scoring cross join
+        val ranked = days
+          .withColumn("rk", row_number().over(
+            Window.orderBy(md5(col("t").cast("string")), col("t"))))
+        val pairs = ranked.filter(col("rk") <= 8)
+          .select(col("rk").as("i"), col("t").as("ta"), col("y").as("ya"))
+          .join(ranked.filter(col("rk") > 8 && col("rk") <= 16)
+            .select((col("rk") - 8).as("i"), col("t").as("tb"), col("y").as("yb")), Seq("i"))
+          .filter(col("tb") =!= col("ta"))
+          .select(col("i"),
+            // canonical dx > 0
+            when(col("tb") > col("ta"), col("tb") - col("ta"))
+              .otherwise(col("ta") - col("tb")).as("dx"),
+            when(col("tb") > col("ta"), col("yb") - col("ya"))
+              .otherwise(col("ya") - col("yb")).as("dy"),
+            when(col("tb") > col("ta"), col("ta")).otherwise(col("tb")).as("ta"),
+            when(col("tb") > col("ta"), col("ya")).otherwise(col("yb")).as("ya"))
+        val scored = pairs.crossJoin(days)
+          .groupBy(col("i"), col("dx"), col("dy"))
+          .agg(sum(when(
+            abs((col("y") - col("ya")) * col("dx") - (col("t") - col("ta")) * col("dy"))
+              <= lit(50L) * col("dx"), 1L).otherwise(0L)).as("n_inliers"))
+        scored
+          .orderBy(col("n_inliers").desc, col("dx"), col("dy"))
+          .limit(1)
+          .select(col("n_inliers"), col("dx"), col("dy"),
+            (col("dy").cast("double") / col("dx").cast("double")).as("slope_mils_per_day"))
+      },
+      """WITH days AS (
+        |  SELECT CAST(datediff('day', DATE '1997-01-01', CAST(l_shipdate AS DATE)) AS BIGINT) AS t,
+        |    CAST((1000 * SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1),
+        |ranked AS (
+        |  SELECT t, y, row_number() OVER (ORDER BY md5(CAST(t AS VARCHAR)), t) AS rk
+        |  FROM days),
+        |pairs AS (
+        |  SELECT a.rk AS i,
+        |    CASE WHEN b.t > a.t THEN b.t - a.t ELSE a.t - b.t END AS dx,
+        |    CASE WHEN b.t > a.t THEN b.y - a.y ELSE a.y - b.y END AS dy,
+        |    CASE WHEN b.t > a.t THEN a.t ELSE b.t END AS ta,
+        |    CASE WHEN b.t > a.t THEN a.y ELSE b.y END AS ya
+        |  FROM ranked a JOIN ranked b ON b.rk = a.rk + 8
+        |  WHERE a.rk <= 8 AND b.t <> a.t),
+        |scored AS (
+        |  SELECT p.i, p.dx, p.dy,
+        |    CAST(SUM(CASE WHEN abs((d.y - p.ya) * p.dx - (d.t - p.ta) * p.dy)
+        |                       <= 50 * p.dx THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+        |  FROM pairs p CROSS JOIN days d
+        |  GROUP BY 1, 2, 3)
+        |SELECT n_inliers, dx, dy,
+        |  CAST(dy AS DOUBLE) / CAST(dx AS DOUBLE) AS slope_mils_per_day
+        |FROM scored
+        |ORDER BY n_inliers DESC, dx, dy LIMIT 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Cochran–Armitage trend test: is the RETURN RATE monotonically
     // related to order size? Quantity buckets score s_i = (q−1) div 10
     // (0..4), successes = returned lines. T·N = N·Σsᵢrᵢ − R·Σsᵢnᵢ,

@@ -81,6 +81,37 @@ class PqIndexSpec extends SparkSuite {
     assert(routed < full, s"nprobe=1 ($routed) must visit fewer candidates than all lists ($full)")
   }
 
+  test("RQ codes are the SEQUENTIAL two-level argmin; ADC equals the combined distance") {
+    val cb1 = PqIndex.seededCodebooks(dim = 16, m = 1, ksub = 8, seed = 31L).head
+    val cb2 = PqIndex.seededResidualCodebook(dim = 16, k = 8, seed = 33L)
+    val got = corpus(30)
+      .select(col("vec_id"),
+        graft.functions.exprs.rqCodes(col("embedding"), cb1, cb2).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def sq(v: Seq[Long], c: Seq[Long]): Long =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    (0 until 30).foreach { i =>
+      val w = vec(i).map(f => math.floor(f.toDouble * 1024.0).toLong + 4096L).toSeq
+      val c1 = cb1.indices.minBy(j => (sq(w, cb1(j)), j))
+      val r = w.zip(cb1(c1)).map { case (a, b) => a - b }
+      val c2 = cb2.indices.minBy(j => (sq(r, cb2(j)), j))
+      assert(got(i.toLong) == Seq(c1, c2), s"vec $i")
+    }
+
+    // end-to-end: rqTopK's adc_dist is exactly ||w_q - (c1+c2)||^2
+    val df = corpus(30)
+    val top = PqIndex.rqTopK(df, df.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, cb1, cb2).collect()
+    assert(top.nonEmpty)
+    top.foreach { row =>
+      val q = vec(row.getLong(0).toInt).map(f => math.floor(f.toDouble * 1024.0).toLong + 4096L).toSeq
+      val n = row.getLong(1).toInt
+      val codes = got(n.toLong)
+      val comb = cb1(codes(0)).zip(cb2(codes(1))).map { case (a, b) => a + b }
+      assert(row.getLong(3) == sq(q, comb), s"pair $row")
+    }
+  }
+
   test("trained codebooks are a pure function of the data (layout-invariant)") {
     val df = corpus(60)
     val a = PqIndex.trainCodebooks(df, "vec_id", "embedding", m = 4, ksub = 4,
