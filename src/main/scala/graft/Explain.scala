@@ -281,6 +281,14 @@ object Explain {
       "Skew-capped kNN build: the candidate join keys on (list_id, shard) with probes fanned to every shard of each probed list — identical candidate set to the uncapped build, but no join key exceeds ~listCap corpus rows (the measured-size salt).",
     "mef_star_incremental_ytd" ->
       "YTD over a build+append star: the fact is a UNION of checkpointed delta scans (r12 delta-only appends — a load writes its delta, never rewrites the table), the sector dim broadcasts, one partial+final agg. Nothing in the plan re-derives either load's resolution subtree.",
+    "ann_ivf_lake_topk" ->
+      "Persisted-IVF serve path: the corpus side is the store's lists/ parquet scan (assignments never recomputed — embeddings.parquet appears only as the probe batch); probes fan via the broadcast centroid kernel; bounded-heap TopKPerGroup caps output.",
+    "ann_rq_topk" ->
+      "Residual-quantization ADC: corpus scan emits 2 codes map-side (RqCodes); the probe's combined-codebook table broadcasts; per-pair cost is ONE table lookup; vectors never shuffle — the PQ plan shape with a 256-entry M=1 table.",
+    "ann_matryoshka_topk" ->
+      "Prefix-dim shortlist (slice+VecDot in the scan stage, ids-only heap rows) → full vectors re-attach for probes×50 rows only → exact-cosine rerank in bounded heaps — the pq_rerank two-stage shape on a prefix slice.",
+    "dedup_index_compact" ->
+      "Probe over the COMPACTED index: both index datasets scan from the compacted parquet; the batch side broadcasts into candidate and verify joins (no index shuffle); the lifecycle's writes (build+3 appends+compact) happen before this plan — its ~6s iso band is the e2e fold cost, the probe itself is sub-second.",
     "mef_star_append_fold" ->
       "Three loads + a re-delivered batch deep: the final YTD plan reads the fact as build-fact ∪ delta₁ ∪ delta₂ ∪ delta₃(empty — the no-op re-delivery appended an empty checkpointed delta, costing one union node, no rewrite). Per-load internals (batch grain shuffle, 7 concurrent dim-delta anti-joins, fresh-fact anti-join) are lineage-truncated behind the checkpointed scans; at fixture scale the fold's cost is the fixed ~9-job floor per load (SCALE.md §Incremental loads).")
 

@@ -81,6 +81,22 @@ object IvfStore {
     graft.sources.ParquetMerge.upsert(spark, listsPath(path), assigned, Seq("vec_id"))
   }
 
+  /** Compact the store into ONE artifact at `out` — the
+    * [[LshIndex.compact]] contract for the vector tier: appended
+    * deltas' small files re-lay to ≈targetBytes files, row sets
+    * untouched, so probing the compacted store is identical
+    * (IvfStoreSpec asserts it).
+    */
+  def compact(
+      spark: SparkSession, path: String, out: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    require(out != path, "compact to a fresh path, then swap")
+    graft.sources.Compactor.compact(
+      spark.read.parquet(centroidsPath(path)), centroidsPath(out), targetBytes)
+    graft.sources.Compactor.compact(
+      spark.read.parquet(listsPath(path)), listsPath(out), targetBytes)
+  }
+
   /** The quantizer the index at `path` was assigned with — the only
     * piece of the store that ever reaches the driver (O(nlist × dim)).
     */

@@ -63,6 +63,20 @@ class IvfStoreSpec extends SparkSuite {
     assert(after == full && after.nonEmpty)
   }
 
+  test("compact preserves the store exactly: probe rows identical") {
+    val raw = freshPath()
+    val out = freshPath() + "/compacted"
+    IvfStore.build(emb.filter($"vec_id" < 300), "vec_id", "embedding", raw, cs)
+    IvfStore.append(spark, raw, emb.filter($"vec_id" >= 300), "vec_id", "embedding")
+    IvfStore.compact(spark, raw, out)
+    assert(IvfStore.centroids(spark, out) == cs)
+    val pa = IvfStore.probe(spark, raw, probes, "vec_id", "embedding", 5, nprobe = 8)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(2)))
+    val pb = IvfStore.probe(spark, out, probes, "vec_id", "embedding", 5, nprobe = 8)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(2)))
+    assert(pa == pb && pa.nonEmpty)
+  }
+
   test("probe plan routes via the stored lists — no re-assignment of the corpus") {
     val path = freshPath()
     IvfStore.build(emb, "vec_id", "embedding", path, cs)
