@@ -293,6 +293,50 @@ object GovernanceQueries {
         |    CAST(count(DISTINCT sensitive) AS BIGINT) AS l_distinct
         |  FROM j GROUP BY 1, 2)
         |SELECT nation, segment, n_rows, n_customers, l_distinct, l_distinct >= 3 AS l3_ok
-        |FROM g ORDER BY nation, segment""".stripMargin)
+        |FROM g ORDER BY nation, segment""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Right-to-be-forgotten purge audit: for a deterministic erasure
+    // cohort (custkey % 97 = 0 — the DSR batch), the cascade counts a
+    // deletion job must produce (customers, their orders, those
+    // orders' lineitems), the retained-row counts after the purge, and
+    // the residual-reference count over the RETAINED orders — the
+    // verification a DPO signs off on, which must be ZERO by
+    // construction of the anti-join (stated in both engines, so a
+    // broken cascade hash-mismatches). Semi/anti joins only — no
+    // wide fact shuffle; at 100 TB each is a broadcast of the cohort.
+    "rtbf_purge_audit" -> QueryDef(
+      (s, dir) => {
+        val victims = Tables.customer(s, dir)
+          .filter(pmod(col("c_custkey"), lit(97)) === 0)
+          .select(col("c_custkey"))
+        val orders = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        val purgedOrders = orders.join(
+          victims, col("o_custkey") === col("c_custkey"), "left_semi")
+        val purgedLi = li.join(
+          purgedOrders.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        val keptOrders = orders.join(
+          victims, col("o_custkey") === col("c_custkey"), "left_anti")
+        val residual = keptOrders.join(
+          victims, col("o_custkey") === col("c_custkey"), "left_semi")
+        victims.agg(count(lit(1)).as("n_customers"))
+          .crossJoin(purgedOrders.agg(count(lit(1)).as("n_orders_purged")))
+          .crossJoin(purgedLi.agg(count(lit(1)).as("n_lineitems_purged")))
+          .crossJoin(keptOrders.agg(count(lit(1)).as("n_orders_kept")))
+          .crossJoin(residual.agg(count(lit(1)).as("residual_refs")))
+      },
+      """WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |po AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+        |pl AS (SELECT 1 FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+        |ko AS (SELECT o_custkey FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM victims))
+        |SELECT
+        |  CAST((SELECT count(*) FROM victims) AS BIGINT) AS n_customers,
+        |  CAST((SELECT count(*) FROM po) AS BIGINT) AS n_orders_purged,
+        |  CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_lineitems_purged,
+        |  CAST((SELECT count(*) FROM ko) AS BIGINT) AS n_orders_kept,
+        |  CAST((SELECT count(*) FROM ko
+        |        WHERE o_custkey IN (SELECT c_custkey FROM victims)) AS BIGINT) AS residual_refs""".stripMargin)
   )
 }

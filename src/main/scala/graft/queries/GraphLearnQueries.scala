@@ -1416,15 +1416,20 @@ object GraphLearnQueries {
           }
           r += 1
         }
+        // harmonic centrality rides the same visited set: Σ 1/hop with
+        // hop ≤ 8 scales to exact integers by lcm(1..8) = 840
         visited.filter(col("hop") > 0)
           .groupBy(col("seed"))
           .agg(count(lit(1)).as("n_reached"),
-            sum(col("hop").cast("long")).as("total_hops"))
+            sum(col("hop").cast("long")).as("total_hops"),
+            sum(expr("840 div CAST(hop AS BIGINT)")).as("harmonic_scaled"))
           .select(
             expr("CAST(seed div 2 AS BIGINT)").as("supplier_id"),
             col("n_reached"), col("total_hops"),
             (col("n_reached").cast("double") / col("total_hops").cast("double"))
-              .as("closeness"))
+              .as("closeness"),
+            col("harmonic_scaled"),
+            (col("harmonic_scaled").cast("double") / lit(840.0)).as("harmonic"))
           .orderBy(col("supplier_id"))
       }, {
         val rounds = (1 to 8).map { r =>
@@ -1450,7 +1455,9 @@ object GraphLearnQueries {
            |SELECT CAST(seed // 2 AS BIGINT) AS supplier_id,
            |  CAST(count(*) AS BIGINT) AS n_reached,
            |  CAST(SUM(hop) AS BIGINT) AS total_hops,
-           |  CAST(count(*) AS DOUBLE) / CAST(SUM(hop) AS DOUBLE) AS closeness
+           |  CAST(count(*) AS DOUBLE) / CAST(SUM(hop) AS DOUBLE) AS closeness,
+           |  CAST(SUM(840 // CAST(hop AS BIGINT)) AS BIGINT) AS harmonic_scaled,
+           |  CAST(SUM(840 // CAST(hop AS BIGINT)) AS DOUBLE) / 840 AS harmonic
            |FROM v8 WHERE hop > 0
            |GROUP BY 1 ORDER BY 1""".stripMargin
       }),

@@ -965,6 +965,93 @@ object PipelineQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+
+  /** Two-stage Matryoshka search shared by `ann_matryoshka_topk` and
+    * the recall eval: prefix-16 shortlist of `shortK`, full-64 exact
+    * cosine rerank to `k`, probes = vec_id < 10.
+    */
+  private def matryoshkaTopK(
+      emb: org.apache.spark.sql.DataFrame, shortK: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    def pre(c: org.apache.spark.sql.Column) = slice(c, 1, 16)
+    val cPre = emb.select(col("vec_id").as("neighbor_id"),
+      pre(col("embedding")).as("v16"),
+      Similarity.l2Norm(pre(col("embedding"))).as("n16"))
+    val pPre = emb.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"),
+      pre(col("embedding")).as("q16"),
+      Similarity.l2Norm(pre(col("embedding"))).as("q16n"))
+    val short = graft.plans.TopKPerGroup(
+      cPre.crossJoin(broadcast(pPre))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("pre_sim",
+          when(col("n16") * col("q16n") > 0,
+            graft.functions.exprs.vecDot(col("v16"), col("q16")) /
+              (col("n16") * col("q16n")))
+            .otherwise(lit(0.0)))
+        .select(col("query_id"), col("neighbor_id"), col("pre_sim")),
+      Seq("query_id"), Seq(("pre_sim", true), ("neighbor_id", false)), shortK)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = emb.select(col("vec_id"), col("embedding"),
+      Similarity.l2Norm(col("embedding")).as("nrm"))
+    val rescored = short
+      .join(full.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("vec_n"), col("nrm").as("norm_n")), Seq("neighbor_id"))
+      .join(full.select(col("vec_id").as("query_id"),
+        col("embedding").as("vec_q"), col("nrm").as("norm_q")), Seq("query_id"))
+      .withColumn("cosine_sim",
+        when(col("norm_n") * col("norm_q") > 0,
+          graft.functions.exprs.vecDot(col("vec_n"), col("vec_q")) /
+            (col("norm_n") * col("norm_q")))
+          .otherwise(lit(0.0)))
+    graft.plans.TopKPerGroup(
+      rescored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")),
+      Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), k)
+      .withColumnRenamed("topk_rank", "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Oracle CTE chain of the Matryoshka search up to `ranked(query_id,
+    * neighbor_id, rank)` — both stages as the proven unrolled-IEEE
+    * double chains (16-term prefix, 64-term full).
+    */
+  private def matryoshkaCtes(shortK: Int): String = {
+    def chain(n: Int, a: String, b: String) = (0 until n)
+      .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*CAST($b[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+    s"""WITH n16 AS (SELECT vec_id, sqrt(${chain(16, "embedding", "embedding")}) AS n FROM embeddings),
+       |nfull AS (SELECT vec_id, sqrt(${chain(64, "embedding", "embedding")}) AS n FROM embeddings),
+       |pre AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    CASE WHEN nn.n * nq.n > 0 THEN (${chain(16, "c.embedding", "p.embedding")}) / (nn.n * nq.n)
+       |         ELSE 0.0 END AS pre_sim
+       |  FROM embeddings c
+       |  CROSS JOIN embeddings p
+       |  JOIN n16 nn ON nn.vec_id = c.vec_id
+       |  JOIN n16 nq ON nq.vec_id = p.vec_id
+       |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY pre_sim DESC, neighbor_id) AS rk
+       |    FROM pre) t WHERE rk <= $shortK),
+       |rescored AS (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    CASE WHEN nn.n * nq.n > 0 THEN (${chain(64, "e_n", "e_q")}) / (nn.n * nq.n)
+       |         ELSE 0.0 END AS sim
+       |  FROM short s
+       |  JOIN (SELECT vec_id, embedding AS e_n FROM embeddings) en ON en.vec_id = s.neighbor_id
+       |  JOIN (SELECT vec_id, embedding AS e_q FROM embeddings) eq ON eq.vec_id = s.query_id
+       |  JOIN nfull nn ON nn.vec_id = s.neighbor_id
+       |  JOIN nfull nq ON nq.vec_id = s.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM rescored)""".stripMargin
+  }
+
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------
@@ -3549,83 +3636,58 @@ object PipelineQueries {
     // Oracle: both stages as the proven unrolled-IEEE double chains
     // (16-term prefix, 64-term full).
     "ann_matryoshka_topk" -> QueryDef(
+      (s, dir) =>
+        matryoshkaTopK(Tables.embeddings(s, dir), shortK = 50, k = 5)
+          .orderBy(col("query_id"), col("rank")),
+      matryoshkaCtes(shortK = 50) +
+        "\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5\nORDER BY query_id, rank"),
+
+    // ------------------------------------------------------------------
+    // Matryoshka recall eval (the ann_pq_recall analog): hits@5 of the
+    // prefix-shortlist pipeline against the exact full-dim top-5 per
+    // probe — the number that tells a retrieval team whether the 4x
+    // cheaper prefix stage is safe to ship. Zero-hit probes kept via
+    // the left join.
+    "ann_matryoshka_recall" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        def pre(c: org.apache.spark.sql.Column) = slice(c, 1, 16)
-        val cPre = emb.select(col("vec_id").as("neighbor_id"),
-          pre(col("embedding")).as("v16"),
-          Similarity.l2Norm(pre(col("embedding"))).as("n16"))
-        val pPre = emb.filter(col("vec_id") < 10).select(
-          col("vec_id").as("query_id"),
-          pre(col("embedding")).as("q16"),
-          Similarity.l2Norm(pre(col("embedding"))).as("q16n"))
-        val short = graft.plans.TopKPerGroup(
-          cPre.crossJoin(broadcast(pPre))
-            .filter(col("neighbor_id") =!= col("query_id"))
-            .withColumn("pre_sim",
-              when(col("n16") * col("q16n") > 0,
-                graft.functions.exprs.vecDot(col("v16"), col("q16")) /
-                  (col("n16") * col("q16n")))
-                .otherwise(lit(0.0)))
-            .select(col("query_id"), col("neighbor_id"), col("pre_sim")),
-          Seq("query_id"), Seq(("pre_sim", true), ("neighbor_id", false)), 50)
+        val probes = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(
+          emb, probes, "vec_id", "embedding", k = 5)
           .select(col("query_id"), col("neighbor_id"))
-        val full = emb.select(col("vec_id"), col("embedding"),
-          Similarity.l2Norm(col("embedding")).as("nrm"))
-        val rescored = short
-          .join(full.select(col("vec_id").as("neighbor_id"),
-            col("embedding").as("vec_n"), col("nrm").as("norm_n")), Seq("neighbor_id"))
-          .join(full.select(col("vec_id").as("query_id"),
-            col("embedding").as("vec_q"), col("nrm").as("norm_q")), Seq("query_id"))
-          .withColumn("cosine_sim",
-            when(col("norm_n") * col("norm_q") > 0,
-              graft.functions.exprs.vecDot(col("vec_n"), col("vec_q")) /
-                (col("norm_n") * col("norm_q")))
-              .otherwise(lit(0.0)))
-        graft.plans.TopKPerGroup(
-          rescored.select(col("query_id"), col("neighbor_id"), col("cosine_sim")),
-          Seq("query_id"), Seq(("cosine_sim", true), ("neighbor_id", false)), 5)
-          .withColumnRenamed("topk_rank", "rank")
-          .select(col("query_id"), col("neighbor_id"), col("rank"))
-          .orderBy(col("query_id"), col("rank"))
-      }, {
-        def chain(n: Int, a: String, b: String) = (0 until n)
-          .map(i => s"CAST($a[${i + 1}] AS DOUBLE)*CAST($b[${i + 1}] AS DOUBLE)")
-          .mkString(" + ")
-        s"""WITH n16 AS (SELECT vec_id, sqrt(${chain(16, "embedding", "embedding")}) AS n FROM embeddings),
-           |nfull AS (SELECT vec_id, sqrt(${chain(64, "embedding", "embedding")}) AS n FROM embeddings),
-           |pre AS (
-           |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
-           |    CASE WHEN nn.n * nq.n > 0 THEN (${chain(16, "c.embedding", "p.embedding")}) / (nn.n * nq.n)
-           |         ELSE 0.0 END AS pre_sim
-           |  FROM embeddings c
-           |  CROSS JOIN embeddings p
-           |  JOIN n16 nn ON nn.vec_id = c.vec_id
-           |  JOIN n16 nq ON nq.vec_id = p.vec_id
-           |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
-           |short AS (
-           |  SELECT query_id, neighbor_id FROM (
-           |    SELECT query_id, neighbor_id,
-           |      row_number() OVER (PARTITION BY query_id
-           |        ORDER BY pre_sim DESC, neighbor_id) AS rk
-           |    FROM pre) t WHERE rk <= 50),
-           |rescored AS (
-           |  SELECT s.query_id, s.neighbor_id,
-           |    CASE WHEN nn.n * nq.n > 0 THEN (${chain(64, "e_n", "e_q")}) / (nn.n * nq.n)
-           |         ELSE 0.0 END AS sim
-           |  FROM short s
-           |  JOIN (SELECT vec_id, embedding AS e_n FROM embeddings) en ON en.vec_id = s.neighbor_id
-           |  JOIN (SELECT vec_id, embedding AS e_q FROM embeddings) eq ON eq.vec_id = s.query_id
-           |  JOIN nfull nn ON nn.vec_id = s.neighbor_id
-           |  JOIN nfull nq ON nq.vec_id = s.query_id),
-           |ranked AS (
-           |  SELECT query_id, neighbor_id,
-           |    CAST(row_number() OVER (PARTITION BY query_id
-           |      ORDER BY sim DESC, neighbor_id) AS INT) AS rank
-           |  FROM rescored)
-           |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
-           |ORDER BY query_id, rank""".stripMargin
-      }),
+        val approx = matryoshkaTopK(emb, shortK = 50, k = 5)
+          .select(col("query_id"), col("neighbor_id"))
+        probes.select(col("vec_id").as("query_id"))
+          .join(
+            exact.join(approx, Seq("query_id", "neighbor_id"))
+              .groupBy(col("query_id")).agg(count(lit(1)).as("hits_at_5")),
+            Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("hits_at_5"), lit(0L)).as("hits_at_5"))
+          .orderBy(col("query_id"))
+      },
+      matryoshkaCtes(shortK = 50) + """,
+        |exactp AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+        |exact5 AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sim DESC, neighbor_id) AS r
+        |    FROM exactp) WHERE r <= 5),
+        |m5 AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5),
+        |hits AS (
+        |  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS hits_at_5
+        |  FROM exact5 e JOIN m5 q USING (query_id, neighbor_id)
+        |  GROUP BY 1)
+        |SELECT p.vec_id AS query_id,
+        |  CAST(COALESCE(h.hits_at_5, 0) AS BIGINT) AS hits_at_5
+        |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) p
+        |LEFT JOIN hits h ON h.query_id = p.vec_id
+        |ORDER BY query_id""".stripMargin),
 
     // ------------------------------------------------------------------
     // Late-interaction (ColBERT MaxSim) retrieval: each 64-d embedding
