@@ -101,7 +101,12 @@ class PlanAuditSpec extends SparkSuite {
     "dbscan_ivf_recall", // blocked exact truth twin's block-id frames + the three 1-row pair counts meeting in broadcast cross joins (J9 shape)
     "lsh_scurve_planner", // blocked exact pair histogram (disclosed eval-class base): tiny block-id frames replicate sides via BNLJ by design
     "conformal_forecast_interval", // calibration size + 1-row qhat as broadcast cross joins (J9 shape)
-    "runs_test_daily") // day count + 1-row median as broadcast cross joins (J9 shape)
+    "runs_test_daily", // day count + 1-row median as broadcast cross joins (J9 shape)
+    "ann_matryoshka_topk", // prefix-stage brute scan: the 10-probe set broadcasts into the corpus scan (the ann_bruteforce shape)
+    "ann_matryoshka_recall", // same prefix-stage probe-set broadcast + the exact-truth brute scan
+    "ann_rq_topk", // compressed-domain brute scan: broadcast probe ADC tables into the codes scan (the ann_pq_fixed shape)
+    "ransac_rate_trend", // 8 candidate lines cross the bounded ≤366-row day frame — the scoring product IS the statistic
+    "rtbf_purge_audit") // five 1-row audit counts meet in broadcast cross joins (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
