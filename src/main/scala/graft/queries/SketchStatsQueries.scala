@@ -1494,6 +1494,69 @@ object SketchStatsQueries {
          |FROM est ORDER BY exact_count DESC, bigram""".stripMargin),
 
     // ------------------------------------------------------------------
+    // Count-Sketch heavy hitters (Charikar, Chen & Farach-Colton 2002)
+    // — the SIGNED sibling of count-min: each of 4 rows hashes a token
+    // to one of 64 counters AND a ±1 sign from the same md5 digest
+    // (bucket = h % 64, sign = 1 − 2·((h div 64) % 2)), so colliding
+    // tokens cancel in expectation instead of always overcounting.
+    // The per-token estimate is the LOWER MEDIAN (2nd of 4 ascending —
+    // exact integer selection, no averaging) of sign·counter across
+    // rows; reported for the exact top-10 tokens with the signed error
+    // the CMS query can never show. Counters stay map-side mergeable:
+    // one keyed aggregation builds the whole 4×64 table.
+    "countsketch_tokens" -> QueryDef(
+      (s, dir) => {
+        val tk = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("t"))
+        val ex = tk.groupBy(col("t")).agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds the sketch build AND the exact top-10
+        val hb = ex.select(col("t"), col("c"),
+            explode(sequence(lit(0), lit(3))).as("row_id"))
+          .withColumn("h",
+            Md5Hash.lower63Col(concat(lit("cs"), col("row_id").cast("string"),
+              lit(":"), col("t"))))
+          .withColumn("bucket", col("h") % 64)
+          .withColumn("sign", lit(1L) - lit(2L) * (expr("h div 64") % 2))
+          .drop("h")
+          .localCheckpoint() // feeds the counter agg AND the estimate probe
+        val ctr = hb.groupBy(col("row_id"), col("bucket"))
+          .agg(sum(col("sign") * col("c")).as("cnt"))
+        val top = ex.orderBy(col("c").desc, col("t")).limit(10)
+        top
+          .join(hb.select(col("t"), col("row_id"), col("bucket"), col("sign")), Seq("t"))
+          .join(ctr, Seq("row_id", "bucket"))
+          .groupBy(col("t"), col("c"))
+          .agg(element_at(sort_array(collect_list(col("sign") * col("cnt"))), 2)
+            .as("cs_est"))
+          .select(col("t").as("token"), col("c").as("exact_count"),
+            col("cs_est"), (col("cs_est") - col("c")).as("err"))
+          .orderBy(col("exact_count").desc, col("token"))
+      },
+      s"""WITH tkl AS (SELECT $toksSql AS toks FROM documents),
+         |tk AS (SELECT unnest(toks) AS t FROM tkl),
+         |ex AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+         |hb AS (
+         |  SELECT t, c, row_id, h % 64 AS bucket,
+         |    1 - 2 * ((h // 64) % 2) AS sign
+         |  FROM (
+         |    SELECT ex.t, ex.c, r.r AS row_id,
+         |      ${md5_63("'cs' || CAST(r.r AS VARCHAR) || ':' || ex.t")} AS h
+         |    FROM ex, range(4) r(r))),
+         |ctr AS (
+         |  SELECT row_id, bucket, CAST(SUM(sign * c) AS BIGINT) AS cnt
+         |  FROM hb GROUP BY 1, 2),
+         |top AS (SELECT t, c FROM ex ORDER BY c DESC, t LIMIT 10),
+         |est AS (
+         |  SELECT top.t, top.c,
+         |    CAST(list_sort(list(hb.sign * ctr.cnt))[2] AS BIGINT) AS cs_est
+         |  FROM top JOIN hb ON hb.t = top.t
+         |  JOIN ctr ON ctr.row_id = hb.row_id AND ctr.bucket = hb.bucket
+         |  GROUP BY 1, 2)
+         |SELECT t AS token, c AS exact_count, cs_est,
+         |  cs_est - c AS err
+         |FROM est ORDER BY exact_count DESC, token""".stripMargin),
+
+    // ------------------------------------------------------------------
     // TextRank keyword extraction (Mihalcea & Tarau 2004): WEIGHTED
     // PageRank over the word co-occurrence graph (adjacent-token
     // pairs, weights = co-occurrence counts — the unweighted graph is

@@ -505,6 +505,79 @@ object TimeSeriesQueries {
         |GROUP BY 1, 2, 3""".stripMargin),
 
     // ------------------------------------------------------------------
+    // MONDRIAN (group-conditional) conformal coverage: the split-
+    // conformal recipe above run PER URGENCY CLASS
+    // (urgent = 1-URGENT/2-HIGH vs the rest — priority-level groups
+    // are too sparse to seat the rank at sf0.001) — each group
+    // gets its own calibration residuals, its own exact rank-
+    // ⌈(n_g+1)(1−α)⌉ q̂, and its own test coverage, so the ≥ 1−α
+    // guarantee holds WITHIN every class, not just marginally (the
+    // fairness-grade UQ contract; Vovk's Mondrian taxonomy). Same
+    // exact-integer machinery, with the rank selection under a
+    // PARTITION BY group window; groups whose calibration can't seat
+    // the rank drop from both engines identically.
+    "conformal_group_coverage" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(
+            when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "hi")
+              .otherwise("lo").as("p"),
+            col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("y"))
+          .localCheckpoint() // feeds both sides of the per-group lag join
+        val res = daily
+          .join(daily.select(col("p"), date_add(col("d"), 7).as("d"),
+            col("y").as("y_hat")), Seq("p", "d"))
+          .select(col("p"), col("d"), abs(col("y") - col("y_hat")).as("r"))
+          .localCheckpoint() // feeds the calibration ranks AND the test scan
+        val cal = res.filter(col("d") < lit("1996-07-01").cast("date"))
+        val nCal = cal.groupBy(col("p")).agg(count(lit(1)).as("n_cal"))
+        val w = Window.partitionBy(col("p")).orderBy(col("r"), col("d"))
+        val qhat = cal.withColumn("rk", row_number().over(w))
+          .join(broadcast(nCal), Seq("p"))
+          .filter(col("rk") === expr("(9 * (n_cal + 1) + 9) div 10"))
+          .select(col("p"), col("n_cal"), col("rk").cast("long").as("k_rank"),
+            col("r").as("qhat"))
+        res.filter(col("d") >= lit("1996-07-01").cast("date"))
+          .join(broadcast(qhat), Seq("p"))
+          .groupBy(col("p"), col("n_cal"), col("k_rank"), col("qhat"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("r") <= col("qhat"), 1L).otherwise(0L)).as("n_covered"))
+          .withColumn("coverage",
+            col("n_covered").cast("double") / col("n_test").cast("double"))
+          .orderBy(col("p"))
+      },
+      """WITH daily AS (
+        |  SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'hi' ELSE 'lo' END AS p,
+        |    CAST(o_orderdate AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |res AS (
+        |  SELECT a.p, a.d, CAST(abs(a.y - b.y) AS BIGINT) AS r
+        |  FROM daily a JOIN daily b ON b.p = a.p AND b.d + INTERVAL 7 DAY = a.d),
+        |cal AS (SELECT * FROM res WHERE d < DATE '1996-07-01'),
+        |nc AS (SELECT p, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1),
+        |qh AS (
+        |  SELECT t.p, nc.n_cal, t.rk AS k_rank, t.r AS qhat
+        |  FROM (SELECT p, r, row_number() OVER (PARTITION BY p ORDER BY r, d) AS rk
+        |        FROM cal) t
+        |  JOIN nc ON nc.p = t.p
+        |  WHERE t.rk = (9 * (nc.n_cal + 1) + 9) // 10),
+        |tst AS (SELECT * FROM res WHERE d >= DATE '1996-07-01')
+        |SELECT tst.p, qh.n_cal, qh.k_rank, qh.qhat,
+        |  CAST(count(*) AS BIGINT) AS n_test,
+        |  CAST(SUM(CASE WHEN tst.r <= qh.qhat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  CAST(SUM(CASE WHEN tst.r <= qh.qhat THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM tst JOIN qh ON qh.p = tst.p
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
     // Wald–Wolfowitz RUNS test (1940) on the 1996 daily series —
     // "is the day-to-day sequence random around its median, or does it
     // streak?" (the complement to Mann–Kendall: MK sees monotone
