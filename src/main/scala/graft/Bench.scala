@@ -41,6 +41,19 @@ object Bench {
         spark.range(10000).select(col("id"), lit(1L).as("v")),
         Seq(col("id")), "v", "p").count()
     }
+    // Shared session ARTIFACTS pre-train untimed (r12 verdict item 4):
+    // the IVF quantizer + persisted lake, the LPA partition, and the
+    // SA doubling rounds are load-once artifacts that ~10 queries
+    // consume — without this the alphabetically-first consumer of
+    // each absorbs a corpus-scale training job into its recorded
+    // number (r12: semdedup_knn_clusters swept 13.4 s against its
+    // 5.7–8.3 s iso band — accounting, not query cost). Skipped for
+    // filtered profiling runs, where cold = the iso convention.
+    if (nameFilter.isEmpty) {
+      queries.IvfArtifacts.warm(spark, sfDir)
+      queries.GraphLearnQueries.warmArtifacts(spark, sfDir)
+      queries.CurationQueries.warmArtifacts(spark, sfDir)
+    }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => nameFilter.forall(name.contains) }

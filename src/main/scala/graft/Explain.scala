@@ -289,6 +289,10 @@ object Explain {
       "Prefix-dim shortlist (slice+VecDot in the scan stage, ids-only heap rows) → full vectors re-attach for probes×50 rows only → exact-cosine rerank in bounded heaps — the pq_rerank two-stage shape on a prefix slice.",
     "dedup_index_compact" ->
       "Probe over the COMPACTED index: both index datasets scan from the compacted parquet; the batch side broadcasts into candidate and verify joins (no index shuffle); the lifecycle's writes (build+3 appends+compact) happen before this plan — its ~6s iso band is the e2e fold cost, the probe itself is sub-second.",
+    "rtbf_lsh_purge" ->
+      "RTBF purge lifecycle on the LSH index: delete writes only the O(purges) tombstone set (idempotent key-upsert); compaction materializes the purge, so this post-compact probe plan is IDENTICAL to dedup_index_compact's — no tombstone join survives, victims are physically gone.",
+    "rtbf_ann_lake_purge" ->
+      "RTBF purge on the IVF vector lake: same lifecycle on the uncompressed-vector tier — the post-compact probe scans the purged lists/ parquet with the ann_ivf_lake_topk plan shape verbatim (broadcast centroid fan, ids+vectors equi-join on list_id, bounded-heap top-k); pre-compact probes would add one broadcast anti-join against the tombstone scan.",
     "mef_star_append_fold" ->
       "Three loads + a re-delivered batch deep: the final YTD plan reads the fact as build-fact ∪ delta₁ ∪ delta₂ ∪ delta₃(empty — the no-op re-delivery appended an empty checkpointed delta, costing one union node, no rewrite). Per-load internals (batch grain shuffle, 7 concurrent dim-delta anti-joins, fresh-fact anti-join) are lineage-truncated behind the checkpointed scans; at fixture scale the fold's cost is the fixed ~9-job floor per load (SCALE.md §Incremental loads).")
 
@@ -485,8 +489,36 @@ object Explain {
         .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
     }
     sb.append("```\n")
+    // AQE skew-join evidence (EXECUTED plan — the split is a runtime
+    // re-plan, so the query must run first): the same 50% hot key on
+    // a join too big to broadcast. Thresholds are scaled to fixture
+    // bytes (production defaults: 256MB/64MB); the mechanism is
+    // byte-threshold-relative, identical at 100 TB. AqeSkewJoinSpec
+    // asserts this fires; here is the plan it asserts on.
+    sb.append("\n## AQE skew-join split (executed adaptive plan)\n\n")
+    sb.append("Hot key ~90% of the probe side, broadcast disabled, skew\n")
+    sb.append("thresholds at fixture scale: the executed SortMergeJoin shows\n")
+    sb.append("`skew=true` — AQE split the hot partition at runtime.\n\n```\n")
+    sb.append {
+      import org.apache.spark.sql.functions._
+      Seq("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+        .foreach { case (k, v) => spark.conf.set(k, v) }
+      val left = spark.range(200000).select(
+        when(pmod(col("id"), lit(10)) =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        col("id").as("payload"))
+      val right = spark.range(100000).select(col("id").as("k"), (col("id") * 2).as("r"))
+      val joined = left.join(right, "k")
+      // collect() (not count()) so THIS queryExecution finalizes —
+      // the skew split is a runtime re-plan
+      joined.collect()
+      joined.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    }
+    sb.append("```\n")
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[explain] wrote PLANS.md (${audited.size + iterAudited(dir).size + 3} plans)")
+    println(s"[explain] wrote PLANS.md (${audited.size + iterAudited(dir).size + 4} plans)")
     spark.stop()
   }
 }

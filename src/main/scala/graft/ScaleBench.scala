@@ -1,0 +1,197 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured time-vs-scale curves for the iterative heavies — r12
+  * verdict item 1: every 100 TB claim in SCALE.md was argued from
+  * plan shapes; this main MEASURES the slopes. It synthesizes 1×/2×/4×
+  * corpora from the fixture tables (disjoint id-shifted copies — the
+  * dedup_lsh_eval perturbed-union machinery), localCheckpoints them so
+  * synthesis is excluded from timing, and times each operator `runs`
+  * times per scale with the Bench inter-run GC hygiene.
+  *
+  * Scaling conventions (documented in SCALE.md §Measured scale curves):
+  *  - graph ops: k disjoint copies of the supplier↔customer edge set,
+  *    node ids offset per copy — |E| scales k×, diameter constant.
+  *  - semdedup: k copies of the embeddings corpus (ids offset, vectors
+  *    deterministically perturbed per copy) with nlist scaled k× —
+  *    constant list occupancy, the production IVF configuration (fixed
+  *    nlist at growing corpus is super-linear BY DESIGN; quantizer
+  *    training is an untimed artifact, as in the sweep).
+  *  - suffix array: 1×/2×/4× document slices (corpus length L is the
+  *    scale axis).
+  *  - span excise: k near-identical corpus copies — the worst-case
+  *    duplication load (every interior span goes common at k ≥ 2).
+  *  - star build: k copies of the raw feed with copy-prefixed
+  *    executing-unit keys — fact input, dim_ejecutora, AND grain all
+  *    scale k×.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<fixture> sbt "runMain graft.ScaleBench [runs]"
+  * Prints one JSON line per (op, scale, run) and a fitted-slope
+  * summary (per-doubling exponent log2(t4/t1)/2 over median times;
+  * ~1.0 = linear; anything clearly super-linear is a found bug).
+  */
+object ScaleBench {
+
+  private def timed[T](f: => T): (Double, T) = {
+    val t0 = System.nanoTime()
+    val r = f
+    ((System.nanoTime() - t0) / 1e9, r)
+  }
+
+  /** k disjoint node-id-shifted copies of the supplier↔customer
+    * edge frame (the pagerank_supplier_customer build).
+    */
+  private def scaledEdges(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e0 = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("u"), (col("o_custkey") * 2 + 1).as("v"))
+      .distinct()
+    val sym = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v"))).distinct()
+    val off = 10000000L
+    (0 until k).map { c =>
+      sym.select((col("u") + c * off).as("u"), (col("v") + c * off).as("v"))
+    }.reduce(_ unionByName _).localCheckpoint()
+  }
+
+  /** k copies of the embeddings corpus: ids offset, vectors scaled by
+    * a per-copy factor (deterministic, keeps them distinct).
+    */
+  private def scaledEmbeddings(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val off = 10000000L
+    (0 until k).map { c =>
+      val fac = lit((1.0 + c * 0.001).toFloat)
+      emb.select(
+        (col("vec_id") + c * off).as("vec_id"),
+        transform(col("embedding"), x => (x * fac).cast("float")).as("embedding"))
+    }.reduce(_ unionByName _).localCheckpoint()
+  }
+
+  /** k copies of the perturbed document corpus (ids offset per copy). */
+  private def scaledDocs(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = d.unionAll(d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "^[^\\t\\n\\f\\r ]+[\\t\\n\\f\\r ]*", "").as("text")))
+    val off = 1000000L
+    (0 until k).map { c =>
+      base.select((col("doc_id") + c * off).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _).localCheckpoint()
+  }
+
+  /** The SA position/char frame over an L-scaled document slice. */
+  private def saChars(s: SparkSession, dir: String, nDocs: Int): DataFrame =
+    graft.operators.DenseId.withDenseId(
+      Tables.documents(s, dir).filter(col("doc_id") < nDocs)
+        .select(col("doc_id"),
+          concat(coalesce(col("text"), lit("")), lit("\u0001")).as("t"))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(1, length(t)), i -> ascii(substring(t, i, 1)))"))
+          .as(Seq("pos", "code"))),
+      Seq(col("doc_id"), col("pos")), "gpos")
+      .select(col("gpos"), col("code"))
+      .localCheckpoint()
+
+  /** k copies of the raw MEF feed with copy-prefixed executing-unit
+    * keys: dims and grain scale with input.
+    */
+  private def scaledNormalized(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val raw = graft.queries.MefStarQueries.syntheticRaw(s, dir)
+    val scaled = (0 until k).map { c =>
+      raw.withColumn("SEC_EJEC", concat_ws("", lit(c.toString), col("SEC_EJEC")))
+    }.reduce(_ unionByName _)
+    graft.mef.Normalize(graft.mef.Transform(scaled)).localCheckpoint()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val runs = args.headOption.map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus)
+    val scales = Seq(1, 2, 4)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int, Double, Long)]
+
+    def record(op: String, scale: Int, sizeRows: Long)(body: => Long): Unit = {
+      (1 to runs).foreach { r =>
+        val (sec, n) = timed(body)
+        results += ((op, scale, r, sec, n))
+        println(f"""{"op":"$op","scale":$scale,"run":$r,"sec":$sec%.3f,"rows":$n,"input_rows":$sizeRows}""")
+        System.gc() // Bench convention: collection outside the timers
+      }
+    }
+
+    scales.foreach { k =>
+      // graph heavies share the scaled edge frame (built+checkpointed untimed)
+      val edges = scaledEdges(spark, sfDir, k)
+      val nE = edges.count()
+      record("pagerank", k, nE) {
+        graft.operators.PageRank.run(edges, rounds = 5).count()
+      }
+      record("kcore", k, nE) {
+        graft.operators.GraphOps.kcoreTruncated(edges, k = 10, rounds = 3).count()
+      }
+
+      val emb = scaledEmbeddings(spark, sfDir, k)
+      val nV = emb.count()
+      // quantizer = untimed artifact (the sweep convention); nlist
+      // scales with the corpus so list occupancy stays constant
+      val cs = graft.operators.IvfIndex.trainCentroids(
+        emb, "vec_id", "embedding", nlist = 16 * k,
+        sampleSize = 10000, iters = 5, seed = 42L)
+        .map(_.toIndexedSeq).toIndexedSeq
+      record("semdedup", k, nV) {
+        val knn = graft.operators.KnnGraph.buildWithCentroids(
+          emb, "vec_id", "embedding", k = 5, cs, nprobe = 8)
+        val mutual = graft.operators.KnnGraph.mutualEdges(knn)
+        val cc = graft.operators.Dedup.connectedComponents(mutual, "a", "b")
+        emb.select(col("vec_id"))
+          .join(cc.select(col("id").as("vec_id"), col("component")),
+            Seq("vec_id"), "left")
+          .select(coalesce(col("component"), col("vec_id")).as("cluster"))
+          .groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+          .count()
+      }
+
+      val chars = saChars(spark, sfDir, 40 * k)
+      val nC = chars.count()
+      record("suffix_array", k, nC) {
+        graft.operators.SuffixArray.saFromRounds(
+          graft.operators.SuffixArray.rounds(chars)).count()
+      }
+
+      val docs = scaledDocs(spark, sfDir, k)
+      val nD = docs.count()
+      record("span_excise", k, nD) {
+        graft.operators.SpanDedup.exciseCommonSpans(
+          docs, "doc_id", "text", n = 8, maxDocs = 1L).count()
+      }
+
+      val normalized = scaledNormalized(spark, sfDir, k)
+      val nR = normalized.count()
+      record("star_build", k, nR) {
+        val st = graft.mef.Star.build(spark, normalized)
+        val n = st.fact.count()
+        st.release()
+        n
+      }
+    }
+
+    // fitted per-doubling exponents over per-scale MEDIANS
+    def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
+    val summary = results.groupBy(_._1).toSeq.sortBy(_._1).map { case (op, rows) =>
+      val med = scales.map(k => k -> median(rows.filter(_._2 == k).map(_._4).toSeq)).toMap
+      val slope = math.log(med(4) / med(1)) / math.log(2.0) / 2.0
+      f""""$op":{"t1":${med(1)}%.2f,"t2":${med(2)}%.2f,"t4":${med(4)}%.2f,"per_doubling_exp":$slope%.2f}"""
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"scale_curves","sf":"$sfDir","runs":$runs,"ops":$summary}"""
+    println(line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"scale_curves_${new java.io.File(sfDir).getName}.json"),
+      (results.map { case (op, k, r, sec, n) =>
+        f"""{"op":"$op","scale":$k,"run":$r,"sec":$sec%.3f,"rows":$n}"""
+      }.mkString("", "\n", "\n") + line + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

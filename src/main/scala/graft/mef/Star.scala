@@ -15,9 +15,11 @@ import graft.mef.MefSchema.DimSpec
   *  - Surrogate ids are dense `row_number` over the natural-key order —
   *    deterministic across runs, unlike SERIAL insertion order. They are
   *    internal plumbing: every observable query keys on natural
-  *    attributes. (Dims are bounded domains — thousands of rows even at
-  *    100 TB fact scale — so the single-partition ranking window is safe;
-  *    the fact side never sorts.)
+  *    attributes. (The fact side never sorts. The ranking window runs on
+  *    one partition, so [[buildDim]] counts the deduped keys and routes
+  *    dims above [[DimWindowMaxRows]] through the distributed
+  *    [[graft.operators.DenseId]] numbering — identical ids, no
+  *    single-executor bottleneck when a "dimension" turns out unbounded.)
   *  - Attribute recovery picks the lexicographically smallest attribute
   *    tuple per natural key (deterministic stand-in for the reference's
   *    nondeterministic first-insert-wins, `etl/cargar_postgres.py:359-360`).
@@ -66,10 +68,31 @@ object Star {
         month(col("fecha")).as("mes"),
         quarter(col("fecha")).as("trimestre"))
 
+  /** Above this many dim rows the surrogate-id ranking window (which
+    * Spark executes on ONE partition) hands off to the distributed
+    * [[graft.operators.DenseId]] numbering. A 1M-row skinny sort on
+    * one executor is comfortably cheap; an unbounded dim (documents,
+    * users, URLs masquerading as a "dimension") is not, and before
+    * r13 it would have silently single-partitioned.
+    */
+  val DimWindowMaxRows: Long = 1L << 20
+
   /** One attribute dimension: distinct natural keys, deterministic
     * representative attributes, dense surrogate id.
+    *
+    * The deduped keys materialize (localCheckpoint) and are counted so
+    * the id assignment can route: bounded dims (≤ `windowMaxRows`)
+    * keep the single-partition ranking window; larger dims take
+    * [[graft.operators.DenseId]]'s range-partitioned numbering, which
+    * assigns the IDENTICAL ids (row_number over the same asc_nulls_
+    * first key order — natural keys are unique post-dedup, so the
+    * order is total; StarSkewSpec asserts id-for-id equality both
+    * ways). The count is one tiny job over already-checkpointed
+    * blocks; [[build]] runs it inside the per-dim concurrent futures.
     */
-  def buildDim(normalized: DataFrame, spec: DimSpec): DataFrame = {
+  def buildDim(
+      normalized: DataFrame, spec: DimSpec,
+      windowMaxRows: Long = DimWindowMaxRows): DataFrame = {
     val attrCols = spec.allCols.filterNot(spec.keys.contains)
     val keyCols = spec.keys.map(col)
     val dedup =
@@ -78,10 +101,21 @@ object Star {
         .groupBy(keyCols: _*)
         .agg(min(struct(attrCols.map(col): _*)).as("_attrs"))
         .select(keyCols ++ attrCols.map(a => col(s"_attrs.$a").as(a)): _*)
-    dedup.withColumn(
-      spec.id,
-      row_number().over(Window.orderBy(spec.keys.map(k => col(k).asc_nulls_first): _*)))
-      .select((spec.id +: spec.allCols).map(col): _*)
+    val snapped = dedup.localCheckpoint()
+    val n = snapped.count()
+    val withId =
+      if (n <= windowMaxRows)
+        snapped.withColumn(
+          spec.id,
+          row_number().over(Window.orderBy(spec.keys.map(k => col(k).asc_nulls_first): _*)))
+      else {
+        require(n <= Int.MaxValue,
+          s"dim ${spec.name} exceeds the int surrogate-id domain ($n rows)")
+        graft.operators.DenseId.withDenseId(
+          snapped, spec.keys.map(k => col(k).asc_nulls_first), spec.id)
+          .withColumn(spec.id, col(spec.id).cast("int"))
+      }
+    withId.select((spec.id +: spec.allCols).map(col): _*)
   }
 
   /** Full star build from the normalized frame: all dims + the
@@ -225,13 +259,17 @@ object Star {
     // contract: an append writes the delta partition, it never
     // rewrites the table — the r11 fold paid an O(accumulated-star)
     // re-checkpoint of every dim AND the whole fact per load, so k
-    // monthly loads cost O(k²) rewrites). A saturated dim (no new
-    // keys — the common steady-state case, and ALL dims on a
-    // re-delivered batch) keeps its existing frame untouched: no
-    // union, no job. The union-over-checkpointed-deltas lineage stays
-    // shallow (one union node per load over table scans); a
-    // year-of-loads pipeline would fold in a consolidation checkpoint
-    // every ~dozen appends, exactly like a cluster compaction pass.
+    // monthly loads cost O(k²) rewrites). Every dim unconditionally
+    // checkpoints its (possibly empty) delta and unions it on — a
+    // saturated dim still pays one tiny checkpoint job, because the
+    // alternative (an emptiness probe per dim per load) was A/B'd and
+    // costs MORE than the empty unions save (see the no-probe note
+    // below). The union-over-checkpointed-deltas lineage grows one
+    // shallow union node per load over table scans; that stays cheap
+    // to ~dozens of appends, beyond which a consolidation checkpoint
+    // (re-checkpoint the unioned dim, exactly like a cluster
+    // compaction pass) caps it — not wired here because the MEF load
+    // cadence is monthly (≤12 appends/year between full rebuilds).
     // Concurrent futures keep the 7 delta materializations from
     // serializing into 7 barriers.
     val matDims = locally {

@@ -19,6 +19,8 @@ import graft.functions.exprs.{centroidIds, vecDot}
   *   - `lists/`:     (vec_id long, list_id int, embedding
   *                    array<float>, norm_n double) — one row per
   *                    corpus vector, its home list, and its L2 norm
+  *   - `tombstones/`: (vec_id long) — RTBF delete masks pending
+  *                    physical removal at the next [[compact]]
   *
   * IVF-Flat keeps the FULL vectors in the inverted lists (Jégou et
   * al., TPAMI 2011 — the uncompressed variant of the reference
@@ -48,6 +50,7 @@ object IvfStore {
 
   private def centroidsPath(path: String) = s"${path.stripSuffix("/")}/centroids"
   private def listsPath(path: String) = s"${path.stripSuffix("/")}/lists"
+  private def tombstonesPath(path: String) = s"${path.stripSuffix("/")}/tombstones"
 
   /** Assign `corpus` under `cs` and persist the index. */
   def build(
@@ -63,6 +66,39 @@ object IvfStore {
       col(vecCol).as("embedding"),
       Similarity.l2Norm(col(vecCol)).as("norm_n"))
       .write.mode(SaveMode.Overwrite).parquet(listsPath(path))
+    // full-overwrite semantics: a rebuilt index carries no tombstones
+    // (stale ones from a prior index at the same path would silently
+    // mask freshly built vectors)
+    graft.sources.HPath.deleteIfExists(spark, tombstonesPath(path))
+  }
+
+  /** RTBF tombstone delete: mask `victims` (a frame holding `idCol`)
+    * from every future [[probe]] without rewriting the corpus-sized
+    * lists — the tombstone set is the only thing written (idempotent
+    * key-upsert, so a re-delivered purge request is an exact no-op).
+    * [[compact]] materializes the purge (drops the rows, clears the
+    * tombstones); [[append]] of a previously deleted vec_id re-ingests
+    * it (un-tombstones — a post-purge write is a legitimate new
+    * record, not a resurrection of the purged one).
+    */
+  def delete(
+      spark: SparkSession, path: String, victims: DataFrame,
+      idCol: String = "vec_id"): Unit =
+    graft.sources.ParquetMerge.upsert(
+      spark, tombstonesPath(path),
+      victims.select(col(idCol).cast("long").as("vec_id")).distinct(),
+      Seq("vec_id"))
+
+  /** The stored lists minus tombstoned vec_ids. Tombstone sets are
+    * deletion requests — O(purges), never corpus-sized — so the mask
+    * is a broadcast anti-join: the lists scan stays map-side.
+    */
+  private def liveLists(spark: SparkSession, path: String): DataFrame = {
+    val lists = spark.read.parquet(listsPath(path))
+    val tp = tombstonesPath(path)
+    if (!graft.sources.HPath.exists(spark, tp)) lists
+    else lists.join(
+      broadcast(spark.read.parquet(tp)), Seq("vec_id"), "left_anti")
   }
 
   /** Assign a new batch with the STORED centroids and upsert by
@@ -79,22 +115,35 @@ object IvfStore {
       col(vecCol).as("embedding"),
       Similarity.l2Norm(col(vecCol)).as("norm_n"))
     graft.sources.ParquetMerge.upsert(spark, listsPath(path), assigned, Seq("vec_id"))
+    // re-ingest after delete is a new record: un-tombstone the batch
+    if (graft.sources.HPath.exists(spark, tombstonesPath(path)))
+      graft.sources.ParquetMerge.deleteKeys(
+        spark, tombstonesPath(path),
+        batch.select(col(idCol).cast("long").as("vec_id")), Seq("vec_id"))
   }
 
   /** Compact the store into ONE artifact at `out` — the
     * [[LshIndex.compact]] contract for the vector tier: appended
-    * deltas' small files re-lay to ≈targetBytes files, row sets
-    * untouched, so probing the compacted store is identical
-    * (IvfStoreSpec asserts it).
+    * deltas' small files re-lay to ≈targetBytes files, the LIVE row
+    * set is untouched, so probing the compacted store is identical
+    * (IvfStoreSpec asserts it). Tombstoned rows drop for good and the
+    * compacted store carries no tombstones — compaction is where a
+    * [[delete]] physically materializes (the RTBF guarantee:
+    * `rtbf_ann_lake_purge` oracles post-compact probe ≡
+    * rebuild-without-victims).
     */
   def compact(
       spark: SparkSession, path: String, out: String,
       targetBytes: Long = 128L << 20): Unit = {
-    require(out != path, "compact to a fresh path, then swap")
+    require(
+      graft.sources.HPath.qualified(spark, out) !=
+        graft.sources.HPath.qualified(spark, path),
+      "compact to a fresh path, then swap")
     graft.sources.Compactor.compact(
       spark.read.parquet(centroidsPath(path)), centroidsPath(out), targetBytes)
     graft.sources.Compactor.compact(
-      spark.read.parquet(listsPath(path)), listsPath(out), targetBytes)
+      liveLists(spark, path), listsPath(out), targetBytes)
+    graft.sources.HPath.deleteIfExists(spark, tombstonesPath(out))
   }
 
   /** The quantizer the index at `path` was assigned with — the only
@@ -117,7 +166,7 @@ object IvfStore {
       spark: SparkSession, path: String, probes: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val cs = centroids(spark, path)
-    val indexed = spark.read.parquet(listsPath(path))
+    val indexed = liveLists(spark, path)
       .select(col("vec_id").as("neighbor_id"), col("list_id"),
         col("embedding").as("vec_n"), col("norm_n"))
     val fanned = probes.select(

@@ -10,9 +10,11 @@ import org.apache.spark.sql.functions._
   * batch near-duplicate an EXISTING corpus" without ever re-reading,
   * re-hashing, or re-shuffling the corpus text.
   *
-  * Index layout (two parquet datasets under `path`):
+  * Index layout (parquet datasets under `path`):
   *   - `sigs/`:    (doc_id, sig array<long>)        — one row per doc
   *   - `buckets/`: (band_idx, bucket, doc_id)       — `bands` rows per doc
+  *   - `tombstones/`: (doc_id) — RTBF [[delete]] masks pending
+  *     physical removal at the next [[compact]]
   *
   * Storing buckets separately from signatures keeps the per-doc
   * signature stored ONCE (not duplicated ×bands) and keeps the probe
@@ -39,6 +41,7 @@ object LshIndex {
   private def sigsPath(path: String) = s"${path.stripSuffix("/")}/sigs"
   private def bucketsPath(path: String) = s"${path.stripSuffix("/")}/buckets"
   private def metaPath(path: String) = s"${path.stripSuffix("/")}/meta"
+  private def tombstonesPath(path: String) = s"${path.stripSuffix("/")}/tombstones"
 
   /** Hash parameters an index was built with. Persisted at build time
     * and read back by probe/append — signatures hashed under different
@@ -62,9 +65,19 @@ object LshIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(path))
   }
 
-  /** The parameters the index at `path` was built with. */
+  /** The parameters the index at `path` was built with. Reads the meta
+    * schema tolerantly: an index persisted before the family columns
+    * existed (3-column meta) defaults to XxChain — the only family that
+    * code could have hashed with, so old indexes stay probe-able
+    * across the deploy instead of throwing AnalysisException.
+    */
   def params(spark: SparkSession, path: String): Params = {
-    val r = spark.read.parquet(metaPath(path))
+    val meta = spark.read.parquet(metaPath(path))
+    if (!meta.columns.contains("family")) {
+      val r = meta.select("shingle_n", "num_hashes", "bands").head()
+      return Params(r.getInt(0), r.getInt(1), r.getInt(2), MinHashLsh.Family.XxChain)
+    }
+    val r = meta
       .select("shingle_n", "num_hashes", "bands", "family", "fam_seed").head()
     val fam = r.getString(3) match {
       case "xx" => MinHashLsh.Family.XxChain
@@ -111,6 +124,36 @@ object LshIndex {
     banded(sigs, numHashes, bands, family)
       .write.mode(SaveMode.Overwrite).parquet(bucketsPath(path))
     writeMeta(df.sparkSession, path, Params(shingleN, numHashes, bands, family))
+    // full-overwrite semantics: a rebuilt index carries no tombstones
+    graft.sources.HPath.deleteIfExists(df.sparkSession, tombstonesPath(path))
+  }
+
+  /** RTBF tombstone delete: mask `victims` (a frame holding `idCol`)
+    * from every future [[probe]] without rewriting the corpus-sized
+    * sigs/buckets datasets — only the tombstone set is written
+    * (idempotent key-upsert: a re-delivered purge request is an exact
+    * no-op). [[compact]] materializes the purge; [[append]] of a
+    * previously deleted doc re-ingests it (un-tombstones — a
+    * post-purge write is a new record, not a resurrection).
+    */
+  def delete(
+      spark: SparkSession, path: String, victims: DataFrame,
+      idCol: String = "doc_id"): Unit =
+    graft.sources.ParquetMerge.upsert(
+      spark, tombstonesPath(path),
+      victims.select(col(idCol).cast("long").as("doc_id")).distinct(),
+      Seq("doc_id"))
+
+  /** `df` minus tombstoned doc_ids. Tombstone sets are deletion
+    * requests — O(purges), never corpus-sized — so the mask is a
+    * broadcast anti-join and the index scans stay map-side (the probe
+    * no-shuffle property survives deletes).
+    */
+  private def minusTombstones(
+      spark: SparkSession, path: String, df: DataFrame): DataFrame = {
+    val tp = tombstonesPath(path)
+    if (!graft.sources.HPath.exists(spark, tp)) df
+    else df.join(broadcast(spark.read.parquet(tp)), Seq("doc_id"), "left_anti")
   }
 
   /** Near-dup matches of `batch` against the index:
@@ -127,14 +170,14 @@ object LshIndex {
     val probeB = banded(batchSigs, numHashes, bands, family)
       .select(col("band_idx"), col("bucket"), col("doc_id").as("batch_id"))
 
-    val idxBuckets = spark.read.parquet(bucketsPath(path))
+    val idxBuckets = minusTombstones(spark, path, spark.read.parquet(bucketsPath(path)))
     val candidates = idxBuckets
       .join(broadcast(probeB), Seq("band_idx", "bucket"))
       .filter(col("doc_id") =!= col("batch_id")) // self-match after append
       .select(col("batch_id"), col("doc_id").as("index_id"))
       .dropDuplicates("batch_id", "index_id")
 
-    val idxSigs = spark.read.parquet(sigsPath(path))
+    val idxSigs = minusTombstones(spark, path, spark.read.parquet(sigsPath(path)))
       .select(col("doc_id").as("index_id"), col("sig").as("sig_idx"))
     idxSigs
       .join(broadcast(candidates
@@ -161,25 +204,39 @@ object LshIndex {
     graft.sources.ParquetMerge.upsert(
       spark, bucketsPath(path), banded(sigs, numHashes, bands, family),
       Seq("doc_id", "band_idx"))
+    // re-ingest after delete is a new record: un-tombstone the batch
+    if (graft.sources.HPath.exists(spark, tombstonesPath(path)))
+      graft.sources.ParquetMerge.deleteKeys(
+        spark, tombstonesPath(path), sigs.select(col("doc_id")), Seq("doc_id"))
   }
 
   /** Compact the index at `path` into ONE artifact at `out`: K
     * appended deltas' worth of small files rewrite to ≈targetBytes
     * files per dataset ([[graft.sources.Compactor]]), the meta copies
-    * verbatim — and because compaction only re-lays files (row set
-    * untouched), probing the compacted index yields the IDENTICAL
-    * candidate and match sets (`dedup_index_compact` oracles it;
-    * LshIndexSpec asserts row-level equality). This is the 100 TB
-    * housekeeping pass that follows a week of streaming appends.
+    * verbatim — and because compaction only re-lays files (the LIVE
+    * row set is untouched), probing the compacted index yields the
+    * IDENTICAL candidate and match sets (`dedup_index_compact` oracles
+    * it; LshIndexSpec asserts row-level equality). Tombstoned docs
+    * drop for good and the compacted index carries no tombstones —
+    * compaction is where a [[delete]] physically materializes
+    * (`rtbf_lsh_purge` oracles post-compact probe ≡
+    * rebuild-without-victims). This is the 100 TB housekeeping pass
+    * that follows a week of streaming appends.
     */
   def compact(
       spark: SparkSession, path: String, out: String,
       targetBytes: Long = 128L << 20): Unit = {
-    require(out != path, "compact to a fresh path, then swap")
+    require(
+      graft.sources.HPath.qualified(spark, out) !=
+        graft.sources.HPath.qualified(spark, path),
+      "compact to a fresh path, then swap")
     graft.sources.Compactor.compact(
-      spark.read.parquet(sigsPath(path)), sigsPath(out), targetBytes)
+      minusTombstones(spark, path, spark.read.parquet(sigsPath(path))),
+      sigsPath(out), targetBytes)
     graft.sources.Compactor.compact(
-      spark.read.parquet(bucketsPath(path)), bucketsPath(out), targetBytes)
+      minusTombstones(spark, path, spark.read.parquet(bucketsPath(path))),
+      bucketsPath(out), targetBytes)
     writeMeta(spark, out, params(spark, path))
+    graft.sources.HPath.deleteIfExists(spark, tombstonesPath(out))
   }
 }

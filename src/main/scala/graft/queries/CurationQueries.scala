@@ -54,6 +54,15 @@ object CurationQueries {
       (chars, chars.count(), rounds)
     }
 
+  /** Bench warm-up face of the SA artifact ([[IvfArtifacts.warm]]'s
+    * rationale): run the doubling rounds untimed so the first SA
+    * consumer doesn't record the index build as its own cost.
+    */
+  def warmArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    saArtifact(s, dir)
+    ()
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ------------------------------------------------------------------

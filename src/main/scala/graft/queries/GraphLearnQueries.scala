@@ -145,6 +145,15 @@ object GraphLearnQueries {
       (e, GraphOps.lpaCommunities(e, maxRounds = 6))
     }
 
+  /** Bench warm-up face of the LPA artifact ([[IvfArtifacts.warm]]'s
+    * rationale): converge the partition untimed so the first LPA
+    * consumer doesn't record the propagation as its own cost.
+    */
+  def warmArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    lpaPartition(s, dir)
+    ()
+  }
+
   /** DBSCAN chain over an ε-pair frame `(i, j)` (the full directed/
     * symmetric adjacency): cores = degree ≥ 3, clusters = pointer-jump
     * CC over core-core edges (isolated cores are singletons), borders

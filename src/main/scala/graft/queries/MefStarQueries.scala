@@ -72,7 +72,7 @@ object MefStarQueries {
     * badly that view reads off the CACHED fact slowed ~30× — measured
     * both ways, the no-fan form wins end-to-end by 9×.
     */
-  private[queries] def syntheticRaw(s: SparkSession, dir: String): DataFrame =
+  private[graft] def syntheticRaw(s: SparkSession, dir: String): DataFrame =
     syntheticRawFrom(Tables.lineitem(s, dir), s, dir)
 
   private[queries] def syntheticRawFrom(li: DataFrame, s: SparkSession, dir: String): DataFrame =

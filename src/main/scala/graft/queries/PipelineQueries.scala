@@ -749,14 +749,22 @@ object PipelineQueries {
     * retrained replay); the base `embeddings` table reference is
     * deliberately left shared.
     */
+  /** `corpusFilter` (over alias `c`, e.g. "c.vec_id % 10 <> 3")
+    * restricts the INDEXED side only — the RTBF replay: training stays
+    * on the full corpus (a tombstone delete never retrains the
+    * quantizer), but purged vectors can no longer be anyone's
+    * neighbor.
+    */
   private[queries] def trainedIvfRankedCtes(
       dim: Int, nlist: Int, nprobe: Int,
       sampleSize: Int, iters: Int, seed: Long, probeFilter: String,
-      trainFilter: String = "TRUE", prefix: String = ""): String = {
+      trainFilter: String = "TRUE", prefix: String = "",
+      corpusFilter: String = "TRUE"): String = {
     if (prefix.nonEmpty) {
       require(prefix.matches("[a-z][a-z0-9]*"), s"bad CTE prefix: $prefix")
       val raw = trainedIvfRankedCtes(
-        dim, nlist, nprobe, sampleSize, iters, seed, probeFilter, trainFilter)
+        dim, nlist, nprobe, sampleSize, iters, seed, probeFilter, trainFilter,
+        corpusFilter = corpusFilter)
       // rename is safe textually: no generated CTE name doubles as a
       // column name, and \b keeps `cent` from matching `cents0`
       return raw.replaceAll(
@@ -837,7 +845,7 @@ object PipelineQueries {
       |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
       |         c.embedding AS e_n, p.embedding AS e_q
       |  FROM scored c JOIN scored p ON c.cid = p.cid
-      |  WHERE c.r = 1 AND p.r <= $nprobe AND $probeFilter AND c.vec_id <> p.vec_id)""".stripMargin
+      |  WHERE c.r = 1 AND ($corpusFilter) AND p.r <= $nprobe AND $probeFilter AND c.vec_id <> p.vec_id)""".stripMargin
     ctes += s"""rescored AS (
       |  SELECT query_id, neighbor_id,
       |    CASE WHEN nn.n * nq.n > 0 THEN ($pairDot) / (nn.n * nq.n) ELSE 0.0 END AS sim
@@ -3000,8 +3008,7 @@ object PipelineQueries {
     "dedup_index_compact" -> QueryDef(
       (s, dir) => {
         val docs = perturbedDocs(s, dir)
-        val base = s"${System.getProperty("java.io.tmpdir")}/graft_lsh_index/" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val base = TmpPaths.perJvm("graft_lsh_index", dir)
         val raw = s"$base/raw"
         val compacted = s"$base/compact"
         LshIndex.build(docs.filter(col("doc_id") % 4 === 0), "doc_id", "text",
@@ -3062,6 +3069,116 @@ object PipelineQueries {
            |SELECT batch_id, index_id, est_jaccard FROM v WHERE est_jaccard >= 0.5
            |ORDER BY batch_id, index_id""".stripMargin
       }),
+
+    // ------------------------------------------------------------------
+    // RTBF purge of the persisted LSH index (the right-to-be-forgotten
+    // lifecycle on the ANN tier, next to rtbf_purge_audit's relational
+    // lake): build → tombstone-delete the victim docs → re-deliver the
+    // same purge (exact no-op, key-upsert) → compact (tombstones
+    // physically materialize, compacted index carries none) → probe.
+    // The oracle replays the FULL signature/band/verify chain with the
+    // victims excluded from the index side — post-purge probe must
+    // equal a rebuild-without-victims bit-for-bit. Deletes write only
+    // the O(purges) tombstone set; the corpus-sized sigs/buckets
+    // rewrite once, at compaction — the 100 TB purge shape.
+    "rtbf_lsh_purge" -> QueryDef(
+      (s, dir) => {
+        val docs = perturbedDocs(s, dir)
+        val base = TmpPaths.perJvm("graft_lsh_rtbf", dir)
+        val raw = s"$base/idx"
+        val compacted = s"$base/compact"
+        LshIndex.build(docs.filter(col("doc_id") % 4 < 3), "doc_id", "text",
+          raw, family = MinHashLsh.Family.Md5Mod(7L))
+        val victims = docs.filter(col("doc_id") % 8 === 1).select(col("doc_id"))
+        LshIndex.delete(s, raw, victims)
+        LshIndex.delete(s, raw, victims) // re-delivered purge: exact no-op
+        LshIndex.compact(s, raw, compacted)
+        LshIndex.probe(s, compacted, docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", threshold = 0.5)
+          .orderBy(col("batch_id"), col("index_id"))
+      }, {
+        val numHashes = 64
+        val bands = 16
+        val rows = numHashes / bands
+        val (as, bs) = ModPrime.coeffs(7L, numHashes)
+        val famRows = (0 until numHashes)
+          .map(i => s"(${i}, ${as(i)}, ${bs(i)})").mkString(",\n    ")
+        val p = ModPrime.P
+        s"""WITH corpus AS ($perturbedSql),
+           |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
+           |sh AS (
+           |  SELECT doc_id,
+           |    list_distinct(list_transform(range(1, len(toks) - 1),
+           |      i -> ${md5_63("array_to_string(toks[i:i+2], ' ')")})) AS hs
+           |  FROM tk WHERE len(toks) >= 3
+           |),
+           |shx AS (SELECT doc_id, unnest(hs) AS h FROM sh),
+           |fam AS (
+           |  SELECT * FROM (VALUES
+           |    $famRows) f(i, a, b)
+           |),
+           |mins AS (
+           |  SELECT doc_id, f.i,
+           |    (min((f.a::HUGEINT * (h % $p) + f.b) % $p))::BIGINT AS mh
+           |  FROM shx, fam f GROUP BY doc_id, f.i
+           |),
+           |sig AS MATERIALIZED (SELECT doc_id, list(mh ORDER BY i) AS sig FROM mins GROUP BY doc_id),
+           |banded AS MATERIALIZED (
+           |  SELECT doc_id, band_idx, sig[band_idx*$rows+1 : band_idx*$rows+$rows] AS bkey
+           |  FROM (SELECT doc_id, sig, unnest(range(0, $bands)) AS band_idx FROM sig)
+           |),
+           |cand AS (
+           |  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+           |  FROM banded a JOIN banded b
+           |    ON a.band_idx = b.band_idx AND a.bkey = b.bkey
+           |  WHERE a.doc_id % 4 < 3 AND a.doc_id % 8 <> 1
+           |    AND b.doc_id % 4 = 3 AND a.doc_id <> b.doc_id
+           |),
+           |v AS (
+           |  SELECT batch_id, index_id,
+           |    CAST(len(list_filter(range(1, ${numHashes + 1}),
+           |      i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / $numHashes AS est_jaccard
+           |  FROM cand
+           |  JOIN sig sa ON sa.doc_id = cand.index_id
+           |  JOIN sig sb ON sb.doc_id = cand.batch_id
+           |)
+           |SELECT batch_id, index_id, est_jaccard FROM v WHERE est_jaccard >= 0.5
+           |ORDER BY batch_id, index_id""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // RTBF purge of the persisted IVF-Flat vector lake (IvfStore): the
+    // same lifecycle on the uncompressed-vector tier — build from the
+    // session-trained quantizer → tombstone-delete every vec_id ≡ 3
+    // (mod 10) → re-deliver the purge (no-op) → compact → probe the
+    // compacted store. Training is NOT redone (a tombstone delete
+    // keeps the quantizer), so the oracle replays the full trained
+    // routing with ONLY the indexed side filtered (corpusFilter):
+    // post-purge probe ≡ rebuild-without-victims, doubles included.
+    "rtbf_ann_lake_purge" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val base = TmpPaths.perJvm("graft_ivf_rtbf", dir)
+        val store = s"$base/store"
+        val compacted = s"$base/compact"
+        graft.operators.IvfStore.build(
+          emb, "vec_id", "embedding", store, IvfArtifacts.centroids(s, dir))
+        val victims = emb.filter(col("vec_id") % 10 === 3).select(col("vec_id"))
+        graft.operators.IvfStore.delete(s, store, victims)
+        graft.operators.IvfStore.delete(s, store, victims) // re-delivery: no-op
+        graft.operators.IvfStore.compact(s, store, compacted)
+        graft.operators.IvfStore.probe(
+          s, compacted, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", k = 5, nprobe = 8)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      trainedIvfRankedCtes(
+        dim = 64, nlist = 16, nprobe = 8,
+        sampleSize = 10000, iters = 5, seed = 42L,
+        probeFilter = "p.vec_id < 10",
+        corpusFilter = "c.vec_id % 10 <> 3") +
+        "\nSELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5 ORDER BY query_id, rank"),
 
     // ------------------------------------------------------------------
     // Exact substring-span dedup signal (the "dedup training data at

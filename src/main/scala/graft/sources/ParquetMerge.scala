@@ -36,25 +36,58 @@ object ParquetMerge {
         .select(keys.map(col) ++ nonKeys.map(c => col(s"_r.$c").as(c)): _*)
         .select(cols.map(col): _*)
 
-    val fs = new org.apache.hadoop.fs.Path(targetPath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    val targetP = new org.apache.hadoop.fs.Path(targetPath)
-    val oldP = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "_old")
-    // Crash recovery: a previous run killed between the two swap
-    // renames leaves the corpus ONLY at *_old — restore it before
-    // reading, or this merge would silently rebuild the target from
-    // the update batch alone (and then delete the sole copy).
-    if (!fs.exists(targetP) && fs.exists(oldP) && !fs.rename(oldP, targetP))
-      throw new java.io.IOException(
-        s"upsert recovery failed: could not restore $oldP to $targetP")
-    val targetExists = fs.exists(targetP)
+    val targetExists = recoverTarget(spark, targetPath)
     val merged =
       if (!targetExists) dedupedUpdates
       else spark.read.parquet(targetPath)
         .join(dedupedUpdates.select(keys.map(col): _*), keys, "left_anti")
         .select(cols.map(col): _*)
         .unionByName(dedupedUpdates)
+    swapWrite(spark, targetPath, merged, targetExists)
+  }
 
+  /** Delete every target row whose key tuple appears in `victims` —
+    * the RTBF counterpart of [[upsert]] (tombstone materialization for
+    * the persisted indexes). Absent target is a no-op; a re-delivered
+    * delete is a no-op by construction (anti-join of already-absent
+    * keys). Same crash-safe tmp-write + rename swap as upsert.
+    */
+  def deleteKeys(
+      spark: SparkSession, targetPath: String, victims: DataFrame,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "keys required")
+    if (!recoverTarget(spark, targetPath)) return
+    val target = spark.read.parquet(targetPath)
+    val merged = target
+      .join(victims.select(keys.map(col): _*).dropDuplicates(keys), keys, "left_anti")
+      .select(target.columns.toSeq.map(col): _*)
+    swapWrite(spark, targetPath, merged, targetExists = true)
+  }
+
+  /** Crash recovery: a previous run killed between the two swap
+    * renames leaves the dataset ONLY at *_old — restore it before
+    * reading, or a merge would silently rebuild the target from the
+    * update batch alone (and then delete the sole copy). Returns
+    * whether the target exists after recovery.
+    */
+  private def recoverTarget(spark: SparkSession, targetPath: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val oldP = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "_old")
+    if (!fs.exists(targetP) && fs.exists(oldP) && !fs.rename(oldP, targetP))
+      throw new java.io.IOException(
+        s"upsert recovery failed: could not restore $oldP to $targetP")
+    fs.exists(targetP)
+  }
+
+  private def swapWrite(
+      spark: SparkSession, targetPath: String, merged: DataFrame,
+      targetExists: Boolean): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(targetPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val targetP = new org.apache.hadoop.fs.Path(targetPath)
+    val oldP = new org.apache.hadoop.fs.Path(targetPath.stripSuffix("/") + "_old")
     val tmp = targetPath.stripSuffix("/") + "_tmp"
     merged.write.mode(SaveMode.Overwrite).parquet(tmp)
     // Swap order matters: the old target moves ASIDE (not deleted)

@@ -7,7 +7,13 @@ import graft.operators.LshIndex
 
 /** Streaming face of the persisted LSH index ([[LshIndex]]): a
   * document stream appends into the near-dup index at ingest, so the
-  * index a nightly batch job would rebuild stays continuously current.
+  * index a nightly batch job would rebuild stays current batch-over-
+  * batch. Probes must be QUIESCED against in-flight appends: each
+  * append swaps datasets via ParquetMerge's two-rename exchange, so a
+  * probe racing the swap can read a momentarily absent target (the
+  * specs probe only after the query stops / between micro-batches —
+  * serve from a compacted snapshot, or retry through the `_old`
+  * recovery path, when serving must overlap ingest).
   *
   * Each micro-batch rides [[LshIndex.append]] inside foreachBatch —
   * the batch operator verbatim, so streamed and batch-built indexes
@@ -30,14 +36,20 @@ object StreamingLshIngest {
 
   /** Start appending the document stream into the index at `path`.
     * `docs` must be a streaming frame with `idCol` and `textCol`.
+    * Pass `checkpointLocation` for a RESTARTABLE ingest: a query
+    * started again on the same checkpoint resumes from the last
+    * committed offsets, and any replayed in-flight batch lands as a
+    * doc-id-keyed no-op (StreamingRecoverySpec proves the full
+    * stop → restart → identical-index round trip).
     */
   def start(
       docs: DataFrame, idCol: String, textCol: String,
-      path: String): StreamingQuery =
-    docs.writeStream
+      path: String, checkpointLocation: Option[String] = None): StreamingQuery = {
+    val w = docs.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         LshIndex.append(batch.sparkSession, path, batch, idCol, textCol)
       }
-      .start()
+    checkpointLocation.fold(w)(cp => w.option("checkpointLocation", cp)).start()
+  }
 }

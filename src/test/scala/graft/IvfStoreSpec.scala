@@ -77,6 +77,50 @@ class IvfStoreSpec extends SparkSuite {
     assert(pa == pb && pa.nonEmpty)
   }
 
+  test("RTBF delete masks victims, re-delivery no-ops, compact materializes, re-ingest unmasks") {
+    val raw = freshPath()
+    val out = freshPath() + "/compacted"
+    IvfStore.build(emb, "vec_id", "embedding", raw, cs)
+    val victims = emb.filter($"vec_id" % 10 === 3).select(col("vec_id"))
+    IvfStore.delete(spark, raw, victims)
+    val t0 = spark.read.parquet(s"$raw/tombstones").count()
+    IvfStore.delete(spark, raw, victims) // re-delivered purge request
+    assert(spark.read.parquet(s"$raw/tombstones").count() == t0 && t0 > 0,
+      "re-delivered delete must be a no-op")
+    // masked probe ≡ searching a corpus that never contained the victims
+    val got = IvfStore.probe(spark, raw, probes, "vec_id", "embedding", 5, nprobe = 8)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(2)))
+    val want = IvfIndex.searchWithCentroids(
+      emb.filter($"vec_id" % 10 =!= 3), probes, "vec_id", "embedding", 5, cs, nprobe = 8)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(2)))
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(_.getLong(1) % 10 != 3), "victim leaked into probe results")
+    // compact: victims physically gone, no tombstones, probe identical
+    IvfStore.compact(spark, raw, out)
+    assert(spark.read.parquet(s"$out/lists").filter($"vec_id" % 10 === 3).count() == 0)
+    assert(!new java.io.File(s"$out/tombstones").exists())
+    val pc = IvfStore.probe(spark, out, probes, "vec_id", "embedding", 5, nprobe = 8)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(2)))
+    assert(pc == got)
+    // re-ingest after purge is a NEW record: un-tombstoned, probeable
+    IvfStore.append(spark, raw, emb.filter($"vec_id" % 10 === 3), "vec_id", "embedding")
+    assert(spark.read.parquet(s"$raw/tombstones").count() == 0)
+    val back = IvfStore.probe(spark, raw, probes, "vec_id", "embedding", 5, nprobe = 8)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(2)))
+    val full = IvfIndex.searchWithCentroids(
+      emb, probes, "vec_id", "embedding", 5, cs, nprobe = 8)
+      .collect().toSeq.sortBy(r => (r.getLong(0), r.getInt(2)))
+    assert(back == full)
+  }
+
+  test("compact into the same directory is refused even via an aliased path") {
+    val raw = freshPath()
+    IvfStore.build(emb.filter($"vec_id" < 50), "vec_id", "embedding", raw, cs)
+    intercept[IllegalArgumentException] {
+      IvfStore.compact(spark, raw, raw.stripSuffix("/") + "/") // trailing-slash alias
+    }
+  }
+
   test("probe plan routes via the stored lists — no re-assignment of the corpus") {
     val path = freshPath()
     IvfStore.build(emb, "vec_id", "embedding", path, cs)

@@ -92,6 +92,59 @@ class LshIndexSpec extends SparkSuite {
     assert(pa == pb && pa.nonEmpty)
   }
 
+  test("RTBF delete hides victims, re-delivery no-ops, compact drops rows, re-ingest unmasks") {
+    val base = Files.createTempDirectory("lshindex_rtbf").toString
+    val raw = s"$base/idx"
+    val out = s"$base/compacted"
+    LshIndex.build(corpus, "doc_id", "text", raw)
+    val victims = Seq(0L, 1L).toDF("doc_id")
+    LshIndex.delete(spark, raw, victims)
+    LshIndex.delete(spark, raw, victims) // re-delivered purge request
+    assert(spark.read.parquet(s"$raw/tombstones").count() == 2,
+      "re-delivered delete must be a no-op")
+    val hits = LshIndex.probe(spark, raw, batch, "doc_id", "text", 0.5)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(!hits.exists { case (_, ix) => ix == 0L || ix == 1L },
+      s"victims leaked: $hits")
+    assert((2L until 4L).forall(i => hits.contains((1000L + i, i))),
+      s"non-victims lost: $hits")
+    // compact: victim rows physically gone, no tombstones, probe identical
+    LshIndex.compact(spark, raw, out)
+    assert(spark.read.parquet(s"$out/sigs").filter($"doc_id" < 2).count() == 0)
+    assert(spark.read.parquet(s"$out/buckets").filter($"doc_id" < 2).count() == 0)
+    assert(!new java.io.File(s"$out/tombstones").exists())
+    val hc = LshIndex.probe(spark, out, batch, "doc_id", "text", 0.5)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert(hc == hits)
+    // re-ingest after purge is a NEW record: un-tombstoned, findable
+    LshIndex.append(spark, raw, corpus.filter($"doc_id" < 2), "doc_id", "text")
+    assert(spark.read.parquet(s"$raw/tombstones").count() == 0)
+    val hb = LshIndex.probe(spark, raw, batch, "doc_id", "text", 0.5)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert((0L until 4L).forall(i => hb.contains((1000L + i, i))))
+  }
+
+  test("compact into the same directory is refused even via an aliased path") {
+    val path = Files.createTempDirectory("lshindex_alias").toString + "/idx"
+    LshIndex.build(corpus, "doc_id", "text", path)
+    intercept[IllegalArgumentException] {
+      LshIndex.compact(spark, path, path + "/") // trailing-slash alias
+    }
+  }
+
+  test("params reads a pre-family 3-column meta tolerantly (defaults to XxChain)") {
+    val path = Files.createTempDirectory("lshindex_meta").toString + "/idx"
+    LshIndex.build(corpus, "doc_id", "text", path, numHashes = 32, bands = 8)
+    // simulate an index persisted before the family columns existed
+    Seq((3, 32, 8)).toDF("shingle_n", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    assert(LshIndex.params(spark, path) == LshIndex.Params(3, 32, 8))
+    // and the old index stays probe-able end to end (it WAS XxChain)
+    val hits = LshIndex.probe(spark, path, batch, "doc_id", "text", 0.5)
+      .select("batch_id", "index_id").as[(Long, Long)].collect().toSet
+    assert((0L until 4L).forall(i => hits.contains((1000L + i, i))))
+  }
+
   test("probe plan never shuffles the index: broadcast joins, no SMJ") {
     val path = Files.createTempDirectory("lshindex_plan").toString + "/idx"
     LshIndex.build(corpus, "doc_id", "text", path)

@@ -84,4 +84,32 @@ class StarSkewSpec extends SparkSuite {
     val hotMass = hotFact.agg(sum(col("monto_devengado"))).head.getDouble(0)
     assert(hotMass * 10 >= want * 4, s"hot mass $hotMass of $want")
   }
+
+  test("buildDim's DenseId route assigns id-for-id identical surrogates to the window path") {
+    import spark.implicits._
+    // a dim that "outgrew its bounded domain": 50k unique keys, incl. a
+    // null key (the asc_nulls_first edge both paths must order alike)
+    val spec = graft.mef.MefSchema.DimSpec(
+      "dim_big", "big_id", Seq("k"), Seq("k", "name"))
+    val big = spark.range(50000).select(
+      when(col("id") === 0, lit(null).cast("string"))
+        .otherwise(format_string("key_%07d", pmod(col("id") * 37, lit(50000))))
+        .as("k"),
+      concat(lit("n"), pmod(col("id"), lit(7))).as("name"))
+    val windowed = Star.buildDim(big, spec) // default: under the row cap
+    val routed = Star.buildDim(big, spec, windowMaxRows = 100L) // force DenseId
+    assert(routed.schema == windowed.schema, "routed path must keep the int id schema")
+    val a = windowed.collect().toSeq.sortBy(_.getInt(0))
+    val b = routed.collect().toSeq.sortBy(_.getInt(0))
+    assert(a.size == 50000 && a == b, "DenseId route diverged from the ranking window")
+    // and the real MEF dims are identical through the forced route too
+    val normalized = Normalize(Transform(
+      graft.queries.MefStarQueries.syntheticRaw(spark, dir)))
+    graft.mef.MefSchema.dims.foreach { d =>
+      val w = Star.buildDim(normalized, d).collect().toSeq.sortBy(_.getInt(0))
+      val r = Star.buildDim(normalized, d, windowMaxRows = 0L)
+        .collect().toSeq.sortBy(_.getInt(0))
+      assert(w == r && w.nonEmpty, s"dim ${d.name} diverged through DenseId")
+    }
+  }
 }
