@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Degree-conditioned graph operators over an undirected edge frame
@@ -239,5 +239,56 @@ object GraphOps {
       s"SCC peeling did not finish within $maxPeels peels")
     // empty edge frame: no node is incident to an edge → empty (n, scc)
     out.getOrElse(remaining.select(col("n"), col("n").as("scc")).limit(0))
+  }
+
+  /** Luby-style maximal independent set (Luby 1986, "A simple parallel
+    * algorithm for the maximal independent set problem" — public
+    * literature) over a SYMMETRIC edge frame (u, v). Per round, every
+    * still-active node draws a fresh deterministic priority
+    * md5("mis" + round + "_" + id); a node joins the MIS iff no active
+    * neighbor beats it on (priority, id) — a strict total order, so
+    * ties are impossible and the round is conflict-free. Winners and
+    * their neighborhoods retire; fresh per-round priorities give the
+    * textbook O(log n) expected rounds (a FIXED priority degrades to
+    * sequential greedy depth). Each round is two keyed joins + one
+    * anti-join on the node id — no driver participation beyond the
+    * O(rounds) convergence probes; non-convergence within `maxRounds`
+    * THROWS (the LPA/SCC contract) so a silent partial MIS cannot
+    * masquerade as maximal. Returns (round, node) winners.
+    */
+  def lubyMis(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e = edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var active = e.select(col("u").as("n")).distinct().localCheckpoint()
+    var out: Option[DataFrame] = None
+    var r = 1
+    var done = active.isEmpty
+    while (r <= maxRounds && !done) {
+      def pri(id: Column): Column =
+        md5(concat(lit("mis"), lit(r.toString), lit("_"), id.cast("string")))
+      // u loses if some ACTIVE neighbor v beats it; inactive neighbors
+      // never block (they are already decided)
+      val losers = e
+        .join(active.select(col("n").as("__av")), col("v") === col("__av"))
+        .filter(pri(col("v")) < pri(col("u")) ||
+          (pri(col("v")) === pri(col("u")) && col("v") < col("u")))
+        .select(col("u").as("n")).distinct()
+      // winners feed the output union AND the removal join below
+      val winners = active.join(losers, Seq("n"), "left_anti")
+        .localCheckpoint()
+      val removed = winners
+        .unionByName(e.join(winners.select(col("n").as("__w")),
+          col("u") === col("__w")).select(col("v").as("n")))
+        .distinct()
+      active = active.join(removed, Seq("n"), "left_anti").localCheckpoint()
+      out = Some(out.fold(winners.withColumn("round", lit(r)))(
+        _.unionByName(winners.withColumn("round", lit(r)))))
+      done = active.isEmpty
+      r += 1
+    }
+    require(done, s"lubyMis did not converge within $maxRounds rounds")
+    out.fold(e.select(lit(0).as("round"), col("u").as("node")).limit(0))(
+      _.select(col("round"), col("n").as("node")))
   }
 }

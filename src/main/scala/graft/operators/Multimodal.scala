@@ -362,6 +362,45 @@ object Multimodal {
     }
   }
 
+  final case class FrameEnergy(media_id: Long, frame_idx: Long, energy: Long)
+
+  /** Per-frame PCM energy (Σs² over `frameSamples`-sample frames, the
+    * trailing partial frame included — missing samples contribute 0,
+    * exactly a zero-padded last frame), computed INSIDE the decode
+    * kernel so payload bytes never shuffle: one clip row in, compact
+    * (media_id, frame_idx, energy) rows out. This is the framing stage
+    * under energy-gated VAD segmentation — the downstream voiced/
+    * unvoiced decision and run-length grouping are plain keyed
+    * DataFrame ops on these rows. frame_idx is 1-based; energy ≤
+    * frameSamples·2³⁰ — BIGINT-exact.
+    */
+  def audioFrameEnergies(
+      media: Dataset[AudioRow], frameSamples: Int = 64,
+      batchSize: Int = 256): Dataset[FrameEnergy] = {
+    import media.sparkSession.implicits._
+    require(frameSamples >= 1, "frameSamples must be positive")
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { m =>
+          val b = m.content
+          val n = b.length / 2
+          val nf = (n + frameSamples - 1) / frameSamples
+          (0 until nf).iterator.map { f =>
+            var energy = 0L
+            var i = f * frameSamples
+            val end = math.min((f + 1) * frameSamples, n)
+            while (i < end) {
+              val s = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt
+              energy += s.toLong * s
+              i += 1
+            }
+            FrameEnergy(m.media_id, (f + 1).toLong, energy)
+          }
+        }
+      }
+    }
+  }
+
   final case class VideoRow(media_id: Long, content: Array[Byte])
   final case class FrameDiff(
       media_id: Long, frame_idx: Int, diff: Long, is_cut: Int)

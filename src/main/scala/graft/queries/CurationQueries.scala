@@ -883,7 +883,88 @@ object CurationQueries {
           signs = graft.operators.JlProject.signMatrix(k = 16, dim = 64, seed = 33L))
           .orderBy(col("query_id"), col("neighbor_id"))
       },
-      jlOracleSql(k = 16, dim = 64, seed = 33L, nProbes = 10, nCorpus = 200))
+      jlOracleSql(k = 16, dim = 64, seed = 33L, nProbes = 10, nCorpus = 200)),
+
+    // ------------------------------------------------------------------
+    // Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    // training of language models to fill in the middle" — public
+    // literature), PSM rendering: split each document at the
+    // deterministic third-points (prefix/middle/suffix = n∕3, n∕3,
+    // rest by character count — production uses random split points;
+    // a fixed fraction keeps the transform oracle-able) and re-render
+    // as <PRE>prefix<SUF>suffix<MID>middle, the document-level string
+    // transform an FIM pretraining pipeline maps over the corpus.
+    // Pure per-row character ops (substring/concat) — embarrassingly
+    // parallel, no shuffle at all; the rendered text is digested to
+    // md5 so the verified result stays compact.
+    "fim_psm_render" -> QueryDef(
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("t"),
+          length(coalesce(col("text"), lit(""))).cast("long").as("n"))
+        base
+          .select(col("doc_id"),
+            expr("n div 3").as("p_len"), expr("n div 3").as("m_len"),
+            (col("n") - lit(2L) * expr("n div 3")).as("s_len"),
+            expr("substring(t, 1, CAST(n div 3 AS INT))").as("pre"),
+            expr("substring(t, CAST(n div 3 AS INT) + 1, CAST(n div 3 AS INT))").as("mid"),
+            expr("substring(t, CAST(2 * (n div 3) AS INT) + 1)").as("suf"))
+          .select(col("doc_id"), col("p_len"), col("m_len"), col("s_len"),
+            md5(concat(lit("<PRE>"), col("pre"), lit("<SUF>"), col("suf"),
+              lit("<MID>"), col("mid"))).as("psm_md5"))
+          .orderBy(col("doc_id"))
+      },
+      """WITH base AS (
+        |  SELECT doc_id, coalesce(text, '') AS t,
+        |    CAST(length(coalesce(text, '')) AS BIGINT) AS n
+        |  FROM documents),
+        |split AS (
+        |  SELECT doc_id, n // 3 AS p_len, n // 3 AS m_len, n - 2*(n // 3) AS s_len,
+        |    substring(t, 1, CAST(n // 3 AS INT)) AS pre,
+        |    substring(t, CAST(n // 3 AS INT) + 1, CAST(n // 3 AS INT)) AS mid,
+        |    substring(t, CAST(2*(n // 3) AS INT) + 1) AS suf
+        |  FROM base)
+        |SELECT doc_id, p_len, m_len, s_len,
+        |  md5('<PRE>' || pre || '<SUF>' || suf || '<MID>' || mid) AS psm_md5
+        |FROM split ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Prefix-cache (KV-cache) reuse profile over the prompt corpus —
+    // the serving-side statistic behind RadixAttention/prefix caching
+    // (Zheng et al. 2023, SGLang — public literature): at each trie
+    // depth d ≤ 8, every prompt with ≥ d tokens contributes one token
+    // at that depth, and the cache stores only the DISTINCT
+    // d-token prefixes, so reused_tokens(d) = prompts(d) −
+    // distinct_prefixes(d); Σ_d reuse = total KV entries saved by a
+    // shared-prefix cache. One explode to the (depth ≤ 8) grain + a
+    // distinct-aggregate per depth — keyed by prefix string, no window,
+    // scales as 8× the prompt count.
+    "prefix_cache_tokens" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(expr(
+            "filter(split(coalesce(text, ''), '[\\t\\n\\f\\r ]+'), x -> x <> '')").as("ts"))
+          .select(col("ts"), explode(expr("sequence(1, 8)")).as("depth"))
+          .filter(size(col("ts")) >= col("depth"))
+          .select(col("depth"),
+            expr("array_join(slice(ts, 1, depth), ' ')").as("p"))
+          .groupBy(col("depth"))
+          .agg(count(lit(1)).as("prompts"),
+            countDistinct(col("p")).as("distinct_prefixes"),
+            (count(lit(1)) - countDistinct(col("p"))).as("reused_tokens"))
+          .orderBy(col("depth"))
+      },
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(coalesce(text, ''), '[\t\n\f\r ]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |d AS (SELECT CAST(unnest(range(1, 9)) AS INT) AS depth),
+        |pref AS (
+        |  SELECT d.depth, array_to_string(list_slice(t.ts, 1, d.depth), ' ') AS p
+        |  FROM toks t JOIN d ON len(t.ts) >= d.depth)
+        |SELECT depth, CAST(count(*) AS BIGINT) AS prompts,
+        |  CAST(count(DISTINCT p) AS BIGINT) AS distinct_prefixes,
+        |  CAST(count(*) - count(DISTINCT p) AS BIGINT) AS reused_tokens
+        |FROM pref GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** DuckDB twin of [[graft.functions.CdcChunks]] + the shared-chunk

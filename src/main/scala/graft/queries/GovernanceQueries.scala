@@ -337,6 +337,77 @@ object GovernanceQueries {
         |  CAST((SELECT count(*) FROM pl) AS BIGINT) AS n_lineitems_purged,
         |  CAST((SELECT count(*) FROM ko) AS BIGINT) AS n_orders_kept,
         |  CAST((SELECT count(*) FROM ko
-        |        WHERE o_custkey IN (SELECT c_custkey FROM victims)) AS BIGINT) AS residual_refs""".stripMargin)
+        |        WHERE o_custkey IN (SELECT c_custkey FROM victims)) AS BIGINT) AS residual_refs""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // t-closeness audit (Li, Li & Venkatasubramanian 2007, ICDE —
+    // public literature): for each equivalence class of the quasi-
+    // identifiers (nation, market segment), the Earth Mover's Distance
+    // between the class's distribution of the ORDERED sensitive
+    // attribute (account-balance decile, a fixed 1100-wide binning of
+    // the [-1000, 10000) domain) and the global distribution. For an
+    // ordered attribute EMD is the mean absolute difference of the two
+    // CDFs; cross-multiplying the cumulative counts keeps it integer —
+    // emd_scaled = Σᵢ |cumₚ(i)·N − cum_q(i)·m| over the v−1 = 9
+    // interior cut points — and emd = emd_scaled/(m·N·9) is the single
+    // IEEE division. Classes with the largest skew (the re-identification
+    // risk t-closeness bounds) surface first. Everything is one keyed
+    // class aggregation over a 9-way bucket explode — no window, no
+    // all-pairs.
+    "t_closeness_audit" -> QueryDef(
+      (s, dir) => {
+        val c = Tables.customer(s, dir).select(
+          col("c_nationkey").cast("long").as("nk"), col("c_mktsegment").as("seg"),
+          // integer cents keep the binning exact (decimal literals parse
+          // as DECIMAL in DuckDB but double in Spark — avoid both)
+          least(lit(9L), greatest(lit(0L),
+            expr("(CAST(c_acctbal * 100 AS BIGINT) + 100000) div 110000"))).as("b"))
+          .localCheckpoint() // feeds class sizes, global + per-class CDFs
+        val cls = c.groupBy(col("nk"), col("seg")).agg(count(lit(1)).as("m"))
+        val nTot = c.agg(count(lit(1)).as("n"))
+        val cuts = c.withColumn("i", explode(expr("sequence(0, 8)")))
+        val cump = cuts.groupBy(col("nk"), col("seg"), col("i"))
+          .agg(sum(when(col("b") <= col("i"), 1L).otherwise(0L)).as("cp"))
+        val cumq = cuts.groupBy(col("i"))
+          .agg(sum(when(col("b") <= col("i"), 1L).otherwise(0L)).as("cq"))
+        cump
+          .join(cumq, Seq("i"))
+          .join(cls, Seq("nk", "seg"))
+          .crossJoin(broadcast(nTot))
+          .groupBy(col("nk").as("nationkey"), col("seg").as("mktsegment"),
+            col("m").as("class_size"), col("n"))
+          .agg(sum(abs(col("cp") * col("n") - col("cq") * col("m"))).as("emd_scaled"))
+          .select(col("nationkey"), col("mktsegment"), col("class_size"),
+            col("emd_scaled"),
+            (col("emd_scaled").cast("double") /
+              (col("class_size") * col("n") * 9).cast("double")).as("emd"))
+          .orderBy(col("emd").desc, col("nationkey"), col("mktsegment"))
+          .limit(20)
+      },
+      """WITH c AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |    CAST(least(9, greatest(0, (CAST(c_acctbal * 100 AS BIGINT) + 100000) // 110000)) AS BIGINT) AS b
+        |  FROM customer),
+        |cls AS (SELECT nk, seg, CAST(count(*) AS BIGINT) AS m FROM c GROUP BY 1, 2),
+        |n_tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        |buckets AS (SELECT unnest(range(0, 9)) AS i),
+        |cuts AS (SELECT c.nk, c.seg, c.b, b2.i FROM c CROSS JOIN buckets b2),
+        |cump AS (
+        |  SELECT nk, seg, i,
+        |    CAST(sum(CASE WHEN b <= i THEN 1 ELSE 0 END) AS BIGINT) AS cp
+        |  FROM cuts GROUP BY 1, 2, 3),
+        |cumq AS (
+        |  SELECT i, CAST(sum(CASE WHEN b <= i THEN 1 ELSE 0 END) AS BIGINT) AS cq
+        |  FROM cuts GROUP BY 1)
+        |SELECT CAST(p.nk AS BIGINT) AS nationkey, p.seg AS mktsegment,
+        |  cls.m AS class_size,
+        |  CAST(sum(abs(p.cp * n.n - q.cq * cls.m)) AS BIGINT) AS emd_scaled,
+        |  CAST(CAST(sum(abs(p.cp * n.n - q.cq * cls.m)) AS BIGINT) AS DOUBLE)
+        |    / CAST(cls.m * n.n * 9 AS DOUBLE) AS emd
+        |FROM cump p JOIN cumq q ON q.i = p.i
+        |JOIN cls ON cls.nk = p.nk AND cls.seg = p.seg
+        |CROSS JOIN n_tot n
+        |GROUP BY 1, 2, 3, cls.m, n.n
+        |ORDER BY emd DESC, nationkey, mktsegment LIMIT 20""".stripMargin)
   )
 }

@@ -2278,6 +2278,127 @@ object GraphLearnQueries {
           """
             |SELECT CAST(round AS INT) AS round, u, v, CAST(-w AS BIGINT) AS cents
             |FROM f5 ORDER BY round, u, v""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Katz centrality (Katz 1953, "A new status index derived from
+    // sociometric analysis" — public literature) on the THRESHOLDED
+    // nation trade graph: edges = nation pairs whose flow count is
+    // strictly above the global mean (cnt·n_pairs > total, the
+    // cross-multiplied integer comparison — the complete trade graph
+    // degenerates to uniform scores). Katz with α = 1/4 truncated at
+    // path length 4 stays in integers by scaling with 4⁴:
+    // katz_scaled = Σ_r 4^(4−r)·paths_r(v), path counts by r rounds of
+    // one keyed equi-join + sum each (the PageRank shape — no driver
+    // participation); the final /256 is the single IEEE division. The
+    // 1-row totals aggregate broadcasts (J9 shape).
+    "katz_centrality_nations" -> QueryDef(
+      (s, dir) => {
+        val flow = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(col("s_nationkey").cast("long").as("u"),
+            col("c_nationkey").cast("long").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = flow.agg(sum(col("cnt")).as("t"), count(lit(1)).as("np"))
+        val e = flow.crossJoin(broadcast(tot))
+          .filter(col("cnt") * col("np") > col("t"))
+          .select(col("u"), col("v"))
+          .localCheckpoint() // feeds nodes + all 4 path rounds
+        val nodes = e.select(col("u").as("n"))
+          .unionByName(e.select(col("v").as("n"))).distinct()
+        val paths = scala.collection.mutable.ArrayBuffer(
+          e.groupBy(col("v").as("n")).agg(count(lit(1)).as("c1")))
+        for (r <- 2 to 4) {
+          val prev = paths.last.toDF("n", s"c${r - 1}")
+          paths += e.join(prev.withColumnRenamed("n", "u"), Seq("u"))
+            .groupBy(col("v").as("n")).agg(sum(col(s"c${r - 1}")).as(s"c$r"))
+        }
+        val joined = paths.foldLeft(nodes)((acc, p) => acc.join(p, Seq("n"), "left"))
+        joined
+          .select(col("n").as("nation"),
+            (lit(64L) * coalesce(col("c1"), lit(0L)) +
+              lit(16L) * coalesce(col("c2"), lit(0L)) +
+              lit(4L) * coalesce(col("c3"), lit(0L)) +
+              coalesce(col("c4"), lit(0L))).as("katz_scaled"))
+          .select(col("nation"), col("katz_scaled"),
+            (col("katz_scaled").cast("double") / lit(256.0)).as("katz"))
+          .orderBy(col("katz_scaled").desc, col("nation"))
+      },
+      """WITH flow AS MATERIALIZED (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS u, CAST(c.c_nationkey AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS np FROM flow),
+        |e AS MATERIALIZED (SELECT u, v FROM flow CROSS JOIN tot WHERE cnt * np > t),
+        |nodes AS (SELECT DISTINCT u AS n FROM e UNION SELECT DISTINCT v FROM e),
+        |p1 AS (SELECT e.v AS n, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+        |p2 AS (SELECT e.v AS n, CAST(sum(p1.c) AS BIGINT) AS c FROM p1 JOIN e ON e.u = p1.n GROUP BY 1),
+        |p3 AS (SELECT e.v AS n, CAST(sum(p2.c) AS BIGINT) AS c FROM p2 JOIN e ON e.u = p2.n GROUP BY 1),
+        |p4 AS (SELECT e.v AS n, CAST(sum(p3.c) AS BIGINT) AS c FROM p3 JOIN e ON e.u = p3.n GROUP BY 1)
+        |SELECT nodes.n AS nation,
+        |  CAST(64*coalesce(p1.c,0) + 16*coalesce(p2.c,0) + 4*coalesce(p3.c,0) + coalesce(p4.c,0) AS BIGINT) AS katz_scaled,
+        |  CAST(CAST(64*coalesce(p1.c,0) + 16*coalesce(p2.c,0) + 4*coalesce(p3.c,0) + coalesce(p4.c,0) AS BIGINT) AS DOUBLE) / 256.0 AS katz
+        |FROM nodes LEFT JOIN p1 ON p1.n = nodes.n LEFT JOIN p2 ON p2.n = nodes.n
+        |LEFT JOIN p3 ON p3.n = nodes.n LEFT JOIN p4 ON p4.n = nodes.n
+        |ORDER BY katz_scaled DESC, nation""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Luby maximal independent set over the symmetric supplier↔customer
+    // trade graph (GraphOps.lubyMis — fresh md5 priorities per round,
+    // winners = nodes beating every active neighbor on the strict
+    // (priority, id) order, winners + neighborhoods retire). The
+    // fixture converges in 2 rounds (hub suppliers decide round 1);
+    // budget 6 leaves the textbook O(log n) slack and non-convergence
+    // THROWS. The oracle unrolls the full budget as generated CTEs and
+    // relies on fixed-point idempotence (empty active ⇒ empty later
+    // winner sets, dropped by the n_winners > 0 gate) — the LPA-oracle
+    // recipe. Output is the per-round winner census (count + id sum).
+    "luby_mis_trade" -> QueryDef(
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select((col("l_suppkey") * 2).cast("long").as("u"),
+            (col("o_custkey") * 2 + 1).cast("long").as("v"))
+          .distinct()
+        val sym = b.unionByName(b.select(col("v").as("u"), col("u").as("v")))
+        GraphOps.lubyMis(sym, maxRounds = 6)
+          .groupBy(col("round"))
+          .agg(count(lit(1)).as("n_winners"), sum(col("node")).as("id_sum"))
+          .orderBy(col("round"))
+      }, {
+        val rounds = (1 to 6).map { r =>
+          val p = (x: String) => s"md5('mis${r}_' || CAST($x AS VARCHAR))"
+          s""",
+             |w$r AS MATERIALIZED (
+             |  SELECT a.n FROM a${r - 1} a WHERE NOT EXISTS (
+             |    SELECT 1 FROM e JOIN a${r - 1} a2 ON a2.n = e.v
+             |    WHERE e.u = a.n AND (${p("e.v")} < ${p("a.n")}
+             |      OR (${p("e.v")} = ${p("a.n")} AND e.v < a.n)))),
+             |a$r AS MATERIALIZED (
+             |  SELECT n FROM a${r - 1} WHERE n NOT IN (SELECT n FROM w$r)
+             |    AND n NOT IN (SELECT e.v FROM e JOIN w$r ON w$r.n = e.u))""".stripMargin
+        }.mkString
+        val unions = (1 to 6).map { r =>
+          s"SELECT $r AS round, count(*) AS n_winners, sum(n) AS id_sum FROM w$r"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH b AS MATERIALIZED (
+           |  SELECT DISTINCT CAST(2*l.l_suppkey AS BIGINT) AS u,
+           |    CAST(2*o.o_custkey + 1 AS BIGINT) AS v
+           |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+           |e AS MATERIALIZED (SELECT u, v FROM b UNION SELECT v, u FROM b),
+           |a0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM e)$rounds
+           |SELECT CAST(round AS INT) AS round, CAST(n_winners AS BIGINT) AS n_winners,
+           |  CAST(id_sum AS BIGINT) AS id_sum
+           |FROM ($unions)
+           |WHERE n_winners > 0 ORDER BY round""".stripMargin
       })
   )
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Md5Hash
+import graft.operators.DenseId
 
 /** Lakehouse/IR infrastructure operators, oracle-verified: marketing
   * attribution over the event stream (the last-touch carry-forward
@@ -951,6 +952,60 @@ object IrLakeQueries {
          |SELECT ct.rank, ct.doc_id, ct.score,
          |  CAST(CASE WHEN f5.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS in_full_top5
          |FROM ct LEFT JOIN f5 ON f5.doc_id = ct.doc_id
-         |WHERE ct.rank <= 5 ORDER BY ct.rank""".stripMargin)
+         |WHERE ct.rank <= 5 ORDER BY ct.rank""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Borda-count rank aggregation (Borda 1781; de Borda's election
+    // method — public literature) fusing three supplier rankers
+    // (revenue, shipped quantity, lineitem count — deterministic
+    // (measure DESC, suppkey) total orders): each ranker awards
+    // N − rank points, the fused score is their sum — the positional
+    // complement of ann_rrf_fusion's reciprocal-rank form, all exact
+    // integers. Ranks are assigned by operators.DenseId (range-
+    // partitioned distributed numbering — suppliers GROW with SF, so
+    // a single-partition row_number window is the wrong plan; DenseId
+    // is row_number's scale-correct twin, id-for-id). Revenue is the
+    // exact DECIMAL sum — used only for ORDERING, never converted to
+    // double, so no 2^53 ceiling applies. The 1-row N aggregate
+    // broadcasts (J9 shape).
+    "borda_fusion_suppliers" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey").cast("long").as("sk"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+            sum(col("l_quantity").cast("long")).as("qty"),
+            count(lit(1)).as("cnt"))
+        val ranked = Seq(
+          (col("rev"), "r_rev"), (col("qty"), "r_qty"), (col("cnt"), "r_cnt"))
+          .foldLeft(m) { case (acc, (c, name)) =>
+            DenseId.withDenseId(acc, Seq(c.desc, col("sk")), name)
+          }
+        ranked
+          .crossJoin(broadcast(m.agg(count(lit(1)).as("n"))))
+          .select(col("sk").as("s_suppkey"),
+            (lit(3L) * col("n") - col("r_rev") - col("r_qty") - col("r_cnt"))
+              .as("borda_score"),
+            col("r_rev"), col("r_qty"), col("r_cnt"))
+          .orderBy(col("borda_score").desc, col("s_suppkey"))
+          .limit(15)
+      },
+      """WITH m AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS sk,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (
+        |  SELECT sk,
+        |    row_number() OVER (ORDER BY rev DESC, sk) AS r_rev,
+        |    row_number() OVER (ORDER BY qty DESC, sk) AS r_qty,
+        |    row_number() OVER (ORDER BY cnt DESC, sk) AS r_cnt,
+        |    (SELECT count(*) FROM m) AS n
+        |  FROM m)
+        |SELECT sk AS s_suppkey,
+        |  CAST(3*n - r_rev - r_qty - r_cnt AS BIGINT) AS borda_score,
+        |  CAST(r_rev AS BIGINT) AS r_rev, CAST(r_qty AS BIGINT) AS r_qty,
+        |  CAST(r_cnt AS BIGINT) AS r_cnt
+        |FROM ranked ORDER BY borda_score DESC, s_suppkey LIMIT 15""".stripMargin)
   )
 }

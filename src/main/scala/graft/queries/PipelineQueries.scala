@@ -6236,6 +6236,80 @@ object PipelineQueries {
          |  CAST(c_xy AS DOUBLE) / CAST(t.c AS DOUBLE) AS confidence
          |FROM ranked JOIN topx t ON t.tok = ranked.x
          |WHERE rn = 1
-         |ORDER BY x""".stripMargin)
+         |ORDER BY x""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Energy-gated VAD segmentation over the PCM16 audio corpus:
+    // Multimodal.audioFrameEnergies computes 64-sample frame energies
+    // INSIDE the decode kernel (payload bytes never shuffle — one clip
+    // row in, compact frame rows out), a frame is "voiced" iff its
+    // energy is strictly above the clip mean (energy·n_frames >
+    // total_energy, the cross-multiplied integer gate — no division,
+    // no threshold constant to tune per SF), and voiced runs group by
+    // the classic gaps-and-islands key (frame_idx − row_number, a
+    // per-clip window). Per clip: segment count, voiced frames,
+    // longest segment — the clip-level stats a speech-data curation
+    // stage filters on. The oracle restates every sample from the text
+    // (the audio_pcm_features recipe) — all integers, bit-exact.
+    "audio_vad_segments" -> QueryDef(
+      (s, dir) => {
+        val fr = Multimodal.audioFrameEnergies(
+          Multimodal.audioFrom(Tables.documents(s, dir)), frameSamples = 64)
+          .toDF()
+        val cl = fr.groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_frames"), sum(col("energy")).as("tot"))
+        val runs = fr.join(cl, Seq("media_id"))
+          .filter(col("energy") * col("n_frames") > col("tot"))
+          .withColumn("grp", col("frame_idx") - row_number().over(
+            Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))))
+          .groupBy(col("media_id"), col("grp"))
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy(col("media_id"))
+          .agg(count(lit(1)).as("n_segments"), sum(col("run_len")).as("voiced_frames"),
+            max(col("run_len")).as("longest_segment"))
+        Tables.documents(s, dir).select(col("doc_id").as("media_id"))
+          .join(cl.select(col("media_id"), col("n_frames")), Seq("media_id"), "left")
+          .join(runs, Seq("media_id"), "left")
+          .select(col("media_id"),
+            coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+            coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+            coalesce(col("voiced_frames"), lit(0L)).as("voiced_frames"),
+            coalesce(col("longest_segment"), lit(0L)).as("longest_segment"))
+          .orderBy(col("media_id"))
+      },
+      """WITH s AS (SELECT doc_id AS media_id,
+        |    list_transform(range(1, len(coalesce(text, '')) + 1),
+        |      i -> (unicode(text[i:i]) * 523) % 2048 - 1024) AS sm
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id, k AS frame_idx,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CASE WHEN (k-1)*64 + j <= len(sm)
+        |                THEN sm[(k-1)*64 + j] * sm[(k-1)*64 + j] ELSE 0 END)) AS BIGINT) AS energy
+        |  FROM (SELECT media_id, sm, unnest(range(1, (len(sm) + 63) // 64 + 1)) AS k FROM s)
+        |  WHERE len(sm) > 0),
+        |cl AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |         CAST(sum(energy) AS BIGINT) AS tot FROM fr GROUP BY 1),
+        |voiced AS (
+        |  SELECT fr.media_id, fr.frame_idx,
+        |    fr.frame_idx - row_number() OVER (PARTITION BY fr.media_id ORDER BY fr.frame_idx) AS grp
+        |  FROM fr JOIN cl ON cl.media_id = fr.media_id
+        |  WHERE fr.energy * cl.n_frames > cl.tot),
+        |runs AS (
+        |  SELECT media_id, grp, CAST(count(*) AS BIGINT) AS run_len
+        |  FROM voiced GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT media_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |    CAST(sum(run_len) AS BIGINT) AS voiced_frames,
+        |    CAST(max(run_len) AS BIGINT) AS longest_segment
+        |  FROM runs GROUP BY 1)
+        |SELECT d.doc_id AS media_id,
+        |  coalesce(cl.n_frames, 0) AS n_frames,
+        |  coalesce(seg.n_segments, 0) AS n_segments,
+        |  coalesce(seg.voiced_frames, 0) AS voiced_frames,
+        |  coalesce(seg.longest_segment, 0) AS longest_segment
+        |FROM documents d LEFT JOIN cl ON cl.media_id = d.doc_id
+        |LEFT JOIN seg ON seg.media_id = d.doc_id
+        |ORDER BY media_id""".stripMargin)
   )
 }

@@ -1284,7 +1284,137 @@ object QualityDriftQueries {
         |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS rho2,
         |  1.0 - CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
         |    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) AS var_ratio
-        |FROM m ORDER BY seg""".stripMargin)
+        |FROM m ORDER BY seg""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // ROUGE-1/ROUGE-2 recall (Lin 2004, "ROUGE: a package for automatic
+    // evaluation of summaries" — public literature) between each
+    // document and the NEXT document of its source (cand = ref + 20 in
+    // the doc_id-mod-20 source layout): clipped n-gram overlap =
+    // Σ_g min(count_cand(g), count_ref(g)) over the ref's n-grams —
+    // multiset semantics, all integer counts, recall is the single
+    // division. Tokens split on the explicit [\t\n\f\r ] class (the
+    // \s-semantics divergence guard); bigrams pair adjacent positions
+    // via a per-document window. Everything is keyed by (doc, gram) —
+    // the candidate join is an equi-join on (cand_id, gram), no
+    // all-pairs stage.
+    "rouge_recall_pairs" -> QueryDef(
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"), posexplode(expr(
+            "filter(split(coalesce(text, ''), '[\\t\\n\\f\\r ]+'), x -> x <> '')"))
+            .as(Seq("pos", "tok")))
+        val uni = toks.groupBy(col("doc_id"), col("tok"))
+          .agg(count(lit(1)).as("c"))
+        val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        val big = toks
+          .withColumn("nxt", lead(col("tok"), 1).over(wd))
+          .filter(col("nxt").isNotNull)
+          .groupBy(col("doc_id"), concat(col("tok"), lit(" "), col("nxt")).as("bg"))
+          .agg(count(lit(1)).as("c"))
+        val pairs = Tables.documents(s, dir).select(col("doc_id").as("ref_id"))
+          .join(Tables.documents(s, dir).select(col("doc_id").as("cand_id")),
+            col("cand_id") === col("ref_id") + 20)
+        def overlap(grams: org.apache.spark.sql.DataFrame, gcol: String,
+            refAlias: String, ovAlias: String) =
+          pairs
+            .join(grams.select(col("doc_id").as("ref_id"), col(gcol), col("c").as("rc")),
+              Seq("ref_id"))
+            .join(grams.select(col("doc_id").as("cand_id"), col(gcol), col("c").as("cc")),
+              Seq("cand_id", gcol), "left")
+            .groupBy(col("ref_id"))
+            .agg(sum(col("rc")).as(refAlias),
+              sum(least(col("rc"), coalesce(col("cc"), lit(0L)))).as(ovAlias))
+        overlap(uni, "tok", "ref_uni", "ov_uni")
+          .join(overlap(big, "bg", "ref_big", "ov_big"), Seq("ref_id"))
+          .select(col("ref_id"), (col("ref_id") + 20).as("cand_id"),
+            col("ref_uni"), col("ov_uni"),
+            (col("ov_uni").cast("double") / col("ref_uni").cast("double")).as("rouge1_recall"),
+            col("ref_big"), col("ov_big"),
+            (col("ov_big").cast("double") / col("ref_big").cast("double")).as("rouge2_recall"))
+          .orderBy(col("ref_id"))
+      },
+      """WITH lists AS (
+        |  SELECT doc_id, list_filter(string_split_regex(coalesce(text,''), '[\t\n\f\r ]+'), x -> x <> '') AS ts
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, ts[i] AS tok, i AS pos
+        |  FROM lists, unnest(range(1, len(ts) + 1)) AS r(i)),
+        |uni AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |big AS (
+        |  SELECT a.doc_id, a.tok || ' ' || b.tok AS bg, count(*) AS c
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT d1.doc_id AS ref_id, d2.doc_id AS cand_id
+        |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 20),
+        |o1 AS (
+        |  SELECT p.ref_id, CAST(sum(r.c) AS BIGINT) AS ref_uni,
+        |         CAST(sum(least(r.c, coalesce(c.c, 0))) AS BIGINT) AS ov_uni
+        |  FROM pairs p JOIN uni r ON r.doc_id = p.ref_id
+        |  LEFT JOIN uni c ON c.doc_id = p.cand_id AND c.tok = r.tok
+        |  GROUP BY 1),
+        |o2 AS (
+        |  SELECT p.ref_id, CAST(sum(r.c) AS BIGINT) AS ref_big,
+        |         CAST(sum(least(r.c, coalesce(c.c, 0))) AS BIGINT) AS ov_big
+        |  FROM pairs p JOIN big r ON r.doc_id = p.ref_id
+        |  LEFT JOIN big c ON c.doc_id = p.cand_id AND c.bg = r.bg
+        |  GROUP BY 1)
+        |SELECT o1.ref_id, o1.ref_id + 20 AS cand_id, o1.ref_uni, o1.ov_uni,
+        |  CAST(o1.ov_uni AS DOUBLE) / CAST(o1.ref_uni AS DOUBLE) AS rouge1_recall,
+        |  o2.ref_big, o2.ov_big,
+        |  CAST(o2.ov_big AS DOUBLE) / CAST(o2.ref_big AS DOUBLE) AS rouge2_recall
+        |FROM o1 JOIN o2 ON o2.ref_id = o1.ref_id
+        |ORDER BY o1.ref_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Krippendorff's alpha, nominal data (Krippendorff 1970/2004 —
+    // public literature), over three deterministic binary "annotators"
+    // of document quality (length ≥ 250 chars; ≥ 3 sentence periods;
+    // ≥ 40 whitespace tokens — the weak-label recipe). With every unit
+    // rated by all m = 3 coders, observed disagreement reduces to
+    // Σ_u n1ᵤ·n0ᵤ and expected disagreement to the pooled-margin pair
+    // count, so α = 1 − Do/De is exact integer arithmetic until ONE
+    // final division (both products stay far below 2⁵³ at any SF —
+    // documented bound: n ≤ 5·10⁴ docs ⇒ numerator ≤ 2.3·10¹⁵).
+    "krippendorff_alpha_labels" -> QueryDef(
+      (s, dir) => {
+        val votes = Tables.documents(s, dir).select(
+          when(col("n_chars") >= 250, 1L).otherwise(0L).as("a1"),
+          when(length(coalesce(col("text"), lit(""))) -
+            length(expr("replace(coalesce(text, ''), '.', '')")) >= 3, 1L)
+            .otherwise(0L).as("a2"),
+          when(size(expr(
+            "filter(split(coalesce(text, ''), '[\\t\\n\\f\\r ]+'), x -> x <> '')")) >= 40, 1L)
+            .otherwise(0L).as("a3"))
+        votes
+          .select((col("a1") + col("a2") + col("a3")).as("n1"),
+            (lit(3L) - col("a1") - col("a2") - col("a3")).as("n0"))
+          .agg(count(lit(1)).as("n_units"), sum(col("n1")).as("tot1"),
+            sum(col("n0")).as("tot0"),
+            sum(col("n1") * col("n0")).as("do_scaled"))
+          .select(col("n_units"), col("tot1"), col("tot0"), col("do_scaled"),
+            (lit(1.0) - (col("do_scaled") * (lit(3L) * col("n_units") *
+              (lit(3L) * col("n_units") - 1))).cast("double") /
+              (lit(3L) * col("n_units") * 2 * col("tot1") * col("tot0"))
+                .cast("double")).as("alpha"))
+      },
+      """WITH votes AS (
+        |  SELECT
+        |    CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END AS a1,
+        |    CASE WHEN length(coalesce(text,'')) - length(replace(coalesce(text,''), '.', '')) >= 3 THEN 1 ELSE 0 END AS a2,
+        |    CASE WHEN len(list_filter(string_split_regex(coalesce(text,''), '[\t\n\f\r ]+'), x -> x <> '')) >= 40 THEN 1 ELSE 0 END AS a3
+        |  FROM documents),
+        |unit AS (
+        |  SELECT CAST(a1 + a2 + a3 AS BIGINT) AS n1, CAST(3 - a1 - a2 - a3 AS BIGINT) AS n0 FROM votes),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_units,
+        |         CAST(sum(n1) AS BIGINT) AS tot1, CAST(sum(n0) AS BIGINT) AS tot0,
+        |         CAST(sum(n1 * n0) AS BIGINT) AS do_scaled
+        |  FROM unit)
+        |SELECT n_units, tot1, tot0, do_scaled,
+        |  1 - CAST(do_scaled * (3*n_units*(3*n_units - 1)) AS DOUBLE)
+        |      / CAST(3*n_units * 2 * tot1 * tot0 AS DOUBLE) AS alpha
+        |FROM agg""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

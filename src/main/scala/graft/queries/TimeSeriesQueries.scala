@@ -1019,6 +1019,105 @@ object TimeSeriesQueries {
         |  FROM j)
         |SELECT n_pairs, n_plus, n_minus, n_ties,
         |  CAST(least(n_plus, n_minus) AS BIGINT) AS sign_stat
-        |FROM c""".stripMargin)
+        |FROM c""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // SAX motif discovery (Lin et al. 2003, "A symbolic representation
+    // of time series" — public literature) over the daily order-count
+    // series: rank-quartile symbols (the empirical-quantile variant —
+    // ntile over the deterministic (count, day) total order, so no
+    // Gaussian breakpoints/transcendentals), 4-day sliding words via
+    // lead(), and motifs = words recurring ≥ 2×. Global windows run on
+    // the DAY grain — calendar-bounded (≤ 2,406 rows at any SF), the
+    // documented bounded-window exception; everything upstream is one
+    // keyed date aggregation. All integers and strings — bit-exact.
+    "sax_motifs_daily" -> QueryDef(
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(col("o_orderdate").cast("date").as("d"))
+          .agg(count(lit(1)).as("c"))
+        val sym = daily
+          .withColumn("q", ntile(4).over(Window.orderBy(col("c"), col("d"))))
+          .withColumn("sym", expr("char(96 + q)"))
+        val wd = Window.orderBy(col("d"))
+        sym
+          .withColumn("w", concat(col("sym"),
+            lead(col("sym"), 1).over(wd),
+            lead(col("sym"), 2).over(wd),
+            lead(col("sym"), 3).over(wd)))
+          .filter(col("w").isNotNull && length(col("w")) === 4)
+          .groupBy(col("w").as("word"))
+          .agg(count(lit(1)).as("occurrences"),
+            min(col("d")).as("first_day"))
+          .filter(col("occurrences") >= 2)
+          .orderBy(col("occurrences").desc, col("word"))
+      },
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |sym AS (
+        |  SELECT d, chr(CAST(96 + ntile(4) OVER (ORDER BY c, d) AS INT)) AS sym,
+        |         row_number() OVER (ORDER BY d) AS rn
+        |  FROM daily),
+        |words AS (
+        |  SELECT s1.d AS start_day, s1.sym || s2.sym || s3.sym || s4.sym AS word
+        |  FROM sym s1 JOIN sym s2 ON s2.rn = s1.rn + 1
+        |  JOIN sym s3 ON s3.rn = s1.rn + 2
+        |  JOIN sym s4 ON s4.rn = s1.rn + 3)
+        |SELECT word, CAST(count(*) AS BIGINT) AS occurrences,
+        |  CAST(min(start_day) AS DATE) AS first_day
+        |FROM words GROUP BY 1 HAVING count(*) >= 2
+        |ORDER BY occurrences DESC, word""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Holt double exponential smoothing (level + trend) with
+    // α = β = 1/2 over the monthly order-count series — the
+    // transcendental-free Holt member (general α/β need pow): every
+    // update is +,− and a halving in IDENTICAL textual order on both
+    // sides, so the recurrence is bit-exact IEEE on both engines.
+    // l_t = (y_t + (l + b))/2;  b_t = ((l_t − l) + b)/2;  l₁ = y₁,
+    // b₁ = 0. The month grain is calendar-bounded (≤ 84 rows at any
+    // SF), so the fold is the exp_smoothing_orders in-expression
+    // aggregate over the sorted month list; the oracle is the same
+    // chain as a recursive CTE.
+    "holt_linear_monthly" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.orders(s, dir)
+          .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast("long").as("ym"))
+          .agg(count(lit(1)).cast("double").as("y"))
+        m.agg(sort_array(collect_list(struct(col("ym"), col("y")))).as("xs"))
+          .select(explode(expr(
+            """slice(aggregate(xs,
+              |  array(named_struct('ym', CAST(0 AS BIGINT), 'y', CAST(0.0 AS DOUBLE),
+              |    'l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE))),
+              |  (acc, e) -> concat(acc, array(named_struct('ym', e.ym, 'y', e.y,
+              |    'l', CASE WHEN size(acc) = 1 THEN e.y
+              |              ELSE (e.y + (element_at(acc, -1).l + element_at(acc, -1).b)) / 2 END,
+              |    'b', CASE WHEN size(acc) = 1 THEN CAST(0.0 AS DOUBLE)
+              |              ELSE (((e.y + (element_at(acc, -1).l + element_at(acc, -1).b)) / 2
+              |                     - element_at(acc, -1).l) + element_at(acc, -1).b) / 2 END)))),
+              |  2, 100000)""".stripMargin)).as("r"))
+          .select(col("r.ym").as("ym"), col("r.y").as("y"),
+            col("r.l").as("level"), col("r.b").as("trend"),
+            (col("r.l") + col("r.b")).as("forecast_1"))
+          .orderBy(col("ym"))
+      },
+      """WITH m AS (
+        |  SELECT CAST(year(o_orderdate)*100 + month(o_orderdate) AS BIGINT) AS ym,
+        |         CAST(count(*) AS DOUBLE) AS y
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT ym, y, row_number() OVER (ORDER BY ym) AS rn FROM m),
+        |rec AS (
+        |  WITH RECURSIVE h(rn, ym, y, l, b) AS (
+        |    SELECT rn, ym, y, y, CAST(0.0 AS DOUBLE) FROM r WHERE rn = 1
+        |    UNION ALL
+        |    SELECT r.rn, r.ym, r.y,
+        |           (r.y + (h.l + h.b)) / 2,
+        |           (((r.y + (h.l + h.b)) / 2 - h.l) + h.b) / 2
+        |    FROM h JOIN r ON r.rn = h.rn + 1)
+        |  SELECT * FROM h)
+        |SELECT ym, y, l AS level, b AS trend, l + b AS forecast_1
+        |FROM rec ORDER BY ym""".stripMargin)
   )
 }

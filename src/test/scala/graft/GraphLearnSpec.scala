@@ -236,4 +236,52 @@ class GraphLearnSpec extends SparkSuite {
       GraphOps.scc(e, maxPeels = 1, maxRounds = 20).collect()
     }
   }
+
+  // ------------------------------------------------------------ Luby MIS
+
+  private def symmetrize(pairs: Seq[(Long, Long)]) = {
+    val d = pairs.toDF("u", "v")
+    d.unionByName(d.select($"v".as("u"), $"u".as("v")))
+  }
+
+  test("lubyMis returns a maximal independent set (path graph)") {
+    // path 1-2-3-4-5-6: any MIS has no adjacent pair and every
+    // non-member has a member neighbor
+    val edges = symmetrize(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L)))
+    val mis = GraphOps.lubyMis(edges, maxRounds = 10)
+      .select($"node").as[Long].collect().toSet
+    val adj = Map(1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L, 4L),
+      4L -> Set(3L, 5L), 5L -> Set(4L, 6L), 6L -> Set(5L))
+    assert(mis.nonEmpty)
+    // independence: no edge inside the set
+    for (n <- mis) assert(adj(n).intersect(mis).isEmpty, s"$n has a neighbor in the MIS")
+    // maximality: every outsider is dominated
+    for (n <- adj.keySet -- mis)
+      assert(adj(n).intersect(mis).nonEmpty, s"$n could be added — not maximal")
+  }
+
+  test("lubyMis on a star: either the hub alone or all leaves") {
+    val edges = symmetrize((2L to 8L).map(l => (1L, l)))
+    val mis = GraphOps.lubyMis(edges, maxRounds = 10)
+      .select($"node").as[Long].collect().toSet
+    assert(mis == Set(1L) || mis == (2L to 8L).toSet)
+  }
+
+  test("lubyMis throws when the round budget is too small") {
+    // a triangle needs at least one full round; budget honored, and an
+    // impossible budget on a larger random-ish graph must throw rather
+    // than return a partial set
+    val edges = symmetrize(for {
+      i <- 1L to 30L; j <- (i + 1) to 30L
+      if (i * 31 + j) % 7 == 0
+    } yield (i, j))
+    val full = GraphOps.lubyMis(edges, maxRounds = 10)
+    assert(full.count() > 0)
+    // rounds=... find actual rounds used, then starve by one if > 1
+    val used = full.agg(max($"round")).as[Int].head()
+    if (used > 1)
+      assertThrows[IllegalArgumentException] {
+        GraphOps.lubyMis(edges, maxRounds = used - 1).collect()
+      }
+  }
 }

@@ -198,4 +198,23 @@ class MultimodalSpec extends SparkSuite {
       assert(sigs(id).sig.toSeq == expect, s"container $id decodes to caption bytes")
     }
   }
+
+  test("audioFrameEnergies: per-frame Σs², partial last frame, empty clip") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcde"), (2L, "")).toDF("doc_id", "text")
+    def sample(cp: Int) = (cp * 523) % 2048 - 1024
+    val fr = Multimodal
+      .audioFrameEnergies(Multimodal.audioFrom(docs), frameSamples = 2)
+      .collect().groupBy(_.media_id)
+    val s = "abcde".map(c => sample(c.toInt).toLong)
+    // frames of 2 samples: [a,b], [c,d], [e] (partial — zero padding)
+    assert(fr(1L).sortBy(_.frame_idx).map(f => (f.frame_idx, f.energy)).toSeq ==
+      Seq((1L, s(0) * s(0) + s(1) * s(1)), (2L, s(2) * s(2) + s(3) * s(3)),
+        (3L, s(4) * s(4))))
+    assert(!fr.contains(2L), "empty clip emits no frames")
+    // frame energies partition the clip total exactly
+    val tot = Multimodal.audioFeatures(Multimodal.audioFrom(docs))
+      .collect().find(_.media_id == 1L).get.total_energy
+    assert(fr(1L).map(_.energy).sum == tot)
+  }
 }

@@ -106,7 +106,9 @@ class PlanAuditSpec extends SparkSuite {
     "ann_matryoshka_recall", // same prefix-stage probe-set broadcast + the exact-truth brute scan
     "ann_rq_topk", // compressed-domain brute scan: broadcast probe ADC tables into the codes scan (the ann_pq_fixed shape)
     "ransac_rate_trend", // 8 candidate lines cross the bounded ≤366-row day frame — the scoring product IS the statistic
-    "rtbf_purge_audit") // five 1-row audit counts meet in broadcast cross joins (J9 shape)
+    "rtbf_purge_audit", // five 1-row audit counts meet in broadcast cross joins (J9 shape)
+    "borda_fusion_suppliers", // ranker universe size N as a broadcast 1-row aggregate (J9 shape)
+    "t_closeness_audit") // global row count N as a broadcast 1-row aggregate (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
