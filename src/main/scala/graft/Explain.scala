@@ -294,7 +294,15 @@ object Explain {
     "rtbf_ann_lake_purge" ->
       "RTBF purge on the IVF vector lake: same lifecycle on the uncompressed-vector tier — the post-compact probe scans the purged lists/ parquet with the ann_ivf_lake_topk plan shape verbatim (broadcast centroid fan, ids+vectors equi-join on list_id, bounded-heap top-k); pre-compact probes would add one broadcast anti-join against the tombstone scan.",
     "mef_star_append_fold" ->
-      "Three loads + a re-delivered batch deep: the final YTD plan reads the fact as build-fact ∪ delta₁ ∪ delta₂ ∪ delta₃(empty — the no-op re-delivery appended an empty checkpointed delta, costing one union node, no rewrite). Per-load internals (batch grain shuffle, 7 concurrent dim-delta anti-joins, fresh-fact anti-join) are lineage-truncated behind the checkpointed scans; at fixture scale the fold's cost is the fixed ~9-job floor per load (SCALE.md §Incremental loads).")
+      "Three loads + a re-delivered batch deep: the final YTD plan reads the fact as build-fact ∪ delta₁ ∪ delta₂ ∪ delta₃(empty — the no-op re-delivery appended an empty checkpointed delta, costing one union node, no rewrite). Per-load internals (batch grain shuffle, 7 concurrent dim-delta anti-joins, fresh-fact anti-join) are lineage-truncated behind the checkpointed scans; at fixture scale the fold's cost is the fixed ~9-job floor per load (SCALE.md §Incremental loads).",
+    "borda_fusion_suppliers" ->
+      "Three DenseId rank assignments (range-partition + per-partition offsets — row_number with NO single-partition window) over the one supplier aggregate; N arrives as a broadcast 1-row cross join; final top-15 is TakeOrderedAndProject.",
+    "histogram_selectivity_eval" ->
+      "Equi-depth histogram via ExactNtile (distributed rank, broadcast 1-row N); the 16-row bounds frame and 3-row probe workload meet in bounded broadcast products; the exact-truth leg is the 3-probe broadcast filter over the value scan — the zone_map_pruning audit shape.",
+    "rouge_recall_pairs" ->
+      "Clipped n-gram overlap as (doc, gram)-keyed equi-joins: grams aggregate per document once, the ref→cand candidate join is an equi-join on (cand_id, gram) — no all-pairs stage; bigrams pair adjacent positions in a per-document window.",
+    "audio_vad_segments" ->
+      "Frame energies computed INSIDE the PCM decode kernel (payload bytes never shuffle — one clip row in, compact frame rows out); the voiced gate is an integer cross-multiply against the clip-mean join; runs group per-clip (gaps-and-islands window partitioned by media_id).")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
@@ -407,6 +415,48 @@ object Explain {
             Tables.embeddings(s, dir), "vec_id", "embedding", k = 5,
             queries.IvfArtifacts.centroids(s, dir), nprobe = 8)
           operators.KnnGraph.mutualEdges(knn)
+        }),
+      ("luby_mis_trade — round 1 winners (GraphOps.lubyMis body)",
+        "One Luby round on the checkpointed symmetric edge frame: losers = edges whose ACTIVE neighbor beats them on the fresh per-round (md5, id) strict order — one equi-join on v + a map-side priority compare — and winners = active ∖ losers via one anti-join. Loop invariant: winners and the shrinking active set checkpoint per round (each feeds ≥2 consumers: the output union, the neighborhood-retire join, the convergence probe); fresh per-round priorities give O(log n) expected rounds and non-convergence throws.",
+        s => {
+          val b = Tables.lineitem(s, dir)
+            .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+            .select((col("l_suppkey") * 2).cast("long").as("u"),
+              (col("o_custkey") * 2 + 1).cast("long").as("v"))
+            .distinct()
+          val e = b.unionByName(b.select(col("v").as("u"), col("u").as("v")))
+            .localCheckpoint()
+          val active = e.select(col("u").as("n")).distinct().localCheckpoint()
+          def pri(id: org.apache.spark.sql.Column) =
+            md5(concat(lit("mis"), lit("1"), lit("_"), id.cast("string")))
+          val losers = e
+            .join(active.select(col("n").as("__av")), col("v") === col("__av"))
+            .filter(pri(col("v")) < pri(col("u")) ||
+              (pri(col("v")) === pri(col("u")) && col("v") < col("u")))
+            .select(col("u").as("n")).distinct()
+          active.join(losers, Seq("n"), "left_anti")
+        }),
+      ("greedy_matching_trade — round 1 winners (GraphOps.greedyMatching body)",
+        "One matching round on the checkpointed live-edge frame: per-node min priority key is ONE union + ONE agg (the linear formulation — the per-edge NOT-EXISTS neighbor scan is quadratic), winners are two equi-joins back on u and v. Loop invariant: the globally minimal live edge always wins, so every round makes progress; live re-derives from the shrinking active set per round and checkpoints (it feeds the probe, the agg, and the winner join).",
+        s => {
+          val live = Tables.lineitem(s, dir)
+            .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+            .select((col("l_suppkey") * 2).cast("long").as("u"),
+              (col("o_custkey") * 2 + 1).cast("long").as("v"))
+            .distinct()
+            .withColumn("pk", concat(
+              md5(concat(lit("match"), lit("1"), lit("_"),
+                col("u").cast("string"), lit("_"), col("v").cast("string"))),
+              lit(":"), col("u").cast("string"), lit(":"), col("v").cast("string")))
+            .localCheckpoint()
+          val nodeMin = live.select(col("u").as("n"), col("pk"))
+            .unionByName(live.select(col("v").as("n"), col("pk")))
+            .groupBy(col("n")).agg(min(col("pk")).as("mp"))
+          live
+            .join(nodeMin.select(col("n").as("u"), col("mp").as("__mu")), Seq("u"))
+            .join(nodeMin.select(col("n").as("v"), col("mp").as("__mv")), Seq("v"))
+            .filter(col("pk") === col("__mu") && col("pk") === col("__mv"))
+            .select(col("u"), col("v"))
         }))
   }
 

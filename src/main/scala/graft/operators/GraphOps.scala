@@ -291,4 +291,63 @@ object GraphOps {
     out.fold(e.select(lit(0).as("round"), col("u").as("node")).limit(0))(
       _.select(col("round"), col("n").as("node")))
   }
+
+  /** Greedy maximal matching by parallel local minima (Israeli & Itai
+    * 1986, "A fast and simple randomized parallel algorithm for
+    * maximal matching" — public literature) over an edge frame of
+    * UNIQUE undirected pairs (u, v). Per round, every edge between
+    * two still-unmatched nodes draws a fresh deterministic priority
+    * key md5("match" + round + "_" + u + "_" + v) ++ ":u:v" (globally
+    * unique, so a strict total order); an edge enters the matching
+    * iff its key is the minimum among live edges at BOTH endpoints —
+    * two per-node min aggregations + two equi-joins, conflict-free by
+    * construction, and the globally minimal live edge always wins so
+    * every round makes progress. Matched endpoints retire; the
+    * matching is maximal exactly when no live edge remains, and
+    * exhausting `maxRounds` before that THROWS (the lubyMis contract).
+    * Returns (round, u, v) matched edges.
+    */
+  def greedyMatching(edges: DataFrame, maxRounds: Int): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be positive")
+    val e0 = edges.select(col("u"), col("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var act = e0.select(col("u").as("n"))
+      .unionByName(e0.select(col("v").as("n"))).distinct().localCheckpoint()
+    var out: Option[DataFrame] = None
+    // live = edges whose BOTH endpoints are still unmatched; feeds the
+    // emptiness probe, the node-min agg, and the winner join
+    def liveEdges(a: DataFrame, rr: Int): DataFrame = e0
+      .join(a.select(col("n").as("__a1")), col("u") === col("__a1")).drop("__a1")
+      .join(a.select(col("n").as("__a2")), col("v") === col("__a2")).drop("__a2")
+      .withColumn("pk", concat(
+        md5(concat(lit("match"), lit(rr.toString), lit("_"),
+          col("u").cast("string"), lit("_"), col("v").cast("string"))),
+        lit(":"), col("u").cast("string"), lit(":"), col("v").cast("string")))
+      .localCheckpoint()
+    var r = 1
+    var live = liveEdges(act, r)
+    var done = live.isEmpty
+    while (r <= maxRounds && !done) {
+      val nodeMin = live.select(col("u").as("n"), col("pk"))
+        .unionByName(live.select(col("v").as("n"), col("pk")))
+        .groupBy(col("n")).agg(min(col("pk")).as("mp"))
+      val w = live
+        .join(nodeMin.select(col("n").as("u"), col("mp").as("__mu")), Seq("u"))
+        .join(nodeMin.select(col("n").as("v"), col("mp").as("__mv")), Seq("v"))
+        .filter(col("pk") === col("__mu") && col("pk") === col("__mv"))
+        .select(col("u"), col("v"))
+        .localCheckpoint() // feeds the output union AND the retire join
+      val matchedNodes = w.select(col("u").as("n"))
+        .unionByName(w.select(col("v").as("n")))
+      act = act.join(matchedNodes, Seq("n"), "left_anti").localCheckpoint()
+      out = Some(out.fold(w.withColumn("round", lit(r)))(
+        _.unionByName(w.withColumn("round", lit(r)))))
+      r += 1
+      live = liveEdges(act, r)
+      done = live.isEmpty
+    }
+    require(done, s"greedyMatching did not converge within $maxRounds rounds")
+    out.fold(e0.select(lit(0).as("round"), col("u"), col("v")).limit(0))(
+      _.select(col("round"), col("u"), col("v")))
+  }
 }

@@ -2399,6 +2399,64 @@ object GraphLearnQueries {
            |  CAST(id_sum AS BIGINT) AS id_sum
            |FROM ($unions)
            |WHERE n_winners > 0 ORDER BY round""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Greedy maximal matching by parallel local minima (Israeli & Itai
+    // 1986 — GraphOps.greedyMatching) over the unique supplier↔customer
+    // trade pairs: per round an edge matches iff its fresh md5 priority
+    // key is minimal at BOTH endpoints (two per-node min aggregations —
+    // the linear formulation; the per-edge NOT-EXISTS neighbor scan is
+    // quadratic and measured 100× slower in the oracle). The fixture
+    // matches every supplier in 2 rounds; budget 5, non-convergence
+    // throws. The oracle unrolls the budget and relies on fixed-point
+    // idempotence (the luby_mis_trade recipe). Output: per-round
+    // matched-edge census.
+    "greedy_matching_trade" -> QueryDef(
+      (s, dir) => {
+        val b = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .select((col("l_suppkey") * 2).cast("long").as("u"),
+            (col("o_custkey") * 2 + 1).cast("long").as("v"))
+          .distinct()
+        GraphOps.greedyMatching(b, maxRounds = 5)
+          .groupBy(col("round"))
+          .agg(count(lit(1)).as("n_matched"),
+            sum(col("u")).as("u_sum"), sum(col("v")).as("v_sum"))
+          .orderBy(col("round"))
+      }, {
+        val pk = (u: String, v: String, r: Int) =>
+          s"md5('match${r}_' || CAST($u AS VARCHAR) || '_' || CAST($v AS VARCHAR))" +
+            s" || ':' || CAST($u AS VARCHAR) || ':' || CAST($v AS VARCHAR)"
+        val rounds = (1 to 5).map { r =>
+          s""",
+             |l$r AS MATERIALIZED (
+             |  SELECT e.u, e.v, ${pk("e.u", "e.v", r)} AS pk
+             |  FROM e JOIN a${r - 1} x ON x.n = e.u JOIN a${r - 1} y ON y.n = e.v),
+             |nm$r AS MATERIALIZED (
+             |  SELECT n, min(pk) AS mp FROM (
+             |    SELECT u AS n, pk FROM l$r UNION ALL SELECT v AS n, pk FROM l$r)
+             |  GROUP BY 1),
+             |w$r AS MATERIALIZED (
+             |  SELECT l.u, l.v FROM l$r l
+             |  JOIN nm$r mu ON mu.n = l.u AND mu.mp = l.pk
+             |  JOIN nm$r mv ON mv.n = l.v AND mv.mp = l.pk),
+             |a$r AS MATERIALIZED (
+             |  SELECT n FROM a${r - 1} WHERE n NOT IN (SELECT u FROM w$r)
+             |    AND n NOT IN (SELECT v FROM w$r))""".stripMargin
+        }.mkString
+        val unions = (1 to 5).map { r =>
+          s"SELECT $r AS round, count(*) AS n_matched, sum(u) AS u_sum, sum(v) AS v_sum FROM w$r"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT DISTINCT CAST(2*l.l_suppkey AS BIGINT) AS u,
+           |    CAST(2*o.o_custkey + 1 AS BIGINT) AS v
+           |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+           |a0 AS MATERIALIZED (SELECT u AS n FROM e UNION SELECT v AS n FROM e)$rounds
+           |SELECT CAST(round AS INT) AS round, CAST(n_matched AS BIGINT) AS n_matched,
+           |  CAST(u_sum AS BIGINT) AS u_sum, CAST(v_sum AS BIGINT) AS v_sum
+           |FROM ($unions)
+           |WHERE n_matched > 0 ORDER BY round""".stripMargin
       })
   )
 

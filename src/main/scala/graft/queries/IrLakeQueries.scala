@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.Md5Hash
-import graft.operators.DenseId
+import graft.operators.{DenseId, ExactNtile}
 
 /** Lakehouse/IR infrastructure operators, oracle-verified: marketing
   * attribution over the event stream (the last-touch carry-forward
@@ -1006,6 +1006,146 @@ object IrLakeQueries {
         |  CAST(3*n - r_rev - r_qty - r_cnt AS BIGINT) AS borda_score,
         |  CAST(r_rev AS BIGINT) AS r_rev, CAST(r_qty AS BIGINT) AS r_qty,
         |  CAST(r_cnt AS BIGINT) AS r_cnt
-        |FROM ranked ORDER BY borda_score DESC, s_suppkey LIMIT 15""".stripMargin)
+        |FROM ranked ORDER BY borda_score DESC, s_suppkey LIMIT 15""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Copeland pairwise rank aggregation (Copeland 1951 — public
+    // literature) over the same three supplier rankers: among the
+    // Borda top-12, candidate a beats b if it outranks b in ≥ 2 of the
+    // 3 rankers; the Copeland score is wins − losses. The duel product
+    // is the bounded 12×11 top-candidate square (a deliberate
+    // broadcast product — at any SF the duel set is the top-k, never
+    // the universe); ranks come from the same DenseId distributed
+    // numbering as borda_fusion_suppliers. All integers.
+    "copeland_duel_suppliers" -> QueryDef(
+      (s, dir) => {
+        val m = Tables.lineitem(s, dir)
+          .groupBy(col("l_suppkey").cast("long").as("sk"))
+          .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"),
+            sum(col("l_quantity").cast("long")).as("qty"),
+            count(lit(1)).as("cnt"))
+        val ranked = Seq(
+          (col("rev"), "r_rev"), (col("qty"), "r_qty"), (col("cnt"), "r_cnt"))
+          .foldLeft(m) { case (acc, (c, name)) =>
+            DenseId.withDenseId(acc, Seq(c.desc, col("sk")), name)
+          }
+        val top = ranked
+          .crossJoin(broadcast(m.agg(count(lit(1)).as("n"))))
+          .orderBy((lit(3L) * col("n") - col("r_rev") - col("r_qty") - col("r_cnt")).desc,
+            col("sk"))
+          .limit(12)
+          .select(col("sk"), col("r_rev"), col("r_qty"), col("r_cnt"))
+        val duels = top.select(col("sk").as("sa"), col("r_rev").as("ar"),
+            col("r_qty").as("aq"), col("r_cnt").as("ac"))
+          .join(broadcast(top.select(col("sk").as("sb"), col("r_rev").as("br"),
+            col("r_qty").as("bq"), col("r_cnt").as("bc"))),
+            col("sa") =!= col("sb"))
+          .select(col("sa"),
+            (when(col("ar") < col("br"), 1L).otherwise(0L) +
+              when(col("aq") < col("bq"), 1L).otherwise(0L) +
+              when(col("ac") < col("bc"), 1L).otherwise(0L)).as("wins_a"))
+        duels.groupBy(col("sa").as("s_suppkey"))
+          .agg(sum(when(col("wins_a") >= 2, 1L).otherwise(0L)).as("copeland_wins"),
+            sum(when(col("wins_a") <= 1, 1L).otherwise(0L)).as("copeland_losses"),
+            (sum(when(col("wins_a") >= 2, 1L).otherwise(0L)) -
+              sum(when(col("wins_a") <= 1, 1L).otherwise(0L))).as("copeland_score"))
+          .orderBy(col("copeland_score").desc, col("s_suppkey"))
+      },
+      """WITH m AS (
+        |  SELECT CAST(l_suppkey AS BIGINT) AS sk,
+        |    sum(l_extendedprice * (1 - l_discount)) AS rev,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |ranked AS (
+        |  SELECT sk,
+        |    row_number() OVER (ORDER BY rev DESC, sk) AS r_rev,
+        |    row_number() OVER (ORDER BY qty DESC, sk) AS r_qty,
+        |    row_number() OVER (ORDER BY cnt DESC, sk) AS r_cnt,
+        |    (SELECT count(*) FROM m) AS n
+        |  FROM m),
+        |top AS (
+        |  SELECT sk, r_rev, r_qty, r_cnt FROM ranked
+        |  ORDER BY 3*n - r_rev - r_qty - r_cnt DESC, sk LIMIT 12),
+        |duels AS (
+        |  SELECT a.sk AS sa,
+        |    (CASE WHEN a.r_rev < b.r_rev THEN 1 ELSE 0 END +
+        |     CASE WHEN a.r_qty < b.r_qty THEN 1 ELSE 0 END +
+        |     CASE WHEN a.r_cnt < b.r_cnt THEN 1 ELSE 0 END) AS wins_a
+        |  FROM top a JOIN top b ON a.sk <> b.sk)
+        |SELECT sa AS s_suppkey,
+        |  CAST(sum(CASE WHEN wins_a >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS copeland_wins,
+        |  CAST(sum(CASE WHEN wins_a <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS copeland_losses,
+        |  CAST(sum(CASE WHEN wins_a >= 2 THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN wins_a <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS copeland_score
+        |FROM duels GROUP BY 1 ORDER BY copeland_score DESC, s_suppkey""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Equi-depth histogram selectivity estimation audited against the
+    // exact count — the optimizer-statistics quality eval (Selinger
+    // 1979 System R; Piatetsky-Shapiro & Connell 1984 — public
+    // literature): a 16-bucket equi-depth histogram over lineitem
+    // price cents (ExactNtile — distributed ranking, NO
+    // single-partition ntile window), then for three range predicates
+    // price ≤ X the histogram estimate = full buckets below + linear
+    // interpolation inside the (unique) straddling bucket, compared to
+    // the true count. Bucket (lo, hi, count) stats are deterministic
+    // under ties even though tied-row bucket assignment is not — the
+    // sorted multiset fixes every rank boundary. The 3-probe × value
+    // scan is the eval's exact-truth leg (the zone_map_pruning shape).
+    "histogram_selectivity_eval" -> QueryDef(
+      (s, dir) => {
+        val v = Tables.lineitem(s, dir)
+          .select(expr("CAST(l_extendedprice * 100 AS BIGINT)").as("cents"))
+        val bounds = ExactNtile.withNtile(v, Seq(col("cents")), 16, "b")
+          .groupBy(col("b"))
+          .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
+            count(lit(1)).as("c"))
+        val probes = Seq(2000000L, 5000000L, 8000000L)
+        val probeDf = broadcast(
+          probes.foldLeft(Option.empty[org.apache.spark.sql.DataFrame]) { (acc, x) =>
+            val one = v.sparkSession.range(1).select(lit(x).as("x"))
+            Some(acc.fold(one)(_.unionByName(one)))
+          }.get)
+        val est = bounds.join(probeDf, lit(true))
+          .groupBy(col("x"))
+          .agg(sum(when(col("hi") <= col("x"), col("c")).otherwise(0L)).as("full_below"),
+            coalesce(sum(when(col("lo") <= col("x") && col("hi") > col("x"),
+              col("c") * (col("x") - col("lo")))), lit(0L)).as("part_num"),
+            coalesce(sum(when(col("lo") <= col("x") && col("hi") > col("x"),
+              col("hi") - col("lo"))), lit(0L)).as("part_den"))
+        val act = v.join(probeDf, col("cents") <= col("x"))
+          .groupBy(col("x")).agg(count(lit(1)).as("actual"))
+        est.join(act, Seq("x"))
+          .select(col("x"), col("actual"), col("full_below"),
+            col("part_num"), col("part_den"),
+            (col("full_below").cast("double") +
+              when(col("part_den") > 0,
+                col("part_num").cast("double") / col("part_den").cast("double"))
+                .otherwise(lit(0.0))).as("est_count"))
+          .orderBy(col("x"))
+      },
+      """WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents FROM lineitem),
+        |hist AS (SELECT ntile(16) OVER (ORDER BY cents) AS b, cents FROM v),
+        |bounds AS (
+        |  SELECT b, CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM hist GROUP BY 1),
+        |probes AS (SELECT CAST(unnest([2000000, 5000000, 8000000]) AS BIGINT) AS x),
+        |est AS (
+        |  SELECT p.x,
+        |    CAST(sum(CASE WHEN b2.hi <= p.x THEN b2.c ELSE 0 END) AS BIGINT) AS full_below,
+        |    CAST(coalesce(sum(CASE WHEN b2.lo <= p.x AND b2.hi > p.x
+        |      THEN b2.c * (p.x - b2.lo) END), 0) AS BIGINT) AS part_num,
+        |    CAST(coalesce(sum(CASE WHEN b2.lo <= p.x AND b2.hi > p.x
+        |      THEN b2.hi - b2.lo END), 0) AS BIGINT) AS part_den
+        |  FROM probes p CROSS JOIN bounds b2 GROUP BY 1),
+        |act AS (SELECT p.x, CAST(count(v.cents) AS BIGINT) AS actual
+        |  FROM probes p LEFT JOIN v ON v.cents <= p.x GROUP BY 1)
+        |SELECT est.x, act.actual, est.full_below, est.part_num, est.part_den,
+        |  CAST(est.full_below AS DOUBLE) + CASE WHEN est.part_den > 0
+        |    THEN CAST(est.part_num AS DOUBLE) / CAST(est.part_den AS DOUBLE)
+        |    ELSE 0.0 END AS est_count
+        |FROM est JOIN act ON act.x = est.x ORDER BY est.x""".stripMargin)
   )
 }

@@ -1414,7 +1414,42 @@ object QualityDriftQueries {
         |SELECT n_units, tot1, tot0, do_scaled,
         |  1 - CAST(do_scaled * (3*n_units*(3*n_units - 1)) AS DOUBLE)
         |      / CAST(3*n_units * 2 * tot1 * tot0 AS DOUBLE) AS alpha
-        |FROM agg""".stripMargin)
+        |FROM agg""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Demographic-parity audit of the length-quality gate across
+    // languages (Dwork et al. 2012, "Fairness through awareness" —
+    // public literature): per-language pass rate of the n_chars ≥ 250
+    // rule vs the corpus-wide rate; parity_gap > 0 means the gate
+    // over-admits that language. THE curation-bias statistic a
+    // multilingual pretraining pipeline must watch — a quality filter
+    // tuned on English silently starves other languages (the Gopher/
+    // CCNet lesson). One language-keyed aggregate + a broadcast 1-row
+    // total; the gap stays in the exact-integer → one-division regime.
+    "fairness_parity_langs" -> QueryDef(
+      (s, dir) => {
+        val g = Tables.documents(s, dir)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("n_chars") >= 250, 1L).otherwise(0L)).as("pos"))
+        g.crossJoin(broadcast(
+            g.agg(sum(col("n")).as("nt"), sum(col("pos")).as("post"))))
+          .select(col("lang"), col("n"), col("pos"),
+            (col("pos").cast("double") / col("n").cast("double")).as("pass_rate"),
+            (col("pos").cast("double") / col("n").cast("double") -
+              col("post").cast("double") / col("nt").cast("double")).as("parity_gap"))
+          .orderBy(col("lang"))
+      },
+      """WITH g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(pos) AS BIGINT) AS post FROM g)
+        |SELECT g.lang, g.n, g.pos,
+        |  CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS pass_rate,
+        |  CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)
+        |    - CAST(t.post AS DOUBLE) / CAST(t.nt AS DOUBLE) AS parity_gap
+        |FROM g CROSS JOIN tot t ORDER BY lang""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -335,6 +336,87 @@ object SelectionEmbedQueries {
            |u AS (SELECT prev AS tok, CAST(SUM(cnt) AS BIGINT) AS cnt FROM bg GROUP BY 1),
            |p0 AS (SELECT tok, cnt FROM u ORDER BY cnt DESC, tok LIMIT 1)$rounds
            |SELECT CAST(step AS INT) AS step, tok, cnt FROM ($outs) ORDER BY step""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
+    // Speculative-decoding acceptance simulation (Leviathan et al.
+    // 2023, "Fast inference from transformers via speculative
+    // decoding" — public literature): the TARGET model is the
+    // full-corpus bigram argmax, the DRAFT model the same argmax
+    // trained on HALF the corpus (even doc_ids — the cheaper-model
+    // stand-in); 4-step greedy chains from the top-5 unigram seeds,
+    // and at every step the draft's proposal (conditioned on the
+    // target's prefix — exactly speculative verification) is accepted
+    // iff it equals the target's argmax. Unlike greedy_decode_bigram's
+    // driver loop, the chain is 4 UNROLLED joins of the 5-row seed
+    // frame against the bigram model — no collect; per-step argmax is
+    // a 5-partition window. A target dead-end shortens the chain in
+    // both engines identically. All ties break (count DESC, token).
+    "speculative_decode_accept" -> QueryDef(
+      (s, dir) => {
+        val toksL = Tables.documents(s, dir)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .localCheckpoint() // feeds target model, draft model, unigrams
+        val pairs = toksL.filter(size(col("toks")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS x, toks[i + 1] AS y))"))
+            .as("b"))
+          .select(col("doc_id"), col("b.x").as("x"), col("b.y").as("y"))
+        val big = pairs.groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("c")).localCheckpoint() // 4 step joins
+        val dbig = pairs.filter(col("doc_id") % 2 === 0)
+          .groupBy(col("x"), col("y"))
+          .agg(count(lit(1)).as("c")).localCheckpoint()
+        val c0 = toksL.select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+          .orderBy(col("c").desc, col("tok")).limit(5)
+          .select(col("tok").as("seed"), col("tok"))
+        val w = Window.partitionBy(col("seed")).orderBy(col("c").desc, col("y"))
+        var ck = c0
+        (1 to 4).map { k =>
+          val tk = ck.join(big, col("x") === col("tok"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("seed"), col("y").as("t_tok"))
+          val dk = ck.join(dbig, col("x") === col("tok"))
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("seed"), col("y").as("d_tok"))
+          val step = tk.join(dk, Seq("seed"), "left")
+            .select(col("seed"), lit(k).as("step"), col("t_tok").as("target_tok"),
+              coalesce(col("d_tok"), lit("")).as("draft_tok"),
+              when(col("d_tok") === col("t_tok"), 1).otherwise(0).as("accepted"))
+          ck = tk.select(col("seed"), col("t_tok").as("tok"))
+          step
+        }.reduce(_ unionByName _).orderBy(col("seed"), col("step"))
+      }, {
+        val steps = (1 to 4).map { k =>
+          s""",
+             |t$k AS (
+             |  SELECT c.seed, y AS tok FROM c${k - 1} c JOIN big b ON b.x = c.tok
+             |  QUALIFY row_number() OVER (PARTITION BY c.seed ORDER BY b.c DESC, b.y) = 1),
+             |d$k AS (
+             |  SELECT c.seed, y AS tok FROM c${k - 1} c JOIN dbig b ON b.x = c.tok
+             |  QUALIFY row_number() OVER (PARTITION BY c.seed ORDER BY b.c DESC, b.y) = 1),
+             |c$k AS (SELECT seed, tok FROM t$k)""".stripMargin
+        }.mkString
+        val unions = (1 to 4).map { k =>
+          s"SELECT seed, $k AS step, t$k.tok AS target_tok, d$k.tok AS draft_tok " +
+            s"FROM t$k LEFT JOIN d$k USING (seed)"
+        }.mkString("\n UNION ALL ")
+        s"""WITH toksL AS MATERIALIZED (SELECT doc_id, $toksSql AS ts FROM documents),
+           |big AS MATERIALIZED (
+           |  SELECT ts[i] AS x, ts[i+1] AS y, CAST(count(*) AS BIGINT) AS c
+           |  FROM toksL, unnest(range(1, len(ts))) r(i) GROUP BY 1, 2),
+           |dbig AS MATERIALIZED (
+           |  SELECT ts[i] AS x, ts[i+1] AS y, CAST(count(*) AS BIGINT) AS c
+           |  FROM toksL, unnest(range(1, len(ts))) r(i)
+           |  WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+           |uni AS (SELECT tok, count(*) AS c
+           |  FROM (SELECT unnest(ts) AS tok FROM toksL) GROUP BY 1),
+           |c0 AS (SELECT tok AS seed, tok FROM uni ORDER BY c DESC, tok LIMIT 5)$steps
+           |SELECT seed, CAST(step AS INT) AS step, target_tok,
+           |  coalesce(draft_tok, '') AS draft_tok,
+           |  CAST(CASE WHEN draft_tok = target_tok THEN 1 ELSE 0 END AS INT) AS accepted
+           |FROM ($unions) ORDER BY seed, step""".stripMargin
       })
   )
 }

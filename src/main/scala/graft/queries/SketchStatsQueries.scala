@@ -1843,6 +1843,123 @@ object SketchStatsQueries {
          |  FROM g)
          |SELECT decile, n_suppliers, v_sum, cum_v,
          |  CAST(cum_v AS DOUBLE) / CAST(s AS DOUBLE) AS cum_share
-         |FROM c ORDER BY decile""".stripMargin)
+         |FROM c ORDER BY decile""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Consistent-hash ring placement (Karger et al. 1997, "Consistent
+    // hashing and random trees" — public literature; the memcached/
+    // Dynamo placement scheme, the virtual-node complement of
+    // rendezvous_sharding): 8 servers × 16 vnodes hash onto the md5
+    // ring, every order key routes to the first vnode clockwise
+    // (min ring hash ≥ key hash; wraparound to the global ring min).
+    // The ring is a BOUNDED 128-row broadcast artifact — the successor
+    // lookup is a broadcast range probe + min agg per key, never a
+    // shuffle of the ring; vnode count is what evens the per-server
+    // load (the output IS that balance census). All strings/integers.
+    "consistent_hash_ring" -> QueryDef(
+      (s, dir) => {
+        val ring = s.range(0, 8).select(col("id").as("sid"))
+          .crossJoin(s.range(0, 16).select(col("id").as("vid")))
+          .select(col("sid"),
+            md5(concat(lit("ring_"), col("sid").cast("string"), lit("_"),
+              col("vid").cast("string"))).as("h"))
+          .localCheckpoint() // feeds the successor probe, wrap min, owner join
+        val k = Tables.orders(s, dir)
+          .select(col("o_orderkey").cast("long").as("key"),
+            md5(concat(lit("key_"), col("o_orderkey").cast("string"))).as("kh"))
+        val succ = k.join(broadcast(ring), col("h") >= col("kh"))
+          .groupBy(col("key")).agg(min(col("h")).as("owner_h"))
+        val wrap = ring.agg(min(col("h")).as("h0"))
+        val owner = k.join(succ, Seq("key"), "left")
+          .crossJoin(broadcast(wrap))
+          .select(col("key"), coalesce(col("owner_h"), col("h0")).as("oh"))
+        owner.join(broadcast(ring), col("h") === col("oh"))
+          .groupBy(col("sid").as("server"))
+          .agg(count(lit(1)).as("n_keys"),
+            min(col("key")).as("min_key"), max(col("key")).as("max_key"))
+          .orderBy(col("server"))
+      },
+      """WITH srv AS (SELECT unnest(range(0, 8)) AS sid),
+        |vn AS (SELECT unnest(range(0, 16)) AS vid),
+        |ring AS (
+        |  SELECT sid, md5('ring_' || CAST(sid AS VARCHAR) || '_' || CAST(vid AS VARCHAR)) AS h
+        |  FROM srv CROSS JOIN vn),
+        |k AS (SELECT CAST(o_orderkey AS BIGINT) AS key,
+        |        md5('key_' || CAST(o_orderkey AS VARCHAR)) AS kh FROM orders),
+        |succ AS (
+        |  SELECT k.key, min(r.h) AS owner_h
+        |  FROM k JOIN ring r ON r.h >= k.kh GROUP BY 1),
+        |wrap AS (SELECT min(h) AS h0 FROM ring),
+        |owner AS (
+        |  SELECT k.key, coalesce(s.owner_h, w.h0) AS oh
+        |  FROM k LEFT JOIN succ s ON s.key = k.key CROSS JOIN wrap w)
+        |SELECT CAST(r.sid AS BIGINT) AS server, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(min(o.key) AS BIGINT) AS min_key, CAST(max(o.key) AS BIGINT) AS max_key
+        |FROM owner o JOIN ring r ON r.h = o.oh
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Bloom-filter false-positive-rate audit (Bloom 1970 — public
+    // literature): build the k=3 filter over the member keys
+    // (o_orderkey ≡ 0 mod 8), size it m = 16·|members| (computed from
+    // a broadcast 1-row count so the fill factor — and therefore the
+    // measured FPR ≈ (1−e^{−k/16})³ ≈ 0.5% — is SF-invariant), probe
+    // with disjoint non-members (≡ 1 mod 8), and report the measured
+    // FPR. The bit set is a DISTINCT position frame (the distributed
+    // form of the bitmap — at 100 TB this is exactly how a partitioned
+    // bloom build shuffles: positions, not bitmaps); a probe is a
+    // false positive iff all 3 of its positions are set (a position
+    // equi-join + count). All integers until the one FPR division.
+    "bloom_fpr_audit" -> QueryDef(
+      (s, dir) => {
+        val mem = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 8 === 0)
+          .select(col("o_orderkey").cast("long").as("key"))
+          .localCheckpoint() // feeds the count, the bit build
+        val nm = mem.agg(count(lit(1)).as("nmem"))
+        val hx = s.range(0, 3).select(col("id").as("i"))
+        def pos(key: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
+          expr("CAST(conv(substring(md5(concat('b', CAST(i AS STRING), '_', CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT)") % (lit(16L) * col("nmem"))
+        val bits = mem.crossJoin(broadcast(hx)).crossJoin(broadcast(nm))
+          .select(pos(col("key"), col("i")).as("pos")).distinct()
+          .localCheckpoint() // feeds bits_set count + the probe join
+        val probes = Tables.orders(s, dir)
+          .filter(col("o_orderkey") % 8 === 1)
+          .select(col("o_orderkey").cast("long").as("key"))
+        val ph = probes.crossJoin(broadcast(hx)).crossJoin(broadcast(nm))
+          .select(col("key"), pos(col("key"), col("i")).as("pos"))
+        val hits = ph.join(bits.withColumnRenamed("pos", "bpos"),
+            col("pos") === col("bpos"), "left")
+          .groupBy(col("key")).agg(count(col("bpos")).as("nhit"))
+        hits
+          .crossJoin(broadcast(nm))
+          .crossJoin(broadcast(bits.agg(count(lit(1)).as("bits_set"))))
+          .groupBy(col("nmem").as("n_members"), col("bits_set"))
+          .agg(count(lit(1)).as("n_probes"),
+            sum(when(col("nhit") === 3, 1L).otherwise(0L)).as("false_positives"))
+          .select(col("n_members"), col("bits_set"), col("n_probes"),
+            col("false_positives"),
+            (col("false_positives").cast("double") / col("n_probes").cast("double"))
+              .as("fpr"))
+      },
+      """WITH mem AS (SELECT CAST(o_orderkey AS BIGINT) AS key FROM orders WHERE o_orderkey % 8 = 0),
+        |nm AS (SELECT CAST(count(*) AS BIGINT) AS nmem FROM mem),
+        |probes AS (SELECT CAST(o_orderkey AS BIGINT) AS key FROM orders WHERE o_orderkey % 8 = 1),
+        |hx AS (SELECT unnest(range(0, 3)) AS i),
+        |bits AS (
+        |  SELECT DISTINCT (CAST(('0x' || substring(md5('b' || CAST(i AS VARCHAR) || '_' || CAST(key AS VARCHAR)), 1, 8)) AS BIGINT) % (16 * nmem)) AS pos
+        |  FROM mem CROSS JOIN hx CROSS JOIN nm),
+        |ph AS (
+        |  SELECT p.key, (CAST(('0x' || substring(md5('b' || CAST(h.i AS VARCHAR) || '_' || CAST(p.key AS VARCHAR)), 1, 8)) AS BIGINT) % (16 * nm.nmem)) AS pos
+        |  FROM probes p CROSS JOIN hx h CROSS JOIN nm),
+        |hits AS (
+        |  SELECT ph.key, CAST(count(b.pos) AS BIGINT) AS nhit
+        |  FROM ph LEFT JOIN bits b ON b.pos = ph.pos GROUP BY 1)
+        |SELECT (SELECT nmem FROM nm) AS n_members,
+        |  CAST((SELECT count(*) FROM bits) AS BIGINT) AS bits_set,
+        |  CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(sum(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+        |  CAST(sum(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fpr
+        |FROM hits""".stripMargin)
   )
 }

@@ -284,4 +284,29 @@ class GraphLearnSpec extends SparkSuite {
         GraphOps.lubyMis(edges, maxRounds = used - 1).collect()
       }
   }
+
+  // ------------------------------------------------------- greedy matching
+
+  test("greedyMatching returns a maximal matching (path + isolated pair)") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val m = GraphOps.greedyMatching(pairs.toDF("u", "v"), maxRounds = 10)
+      .select($"u", $"v").as[(Long, Long)].collect().toSeq
+    // valid: every matched edge is a real edge
+    assert(m.forall(pairs.contains), s"non-edges matched: $m")
+    // matching: no node appears twice
+    val nodes = m.flatMap { case (u, v) => Seq(u, v) }
+    assert(nodes.distinct.size == nodes.size, "shared endpoint")
+    // maximal: no remaining edge has both endpoints unmatched
+    val free = Set(1L, 2L, 3L, 4L, 5L, 10L, 11L) -- nodes
+    assert(!pairs.exists { case (u, v) => free(u) && free(v) },
+      "an addable edge remains")
+    // the isolated pair can always be matched
+    assert(m.contains((10L, 11L)))
+  }
+
+  test("greedyMatching: triangle matches exactly one edge") {
+    val m = GraphOps.greedyMatching(
+      Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v"), maxRounds = 10)
+    assert(m.count() == 1L)
+  }
 }

@@ -108,7 +108,12 @@ class PlanAuditSpec extends SparkSuite {
     "ransac_rate_trend", // 8 candidate lines cross the bounded ≤366-row day frame — the scoring product IS the statistic
     "rtbf_purge_audit", // five 1-row audit counts meet in broadcast cross joins (J9 shape)
     "borda_fusion_suppliers", // ranker universe size N as a broadcast 1-row aggregate (J9 shape)
-    "t_closeness_audit") // global row count N as a broadcast 1-row aggregate (J9 shape)
+    "t_closeness_audit", // global row count N as a broadcast 1-row aggregate (J9 shape)
+    "copeland_duel_suppliers", // bounded top-12 duel square (broadcast by design) + the Borda 1-row N aggregate
+    "histogram_selectivity_eval", // 3-row probe workload × value scan (the zone_map_pruning shape) + 16-row bounds product + ExactNtile's 1-row N
+    "consistent_hash_ring", // the bounded 128-row ring broadcast range-probes every key — the successor lookup IS the operator
+    "bloom_fpr_audit", // filter size m = 16·|members| arrives as a broadcast 1-row count (J9 shape) on both build and probe sides
+    "fairness_parity_langs") // corpus-wide pass-rate total as a broadcast 1-row aggregate (J9 shape)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
