@@ -55,17 +55,27 @@ object ScaleBench {
     }.reduce(_ unionByName _).localCheckpoint()
   }
 
-  /** k copies of the embeddings corpus: ids offset, vectors scaled by
-    * a per-copy factor (deterministic, keeps them distinct).
+  /** k copies of the embeddings corpus: ids offset, and copy c's
+    * vectors CYCLICALLY ROTATED by 7c dimensions. Rotation is
+    * norm-preserving and keeps every within-copy pairwise similarity
+    * identical to the original cloud, while cross-copy similarities
+    * are quasi-random — so the scaled corpus is ≈ k disjoint copies of
+    * the same kNN structure (a scalar multiple would be PARALLEL to
+    * its original — cosine exactly 1 — and the mutual-kNN/CC phase
+    * would then measure a k-dependent cluster topology, not k× the
+    * same workload; observed as a spurious negative slope in the
+    * first r13 run).
     */
   private def scaledEmbeddings(s: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
     val off = 10000000L
     (0 until k).map { c =>
-      val fac = lit((1.0 + c * 0.001).toFloat)
+      val shift = (7 * c) % 64
       emb.select(
         (col("vec_id") + c * off).as("vec_id"),
-        transform(col("embedding"), x => (x * fac).cast("float")).as("embedding"))
+        expr(s"transform(sequence(0, size(embedding) - 1), " +
+          s"i -> element_at(embedding, ((i + $shift) % size(embedding)) + 1))")
+          .as("embedding"))
     }.reduce(_ unionByName _).localCheckpoint()
   }
 

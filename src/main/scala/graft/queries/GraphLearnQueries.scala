@@ -2457,7 +2457,143 @@ object GraphLearnQueries {
            |  CAST(u_sum AS BIGINT) AS u_sum, CAST(v_sum AS BIGINT) AS v_sum
            |FROM ($unions)
            |WHERE n_matched > 0 ORDER BY round""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Graph diameter lower bound by the classic double BFS sweep
+    // (Magnien, Latapy & Habib 2009, "Fast computation of empirically
+    // tight bounds for the diameter of massive graphs" — public
+    // literature): BFS from the minimum node id, re-BFS from the
+    // farthest node found (tie-break min id), and the second
+    // eccentricity is the standard diameter lower bound. Both sweeps
+    // are GraphOps.bfsHops (bounded-round frontier joins, frontier
+    // checkpointed per round); the graph is the symmetrized
+    // above-mean-thresholded nation flow graph (the katz edge set).
+    // The five 1-row summary aggregates meet in broadcast cross joins
+    // (J9 shape). Budget 8 hops at diameter 2 — slack, and the oracle
+    // replays the same bounded recursion.
+    "diameter_two_sweep" -> QueryDef(
+      (s, dir) => {
+        val flow = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .filter(col("s_nationkey") =!= col("c_nationkey"))
+          .groupBy(col("s_nationkey").cast("long").as("u"),
+            col("c_nationkey").cast("long").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = flow.agg(sum(col("cnt")).as("t"), count(lit(1)).as("np"))
+        val e0 = flow.crossJoin(broadcast(tot))
+          .filter(col("cnt") * col("np") > col("t"))
+          .select(col("u"), col("v"))
+        val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+          .distinct().localCheckpoint() // feeds both sweeps
+        val seedV = e.agg(min(col("u")).as("seed")).localCheckpoint()
+        val h1 = GraphOps.bfsHops(e, seedV.select(col("seed").as("node")), rounds = 8)
+        val uStar = h1.orderBy(col("hop").desc, col("node")).limit(1)
+          .select(col("node").as("u_star")).localCheckpoint()
+        val h2 = GraphOps.bfsHops(e, uStar.select(col("u_star").as("node")), rounds = 8)
+        seedV.crossJoin(broadcast(uStar))
+          .crossJoin(broadcast(h1.agg(max(col("hop")).cast("long").as("ecc_seed"))))
+          .crossJoin(broadcast(h2.agg(max(col("hop")).cast("long").as("diameter_lb"),
+            count(lit(1)).as("n_reached"))))
+      },
+      """WITH flow AS MATERIALIZED (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS u, CAST(c.c_nationkey AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  WHERE s.s_nationkey <> c.c_nationkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS np FROM flow),
+        |e0 AS (SELECT u, v FROM flow CROSS JOIN tot WHERE cnt * np > t),
+        |e AS MATERIALIZED (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+        |seed AS (SELECT min(u) AS s0 FROM e),
+        |h1 AS MATERIALIZED (
+        |  SELECT n, CAST(min(hop) AS BIGINT) AS hop FROM (
+        |    WITH RECURSIVE r(n, hop) AS (
+        |      SELECT s0, 0 FROM seed
+        |      UNION
+        |      SELECT e.v, r.hop + 1 FROM r JOIN e ON e.u = r.n WHERE r.hop < 8)
+        |    SELECT n, hop FROM r) GROUP BY 1),
+        |u_star AS (SELECT n FROM h1 ORDER BY hop DESC, n LIMIT 1),
+        |h2 AS MATERIALIZED (
+        |  SELECT n, CAST(min(hop) AS BIGINT) AS hop FROM (
+        |    WITH RECURSIVE r(n, hop) AS (
+        |      SELECT n, 0 FROM u_star
+        |      UNION
+        |      SELECT e.v, r.hop + 1 FROM r JOIN e ON e.u = r.n WHERE r.hop < 8)
+        |    SELECT n, hop FROM r) GROUP BY 1)
+        |SELECT (SELECT s0 FROM seed) AS seed,
+        |  (SELECT n FROM u_star) AS u_star,
+        |  (SELECT max(hop) FROM h1) AS ecc_seed,
+        |  CAST(max(hop) AS BIGINT) AS diameter_lb,
+        |  CAST(count(*) AS BIGINT) AS n_reached
+        |FROM h2""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Region homophily of trade flows — attribute assortativity
+    // (Newman 2003, "Mixing patterns in networks" — public literature)
+    // of the supplier-region → customer-region flow matrix:
+    // r = (T·Σwᵢᵢ − Σaᵢbᵢ)/(T² − Σaᵢbᵢ) with T the total flow, wᵢᵢ the
+    // within-region diagonal, and aᵢ/bᵢ the row/column marginals —
+    // cross-multiplied to exact BIGINTs (T ≤ 6·10⁵ at sf0.1 keeps
+    // T² < 2⁵³), ONE final IEEE division. The flow matrix is one keyed
+    // aggregation at the (region, region) grain (≤ 25 cells); the
+    // curation reading: r ≈ 0 says trade (≈ corpus linkage) mixes
+    // regions randomly — no geographic silo to stratify against.
+    "region_homophily_flows" -> QueryDef(
+      (s, dir) => {
+        val f = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
+          .join(Tables.nation(s, dir).select(col("n_nationkey").as("snk"),
+            col("n_regionkey").as("ra")), col("snk") === col("s_nationkey"))
+          .join(Tables.nation(s, dir).select(col("n_nationkey").as("cnk"),
+            col("n_regionkey").as("rb")), col("cnk") === col("c_nationkey"))
+          .groupBy(col("ra").cast("long").as("ra"), col("rb").cast("long").as("rb"))
+          .agg(count(lit(1)).as("w"))
+          .localCheckpoint() // ≤ 25 cells; feeds totals, marginals, diagonal
+        val t = f.agg(sum(col("w")).as("tt"))
+        val marg = f.groupBy(col("ra")).agg(sum(col("w")).as("sa"))
+          .join(f.groupBy(col("rb")).agg(sum(col("w")).as("sb")),
+            col("rb") === col("ra"))
+          .agg(sum(col("sa") * col("sb")).as("sab"))
+        val wi = f.agg(sum(when(col("ra") === col("rb"), col("w")).otherwise(0L))
+          .as("win"))
+        t.crossJoin(broadcast(wi)).crossJoin(broadcast(marg))
+          .select(col("tt").as("total_flow"), col("win").as("within_flow"),
+            col("sab").as("sum_ab"),
+            (col("tt") * col("win") - col("sab")).as("num_scaled"),
+            (col("tt") * col("tt") - col("sab")).as("den_scaled"),
+            ((col("tt") * col("win") - col("sab")).cast("double") /
+              (col("tt") * col("tt") - col("sab")).cast("double"))
+              .as("assortativity"))
+      },
+      """WITH f AS MATERIALIZED (
+        |  SELECT CAST(ns.n_regionkey AS BIGINT) AS ra, CAST(nc.n_regionkey AS BIGINT) AS rb,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer c ON c.c_custkey = o.o_custkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        |  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        |  GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tt FROM f),
+        |marg AS (
+        |  SELECT CAST(sum(a.sa * b.sb) AS BIGINT) AS sab FROM
+        |    (SELECT ra, CAST(sum(w) AS BIGINT) AS sa FROM f GROUP BY 1) a
+        |  JOIN (SELECT rb, CAST(sum(w) AS BIGINT) AS sb FROM f GROUP BY 1) b ON b.rb = a.ra),
+        |wi AS (SELECT CAST(sum(CASE WHEN ra = rb THEN w ELSE 0 END) AS BIGINT) AS win FROM f)
+        |SELECT t.tt AS total_flow, wi.win AS within_flow, marg.sab AS sum_ab,
+        |  CAST(t.tt * wi.win - marg.sab AS BIGINT) AS num_scaled,
+        |  CAST(t.tt * t.tt - marg.sab AS BIGINT) AS den_scaled,
+        |  CAST(t.tt * wi.win - marg.sab AS DOUBLE) / CAST(t.tt * t.tt - marg.sab AS DOUBLE) AS assortativity
+        |FROM t CROSS JOIN wi CROSS JOIN marg""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def: `defs` above initializes

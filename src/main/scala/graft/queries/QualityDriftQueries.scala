@@ -1449,7 +1449,142 @@ object QualityDriftQueries {
         |  CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE) AS pass_rate,
         |  CAST(g.pos AS DOUBLE) / CAST(g.n AS DOUBLE)
         |    - CAST(t.post AS DOUBLE) / CAST(t.nt AS DOUBLE) AS parity_gap
-        |FROM g CROSS JOIN tot t ORDER BY lang""".stripMargin)
+        |FROM g CROSS JOIN tot t ORDER BY lang""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Token burstiness (Church & Gale 1995, "Poisson mixtures" —
+    // public literature): for the 20 highest-document-frequency
+    // tokens, P(count ≥ 2 | count ≥ 1) = df₂/df₁ — the adaptation
+    // statistic separating topical/templated tokens (bursty: one
+    // occurrence begets more) from function words (Poisson-like).
+    // High burstiness on a high-df token flags boilerplate/spam
+    // templates a curation pass should inspect. One (token, doc)
+    // aggregate + one token aggregate — all integers, one division.
+    "token_burstiness" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("c"))
+          .groupBy(col("tok"))
+          .agg(count(lit(1)).as("df1"),
+            sum(when(col("c") >= 2, 1L).otherwise(0L)).as("df2"),
+            sum(col("c")).as("tf"))
+          .select(col("tok"), col("df1"), col("df2"), col("tf"),
+            (col("df2").cast("double") / col("df1").cast("double")).as("burstiness"))
+          .orderBy(col("df1").desc, col("tok"))
+          .limit(20)
+      },
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |pc AS (SELECT tok, doc_id, count(*) AS c FROM tok GROUP BY 1, 2),
+         |df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df1,
+         |         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+         |         CAST(sum(c) AS BIGINT) AS tf
+         |       FROM pc GROUP BY 1)
+         |SELECT tok, df1, df2, tf,
+         |  CAST(df2 AS DOUBLE) / CAST(df1 AS DOUBLE) AS burstiness
+         |FROM df ORDER BY df1 DESC, tok LIMIT 20""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Lexical richness per source: hapax-legomena ratio (hapax/vocab —
+    // Baayen 2001, "Word frequency distributions" — public
+    // literature). A source whose hapax share collapses is recycling
+    // text (template farms); one whose share balloons is noise/OCR
+    // garbage — both ends flag sources for the curation blocklist.
+    // One (source, token) aggregate + one source aggregate.
+    "hapax_ratio_by_source" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("vocab"),
+            sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+            sum(col("c")).as("tokens"))
+          .select(col("source"), col("vocab"), col("hapax"), col("tokens"),
+            (col("hapax").cast("double") / col("vocab").cast("double")).as("hapax_ratio"))
+          .orderBy(col("source"))
+      },
+      s"""WITH tok AS (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents),
+         |sc AS (SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         |  CAST(sum(c) AS BIGINT) AS tokens,
+         |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS hapax_ratio
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Isotonic calibration by pool-adjacent-violators (Ayer et al.
+    // 1955; Zadrozny & Elkan 2002 for classifier calibration — public
+    // literature), via PAVA's closed-form max-min characterization:
+    // iso(i) = max_{j≤i} min_{k≥i} avg(pos, j..k) — no sequential
+    // pooling loop, just interval prefix sums over the BOUNDED
+    // 10-bucket score grain (≤ 55 intervals at any SF), so both
+    // engines evaluate identical single divisions and take max/min
+    // over identical doubles (order-free, bit-exact). Score =
+    // n_chars÷50 decile bucket; label = document contains the token
+    // 'batch' (noisily monotone in length — the pooled tail is the
+    // test). This is the monotone-recalibration stage a quality-score
+    // model feeds before thresholding.
+    "isotonic_calibration" -> QueryDef(
+      (s, dir) => {
+        val b = Tables.documents(s, dir)
+          .groupBy(expr("least(9, CAST(n_chars AS BIGINT) div 50)").as("bin"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(array_contains(TextOps.tokens(col("text")), "batch"), 1L)
+              .otherwise(0L)).as("pos"))
+          .localCheckpoint() // ≤ 10 rows; feeds cum, intervals, output
+        val c = b
+          .withColumn("cn", sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("cp", sum(col("pos")).over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        val iv = c.select(col("bin").as("j"), col("cn").as("jcn"),
+            col("cp").as("jcp"), col("n").as("jn"), col("pos").as("jp"))
+          .join(broadcast(c.select(col("bin").as("k"), col("cn").as("kcn"),
+            col("cp").as("kcp"))), col("k") >= col("j"))
+          .select(col("j"), col("k"),
+            (col("kcp") - col("jcp") + col("jp")).as("ip"),
+            (col("kcn") - col("jcn") + col("jn")).as("inn"))
+        val im = c.select(col("bin").as("i"))
+          .join(broadcast(iv), col("j") <= col("i") && col("k") >= col("i"))
+          .groupBy(col("i"), col("j"))
+          .agg(min(col("ip").cast("double") / col("inn").cast("double")).as("mn"))
+          .groupBy(col("i")).agg(max(col("mn")).as("iso_rate"))
+        b.join(im, col("i") === col("bin"))
+          .select(col("bin"), col("n"), col("pos"),
+            (col("pos").cast("double") / col("n").cast("double")).as("raw_rate"),
+            col("iso_rate"))
+          .orderBy(col("bin"))
+      },
+      s"""WITH b AS (
+         |  SELECT least(9, CAST(n_chars AS BIGINT) // 50) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN list_contains($toksSql, 'batch') THEN 1 ELSE 0 END) AS BIGINT) AS pos
+         |  FROM documents GROUP BY 1),
+         |c AS (
+         |  SELECT bin, n, pos,
+         |    CAST(sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+         |    CAST(sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+         |  FROM b),
+         |iv AS (
+         |  SELECT j.bin AS j, k.bin AS k,
+         |    CAST(k.cp - j.cp + j.pos AS BIGINT) AS ip,
+         |    CAST(k.cn - j.cn + j.n AS BIGINT) AS inn
+         |  FROM c j JOIN c k ON k.bin >= j.bin),
+         |im AS (
+         |  SELECT c.bin AS i, iv.j, min(CAST(iv.ip AS DOUBLE) / CAST(iv.inn AS DOUBLE)) AS mn
+         |  FROM c JOIN iv ON iv.j <= c.bin AND iv.k >= c.bin
+         |  GROUP BY 1, 2),
+         |iso AS (SELECT i AS bin, max(mn) AS iso_rate FROM im GROUP BY 1)
+         |SELECT b.bin, b.n, b.pos,
+         |  CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
+         |  iso.iso_rate
+         |FROM b JOIN iso ON iso.bin = b.bin ORDER BY b.bin""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

@@ -113,7 +113,10 @@ class PlanAuditSpec extends SparkSuite {
     "histogram_selectivity_eval", // 3-row probe workload × value scan (the zone_map_pruning shape) + 16-row bounds product + ExactNtile's 1-row N
     "consistent_hash_ring", // the bounded 128-row ring broadcast range-probes every key — the successor lookup IS the operator
     "bloom_fpr_audit", // filter size m = 16·|members| arrives as a broadcast 1-row count (J9 shape) on both build and probe sides
-    "fairness_parity_langs") // corpus-wide pass-rate total as a broadcast 1-row aggregate (J9 shape)
+    "fairness_parity_langs", // corpus-wide pass-rate total as a broadcast 1-row aggregate (J9 shape)
+    "diameter_two_sweep", // five 1-row sweep summaries meet in broadcast cross joins (J9 shape)
+    "region_homophily_flows", // the 1-row total/diagonal/marginal aggregates meet in broadcast cross joins (J9 shape)
+    "isotonic_calibration") // PAVA max-min over the BOUNDED 10-bucket grain: ≤55-interval broadcast products by construction
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
