@@ -1584,7 +1584,69 @@ object QualityDriftQueries {
          |SELECT b.bin, b.n, b.pos,
          |  CAST(b.pos AS DOUBLE) / CAST(b.n AS DOUBLE) AS raw_rate,
          |  iso.iso_rate
-         |FROM b JOIN iso ON iso.bin = b.bin ORDER BY b.bin""".stripMargin)
+         |FROM b JOIN iso ON iso.bin = b.bin ORDER BY b.bin""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Simpson diversity index per source (Simpson 1949 — public
+    // literature): D = 1 − Σc² / N² over the source's token counts —
+    // the probability two random token draws differ, the
+    // concentration-side complement of hapax_ratio_by_source (low D =
+    // a template farm hammering few tokens). Exact integers
+    // (Σc² ≤ N² ≤ (10⁷)² < 2⁵³ at sf0.1's ~10⁵ tokens/source;
+    // documented bound) until the single division.
+    "simpson_diversity_sources" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("source"))
+          .agg(sum(col("c")).as("nt"), sum(col("c") * col("c")).as("s2"))
+          .select(col("source"), col("nt"), col("s2"),
+            ((col("nt") * col("nt") - col("s2")).cast("double") /
+              (col("nt") * col("nt")).cast("double")).as("simpson_diversity"))
+          .orderBy(col("source"))
+      },
+      s"""WITH tok AS (SELECT source, unnest($toksSql) AS tok FROM documents),
+         |sc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+         |agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS nt,
+         |          CAST(sum(c*c) AS BIGINT) AS s2 FROM sc GROUP BY 1)
+         |SELECT source, nt, s2,
+         |  CAST(nt*nt - s2 AS DOUBLE) / CAST(nt*nt AS DOUBLE) AS simpson_diversity
+         |FROM agg ORDER BY source""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // LLM-watermark greenlist detection (Kirchenbauer et al. 2023,
+    // "A watermark for large language models" — public literature),
+    // the context-free variant: the vocabulary hash-partitions into a
+    // green half (first md5 hex digit < '8' — exactly γ = 1/2), and a
+    // document's detection statistic is z = (2·green − n)/√n — the
+    // one-proportion z against γ under H₀ (no watermark). On organic
+    // text z should hug 0; a generator that favored greenlisted tokens
+    // drifts positive — this is the corpus-side contamination sweep
+    // for watermarked synthetic text. All integers, one correctly-
+    // rounded sqrt, one division.
+    "watermark_greenlist_score" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(substring(md5(concat(lit("wm_"), col("tok"))), 1, 1) < "8", 1L)
+              .otherwise(0L)).as("green"))
+          .filter(col("n") > 0)
+          .select(col("doc_id"), col("n"), col("green"),
+            ((lit(2L) * col("green") - col("n")).cast("double") /
+              sqrt(col("n").cast("double"))).as("z"))
+          .orderBy(col("doc_id"))
+      },
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+         |g AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN substring(md5('wm_' || tok), 1, 1) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS green
+         |  FROM tok GROUP BY 1)
+         |SELECT doc_id, n, green,
+         |  CAST(2*green - n AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS z
+         |FROM g WHERE n > 0 ORDER BY doc_id""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def — `defs` initializes first). */

@@ -417,6 +417,65 @@ object SelectionEmbedQueries {
            |  coalesce(draft_tok, '') AS draft_tok,
            |  CAST(CASE WHEN draft_tok = target_tok THEN 1 ELSE 0 END AS INT) AS accepted
            |FROM ($unions) ORDER BY seed, step""".stripMargin
-      })
+      }),
+
+    // ------------------------------------------------------------------
+    // Nucleus (top-p) support size (Holtzman et al. 2020, "The curious
+    // case of neural text degeneration" — public literature) of the
+    // bigram next-token distributions: for the 10 heaviest contexts,
+    // the number of ranked continuations needed to reach 80% of the
+    // context's mass (cum·5 ≥ total·4, cross-multiplied — no division
+    // inside the scan) plus the argmax share. Sizes the top-p
+    // truncation a sampler would apply; a tiny nucleus on a huge
+    // context flags a degenerate/templated continuation distribution.
+    // The per-context ranking window partitions by context (bounded
+    // fan-in); everything else is the one bigram aggregation.
+    "nucleus_p80_contexts" -> QueryDef(
+      (s, dir) => {
+        val big = Tables.documents(s, dir)
+          .select(TextOps.tokens(col("text")).as("toks"))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS x, toks[i + 1] AS y))"))
+            .as("b"))
+          .groupBy(col("b.x").as("x"), col("b.y").as("y"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // feeds context totals + the ranked scan
+        val ctx = big.groupBy(col("x")).agg(sum(col("c")).as("total"))
+          .orderBy(col("total").desc, col("x")).limit(10)
+        val w = Window.partitionBy(col("x")).orderBy(col("c").desc, col("y"))
+        val ranked = big.join(broadcast(ctx), Seq("x"))
+          .withColumn("cum", sum(col("c")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .withColumn("rn", row_number().over(w))
+        ranked.groupBy(col("x"))
+          .agg(min(col("total")).as("total"),
+            count(lit(1)).as("vocab_out"),
+            min(when(col("cum") * 5 >= col("total") * 4, col("rn").cast("long")))
+              .as("nucleus80"),
+            max(when(col("rn") === 1, col("c"))).as("top1_count"))
+          .select(col("x"), col("total"), col("vocab_out"), col("nucleus80"),
+            col("top1_count"),
+            (col("top1_count").cast("double") / col("total").cast("double"))
+              .as("top1_share"))
+          .orderBy(col("x"))
+      },
+      s"""WITH lists AS (SELECT doc_id, $toksSql AS ts FROM documents),
+         |big AS MATERIALIZED (
+         |  SELECT ts[i] AS x, ts[i+1] AS y, CAST(count(*) AS BIGINT) AS c
+         |  FROM lists, unnest(range(1, len(ts))) r(i) GROUP BY 1, 2),
+         |ctx AS (SELECT x, CAST(sum(c) AS BIGINT) AS total FROM big GROUP BY 1
+         |        ORDER BY total DESC, x LIMIT 10),
+         |ranked AS (
+         |  SELECT b.x, b.y, b.c, ctx.total,
+         |    CAST(sum(b.c) OVER (PARTITION BY b.x ORDER BY b.c DESC, b.y ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    row_number() OVER (PARTITION BY b.x ORDER BY b.c DESC, b.y) AS rn
+         |  FROM big b JOIN ctx ON ctx.x = b.x)
+         |SELECT x, CAST(min(total) AS BIGINT) AS total,
+         |  CAST(count(*) AS BIGINT) AS vocab_out,
+         |  CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rn END) AS BIGINT) AS nucleus80,
+         |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top1_count,
+         |  CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / CAST(min(total) AS DOUBLE) AS top1_share
+         |FROM ranked GROUP BY 1 ORDER BY x""".stripMargin)
   )
 }
