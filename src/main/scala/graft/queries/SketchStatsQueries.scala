@@ -1852,27 +1852,34 @@ object SketchStatsQueries {
     // rendezvous_sharding): 8 servers × 16 vnodes hash onto the md5
     // ring, every order key routes to the first vnode clockwise
     // (min ring hash ≥ key hash; wraparound to the global ring min).
-    // The ring is a BOUNDED 128-row broadcast artifact — the successor
-    // lookup is a broadcast range probe + min agg per key, never a
-    // shuffle of the ring; vnode count is what evens the per-server
-    // load (the output IS that balance census). All strings/integers.
+    // The ring is a BOUNDED 128-entry artifact: it collects into ONE
+    // sorted array riding a broadcast 1-row cross join, and the
+    // successor lookup is the SearchSortedCount binary-search kernel —
+    // MAP-ONLY per key (the PrefixSum/abc_classification lesson: the
+    // 128-row BNLJ range probe + min-agg formulation iso'd 5.4-6.1 s
+    // at sf0.1; this form 1.5-1.7 s). Successor = first vnode STRICTLY
+    // clockwise (h > kh; wraparound to the ring minimum), stated
+    // identically in the oracle. Vnode count is what evens the
+    // per-server load (the output IS that balance census).
     "consistent_hash_ring" -> QueryDef(
       (s, dir) => {
+        import graft.functions.exprs
         val ring = s.range(0, 8).select(col("id").as("sid"))
           .crossJoin(s.range(0, 16).select(col("id").as("vid")))
           .select(col("sid"),
             md5(concat(lit("ring_"), col("sid").cast("string"), lit("_"),
               col("vid").cast("string"))).as("h"))
-          .localCheckpoint() // feeds the successor probe, wrap min, owner join
+          .localCheckpoint() // feeds the sorted-array collect + owner join
+        val ringArr = ring.agg(sort_array(collect_list(col("h"))).as("rh"))
         val k = Tables.orders(s, dir)
           .select(col("o_orderkey").cast("long").as("key"),
             md5(concat(lit("key_"), col("o_orderkey").cast("string"))).as("kh"))
-        val succ = k.join(broadcast(ring), col("h") >= col("kh"))
-          .groupBy(col("key")).agg(min(col("h")).as("owner_h"))
-        val wrap = ring.agg(min(col("h")).as("h0"))
-        val owner = k.join(succ, Seq("key"), "left")
-          .crossJoin(broadcast(wrap))
-          .select(col("key"), coalesce(col("owner_h"), col("h0")).as("oh"))
+        val owner = k.crossJoin(broadcast(ringArr))
+          .withColumn("idx", exprs.searchSortedCount(col("rh"), col("kh")))
+          .select(col("key"),
+            element_at(col("rh"),
+              when(col("idx") === size(col("rh")), lit(1))
+                .otherwise(col("idx") + 1)).as("oh"))
         owner.join(broadcast(ring), col("h") === col("oh"))
           .groupBy(col("sid").as("server"))
           .agg(count(lit(1)).as("n_keys"),
@@ -1888,7 +1895,7 @@ object SketchStatsQueries {
         |        md5('key_' || CAST(o_orderkey AS VARCHAR)) AS kh FROM orders),
         |succ AS (
         |  SELECT k.key, min(r.h) AS owner_h
-        |  FROM k JOIN ring r ON r.h >= k.kh GROUP BY 1),
+        |  FROM k JOIN ring r ON r.h > k.kh GROUP BY 1),
         |wrap AS (SELECT min(h) AS h0 FROM ring),
         |owner AS (
         |  SELECT k.key, coalesce(s.owner_h, w.h0) AS oh
