@@ -302,7 +302,11 @@ object Explain {
     "rouge_recall_pairs" ->
       "Clipped n-gram overlap as (doc, gram)-keyed equi-joins: grams aggregate per document once, the ref→cand candidate join is an equi-join on (cand_id, gram) — no all-pairs stage; bigrams pair adjacent positions in a per-document window.",
     "audio_vad_segments" ->
-      "Frame energies computed INSIDE the PCM decode kernel (payload bytes never shuffle — one clip row in, compact frame rows out); the voiced gate is an integer cross-multiply against the clip-mean join; runs group per-clip (gaps-and-islands window partitioned by media_id).")
+      "Frame energies computed INSIDE the PCM decode kernel (payload bytes never shuffle — one clip row in, compact frame rows out); the voiced gate is an integer cross-multiply against the clip-mean join; runs group per-clip (gaps-and-islands window partitioned by media_id).",
+    "consistent_hash_ring" ->
+      "The 128-entry ring collects into ONE sorted broadcast array; every key's successor is a SearchSortedCount binary search — map-only in the scan stage (the BNLJ range-probe + min-agg form measured 4× slower); only the 8-server census shuffles.",
+    "isotonic_calibration" ->
+      "PAVA via the max-min closed form: the corpus pass is one bucket aggregate; the ≤55-interval products are bounded broadcast joins over the checkpointed 10-row bucket frame — no sequential pooling loop, no growing state.")
 
   /** Iterative/greedy flagships whose loops checkpoint per round (so
     * the final frame's plan is lineage-truncated): each entry builds
