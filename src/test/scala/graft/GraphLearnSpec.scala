@@ -309,4 +309,48 @@ class GraphLearnSpec extends SparkSuite {
       Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v"), maxRounds = 10)
     assert(m.count() == 1L)
   }
+
+  // ---------------------------------------- property tests (random graphs)
+
+  /** Deterministic Erdős–Rényi-ish graphs: edge (i,j) present iff an
+    * integer hash of (seed,i,j) clears the density gate.
+    */
+  private def randomGraph(seed: Long, n: Int, density: Int): Seq[(Long, Long)] =
+    for {
+      i <- 1L to n.toLong; j <- (i + 1) to n.toLong
+      if ((i * 2654435761L + j * 40503L + seed) % 97) < density
+    } yield (i, j)
+
+  test("lubyMis invariants hold on 8 random graphs") {
+    for (seed <- 1L to 8L) {
+      val pairs = randomGraph(seed, n = 24, density = (seed % 4 + 1).toInt * 8)
+      if (pairs.nonEmpty) {
+        val adj = (pairs ++ pairs.map(_.swap))
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+        val mis = GraphOps.lubyMis(symmetrize(pairs), maxRounds = 20)
+          .select($"node").as[Long].collect().toSet
+        for (v <- mis)
+          assert(adj(v).intersect(mis).isEmpty, s"seed=$seed: $v not independent")
+        for (v <- adj.keySet -- mis)
+          assert(adj(v).intersect(mis).nonEmpty, s"seed=$seed: $v addable — not maximal")
+      }
+    }
+  }
+
+  test("greedyMatching invariants hold on 8 random graphs") {
+    for (seed <- 11L to 18L) {
+      val pairs = randomGraph(seed, n = 24, density = (seed % 4 + 1).toInt * 8)
+      if (pairs.nonEmpty) {
+        val edgeSet = pairs.toSet
+        val m = GraphOps.greedyMatching(pairs.toDF("u", "v"), maxRounds = 20)
+          .select($"u", $"v").as[(Long, Long)].collect().toSeq
+        assert(m.forall(e => edgeSet(e) || edgeSet(e.swap)), s"seed=$seed: non-edge matched")
+        val nodes = m.flatMap { case (u, v) => Seq(u, v) }
+        assert(nodes.distinct.size == nodes.size, s"seed=$seed: shared endpoint")
+        val free = (1L to 24L).toSet -- nodes
+        assert(!pairs.exists { case (u, v) => free(u) && free(v) },
+          s"seed=$seed: an addable edge remains — not maximal")
+      }
+    }
+  }
 }
