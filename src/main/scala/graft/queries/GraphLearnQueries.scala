@@ -2593,7 +2593,39 @@ object GraphLearnQueries {
         |  CAST(t.tt * wi.win - marg.sab AS BIGINT) AS num_scaled,
         |  CAST(t.tt * t.tt - marg.sab AS BIGINT) AS den_scaled,
         |  CAST(t.tt * wi.win - marg.sab AS DOUBLE) / CAST(t.tt * t.tt - marg.sab AS DOUBLE) AS assortativity
-        |FROM t CROSS JOIN wi CROSS JOIN marg""".stripMargin)
+        |FROM t CROSS JOIN wi CROSS JOIN marg""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Margin-based hard-example mining (uncertainty pruning — Settles
+    // 2009 active-learning survey; the data-pruning heuristic behind
+    // margin-ranked selection): train the exact-integer perceptron
+    // (the perceptron_train_weights machinery verbatim, 5 rounds),
+    // score every example's margin under the FINAL weights, and keep
+    // the 20 smallest |margin| — the boundary examples a curation
+    // pass would route to labeling/upweighting. Margins are exact
+    // BIGINTs (QuantizeVec grid), the ranking is a TakeOrdered top-k;
+    // the oracle replays the identical 5 training rounds and the same
+    // final-weight scoring.
+    "margin_hard_examples" -> QueryDef(
+      (s, dir) => {
+        val feats = perceptronFeatures(s, dir)
+        val (hist, _) = Perceptron.train(feats, dims = 64, rounds = 5)
+        val w5 = hist(4)
+        feats.groupBy(col("id"), col("y"))
+          .agg(sum(element_at(lit(w5), col("dim").cast("int") + 1) * col("x"))
+            .as("margin"))
+          .select(col("id"), col("y"), col("margin"),
+            abs(col("margin")).as("abs_margin"))
+          .orderBy(col("abs_margin"), col("id"))
+          .limit(20)
+      },
+      s"""WITH $perceptronFeaturesSql${perceptronRoundsSql(5)},
+         |mfin AS (
+         |  SELECT fl.id, fl.y, CAST(SUM(w.w * fl.x) AS BIGINT) AS margin
+         |  FROM fl JOIN w5 w ON w.dim = fl.dim GROUP BY 1, 2)
+         |SELECT id, CAST(y AS BIGINT) AS y, margin,
+         |  CAST(abs(margin) AS BIGINT) AS abs_margin
+         |FROM mfin ORDER BY abs_margin, id LIMIT 20""".stripMargin)
   )
 
   /** DuckDB twin of TextOps.tokens (a def: `defs` above initializes

@@ -476,6 +476,75 @@ object SelectionEmbedQueries {
          |  CAST(min(CASE WHEN cum * 5 >= total * 4 THEN rn END) AS BIGINT) AS nucleus80,
          |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top1_count,
          |  CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / CAST(min(total) AS DOUBLE) AS top1_share
-         |FROM ranked GROUP BY 1 ORDER BY x""".stripMargin)
+         |FROM ranked GROUP BY 1 ORDER BY x""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Semantic contamination sweep: the eval set (the first 10
+    // embedding ids, standing in for a benchmark's embedded items)
+    // scans the corpus for vectors with cosine ≥ 0.30 (the fixture's
+    // top-neighbor band — dbscan's ε) — the EMBEDDING-space
+    // complement of text_contamination's n-gram sweep (Lee et al.
+    // 2022 / GPT-4-report-style decontamination both ways). The probe
+    // set broadcasts into the corpus scan (the ann_bruteforce shape);
+    // cosine is the engine's fixed-order formula (VecDot + explicit
+    // sqrt norms), restated bit-for-bit by the oracle per the
+    // documented threshold-oracle recipe. Every probe reports — zero
+    // hits surface as an explicit clean row, never a dropped one.
+    "semantic_contamination_sweep" -> QueryDef(
+      (s, dir) => {
+        import graft.functions.exprs.vecDot
+        val nr = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("n"))
+        val probes = nr.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("pid"), col("embedding").as("pv"),
+            col("n").as("pn"))
+          .localCheckpoint() // feeds the sweep and the all-probes frame
+        val hits = nr.join(broadcast(probes), col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("vec_id").as("cid"),
+            when(col("pn") * col("n") > 0,
+              vecDot(col("pv"), col("embedding")) / (col("pn") * col("n")))
+              .otherwise(lit(0.0)).as("cos"))
+          .filter(col("cos") >= 0.30)
+          .localCheckpoint() // feeds the census agg AND the top-1 window
+        val agg = hits.groupBy(col("pid"))
+          .agg(count(lit(1)).as("n_contaminated"))
+        val top = hits.withColumn("rn", row_number().over(
+            Window.partitionBy(col("pid")).orderBy(col("cos").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("pid"), col("cid").as("top_match_id"), col("cos").as("top_sim"))
+        probes.select(col("pid"))
+          .join(agg, Seq("pid"), "left")
+          .join(top, Seq("pid"), "left")
+          .select(col("pid").as("probe_id"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            coalesce(col("top_match_id"), lit(-1L)).as("top_match_id"),
+            coalesce(col("top_sim"), lit(0.0)).as("top_sim"))
+          .orderBy(col("probe_id"))
+      },
+      """WITH ev AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |nr AS MATERIALIZED (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS n FROM ev),
+        |p AS (SELECT vec_id AS pid, v, n FROM nr WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT p.pid, c.vec_id AS cid,
+        |    CASE WHEN p.n * c.n > 0
+        |         THEN list_dot_product(p.v, c.v) / (p.n * c.n)
+        |         ELSE CAST(0.0 AS DOUBLE) END AS cos
+        |  FROM p JOIN nr c ON c.vec_id <> p.pid),
+        |hits AS MATERIALIZED (SELECT * FROM sc WHERE cos >= 0.30),
+        |agg AS (SELECT pid, CAST(count(*) AS BIGINT) AS n_contaminated FROM hits GROUP BY 1),
+        |top AS (
+        |  SELECT pid, cid AS top_match_id, cos AS top_sim FROM hits
+        |  QUALIFY row_number() OVER (PARTITION BY pid ORDER BY cos DESC, cid) = 1)
+        |SELECT p.pid AS probe_id,
+        |  coalesce(agg.n_contaminated, 0) AS n_contaminated,
+        |  CAST(coalesce(top.top_match_id, -1) AS BIGINT) AS top_match_id,
+        |  coalesce(top.top_sim, 0.0) AS top_sim
+        |FROM p LEFT JOIN agg ON agg.pid = p.pid
+        |LEFT JOIN top ON top.pid = p.pid
+        |ORDER BY probe_id""".stripMargin)
   )
 }

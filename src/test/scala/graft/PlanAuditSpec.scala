@@ -116,7 +116,8 @@ class PlanAuditSpec extends SparkSuite {
     "fairness_parity_langs", // corpus-wide pass-rate total as a broadcast 1-row aggregate (J9 shape)
     "diameter_two_sweep", // five 1-row sweep summaries meet in broadcast cross joins (J9 shape)
     "region_homophily_flows", // the 1-row total/diagonal/marginal aggregates meet in broadcast cross joins (J9 shape)
-    "isotonic_calibration") // PAVA max-min over the BOUNDED 10-bucket grain: ≤55-interval broadcast products by construction
+    "isotonic_calibration", // PAVA max-min over the BOUNDED 10-bucket grain: ≤55-interval broadcast products by construction
+    "semantic_contamination_sweep") // 10-probe eval set broadcasts into the corpus scan — the ann_bruteforce shape
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
