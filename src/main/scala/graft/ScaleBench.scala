@@ -68,9 +68,14 @@ object ScaleBench {
     */
   private def scaledEmbeddings(s: SparkSession, dir: String, k: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // The rotation stride must stay co-prime-ish with the ACTUAL
+    // vector length (advice r13): derive the modulus from the fixture
+    // dimension instead of hardcoding 64, so a dimension change keeps
+    // the per-copy shifts distinct and the cross-copy decorrelation.
+    val dim = emb.select(size(col("embedding")).as("d")).head().getInt(0)
     val off = 10000000L
     (0 until k).map { c =>
-      val shift = (7 * c) % 64
+      val shift = (7 * c) % dim
       emb.select(
         (col("vec_id") + c * off).as("vec_id"),
         expr(s"transform(sequence(0, size(embedding) - 1), " +
@@ -88,6 +93,34 @@ object ScaleBench {
     val off = 1000000L
     (0 until k).map { c =>
       base.select((col("doc_id") + c * off).as("doc_id"), col("text"))
+    }.reduce(_ unionByName _).localCheckpoint()
+  }
+
+  /** k copies of the perturbed corpus for the LSH DEDUP chains, made
+    * textually DISJOINT across copies by a per-copy alphabet rotation
+    * (translate — an injective char map): within-copy near-dup
+    * structure (each doc + its first-token-dropped twin) is preserved
+    * exactly, while cross-copy shingle/fingerprint overlap is
+    * coincidence-level, so candidate-pair mass scales k× — NOT k²
+    * (identical copies would make every cross-copy doc pair an exact
+    * duplicate: the scalar-multiple-embedding mistake, text edition).
+    * Copy-local shingle identity also keeps the hot-fingerprint df
+    * distribution identical per copy, so the broadcast blacklist caps
+    * fire the same way at every scale.
+    */
+  private def scaledDedupDocs(s: SparkSession, dir: String, k: Int): DataFrame = {
+    require(k <= 8, "rotation distinctness needs k well under the alphabet size")
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val base = d.unionAll(d.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      regexp_replace(col("text"), "^[^\\t\\n\\f\\r ]+[\\t\\n\\f\\r ]*", "").as("text")))
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val off = 1000000L
+    (0 until k).map { c =>
+      val rot = alpha.drop(3 * c) + alpha.take(3 * c)
+      base.select((col("doc_id") + c * off).as("doc_id"),
+        translate(col("text"), alpha + alpha.toUpperCase,
+          rot + rot.toUpperCase).as("text"))
     }.reduce(_ unionByName _).localCheckpoint()
   }
 
@@ -142,6 +175,30 @@ object ScaleBench {
       record("kcore", k, nE) {
         graft.operators.GraphOps.kcoreTruncated(edges, k = 10, rounds = 3).count()
       }
+      // r13 iterative additions (r13 verdict item 2): disjoint copies
+      // converge in the same 2 rounds (hub suppliers decide round 1 in
+      // every copy), so the fixture budgets hold at every scale.
+      record("luby_mis", k, nE) {
+        graft.operators.GraphOps.lubyMis(edges, maxRounds = 6).count()
+      }
+      record("greedy_matching", k, nE) {
+        graft.operators.GraphOps.greedyMatching(edges, maxRounds = 5).count()
+      }
+      record("two_sweep_bfs", k, nE) {
+        val off = 10000000L
+        val seeds1 = edges
+          .groupBy((col("u") / off).cast("long").as("cp"))
+          .agg(min(col("u")).as("node")).select(col("node"))
+        val h1 = graft.operators.GraphOps.bfsHops(edges, seeds1, rounds = 8)
+        // per-copy farthest node (ties → min id) seeds the second sweep
+        val h1c = h1.withColumn("cp", (col("node") / off).cast("long"))
+        val far = h1c.groupBy(col("cp")).agg(max(col("hop")).as("mh"))
+          .join(h1c, Seq("cp"))
+          .filter(col("hop") === col("mh"))
+          .groupBy(col("cp")).agg(min(col("node")).as("node"))
+          .select(col("node"))
+        graft.operators.GraphOps.bfsHops(edges, far, rounds = 8).count()
+      }
 
       val emb = scaledEmbeddings(spark, sfDir, k)
       val nV = emb.count()
@@ -176,6 +233,19 @@ object ScaleBench {
       record("span_excise", k, nD) {
         graft.operators.SpanDedup.exciseCommonSpans(
           docs, "doc_id", "text", n = 8, maxDocs = 1L).count()
+      }
+
+      // LSH dedup chains (r13 verdict item 2) over the alphabet-rotated
+      // corpus: candidate mass scales k× by construction.
+      val ddocs = scaledDedupDocs(spark, sfDir, k)
+      val nDD = ddocs.count()
+      record("minhash_lsh", k, nDD) {
+        graft.operators.MinHashLsh.nearDupPairs(
+          ddocs, "doc_id", "text", threshold = 0.5).count()
+      }
+      record("winnow_pairs", k, nDD) {
+        graft.operators.Dedup.winnowPairs(ddocs, "doc_id", "text",
+          k = 16, w = 8, minShared = 5, maxFingerprintDf = 20).count()
       }
 
       val normalized = scaledNormalized(spark, sfDir, k)

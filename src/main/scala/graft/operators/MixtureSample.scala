@@ -32,6 +32,14 @@ object MixtureSample {
     */
   val HeapBudgetCap: Int = 100000
 
+  /** Ceiling on the distinct-group domain. The per-group count maps in
+    * [[toCountsViaThreshold]] are driver-side (O(#groups)) — sound
+    * because the group column is source/lang-shaped (a bounded
+    * vocabulary), NOT a data key. A caller grouping by an unbounded
+    * key must fail loudly here instead of OOMing the driver.
+    */
+  val MaxGroups: Int = 65536
+
   /** Rows of `df` selected to hit `budgets(group)` rows per group
     * (groups absent from the map get 0). Appends nothing; output
     * columns = input columns. Budgets ≤ `heapCap` rank via the
@@ -41,10 +49,12 @@ object MixtureSample {
     */
   def toCounts(
       df: DataFrame, keyCol: String, groupCol: String,
-      budgets: Map[String, Int], heapCap: Int = HeapBudgetCap): DataFrame = {
+      budgets: Map[String, Int], heapCap: Int = HeapBudgetCap,
+      maxGroups: Int = MaxGroups): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "budgets must be >= 0")
     val maxBudget = budgets.values.max
-    if (maxBudget > heapCap) return toCountsViaThreshold(df, keyCol, groupCol, budgets)
+    if (maxBudget > heapCap)
+      return toCountsViaThreshold(df, keyCol, groupCol, budgets, maxGroups = maxGroups)
     val hashed = withBudgets(df, groupCol, budgets)
       .withColumn("__ms_h", md5(col(keyCol).cast("string")))
     graft.plans.TopKPerGroup(
@@ -94,8 +104,10 @@ object MixtureSample {
     */
   def toCountsViaThreshold(
       df: DataFrame, keyCol: String, groupCol: String,
-      budgets: Map[String, Int], margin: Double = 2.0): DataFrame = {
+      budgets: Map[String, Int], margin: Double = 2.0,
+      maxGroups: Int = MaxGroups): DataFrame = {
     require(budgets.nonEmpty && budgets.values.forall(_ >= 0), "budgets must be >= 0")
+    require(maxGroups >= 1, "maxGroups must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     // Deliberately NOT checkpointed: the corpus is scanned twice (the
@@ -104,9 +116,19 @@ object MixtureSample {
     // both scans push column pruning to the source.
     val hashed = withBudgets(df, groupCol, budgets)
       .withColumn("__ms_h", md5(col(keyCol).cast("string")))
-    val groupN: Map[String, Long] = hashed
+    // Driver-side O(#groups) map — bounded-domain assumption enforced:
+    // the limit caps what the driver ever pulls, and crossing the
+    // ceiling throws instead of OOMing on an unbounded group key.
+    val groupRows = hashed
       .groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .limit(maxGroups + 1)
+      .collect()
+    require(groupRows.length <= maxGroups,
+      s"toCountsViaThreshold: group column '$groupCol' exceeds $maxGroups distinct values; " +
+        "the per-group budget map is driver-side — group by a bounded domain " +
+        "(source/lang), not a data key")
+    val groupN: Map[String, Long] =
+      groupRows.map(r => r.getString(0) -> r.getLong(1)).toMap
 
     var m = margin
     var result: Option[DataFrame] = None
@@ -131,6 +153,7 @@ object MixtureSample {
                 .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
             lit(0L)))
       // exactness check: did the preselection cover every budget?
+      // (groups here ⊆ groupN's domain, already under the ceiling)
       val got: Map[String, Long] = hist
         .groupBy(col(groupCol)).agg(sum(col("__ms_c")).as("n"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

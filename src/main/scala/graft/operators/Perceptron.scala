@@ -35,6 +35,13 @@ object Perceptron {
   def train(features: DataFrame, dims: Int, rounds: Int)
       : (Seq[Array[Long]], Seq[RoundStat]) = {
     require(dims >= 1 && rounds >= 1, "dims and rounds must be positive")
+    // The per-round collects below are driver-bounded by construction:
+    // misCounts is O(#labels) = 2 rows and upd is O(dims) rows — the
+    // weight vector itself lives on the driver, so dims IS the model
+    // size. Cap it so an unbounded feature key fails loudly.
+    require(dims <= (1 << 20),
+      s"perceptron dims=$dims exceeds 2^20 — the weight vector and the per-round " +
+        "gradient collect are driver-side O(dims); hash features into a bounded space")
     var w = Array.fill(dims)(0L)
     val history = Seq.newBuilder[Array[Long]]
     val stats = Seq.newBuilder[RoundStat]

@@ -1114,10 +1114,15 @@ object IrLakeQueries {
               col("c") * (col("x") - col("lo")))), lit(0L)).as("part_num"),
             coalesce(sum(when(col("lo") <= col("x") && col("hi") > col("x"),
               col("hi") - col("lo"))), lit(0L)).as("part_den"))
+        // Left join est→act (est always carries all probes from the
+        // bounds cross join): a probe below the data minimum must
+        // survive with actual=0 to match the oracle's LEFT JOIN — an
+        // outer join with the probe frame preserved would force
+        // broadcasting the big value scan in BNLJ, so coalesce here.
         val act = v.join(probeDf, col("cents") <= col("x"))
           .groupBy(col("x")).agg(count(lit(1)).as("actual"))
-        est.join(act, Seq("x"))
-          .select(col("x"), col("actual"), col("full_below"),
+        est.join(act, Seq("x"), "left")
+          .select(col("x"), coalesce(col("actual"), lit(0L)).as("actual"), col("full_below"),
             col("part_num"), col("part_den"),
             (col("full_below").cast("double") +
               when(col("part_den") > 0,

@@ -1925,8 +1925,12 @@ object SketchStatsQueries {
           .localCheckpoint() // feeds the count, the bit build
         val nm = mem.agg(count(lit(1)).as("nmem"))
         val hx = s.range(0, 3).select(col("id").as("i"))
+        // Built from the passed Columns (not an expr() string that
+        // hardcodes the names 'key'/'i') so call-site renames bind
+        // correctly; same function tree as the oracle's hex parse.
         def pos(key: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) =
-          expr("CAST(conv(substring(md5(concat('b', CAST(i AS STRING), '_', CAST(key AS STRING))), 1, 8), 16, 10) AS BIGINT)") % (lit(16L) * col("nmem"))
+          conv(substring(md5(concat(lit("b"), i.cast("string"), lit("_"),
+            key.cast("string"))), 1, 8), 16, 10).cast("long") % (lit(16L) * col("nmem"))
         val bits = mem.crossJoin(broadcast(hx)).crossJoin(broadcast(nm))
           .select(pos(col("key"), col("i")).as("pos")).distinct()
           .localCheckpoint() // feeds bits_set count + the probe join

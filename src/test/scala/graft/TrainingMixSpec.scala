@@ -83,6 +83,35 @@ class TrainingMixSpec extends SparkSuite {
     assert(tiny == heap, "margin escalation lost exactness")
   }
 
+  test("threshold path: group domain above the ceiling fails loudly, not OOM") {
+    // docs has 20 distinct sources; a ceiling of 4 must throw before
+    // the driver materializes the per-group map…
+    val budgets = (0 until 20).map(i => s"src$i" -> 5).toMap
+    val ex = intercept[IllegalArgumentException] {
+      MixtureSample.toCountsViaThreshold(
+        docs, "doc_id", "source", budgets, maxGroups = 4)
+    }
+    assert(ex.getMessage.contains("distinct values"))
+    // …and the auto-switch from toCounts threads the ceiling through
+    intercept[IllegalArgumentException] {
+      MixtureSample.toCounts(
+        docs, "doc_id", "source", budgets, heapCap = 1, maxGroups = 4)
+    }
+    // a ceiling at the domain size passes and still selects exactly
+    val ok = MixtureSample.toCountsViaThreshold(
+      docs, "doc_id", "source", budgets, maxGroups = 20)
+    assert(ok.count() == 100L)
+  }
+
+  test("perceptron dims above the driver ceiling fails loudly") {
+    import spark.implicits._
+    val f = Seq((1L, 1L, 0, 1L)).toDF("id", "y", "dim", "x")
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Perceptron.train(f, dims = (1 << 20) + 1, rounds = 1)
+    }
+    assert(ex.getMessage.contains("driver-side"))
+  }
+
   test("threshold path: budget above group size takes the whole group") {
     val sel = MixtureSample.toCountsViaThreshold(
       docs, "doc_id", "source", Map("src0" -> 1000))

@@ -20,6 +20,7 @@ at least as strict as the driver.
 """
 import json
 import sys
+import time
 from pathlib import Path
 
 import duckdb
@@ -65,6 +66,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = 0
+    times = {}  # per-oracle DuckDB wall seconds (r13 verdict item 4)
     for name in sorted(oracle):
         qdir = Path(out_dir) / name
         if not qdir.exists():
@@ -73,9 +75,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         got = pd.read_parquet(qdir)
         try:
+            t0 = time.monotonic()
             rel = con.sql(oracle[name])
             problems = type_audit(rel.types, rel.columns)
             exp = rel.fetchdf()
+            times[name] = time.monotonic() - t0
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
@@ -115,6 +119,21 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    # Oracle runtime budget (r13 verdict item 4): surface the top-10
+    # DuckDB wall times so a creeping oracle (the pre-MATERIALIZED
+    # triangle chain ran >10 min) is caught at review time, and fail
+    # the gate outright past the hard budget.
+    BUDGET_S = 60.0
+    if times:
+        top = sorted(times.items(), key=lambda kv: -kv[1])[:10]
+        print("== top-10 oracle times (s): "
+              + ", ".join(f"{n}={t:.1f}" for n, t in top)
+              + f"; total {sum(times.values()):.1f}s ==")
+        over = [(n, t) for n, t in times.items() if t > BUDGET_S]
+        for n, t in over:
+            print(f"FAIL {n}: oracle runtime {t:.1f}s exceeds {BUDGET_S:.0f}s budget "
+                  "(add MATERIALIZED to reused CTEs or restructure)")
+        n_fail += len(over)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
