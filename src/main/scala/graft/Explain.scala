@@ -9,6 +9,23 @@ import java.nio.file.{Files, Paths}
   */
 object Explain {
   private val audited = Seq(
+    "bucket_join_colocated" ->
+      ("Both sides written bucketed 8× on the join key: SortMergeJoin with NO exchange " +
+        "on either input (the construction-time require() asserts it); only the final " +
+        "rollup shuffles."),
+    "resource_allocation_links" ->
+      ("Inverted-index pair generation (the link_prediction_jaccard shape); 1/deg rides " +
+        "the lcm(1..13) integer scaling so the RA score is exact; top-20 as TakeOrderedAndProject."),
+    "dedup_threshold_curve" ->
+      ("One shared exact-Jaccard pair frame feeds every threshold band — integer floor " +
+        "banding, a 10-row cumulative window; no per-threshold re-run of the dedup chain."),
+    "stress_centrality_nations" ->
+      ("Final assembly over the checkpointed all-pairs BFS σ-frame: the triple equi-join " +
+        "σ(s,v)·σ(v,t) with the d(s,v)+d(v,t)=d(s,t) filter on the bounded nation grain; " +
+        "the per-round plan is the bfs_hops shape with a path-count sum."),
+    "heaps_law_trigram_curve" ->
+      ("Trigram first-occurrence = one min-agg; the decile census is a broadcast 10-row " +
+        "range probe against it — never a per-decile corpus rescan."),
     "ytd_by_region" ->
       "Range predicate reaches PushedFilters (row-group pruning); dims broadcast; partial+final agg.",
     "top5_suppliers" ->

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{CurationQueries, GovernanceQueries, GraphLearnQueries, IncrementalQueries, IrLakeQueries, MefStarQueries, OlapQueries, ParityQueries, PipelineQueries, QualityDriftQueries, QueryDef, SelectionEmbedQueries, SketchStatsQueries, TimeSeriesQueries, TrainingMixQueries}
+import graft.queries.{CurationQueries, EvalOpsQueries, GovernanceQueries, GraphLearnQueries, IncrementalQueries, IrLakeQueries, MefStarQueries, OlapQueries, ParityQueries, PipelineQueries, QualityDriftQueries, QueryDef, SelectionEmbedQueries, SketchStatsQueries, TimeSeriesQueries, TrainingMixQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
       TrainingMixQueries.defs ++ SketchStatsQueries.defs ++
       GovernanceQueries.defs ++ GraphLearnQueries.defs ++ IrLakeQueries.defs ++
       TimeSeriesQueries.defs ++ QualityDriftQueries.defs ++
-      SelectionEmbedQueries.defs
+      SelectionEmbedQueries.defs ++ EvalOpsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

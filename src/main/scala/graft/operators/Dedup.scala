@@ -92,7 +92,12 @@ object Dedup {
     * in corpus size (standard trick — such shingles carry no dedup
     * signal anyway).
     */
-  def ngramJaccardPairs(
+  /** [[ngramJaccardPairs]] with the set-overlap counters retained
+    * (id_a, id_b, n_a, n_b, shared, jaccard) — callers that band or
+    * re-threshold pairs (threshold curves) need the exact integers,
+    * not just the one-division jaccard.
+    */
+  def ngramJaccardPairStats(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 1000): DataFrame = {
     // 64-bit shingle hashes as join keys ([[graft.functions.NgramHashes]]):
@@ -126,8 +131,13 @@ object Dedup {
       .withColumn("jaccard",
         col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxShingleDf: Int = 1000): DataFrame =
+    ngramJaccardPairStats(df, idCol, textCol, n, threshold, maxShingleDf)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Connected components over an undirected pair graph — the step that
     * turns near-dup PAIRS into dedup CLUSTERS (keep one representative

@@ -127,6 +127,78 @@ object IrLakeQueries {
       }),
 
     // ------------------------------------------------------------------
+    // ERR (Chapelle et al. 2009) and RBP p=1/2 (Moffat & Zobel 2008 —
+    // both public literature) of the same dense retriever/probe set as
+    // ndcg_dense_eval. With binary grades R ∈ {0, 1/2} every cascade
+    // product is a dyadic rational (exact in doubles) and RBP terms
+    // are rel/2^rank; both metrics fold over the rank-ORDERED top-10
+    // via sort_array+aggregate ≡ list ORDER BY+list_reduce (the ndcg
+    // deterministic-sum recipe), the per-step /rank divisions in
+    // identical textual order on both engines.
+    "err_rbp_dense_eval" -> QueryDef(
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ret = graft.operators.Similarity.bruteForceTopK(
+          emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))
+        val lab = emb.select(col("vec_id"), col("label"))
+        val terms = ret
+          .join(broadcast(lab.select(col("vec_id").as("query_id"),
+            col("label").as("lq"))), "query_id")
+          .join(lab.select(col("vec_id").as("neighbor_id"),
+            col("label").as("ln")), "neighbor_id")
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            when(col("lq") === col("ln"), 1.0).otherwise(0.0).as("rel"))
+        terms
+          .groupBy(col("query_id"))
+          .agg(sort_array(collect_list(struct(col("rank"), col("rel"))))
+            .as("xs"))
+          .select(col("query_id"), expr(
+            """aggregate(xs,
+              |  named_struct('rank', CAST(0 AS BIGINT), 'rel', CAST(0 AS DOUBLE),
+              |    'p', CAST(1 AS DOUBLE), 'err', CAST(0 AS DOUBLE), 'rbp', CAST(0 AS DOUBLE)),
+              |  (a, x) -> named_struct('rank', x.rank, 'rel', x.rel,
+              |    'p', a.p * (CAST(1 AS DOUBLE) - x.rel / 2),
+              |    'err', a.err + a.p * (x.rel / 2) / x.rank,
+              |    'rbp', a.rbp + x.rel / CAST(shiftleft(1, CAST(x.rank AS INT)) AS BIGINT)))
+              |""".stripMargin).as("st"))
+          .select(col("query_id"), col("st.err").as("err"), col("st.rbp").as("rbp"))
+          .orderBy(col("query_id"))
+      },
+      """WITH pairs AS (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         CASE WHEN p.label = c.label THEN 1 ELSE 0 END AS rel,
+        |         list_cosine_similarity(c.embedding, p.embedding) AS sim
+        |  FROM embeddings c, embeddings p
+        |  WHERE p.vec_id < 10 AND c.vec_id <> p.vec_id),
+        |ret AS (
+        |  SELECT query_id, rel, rank FROM (
+        |    SELECT query_id, rel,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |    FROM pairs) t WHERE rank <= 10),
+        |folded AS (
+        |  -- field ORDER is load-bearing: DuckDB's list_reduce mutates the
+        |  -- accumulator struct field-by-field IN PLACE, so err/rbp must be
+        |  -- computed from a.p BEFORE the p field overwrites it (measured:
+        |  -- p-first halves every err term; Spark's named_struct is
+        |  -- functional and order-free)
+        |  SELECT query_id,
+        |    list_reduce(
+        |      list_prepend(struct_pack(rank := CAST(0 AS BIGINT), rel := CAST(0 AS DOUBLE),
+        |                               err := CAST(0 AS DOUBLE), rbp := CAST(0 AS DOUBLE),
+        |                               p := CAST(1 AS DOUBLE)),
+        |        list(struct_pack(rank := CAST(rank AS BIGINT), rel := CAST(rel AS DOUBLE),
+        |                         err := CAST(0 AS DOUBLE), rbp := CAST(0 AS DOUBLE),
+        |                         p := CAST(0 AS DOUBLE))
+        |             ORDER BY rank)),
+        |      (a, x) -> struct_pack(rank := x.rank, rel := x.rel,
+        |        err := a.err + a.p * (x.rel / 2) / x.rank,
+        |        rbp := a.rbp + x.rel / CAST(1 << x.rank AS BIGINT),
+        |        p := a.p * (CAST(1 AS DOUBLE) - x.rel / 2))) AS st
+        |  FROM ret GROUP BY 1)
+        |SELECT query_id, st.err AS err, st.rbp AS rbp FROM folded ORDER BY query_id""".stripMargin),
+
+    // ------------------------------------------------------------------
     // MRR@10 of the same dense retriever over the same probe set as
     // ndcg_dense_eval (the three ranking metrics are directly
     // comparable). Reciprocal rank is ONE IEEE division 1.0/min(rank)
@@ -1096,7 +1168,7 @@ object IrLakeQueries {
     "histogram_selectivity_eval" -> QueryDef(
       (s, dir) => {
         val v = Tables.lineitem(s, dir)
-          .select(expr("CAST(l_extendedprice * 100 AS BIGINT)").as("cents"))
+          .select(expr("CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100 AS BIGINT)").as("cents"))
         val bounds = ExactNtile.withNtile(v, Seq(col("cents")), 16, "b")
           .groupBy(col("b"))
           .agg(min(col("cents")).as("lo"), max(col("cents")).as("hi"),
@@ -1130,7 +1202,7 @@ object IrLakeQueries {
                 .otherwise(lit(0.0))).as("est_count"))
           .orderBy(col("x"))
       },
-      """WITH v AS (SELECT CAST(l_extendedprice * 100 AS BIGINT) AS cents FROM lineitem),
+      """WITH v AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(20,2)) * 100 AS BIGINT) AS cents FROM lineitem),
         |hist AS (SELECT ntile(16) OVER (ORDER BY cents) AS b, cents FROM v),
         |bounds AS (
         |  SELECT b, CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi,

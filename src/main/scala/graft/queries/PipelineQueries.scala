@@ -2234,6 +2234,81 @@ object PipelineQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Macro-F1 of the stopword-vote langid against the ground-truth
+    // lang column. Per-class F1 uses the harmonic identity
+    // F1 = 2·tp/(pred_n + true_n) — ONE exact-integer division per
+    // class, no separate precision/recall divisions to compose — and
+    // the macro average is an EXPLICIT 5-term sum over the fixed
+    // profile-order classes (en, es, fr, de, zh) in identical textual
+    // order on both engines, never a shuffle-order SUM over doubles.
+    "macro_f1_langid" -> QueryDef(
+      (s, dir) => {
+        val langs = TextOps.langProfiles.map(_._1)
+        val pred = Tables.documents(s, dir).select(
+          col("lang"), TextOps.langId(col("text")).as("lang_pred"))
+        val aggs = langs.flatMap { l => Seq(
+          sum(when(col("lang") === l && col("lang_pred") === l, 1L).otherwise(0L))
+            .as(s"tp_$l"),
+          sum(when(col("lang_pred") === l, 1L).otherwise(0L)).as(s"pred_$l"),
+          sum(when(col("lang") === l, 1L).otherwise(0L)).as(s"true_$l")) }
+        val piv = pred.agg(aggs.head, aggs.tail: _*)
+        def f1(l: String) =
+          when(col(s"pred_$l") + col(s"true_$l") > 0,
+            (lit(2L) * col(s"tp_$l")).cast("double") /
+              (col(s"pred_$l") + col(s"true_$l")))
+            .otherwise(lit(0.0))
+        val withF1 = piv.select(col("*") +:
+          langs.map(l => f1(l).as(s"f1_$l")): _*)
+        withF1.select(
+          (langs.map(l => col(s"tp_$l")) ++ langs.map(l => col(s"true_$l")) ++
+            langs.map(l => col(s"f1_$l")) :+
+            (langs.map(l => col(s"f1_$l")).reduceLeft(_ + _) / 5)
+              .as("macro_f1")): _*)
+      }, {
+        val hits = TextOps.langProfiles.map { case (lang, sws) =>
+          val arr = sws.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS ${lang}_hits"
+        }.mkString(",\n    ")
+        val langs = TextOps.langProfiles.map(_._1)
+        val g = langs.map(l => s"${l}_hits").mkString("greatest(", ", ", ")")
+        val cases = langs.map(l => s"WHEN ${l}_hits = g THEN '$l'").mkString("\n    ")
+        val cellAggs = langs.map { l =>
+          s"""  CAST(sum(CASE WHEN lang = '$l' AND lang_pred = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS tp_$l,
+             |  CAST(sum(CASE WHEN lang_pred = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS pred_$l,
+             |  CAST(sum(CASE WHEN lang = '$l' THEN 1 ELSE 0 END) AS BIGINT) AS true_$l""".stripMargin
+        }.mkString(",\n")
+        val f1s = langs.map { l =>
+          s"""  CASE WHEN pred_$l + true_$l > 0
+             |    THEN CAST(2 * tp_$l AS DOUBLE) / (pred_$l + true_$l)
+             |    ELSE 0.0 END AS f1_$l""".stripMargin
+        }.mkString(",\n")
+        val macroSum = langs.map(l => s"f1_$l").mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT doc_id, lang,
+           |    $hits
+           |  FROM documents
+           |), s AS (SELECT doc_id, lang, *, $g AS g FROM t),
+           |p AS (SELECT lang,
+           |  CASE WHEN g = 0 THEN 'und'
+           |    $cases
+           |  END AS lang_pred
+           |FROM s),
+           |piv AS (
+           |  SELECT
+           |$cellAggs
+           |  FROM p),
+           |f AS (
+           |  SELECT *,
+           |$f1s
+           |  FROM piv)
+           |SELECT ${langs.map(l => s"tp_$l").mkString(", ")},
+           |  ${langs.map(l => s"true_$l").mkString(", ")},
+           |  ${langs.map(l => s"f1_$l").mkString(", ")},
+           |  ($macroSum) / 5 AS macro_f1
+           |FROM f""".stripMargin
+      }),
+
+    // ------------------------------------------------------------------
     // Cohen's kappa of detected vs true language — chance-corrected
     // agreement, the metric that exposes a classifier that "agrees"
     // only because one class dominates. Exactly rational: with
@@ -2449,6 +2524,117 @@ object PipelineQueries {
          |SELECT doc_id FROM corpus
          |WHERE doc_id NOT IN (SELECT u FROM cc WHERE component <> u)
          |ORDER BY doc_id""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Cluster CANONICALIZATION — the argmax step after components: per
+    // near-dup cluster keep the longest member (ties → min id), the
+    // "best representative" policy a curation pipeline applies instead
+    // of blind min-id. One max-struct agg over the CC labels joined
+    // back to text lengths; singletons pass through as their own
+    // canonical. Same recursive-CTE closure as dedup_cc_components.
+    "dedup_cluster_canonical" -> QueryDef(
+      (s, dir) => {
+        val docs = perturbedDocs(s, dir)
+          .select(col("doc_id"), length(coalesce(col("text"), lit(""))).as("len"))
+        val labeled = docs
+          .join(ccLabels(s, dir).select(col("id").as("doc_id"), col("component")),
+            Seq("doc_id"), "left")
+          .select(coalesce(col("component"), col("doc_id")).as("component"),
+            col("doc_id"), col("len"))
+        labeled.groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"),
+            max(struct(col("len").as("len"), (-col("doc_id")).as("nid")))
+              .as("best"),
+            max(col("len")).cast("long").as("max_len"))
+          .select(col("component"), col("n_members"),
+            (-col("best.nid")).as("canonical_id"), col("max_len"))
+          .orderBy(col("component"))
+      },
+      s"""WITH RECURSIVE corpus AS ($perturbedSql),
+         |docs AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(toks) - 2),
+         |      i -> array_to_string(toks[i:i+3], ' '))) AS sh
+         |  FROM (SELECT doc_id, $toksSql AS toks FROM corpus)
+         |  WHERE len(toks) >= 4
+         |),
+         |inv AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS shingle FROM docs),
+         |jpairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS shared
+         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |thr AS (
+         |  SELECT id_a, id_b FROM jpairs
+         |  WHERE CAST(shared AS DOUBLE) / (n_a + n_b - shared) >= 0.5
+         |),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM thr
+         |  UNION
+         |  SELECT id_b AS u, id_a AS v FROM thr
+         |),
+         |reach(u, lbl) AS (
+         |  SELECT u, u AS lbl FROM (SELECT DISTINCT u FROM edges)
+         |  UNION
+         |  SELECT e.u, r.lbl FROM edges e JOIN reach r ON r.u = e.v
+         |),
+         |cc AS (SELECT u, MIN(lbl) AS component FROM reach GROUP BY u),
+         |labeled AS (
+         |  SELECT coalesce(cc.component, c.doc_id) AS component, c.doc_id,
+         |    CAST(len(coalesce(c.text, '')) AS INT) AS len
+         |  FROM corpus c LEFT JOIN cc ON cc.u = c.doc_id),
+         |ranked AS (
+         |  SELECT component, doc_id, len,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY len DESC, doc_id) AS rn
+         |  FROM labeled)
+         |SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS canonical_id,
+         |  CAST(max(len) AS BIGINT) AS max_len
+         |FROM ranked GROUP BY component
+         |ORDER BY component""".stripMargin),
+
+    // ------------------------------------------------------------------
+    // Exact edit-distance VERIFICATION of the planted near-dup pairs:
+    // levenshtein (same classic DP metric in both engines, ASCII
+    // corpus) confirms each (i, i+100000) first-token-dropped twin
+    // sits under the 0.2-normalized-distance keep threshold. Distances
+    // and lengths exact integers; ONE division renders the normalized
+    // score. The verify stage that turns LSH candidates into decisions
+    // — text lengths are generator-bounded, so the per-pair DP cost is
+    // O(1) and the whole pass is map-shaped at any corpus size.
+    "edit_distance_verify" -> QueryDef(
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("ta"))
+        val p = perturbedDocs(s, dir)
+          .filter(col("doc_id") >= 100000)
+          .select((col("doc_id") - 100000).as("doc_id"),
+            coalesce(col("text"), lit("")).as("tb"))
+        d.join(p, Seq("doc_id"))
+          .select(col("doc_id"),
+            levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+            length(col("ta")).cast("long").as("len_a"),
+            length(col("tb")).cast("long").as("len_b"))
+          .withColumn("norm_dist",
+            col("lev").cast("double") / greatest(col("len_a"), lit(1L)))
+          .withColumn("keep_pair", col("norm_dist") <= 0.2)
+          .orderBy(col("doc_id"))
+      },
+      """SELECT d.doc_id,
+        |  CAST(levenshtein(coalesce(d.text, ''),
+        |    coalesce(regexp_replace(d.text, '^\S+\s*', ''), '')) AS BIGINT) AS lev,
+        |  CAST(len(coalesce(d.text, '')) AS BIGINT) AS len_a,
+        |  CAST(len(coalesce(regexp_replace(d.text, '^\S+\s*', ''), '')) AS BIGINT) AS len_b,
+        |  CAST(levenshtein(coalesce(d.text, ''),
+        |    coalesce(regexp_replace(d.text, '^\S+\s*', ''), '')) AS DOUBLE)
+        |    / greatest(len(coalesce(d.text, '')), 1) AS norm_dist,
+        |  CAST(levenshtein(coalesce(d.text, ''),
+        |    coalesce(regexp_replace(d.text, '^\S+\s*', ''), '')) AS DOUBLE)
+        |    / greatest(len(coalesce(d.text, '')), 1) <= 0.2 AS keep_pair
+        |FROM documents d
+        |ORDER BY d.doc_id""".stripMargin),
 
     // ------------------------------------------------------------------
     // Exact n-gram Jaccard near-dup pairs on the perturbed corpus:

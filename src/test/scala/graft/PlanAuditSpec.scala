@@ -117,7 +117,15 @@ class PlanAuditSpec extends SparkSuite {
     "diameter_two_sweep", // five 1-row sweep summaries meet in broadcast cross joins (J9 shape)
     "region_homophily_flows", // the 1-row total/diagonal/marginal aggregates meet in broadcast cross joins (J9 shape)
     "isotonic_calibration", // PAVA max-min over the BOUNDED 10-bucket grain: ≤55-interval broadcast products by construction
-    "semantic_contamination_sweep") // 10-probe eval set broadcasts into the corpus scan — the ann_bruteforce shape
+    "semantic_contamination_sweep", // 10-probe eval set broadcasts into the corpus scan — the ann_bruteforce shape
+    "mase_forecast_eval", // train-side (n, sae) as a broadcast 1-row aggregate (J9 shape)
+    "cramers_v_association", // grand total N as a broadcast 1-row aggregate (the chi2 shape)
+    "kendall_tau_nations", // bounded 25-nation pairwise product (the mann_kendall convention)
+    "heaps_law_trigram_curve", // 10-row decile spine range-probes the first-occurrence frame (word2vec_neg_table shape)
+    "err_rbp_dense_eval", // embeds bruteForceTopK's broadcast probe × corpus product (the ndcg retriever under eval)
+    "stress_centrality_nations", // flow-total 1-row aggregate broadcast (the diameter_two_sweep edge build)
+    "winsorized_mean_daily", // the 1-row clamp-limit frame broadcast onto the bounded day frame (J9 shape)
+    "flow_reciprocity_nations") // flow-total 1-row aggregate broadcast (the diameter_two_sweep edge build)
 
   test("no query plans CartesianProduct; nested-loop joins only where intended") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
