@@ -53,6 +53,8 @@ object Bench {
       queries.IvfArtifacts.warm(spark, sfDir)
       queries.GraphLearnQueries.warmArtifacts(spark, sfDir)
       queries.CurationQueries.warmArtifacts(spark, sfDir)
+      queries.PipelineQueries.warmArtifacts(spark, sfDir)
+      queries.MefStarQueries.warmArtifacts(spark, sfDir)
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -37,7 +37,12 @@ object CoreBench {
     "tpch_q3_shipping_priority",
     "monthly_star_rollup",
     "events_sessionize",
-    "mef_star_pipeline_ytd",
+    // the e2e ETL representative is the INCREMENTAL pipeline: it
+    // builds its own star per call (Star.build + append), so the
+    // measurement stays a real build at every core count — the
+    // starCache-backed mef_star_pipeline_* queries would measure only
+    // the post-build view query after their first run (r14)
+    "mef_star_incremental_ytd",
     "pagerank_supplier_customer",
     "kcore_decomposition",
     "dedup_minhash_lsh",
@@ -63,6 +68,7 @@ object CoreBench {
     queries.IvfArtifacts.warm(spark, sfDir)
     queries.GraphLearnQueries.warmArtifacts(spark, sfDir)
     queries.CurationQueries.warmArtifacts(spark, sfDir)
+    queries.PipelineQueries.warmArtifacts(spark, sfDir)
 
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val results = Representatives.map { name =>

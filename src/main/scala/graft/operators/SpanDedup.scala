@@ -57,6 +57,16 @@ object SpanDedup {
     reassemble(docs, idCol, textCol,
       coveredPositions(docs, idCol, textCol, n, maxDocs, keepFirst))
 
+  /** [[exciseCommonSpans]] over a PRECOMPUTED coverage frame (one row
+    * per (idCol, pos0) to drop) — the load-once/query-many face: the
+    * four span-family queries share one census+coverage computation
+    * (r14), so a policy/diagnostic pays only its own reassembly.
+    */
+  def exciseFromCovered(
+      docs: DataFrame, idCol: String, textCol: String,
+      covered: DataFrame): DataFrame =
+    reassemble(docs, idCol, textCol, covered)
+
   /** INTRA-document span de-looping — the cleanup generated/synthetic
     * text needs (decoder loops repeat the same run over and over
     * inside ONE document; `text_repetition` only profiles it, this
@@ -135,9 +145,17 @@ object SpanDedup {
     */
   def maximalSpans(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocs: Long): DataFrame = {
+      n: Int, maxDocs: Long): DataFrame =
+    maximalSpansFromCovered(docs, idCol, textCol,
+      coveredPositions(docs, idCol, textCol, n, maxDocs))
+
+  /** [[maximalSpans]] over a precomputed coverage frame (r14 — see
+    * [[exciseFromCovered]]).
+    */
+  def maximalSpansFromCovered(
+      docs: DataFrame, idCol: String, textCol: String,
+      cov: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cov = coveredPositions(docs, idCol, textCol, n, maxDocs)
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos0"))
     val runs = cov.withColumn("grp", col("pos0") - row_number().over(w))
     val tokens = docs.select(
@@ -233,18 +251,33 @@ object SpanDedup {
     */
   def coveredPositions(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame = {
+      n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame =
+    coveredPositionsFromSpans(
+      spansFrame(docs, idCol, textCol, n), idCol, n, maxDocs, keepFirst)
+
+  /** The skinny positional span frame (idCol, start0, span_hash) —
+    * ids and offsets only — checkpointed once because it feeds the
+    * blacklist aggregate AND the probe join (both keyed on span_hash).
+    * Exposed (r14) so the four span-family queries can share ONE
+    * census instead of re-exploding the corpus each.
+    */
+  def spansFrame(
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n > 0, "span length must be positive")
     val text = coalesce(col(textCol), lit(""))
-    // skinny positional span census: (doc, start0, span_hash) — ids and
-    // offsets only, feeds blacklist agg + probe join (both keyed on
-    // span_hash)
-    val spans = docs
+    docs
       .select(
         col(idCol),
         posexplode(md5exprs.md5NgramHashesPos(text, n))
           .as(Seq("start0", "span_hash")))
       .localCheckpoint()
+  }
+
+  /** [[coveredPositions]] over a precomputed [[spansFrame]] (r14). */
+  def coveredPositionsFromSpans(
+      spans: DataFrame, idCol: String,
+      n: Int, maxDocs: Long, keepFirst: Boolean = false): DataFrame = {
+    require(n > 0, "span length must be positive")
     val blacklist = spans
       .groupBy(col("span_hash"))
       .agg(countDistinct(col(idCol)).as("n_docs"))

@@ -786,14 +786,8 @@ object EvalOpsQueries {
     // nation-pair grain. Oracle unrolls the same 6 rounds.
     "stress_centrality_nations" -> QueryDef(
       (s, dir) => {
-        val flow = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
-          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
-          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
-          .filter(col("s_nationkey") =!= col("c_nationkey"))
-          .groupBy(col("s_nationkey").cast("long").as("u"),
-            col("c_nationkey").cast("long").as("v"))
-          .agg(count(lit(1)).as("cnt"))
+        // shared checkpointed nation-flow artifact (r14)
+        val flow = GraphLearnQueries.nationFlow(s, dir)
         val tot = flow.agg(sum(col("cnt")).as("t"), count(lit(1)).as("np"))
         val e0 = flow.crossJoin(broadcast(tot))
           .filter(col("cnt") * col("np") > col("t"))
@@ -966,14 +960,8 @@ object EvalOpsQueries {
     // flag join on the reversed edge set, one division.
     "flow_reciprocity_nations" -> QueryDef(
       (s, dir) => {
-        val flow = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
-          .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
-          .join(Tables.supplier(s, dir), col("s_suppkey") === col("l_suppkey"))
-          .filter(col("s_nationkey") =!= col("c_nationkey"))
-          .groupBy(col("s_nationkey").cast("long").as("u"),
-            col("c_nationkey").cast("long").as("v"))
-          .agg(count(lit(1)).as("cnt"))
+        // shared checkpointed nation-flow artifact (r14)
+        val flow = GraphLearnQueries.nationFlow(s, dir)
         val tot = flow.agg(sum(col("cnt")).as("t"), count(lit(1)).as("np"))
         val e0 = flow.crossJoin(broadcast(tot))
           .filter(col("cnt") * col("np") > col("t"))

@@ -63,6 +63,23 @@ object MefStarQueries {
       (factPath, tiempoPath)
     }
 
+  /** Bench warm-up face of the star artifacts (r14; the
+    * IvfArtifacts.warm rationale): build the shared star and persist
+    * the lake untimed so the alphabetically-first consumer
+    * (mef_star_dpp_prune — whose own documented warm iso is 0.6–0.7 s)
+    * doesn't record the one-time star+lake build as its own cost.
+    * Four queries share these caches (dpp_prune, mv_month_rollup,
+    * pipeline_ytd, pipeline_annual); pipeline-construction COST stays
+    * measured in-sweep by mef_star_incremental_ytd and
+    * mef_star_append_fold, which build their own stars by design.
+    * Called from Bench only — CoreBench keeps its ETL representative
+    * cold so strong-scaling still measures the build.
+    */
+  def warmArtifacts(s: SparkSession, dir: String): Unit = {
+    starLake(s, dir)
+    ()
+  }
+
   /** lineitem ⋈ supplier/nation/region → MEF-shaped all-string raw.
     * All three dim joins broadcast explicitly (bounded domains, like
     * the reference's ejecutora/sector tables). NOT fanned out: an

@@ -83,22 +83,75 @@ object PipelineQueries {
 
   private def ccLabels(s: SparkSession, dir: String): DataFrame =
     ccCache.getOrElseUpdate(s, dir) {
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(
-          perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5),
-        "id_a", "id_b")
+      Dedup.connectedComponents(perturbedPairs(s, dir), "id_a", "id_b")
         .localCheckpoint()
     }
+
+  /** Session-scoped exact-pair ARTIFACT (r14): the production 4-gram
+    * Jaccard near-dup pair frame over the perturbed corpus at
+    * threshold 0.5 — the frame `dedup_ngram_jaccard` reports,
+    * `split_leakage_check` filters for cross-split leaks, and the CC
+    * label artifact ([[ccLabels]]) clusters. Each consumer previously
+    * re-ran the full inverted-index chain (shingle kernel + blacklist
+    * + self-join + pair agg); one checkpointed pair frame serves all
+    * three (the load-once/query-many artifact rule).
+    */
+  private val perturbedPairsCache = new SessionScopedCache[DataFrame]
+
+  private def perturbedPairs(s: SparkSession, dir: String): DataFrame =
+    perturbedPairsCache.getOrElseUpdate(s, dir) {
+      Dedup.ngramJaccardPairs(
+        perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5)
+        .localCheckpoint()
+    }
+
+  /** Session-scoped span-coverage ARTIFACT (r14): the positional span
+    * frame (n = 8) over the perturbed corpus plus the drop-all-copies
+    * coverage set (maxDocs = 1) — ONE census shared by the four
+    * span-family queries (`dedup_span_excise` and
+    * `dedup_span_runlengths` / `dedup_span_maximal` read the coverage
+    * directly; `dedup_span_keepfirst` re-derives its keeper-aware
+    * coverage from the shared span frame). Previously each query
+    * re-exploded the corpus and re-ran the census aggregate; the
+    * sharing was already the documented intent ("reads the same
+    * coveredPositions frame the excision policies use").
+    */
+  private val spanCoverageCache =
+    new SessionScopedCache[(DataFrame, DataFrame)]
+
+  private def spanCoverage(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    spanCoverageCache.getOrElseUpdate(s, dir) {
+      val spans = SpanDedup.spansFrame(perturbedDocs(s, dir), "doc_id", "text", 8)
+      val cov = SpanDedup.coveredPositionsFromSpans(spans, "doc_id", 8, 1L)
+        .localCheckpoint()
+      (spans, cov)
+    }
+
+  /** Bench warm-up face of the pipeline dedup artifacts (the
+    * IvfArtifacts.warm rationale): build the shared pair frame, CC
+    * labels, span coverage, and basket pair counts untimed so the
+    * alphabetically-first consumer of each doesn't record the shared
+    * build as its own cost.
+    */
+  def warmArtifacts(s: SparkSession, dir: String): Unit = {
+    ccLabels(s, dir)
+    spanCoverage(s, dir)
+    basketPairs(s, dir)
+    ()
+  }
 
   /** Basket pair-count ARTIFACT, built once per (session, corpus) —
     * the distinct (order, part) self-join + pair aggregation is the
     * expensive stage shared by basket_association_rules and
-    * basket_triangles; both read the same checkpointed (p1, p2,
-    * c_pair ≥ 3) table (same contract as [[ccLabels]]).
+    * basket_triangles (both filter the same checkpointed frame to
+    * c_pair ≥ 3) and, r14, cf_item_neighbors (which scores the
+    * UNFILTERED pair counts — so the cached frame is now the full
+    * (p1, p2, c_pair) table and the min-support filter moved into
+    * [[basketPairs]], a map-only predicate over the checkpoint).
     */
   private val basketPairCache = new SessionScopedCache[DataFrame]
 
-  private def basketPairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def basketPairsAll(s: SparkSession, dir: String): DataFrame =
     basketPairCache.getOrElseUpdate(s, dir) {
       val items = Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -107,9 +160,14 @@ object PipelineQueries {
           col("a.l_partkey") < col("b.l_partkey"))
         .groupBy(col("a.l_partkey").as("p1"), col("b.l_partkey").as("p2"))
         .agg(count(lit(1)).as("c_pair"))
-        .filter(col("c_pair") >= 3)
         .localCheckpoint()
     }
+
+  /** The min-support (≥3) view of [[basketPairsAll]] the two basket
+    * consumers read — a map-only filter over the checkpointed frame.
+    */
+  private def basketPairs(s: SparkSession, dir: String): DataFrame =
+    basketPairsAll(s, dir).filter(col("c_pair") >= 3)
 
   /** DuckDB fragment for [[graft.functions.Md5Hash.lower63]]: first 8
     * MD5 digest bytes big-endian, top bit cleared.
@@ -2642,8 +2700,7 @@ object PipelineQueries {
     // (i, i+100000) must surface.
     "dedup_ngram_jaccard" -> QueryDef(
       (s, dir) =>
-        Dedup.ngramJaccardPairs(
-          perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5)
+        perturbedPairs(s, dir) // shared exact-pair artifact (r14)
           .orderBy(col("id_a"), col("id_b")),
       s"""WITH corpus AS ($perturbedSql),
          |docs AS (
@@ -2680,8 +2737,7 @@ object PipelineQueries {
       (s, dir) => {
         def isTest(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
           (c % 10 === 0) && (c >= 100000L)
-        val pairs = Dedup.ngramJaccardPairs(
-          perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5)
+        val pairs = perturbedPairs(s, dir) // shared exact-pair artifact (r14)
         val cross = pairs
           .filter(isTest(col("id_a")) =!= isTest(col("id_b")))
           .select(
@@ -3617,8 +3673,8 @@ object PipelineQueries {
     // only); reassembly is the single doc_id shuffle.
     "dedup_span_excise" -> QueryDef(
       (s, dir) =>
-        SpanDedup.exciseCommonSpans(
-          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L)
+        SpanDedup.exciseFromCovered(
+          perturbedDocs(s, dir), "doc_id", "text", spanCoverage(s, dir)._2)
           .orderBy(col("doc_id")),
       s"""WITH corpus AS ($perturbedSql),
          |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
@@ -3707,8 +3763,7 @@ object PipelineQueries {
     // Reads the same coveredPositions frame the excision policies use.
     "dedup_span_runlengths" -> QueryDef(
       (s, dir) => {
-        val cov = SpanDedup.coveredPositions(
-          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L)
+        val cov = spanCoverage(s, dir)._2 // shared census artifact (r14)
         val w = Window.partitionBy(col("doc_id")).orderBy(col("pos0"))
         cov
           .withColumn("grp", col("pos0") - row_number().over(w))
@@ -3754,8 +3809,8 @@ object PipelineQueries {
     // block recurs shifted in its twin).
     "dedup_span_maximal" -> QueryDef(
       (s, dir) =>
-        SpanDedup.maximalSpans(
-          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L)
+        SpanDedup.maximalSpansFromCovered(
+          perturbedDocs(s, dir), "doc_id", "text", spanCoverage(s, dir)._2)
           .orderBy(col("doc_id"), col("start0")),
       s"""WITH corpus AS ($perturbedSql),
          |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),
@@ -3840,9 +3895,12 @@ object PipelineQueries {
     // min-struct agg + anti-join, both still span_hash-keyed.
     "dedup_span_keepfirst" -> QueryDef(
       (s, dir) =>
-        SpanDedup.exciseCommonSpans(
-          perturbedDocs(s, dir), "doc_id", "text", n = 8, maxDocs = 1L,
-          keepFirst = true)
+        // keeper-aware coverage re-derives from the SHARED span frame
+        // (r14): the corpus explode + checkpoint happen once per session
+        SpanDedup.exciseFromCovered(
+          perturbedDocs(s, dir), "doc_id", "text",
+          SpanDedup.coveredPositionsFromSpans(
+            spanCoverage(s, dir)._1, "doc_id", 8, 1L, keepFirst = true))
           .orderBy(col("doc_id")),
       s"""WITH corpus AS ($perturbedSql),
          |tk AS (SELECT doc_id, $toksSql AS toks FROM corpus),

@@ -725,15 +725,8 @@ object SketchStatsQueries {
     // shape that scales with the edge count, like pointer-jumping CC.
     "pagerank_supplier_customer" -> QueryDef(
       (s, dir) => {
-        val e0 = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(
-            (col("l_suppkey") * 2).as("u"),
-            (col("o_custkey") * 2 + 1).as("v"))
-          .distinct()
-        val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-          .distinct()
+        // shared checkpointed trade-graph artifact (r14)
+        val edges = GraphLearnQueries.edgesFrame(s, dir)
         PageRank.run(edges, rounds = 5)
           .select(
             when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
@@ -771,15 +764,8 @@ object SketchStatsQueries {
     // CASE on the seed membership; the oracle unrolls all 5 rounds.
     "ppr_supplier_seeds" -> QueryDef(
       (s, dir) => {
-        val e0 = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(
-            (col("l_suppkey") * 2).as("u"),
-            (col("o_custkey") * 2 + 1).as("v"))
-          .distinct()
-        val edges = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
-          .distinct()
+        // shared checkpointed trade-graph artifact (r14)
+        val edges = GraphLearnQueries.edgesFrame(s, dir)
         // suppkeys are 1-based, so seed from suppliers 1..3 (nodes
         // 2,4,6) — range(3)*2 would include node 0, which no supplier
         // maps to, leaving it inert (r6 ADVICE)
