@@ -55,6 +55,8 @@ object Bench {
       queries.CurationQueries.warmArtifacts(spark, sfDir)
       queries.PipelineQueries.warmArtifacts(spark, sfDir)
       queries.MefStarQueries.warmArtifacts(spark, sfDir)
+      queries.SketchStatsQueries.warmArtifacts(spark, sfDir) // r15
+      queries.IrLakeQueries.warmArtifacts(spark, sfDir) // r15
     }
 
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -69,6 +69,9 @@ object CoreBench {
     queries.GraphLearnQueries.warmArtifacts(spark, sfDir)
     queries.CurationQueries.warmArtifacts(spark, sfDir)
     queries.PipelineQueries.warmArtifacts(spark, sfDir)
+    // r15: pagerank rep reads the prepared (deg, ed) artifact — warm
+    // it so the rep measures the iterative rounds at every core count
+    queries.SketchStatsQueries.warmArtifacts(spark, sfDir)
 
     def median(xs: Seq[Double]) = xs.sorted.apply(xs.size / 2)
     val results = Representatives.map { name =>

@@ -256,10 +256,17 @@ object GraphOps {
     * THROWS (the LPA/SCC contract) so a silent partial MIS cannot
     * masquerade as maximal. Returns (round, node) winners.
     */
-  def lubyMis(edges: DataFrame, maxRounds: Int): DataFrame = {
+  def lubyMis(edges: DataFrame, maxRounds: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be positive")
-    val e = edges.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // assumeCanonical: caller warrants edges are already distinct with
+    // u ≠ v (the shared trade-graph artifact is, by node parity) — the
+    // defensive re-distinct + re-checkpoint of an already-checkpointed
+    // frame is then a wasted full shuffle + materialization (r15).
+    val e =
+      if (assumeCanonical) edges.select(col("u"), col("v"))
+      else edges.select(col("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var active = e.select(col("u").as("n")).distinct().localCheckpoint()
     var out: Option[DataFrame] = None
     var r = 1
@@ -307,10 +314,16 @@ object GraphOps {
     * exhausting `maxRounds` before that THROWS (the lubyMis contract).
     * Returns (round, u, v) matched edges.
     */
-  def greedyMatching(edges: DataFrame, maxRounds: Int): DataFrame = {
+  def greedyMatching(edges: DataFrame, maxRounds: Int,
+      assumeCanonical: Boolean = false): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be positive")
-    val e0 = edges.select(col("u"), col("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    // assumeCanonical: see lubyMis — skips the defensive re-distinct +
+    // re-checkpoint when the caller passes an already-canonical
+    // (distinct, u ≠ v) checkpointed frame.
+    val e0 =
+      if (assumeCanonical) edges.select(col("u"), col("v"))
+      else edges.select(col("u"), col("v"))
+        .filter(col("u") =!= col("v")).distinct().localCheckpoint()
     var act = e0.select(col("u").as("n"))
       .unionByName(e0.select(col("v").as("n"))).distinct().localCheckpoint()
     var out: Option[DataFrame] = None

@@ -44,6 +44,26 @@ object PageRank {
   def run(edges: DataFrame, rounds: Int, broadcastRanks: Boolean = true): DataFrame = {
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, Seq("u")).localCheckpoint()
+    runPrepared(deg, ed, rounds, broadcastRanks)
+  }
+
+  /** The degree frame + degree-joined edge frame [[run]] and
+    * [[runPersonalized]] derive on entry, built once and checkpointed —
+    * for callers running SEVERAL PageRank variants over the same graph
+    * (pagerank + ppr share one prepared pair via a session artifact;
+    * r14's deferred item). Frames are identical to the per-run
+    * derivation, so results are bit-identical.
+    */
+  def prepare(edges: DataFrame): (DataFrame, DataFrame) = {
+    val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val ed = edges.join(deg, Seq("u")).localCheckpoint()
+    (deg, ed)
+  }
+
+  /** [[run]]'s round loop over a prepared (deg, ed) pair. */
+  def runPrepared(deg: DataFrame, ed: DataFrame, rounds: Int,
+      broadcastRanks: Boolean = true): DataFrame = {
     var ranks = deg.select(col("u").as("node"), lit(1000000L).as("rank"))
       .localCheckpoint()
     (0 until rounds).foreach { _ =>
@@ -101,6 +121,13 @@ object PageRank {
       broadcastRanks: Boolean = true): DataFrame = {
     val deg = edges.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val ed = edges.join(deg, Seq("u")).localCheckpoint()
+    runPersonalizedPrepared(deg, ed, seeds, rounds, broadcastRanks)
+  }
+
+  /** [[runPersonalized]]'s body over a prepared (deg, ed) pair. */
+  def runPersonalizedPrepared(
+      deg: DataFrame, ed: DataFrame, seeds: DataFrame, rounds: Int,
+      broadcastRanks: Boolean = true): DataFrame = {
     // node universe with the per-round restart mass folded in ONCE
     // (checkpointed, scanned every round) — the naive form re-joined
     // the seed frame per round and measured 8.8 s vs global

@@ -497,10 +497,10 @@ object EvalOpsQueries {
     // generation as link_prediction_jaccard (no all-pairs stage).
     "resource_allocation_links" -> QueryDef(
       (s, dir) => {
-        val po = Tables.lineitem(s, dir)
+        // shared checkpointed (order, part) artifact (r15) — feeds the
+        // degree agg and both self-join sides over the same blocks
+        val po = PipelineQueries.orderPartItems(s, dir)
           .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
-          .distinct()
-          .localCheckpoint() // feeds the degree agg and both join sides
         val od = po.groupBy(col("o")).agg(count(lit(1)).as("d"))
         po.select(col("p").as("p1"), col("o"))
           .join(po.select(col("p").as("p2"), col("o")), Seq("o"))

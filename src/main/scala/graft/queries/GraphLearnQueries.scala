@@ -119,6 +119,62 @@ object GraphLearnQueries {
       .localCheckpoint()
   }
 
+  /** Session-scoped PERCEPTRON MODEL artifact (r15): the checkpointed
+    * feature frame plus the full 5-round training output (weight
+    * history + per-round error stats). THREE queries
+    * (perceptron_train_weights, perceptron_round_errors,
+    * margin_hard_examples) each re-built the identical feature frame
+    * AND re-ran the identical 5-round training — 10 feature-frame
+    * scans and 15 driver round-trips for one model. Trained once per
+    * (session, corpus); the model is 5×64 longs + 5 stat rows, a
+    * driver-side artifact like the IVF codebooks.
+    */
+  private val perceptronCache =
+    new SessionScopedCache[(org.apache.spark.sql.DataFrame,
+      Seq[Array[Long]], Seq[Perceptron.RoundStat])]
+
+  private def perceptronModel(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, Seq[Array[Long]],
+        Seq[Perceptron.RoundStat]) =
+    perceptronCache.getOrElseUpdate(s, dir) {
+      val feats = perceptronFeatures(s, dir)
+      val (hist, stats) = Perceptron.train(feats, dims = 64, rounds = 5)
+      (feats, hist, stats)
+    }
+
+  /** Session-scoped ε-PAIR artifacts (r15): the exact blocked
+    * ε-neighborhood graph at the fixture eps (consumed by
+    * dbscan_embedding_clusters AND dbscan_ivf_recall's truth side) and
+    * the IVF-routed one (consumed by dbscan_ivf_clusters AND
+    * dbscan_ivf_recall's routed side) — each chain previously ran
+    * twice per sweep. Checkpointed; dbscanCensus consumes them
+    * directly (it no longer re-checkpoints its input).
+    */
+  private val exactEpsPairsCache =
+    new SessionScopedCache[org.apache.spark.sql.DataFrame]
+
+  private def exactEpsPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    exactEpsPairsCache.getOrElseUpdate(s, dir) {
+      graft.operators.Similarity.epsNeighborPairsBlocked(
+        Tables.embeddings(s, dir), "vec_id", "embedding", eps = 0.33)
+        .select(col("i"), col("j"))
+        .localCheckpoint()
+    }
+
+  private val routedEpsPairsCache =
+    new SessionScopedCache[org.apache.spark.sql.DataFrame]
+
+  private def routedEpsPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    routedEpsPairsCache.getOrElseUpdate(s, dir) {
+      graft.operators.Similarity.epsNeighborPairsIvfWithCentroids(
+        Tables.embeddings(s, dir), "vec_id", "embedding", eps = 0.33,
+        IvfArtifacts.centroids(s, dir), nprobe = 8)
+        .select(col("i"), col("j"))
+        .localCheckpoint()
+    }
+
   private val perceptronFeaturesSql =
     """q AS (SELECT vec_id AS id,
       |  list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -239,6 +295,9 @@ object GraphLearnQueries {
     tradeGraph(s, dir) // r14: 9 consumers (kcore, bfs, deepwalk, …)
     nationFlow(s, dir) // r14: 6 consumers (diameter, stress, scc, …)
     knnGraph(s, dir) // r14: 8 consumers (semdedup, triangles, …)
+    perceptronModel(s, dir) // r15: 3 consumers (weights, errors, margins)
+    exactEpsPairs(s, dir) // r15: 2 consumers (dbscan exact, recall truth)
+    routedEpsPairs(s, dir) // r15: 2 consumers (dbscan routed, recall)
     ()
   }
 
@@ -254,8 +313,10 @@ object GraphLearnQueries {
   private def dbscanCensus(
       emb: org.apache.spark.sql.DataFrame,
       pairsIn: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // pairsIn must arrive MATERIALIZED (both callers pass the shared
+    // checkpointed ε-pair artifacts, r15) — it feeds degrees,
+    // core-core edges, and borders, all over the artifact's blocks
     val pairs = pairsIn.select(col("i"), col("j"))
-      .localCheckpoint() // feeds degrees, core-core edges, borders
     val core = pairs.groupBy(col("i")).agg(count(lit(1)).as("d"))
       .filter(col("d") >= 3).select(col("i").as("id"))
       .localCheckpoint() // feeds two semi-joins, the anti-join, labels
@@ -450,8 +511,9 @@ object GraphLearnQueries {
     "perceptron_train_weights" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val (hist, _) = Perceptron.train(
-          perceptronFeatures(s, dir), dims = 64, rounds = 5)
+        // shared perceptron-model artifact (r15): trained once per
+        // (session, corpus), three consumers
+        val (_, hist, _) = perceptronModel(s, dir)
         (0 until 64)
           .map(d => (d, hist(0)(d), hist(1)(d), hist(2)(d), hist(3)(d),
             hist(4)(d)))
@@ -475,8 +537,8 @@ object GraphLearnQueries {
     "perceptron_round_errors" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val (_, stats) = Perceptron.train(
-          perceptronFeatures(s, dir), dims = 64, rounds = 5)
+        // shared perceptron-model artifact (r15)
+        val (_, _, stats) = perceptronModel(s, dir)
         stats.map(st => (st.round, st.nMisPos, st.nMisNeg))
           .toDF("round", "n_mis_pos", "n_mis_neg")
           .withColumn("n_mis", col("n_mis_pos") + col("n_mis_neg"))
@@ -563,9 +625,10 @@ object GraphLearnQueries {
     // width, and the item-count frames join broadcast like any dim.
     "cf_item_neighbors" -> QueryDef(
       (s, dir) => {
-        val bi = Tables.lineitem(s, dir)
+        // shared checkpointed (order, part) artifact (r15) — the same
+        // frame the basket pair artifact self-joins
+        val bi = PipelineQueries.orderPartItems(s, dir)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
-          .distinct()
         val ni = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
         // shared checkpointed basket pair-count artifact (r14): the
         // (order,part) self-join + pair agg is identical to the basket
@@ -615,11 +678,13 @@ object GraphLearnQueries {
     // frame outgrows broadcast).
     "hits_hubs_authorities" -> QueryDef(
       (s, dir) => {
-        val e = Tables.lineitem(s, dir)
-          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-          .select(col("l_suppkey").as("s"), col("o_custkey").as("c"))
-          .distinct()
-          .localCheckpoint()
+        // the bipartite (s, c) pair set IS the trade-graph artifact's
+        // one-directional frame under the parity encoding (u = 2s,
+        // v = 2c+1 — a bijection, so the distinct sets correspond
+        // 1:1); decode map-only instead of re-running the
+        // lineitem⋈orders join + distinct + checkpoint (r15)
+        val e = tradeGraph(s, dir)._1
+          .select(expr("u div 2").as("s"), expr("(v - 1) div 2").as("c"))
         var h = e.select(col("s")).distinct().withColumn("h", lit(1000L))
         var a: org.apache.spark.sql.DataFrame = null
         for (_ <- 1 to 2) {
@@ -958,9 +1023,10 @@ object GraphLearnQueries {
     "knn_graph_recall" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val knn = graft.operators.KnnGraph.buildWithCentroids(
-          emb, "vec_id", "embedding", k = 5,
-          IvfArtifacts.centroids(s, dir), nprobe = 8)
+        // the indexed side IS the shared kNN-graph artifact (same
+        // corpus, k=5, standard quantizer, nprobe=8 — r15); only the
+        // brute-force truth twin stays per-query by design
+        val knn = knnGraph(s, dir)._1
           .select(col("query_id").as("kq"), col("neighbor_id").as("kn"),
             lit(1).as("hit"))
         val truth = graft.operators.Similarity.bruteForceTopKBlocked(
@@ -1027,11 +1093,11 @@ object GraphLearnQueries {
           base, fresh, "vec_id", "embedding", k = 5, csOld, nprobe = 8)
           .select(col("query_id"), col("neighbor_id"))
           .localCheckpoint() // feeds edge count, churn join, recall join
-        val csNew = IvfArtifacts.centroids(s, dir) // the standard quantizer
-        val gNew = graft.operators.KnnGraph.buildWithCentroids(
-          emb, "vec_id", "embedding", k = 5, csNew, nprobe = 8)
+        // the "new" graph IS the shared kNN-graph artifact (standard
+        // quantizer, k=5, nprobe=8 — r15); already checkpointed, the
+        // map-only select feeds churn join + recall join
+        val gNew = knnGraph(s, dir)._1
           .select(col("query_id"), col("neighbor_id"))
-          .localCheckpoint() // feeds churn join + recall join
         val churn = gNew
           .join(gOld.withColumn("in_old", lit(1)),
             Seq("query_id", "neighbor_id"), "left")
@@ -1150,10 +1216,8 @@ object GraphLearnQueries {
     "knn_graph_nndescent" -> QueryDef(
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val knn = graft.operators.KnnGraph.buildWithCentroids(
-          emb, "vec_id", "embedding", k = 5,
-          IvfArtifacts.centroids(s, dir), nprobe = 8)
-          .localCheckpoint()
+        // the routed seed graph IS the shared kNN-graph artifact (r15)
+        val knn = knnGraph(s, dir)._1
         val refined = graft.operators.KnnGraph.refine(
           knn, emb, "vec_id", "embedding", k = 5)
         val truth = graft.operators.Similarity.bruteForceTopKBlocked(
@@ -1551,9 +1615,9 @@ object GraphLearnQueries {
     // closes components with the recursive-CTE min-reachable recipe.
     "dbscan_embedding_clusters" -> QueryDef(
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        dbscanCensus(emb, graft.operators.Similarity.epsNeighborPairsBlocked(
-          emb, "vec_id", "embedding", eps = 0.33))
+        // shared checkpointed exact ε-pair artifact (r15): the blocked
+        // all-pairs chain also feeds dbscan_ivf_recall's truth side
+        dbscanCensus(Tables.embeddings(s, dir), exactEpsPairs(s, dir))
       },
       """WITH ev AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1582,11 +1646,9 @@ object GraphLearnQueries {
     // fixed-order formula, symmetrizes, and runs the same census tail.
     "dbscan_ivf_clusters" -> QueryDef(
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        dbscanCensus(emb,
-          graft.operators.Similarity.epsNeighborPairsIvfWithCentroids(
-            emb, "vec_id", "embedding", eps = 0.33,
-            IvfArtifacts.centroids(s, dir), nprobe = 8))
+        // shared checkpointed routed ε-pair artifact (r15): the same
+        // routed chain also feeds dbscan_ivf_recall's routed side
+        dbscanCensus(Tables.embeddings(s, dir), routedEpsPairs(s, dir))
       },
       PipelineQueries.trainedIvfRankedCtes(
         dim = 64, nlist = 16, nprobe = 8,
@@ -1609,17 +1671,13 @@ object GraphLearnQueries {
     // replays the trained routing.
     "dbscan_ivf_recall" -> QueryDef(
       (s, dir) => {
-        val emb = Tables.embeddings(s, dir)
-        val exact = graft.operators.Similarity.epsNeighborPairsBlocked(
-          emb, "vec_id", "embedding", eps = 0.33)
+        // both sides read the shared checkpointed ε-pair artifacts
+        // (r15) through a map-only i<j filter — each frame feeds the
+        // count AND the meet join over the artifact's blocks
+        val exact = exactEpsPairs(s, dir)
           .filter(col("i") < col("j")).select(col("i"), col("j"))
-          .localCheckpoint() // feeds the count AND the meet join
-        val routed = graft.operators.Similarity
-          .epsNeighborPairsIvfWithCentroids(
-            emb, "vec_id", "embedding", eps = 0.33,
-            IvfArtifacts.centroids(s, dir), nprobe = 8)
+        val routed = routedEpsPairs(s, dir)
           .filter(col("i") < col("j"))
-          .localCheckpoint() // feeds the count AND the meet join
         val meet = routed.join(exact, Seq("i", "j"), "left_semi")
         exact.agg(count(lit(1)).as("n_exact"))
           .crossJoin(broadcast(routed.agg(count(lit(1)).as("n_routed"))))
@@ -2098,18 +2156,15 @@ object GraphLearnQueries {
     // Σ_order |parts|², the classic co-occurrence budget.
     "link_prediction_jaccard" -> QueryDef(
       (s, dir) => {
-        // (part, order) pairs feed the degree agg and BOTH self-join
-        // sides — checkpoint so the distinct runs once
-        val po = Tables.lineitem(s, dir)
+        // shared artifacts (r15): the (part, order) frame is the
+        // basket items artifact and the co-occurrence pair counts ARE
+        // basketPairsAll (identical self-join + agg) — this query
+        // previously re-ran both
+        val po = PipelineQueries.orderPartItems(s, dir)
           .select(col("l_partkey").as("p"), col("l_orderkey").as("o"))
-          .distinct()
-          .localCheckpoint()
         val deg = po.groupBy(col("p")).agg(count(lit(1)).as("d"))
-        val co = po.select(col("p").as("p1"), col("o"))
-          .join(po.select(col("p").as("p2"), col("o")), Seq("o"))
-          .filter(col("p1") < col("p2"))
-          .groupBy(col("p1"), col("p2"))
-          .agg(count(lit(1)).as("cn"))
+        val co = PipelineQueries.basketPairsAll(s, dir)
+          .select(col("p1"), col("p2"), col("c_pair").as("cn"))
         co.join(deg.select(col("p").as("p1"), col("d").as("d1")), Seq("p1"))
           .join(deg.select(col("p").as("p2"), col("d").as("d2")), Seq("p2"))
           .select(col("p1"), col("p2"), col("cn"), col("d1"), col("d2"),
@@ -2407,8 +2462,12 @@ object GraphLearnQueries {
     "luby_mis_trade" -> QueryDef(
       (s, dir) => {
         // shared checkpointed trade graph (r14); keys are BIGINT so the
-        // old explicit .cast("long") was a no-op
-        GraphOps.lubyMis(edgesFrame(s, dir), maxRounds = 6)
+        // old explicit .cast("long") was a no-op. assumeCanonical: the
+        // artifact is distinct with u ≠ v by node parity, so the
+        // operator's defensive re-distinct + re-checkpoint was a wasted
+        // full shuffle + materialization (r15)
+        GraphOps.lubyMis(edgesFrame(s, dir), maxRounds = 6,
+            assumeCanonical = true)
           .groupBy(col("round"))
           .agg(count(lit(1)).as("n_winners"), sum(col("node")).as("id_sum"))
           .orderBy(col("round"))
@@ -2454,7 +2513,10 @@ object GraphLearnQueries {
     "greedy_matching_trade" -> QueryDef(
       (s, dir) => {
         // one-directional distinct pair frame from the shared artifact
-        GraphOps.greedyMatching(tradeGraph(s, dir)._1, maxRounds = 5)
+        // (distinct, u ≠ v by parity — assumeCanonical skips the
+        // operator's defensive re-distinct + re-checkpoint, r15)
+        GraphOps.greedyMatching(tradeGraph(s, dir)._1, maxRounds = 5,
+            assumeCanonical = true)
           .groupBy(col("round"))
           .agg(count(lit(1)).as("n_matched"),
             sum(col("u")).as("u_sum"), sum(col("v")).as("v_sum"))
@@ -2636,8 +2698,8 @@ object GraphLearnQueries {
     // final-weight scoring.
     "margin_hard_examples" -> QueryDef(
       (s, dir) => {
-        val feats = perceptronFeatures(s, dir)
-        val (hist, _) = Perceptron.train(feats, dims = 64, rounds = 5)
+        // shared perceptron-model artifact (r15)
+        val (feats, hist, _) = perceptronModel(s, dir)
         val w5 = hist(4)
         feats.groupBy(col("id"), col("y"))
           .agg(sum(element_at(lit(w5), col("dim").cast("int") + 1) * col("x"))

@@ -136,7 +136,8 @@ object PipelineQueries {
   def warmArtifacts(s: SparkSession, dir: String): Unit = {
     ccLabels(s, dir)
     spanCoverage(s, dir)
-    basketPairs(s, dir)
+    basketPairs(s, dir) // also warms orderPartItems (r15)
+    bigramBitsScored(s, dir) // r15: 2 consumers (perplexity, curriculum)
     ()
   }
 
@@ -151,10 +152,41 @@ object PipelineQueries {
     */
   private val basketPairCache = new SessionScopedCache[DataFrame]
 
+  /** Distinct (order, part) basket-membership ARTIFACT (r15): the
+    * frame under [[basketPairsAll]]'s self-join, also rebuilt per
+    * query by basket_association_rules (part counts + basket total),
+    * cf_item_neighbors (item counts), link_prediction_jaccard and
+    * resource_allocation_links (their `po`) — five consumers, one
+    * distinct.
+    */
+  private val orderPartCache = new SessionScopedCache[DataFrame]
+
+  private[graft] def orderPartItems(s: SparkSession, dir: String): DataFrame =
+    orderPartCache.getOrElseUpdate(s, dir) {
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint()
+    }
+
+  /** Session-scoped BIGRAM-LM SCORE artifact (r15): NgramLm.bigramBits
+    * over the documents corpus with the doc_id%5=0 training slice —
+    * the identical (train + score) chain was re-run by BOTH
+    * ngram_perplexity_filter and curriculum_difficulty_shards.
+    * Checkpointed per (session, corpus).
+    */
+  private val bigramBitsCache = new SessionScopedCache[DataFrame]
+
+  private def bigramBitsScored(s: SparkSession, dir: String): DataFrame =
+    bigramBitsCache.getOrElseUpdate(s, dir) {
+      NgramLm.bigramBits(
+        Tables.documents(s, dir), "doc_id", "text",
+        isTrain = col("doc_id") % 5 === 0)
+        .localCheckpoint()
+    }
+
   private[graft] def basketPairsAll(s: SparkSession, dir: String): DataFrame =
     basketPairCache.getOrElseUpdate(s, dir) {
-      val items = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val items = orderPartItems(s, dir)
       items.as("a")
         .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
@@ -1701,9 +1733,8 @@ object PipelineQueries {
     // per shard are order-insensitive doubles.
     "curriculum_difficulty_shards" -> QueryDef(
       (s, dir) => {
-        val scored = NgramLm.bigramBits(
-          Tables.documents(s, dir), "doc_id", "text",
-          isTrain = col("doc_id") % 5 === 0)
+        // shared checkpointed bigram-LM score artifact (r15)
+        val scored = bigramBitsScored(s, dir)
         ExactNtile.withNtile(
           scored.select(col("doc_id"), col("mean_bits")),
           Seq(col("mean_bits"), col("doc_id")), 8, "shard")
@@ -2070,9 +2101,8 @@ object PipelineQueries {
     // one doc-grain agg.
     "ngram_perplexity_filter" -> QueryDef(
       (s, dir) =>
-        NgramLm.bigramBits(
-            Tables.documents(s, dir), "doc_id", "text",
-            isTrain = col("doc_id") % 5 === 0)
+        // shared checkpointed bigram-LM score artifact (r15)
+        bigramBitsScored(s, dir)
           .withColumn("keep",
             when(col("n_bigrams") === 0, lit(false))
               .otherwise(col("mean_bits") < 5.0))
@@ -6324,8 +6354,8 @@ object PipelineQueries {
     // broadcast-cross-join shape (whitelisted in PlanAuditSpec).
     "basket_association_rules" -> QueryDef(
       (s, dir) => {
-        val items = Tables.lineitem(s, dir)
-          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        // shared checkpointed (order, part) artifact (r15)
+        val items = orderPartItems(s, dir)
         val partCnt = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("pc"))
         val tot = items.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
         basketPairs(s, dir)

@@ -25,6 +25,30 @@ object SketchStatsQueries {
   private def md5_63(x: String): String =
     s"(('0x' || substr(md5($x), 1, 16))::UBIGINT & 9223372036854775807::UBIGINT)::BIGINT"
 
+  /** Session-scoped PREPARED-PAGERANK artifact (r15, the r14 deferred
+    * item): the degree frame + degree-joined edge frame over the
+    * shared symmetric trade graph, checkpointed once — pagerank and
+    * ppr each re-derived the identical pair (one degree agg + one
+    * join + checkpoint per query).
+    */
+  private val preparedEdgesCache =
+    new SessionScopedCache[(org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame)]
+
+  private def preparedTradeEdges(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    preparedEdgesCache.getOrElseUpdate(s, dir) {
+      PageRank.prepare(GraphLearnQueries.edgesFrame(s, dir))
+    }
+
+  /** Bench warm-up face of [[preparedTradeEdges]] (the artifact
+    * pre-warm convention). */
+  def warmArtifacts(s: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    preparedTradeEdges(s, dir)
+    ()
+  }
+
   private val toksSql =
     "list_filter(string_split_regex(lower(coalesce(text, '')), '\\s+'), t -> len(t) > 0)"
 
@@ -725,9 +749,9 @@ object SketchStatsQueries {
     // shape that scales with the edge count, like pointer-jumping CC.
     "pagerank_supplier_customer" -> QueryDef(
       (s, dir) => {
-        // shared checkpointed trade-graph artifact (r14)
-        val edges = GraphLearnQueries.edgesFrame(s, dir)
-        PageRank.run(edges, rounds = 5)
+        // shared prepared (deg, ed) artifact over the trade graph (r15)
+        val (deg, ed) = preparedTradeEdges(s, dir)
+        PageRank.runPrepared(deg, ed, rounds = 5)
           .select(
             when(col("node") % 2 === 0, "supplier").otherwise("customer").as("kind"),
             expr("CAST(node div 2 AS BIGINT)").as("entity_id"),
@@ -764,13 +788,13 @@ object SketchStatsQueries {
     // CASE on the seed membership; the oracle unrolls all 5 rounds.
     "ppr_supplier_seeds" -> QueryDef(
       (s, dir) => {
-        // shared checkpointed trade-graph artifact (r14)
-        val edges = GraphLearnQueries.edgesFrame(s, dir)
+        // shared prepared (deg, ed) artifact over the trade graph (r15)
+        val (deg, ed) = preparedTradeEdges(s, dir)
         // suppkeys are 1-based, so seed from suppliers 1..3 (nodes
         // 2,4,6) — range(3)*2 would include node 0, which no supplier
         // maps to, leaving it inert (r6 ADVICE)
         val seeds = s.range(1, 4).select((col("id") * 2).as("node"))
-        PageRank.runPersonalized(edges, seeds, rounds = 5)
+        PageRank.runPersonalizedPrepared(deg, ed, seeds, rounds = 5)
           .filter(col("node") % 2 === 1)
           .select(
             lit("customer").as("kind"),

@@ -48,8 +48,9 @@ class PlanShapeSpec extends SparkSuite {
     "bfs_hops_from_seeds" -> Shape(2, 0, 0, 0, 0, 0),
     // r14 change (f): cf_item_neighbors reads the shared basketPairsAll
     // artifact (one self-join for three consumers) — 12 shuffles/4 bcasts
-    // dropped to 6/2. Snapshot updated r15 (the r14 round missed it).
-    "cf_item_neighbors" -> Shape(6, 2, 2, 0, 0, 0),
+    // dropped to 6/2; r15: the shared (order, part) items artifact
+    // removed the per-query distinct too — 6 shuffles down to 4.
+    "cf_item_neighbors" -> Shape(4, 2, 2, 0, 0, 0),
     "closeness_centrality_seeds" -> Shape(2, 0, 0, 0, 0, 0),
     "dbscan_embedding_clusters" -> Shape(6, 0, 0, 2, 0, 0),
     "dbscan_ivf_clusters" -> Shape(6, 0, 0, 2, 0, 0),
