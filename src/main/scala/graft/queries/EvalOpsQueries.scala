@@ -723,13 +723,11 @@ object EvalOpsQueries {
     // (ngramJaccardPairStats), the cumulative census a 10-row window.
     "dedup_threshold_curve" -> QueryDef(
       (s, dir) => {
-        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val corpus = d.unionAll(d.select(
-          (col("doc_id") + 100000).as("doc_id"),
-          regexp_replace(col("text"), "^[^\\t\\n\\f\\r ]+[\\t\\n\\f\\r ]*", "")
-            .as("text")))
-        val pairs = graft.operators.Dedup.ngramJaccardPairStats(
-          corpus, "doc_id", "text", n = 4, threshold = 0.3)
+        // shared checkpointed pair-STATS artifact over the perturbed
+        // corpus at this query's threshold 0.3 (r15) — this query is
+        // why the artifact caches the 0.3 band; the 0.5 dedup
+        // consumers read it through a map-only filter
+        val pairs = PipelineQueries.perturbedPairStats(s, dir)
         val banded = pairs
           .select(expr("CAST((10 * shared) div (n_a + n_b - shared) AS BIGINT)")
             .as("band"))

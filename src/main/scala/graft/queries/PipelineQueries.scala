@@ -98,12 +98,26 @@ object PipelineQueries {
     */
   private val perturbedPairsCache = new SessionScopedCache[DataFrame]
 
-  private def perturbedPairs(s: SparkSession, dir: String): DataFrame =
+  /** r15 generalization: the cached frame is now the pair STATS at
+    * threshold 0.3 — the LOWEST any consumer needs
+    * (dedup_threshold_curve's band sweep). In ngramJaccardPairStats
+    * the threshold is purely a final filter over threshold-independent
+    * candidates (inverted index + df-capped blacklist), so
+    * stats(0.5) ≡ stats(0.3).filter(jaccard ≥ 0.5) EXACTLY — the 0.5
+    * consumers read the artifact through that map-only filter and the
+    * curve query stops re-running the whole inverted-index chain.
+    */
+  private[graft] def perturbedPairStats(s: SparkSession, dir: String): DataFrame =
     perturbedPairsCache.getOrElseUpdate(s, dir) {
-      Dedup.ngramJaccardPairs(
-        perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.5)
+      Dedup.ngramJaccardPairStats(
+        perturbedDocs(s, dir), "doc_id", "text", n = 4, threshold = 0.3)
         .localCheckpoint()
     }
+
+  private def perturbedPairs(s: SparkSession, dir: String): DataFrame =
+    perturbedPairStats(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** Session-scoped span-coverage ARTIFACT (r14): the positional span
     * frame (n = 8) over the perturbed corpus plus the drop-all-copies
